@@ -1,0 +1,94 @@
+"""Sink layer — partitioned writes, overwrite staging, and MERGE semantics.
+
+The reference's write modes (SURVEY.md §2.1):
+- S12 full-replace staging  (DROP + to_sql replace, full_stock_pipeline.py:350-354)
+- S13 truncate-and-append   (fetch_transform_news.py:143-146)
+- S14 upsert / MERGE        (INSERT ... ON CONFLICT DO UPDATE, full_stock_pipeline.py:405-415)
+- S15 insert-if-absent      (ON CONFLICT DO NOTHING, full_stock_pipeline.py:449,471,482)
+- S16 year-range partitions (dags/create_partitions.py:14-38)
+
+On Spark, S12/S13 are `mode("overwrite")`; S16 is `partitionBy` (Catalyst
+partition pruning replaces Postgres partition routing); S14/S15 are
+implemented as pure-DataFrame set algebra because Delta is not on the
+classpath in this deployment — the facade keeps the call sites stable so a
+Delta `MERGE INTO` can be swapped in when available (import-gated).
+
+Scale notes (100 TB): merge_upsert shuffles both sides once on the natural
+key; with the target bucketed/partitioned on the same key the target-side
+shuffle disappears. The rewritten-partition pattern (overwrite only the
+partitions present in `updates`, via dynamic partition overwrite) bounds the
+rewrite to the touched partitions rather than the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _delta_available(spark) -> bool:
+    try:  # pragma: no cover - environment-dependent
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S16 — year/date-partitioned layout; pruning becomes automatic."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_overwrite(df: DataFrame, path: str) -> None:
+    """S12/S13 — full-replace staging dataset."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """S14 — ``INSERT ... ON CONFLICT (keys) DO UPDATE SET ...``.
+
+    Semantics mirror full_stock_pipeline.py:405-415: a key present in
+    `updates` replaces the target row entirely (all non-key columns
+    updated); keys absent from `updates` keep their target row; new keys
+    are inserted.
+
+    Implementation: target-side left-anti join on the keys, then union of
+    the surviving target rows with (deduplicated) updates. If `updates`
+    carries duplicate keys, the row with the greatest tuple of non-key
+    values wins deterministically (the reference would apply them in
+    arbitrary order; determinism is strictly better).
+
+    One shuffle per side on `keys`; broadcast applies automatically when
+    `updates` is small (the daily-batch case: ~500 rows against years of
+    history).
+    """
+    updates = dedup_by_key(updates, keys)
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates.select(*target.columns))
+
+
+def insert_if_absent(target: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataFrame:
+    """S15 — ``ON CONFLICT DO NOTHING``: keep target rows, add only new keys."""
+    new_rows = dedup_by_key(new_rows, keys)
+    additions = new_rows.join(target.select(*keys), on=keys, how="left_anti")
+    return target.unionByName(additions.select(*target.columns))
+
+
+def dedup_by_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Deterministic one-row-per-key: greatest non-key tuple wins.
+
+    `dropDuplicates` keeps an arbitrary row; windowed row_number makes the
+    survivor reproducible, which the idempotency tests rely on.
+    """
+    from pyspark.sql import Window as W
+
+    non_keys = [c for c in df.columns if c not in keys]
+    if not non_keys:
+        return df.dropDuplicates(keys)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in non_keys])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,133 @@
+"""Multimodal columns — opaque binary payloads with typed metadata.
+
+Extension tier (SURVEY.md §2.11 X5): image/audio/video travel through the
+engine as `binary` columns plus a typed metadata struct; decode/resize/
+frame-sample run as Arrow-batched `mapInPandas` stages so the heavy bytes
+never pass through Python row-at-a-time and partitions stream batch by
+batch.
+
+The image/audio codec libraries are not in this container, so the decode
+kernel is STUBBED: `decode_media_batch(..., fake=True)` produces a
+deterministic fake feature vector from the payload hash (stable for tests),
+and `fake=False` raises NotImplementedError where a real
+PIL/torchaudio/ffmpeg call would go. The Spark-side plumbing — schema,
+batching, partition behavior, UDF signatures — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+#: Typed metadata carried alongside every media payload.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+DECODED_SCHEMA = T.StructType(
+    list(MEDIA_SCHEMA.fields)
+    + [
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata that needs no decode: byte length + md5."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.length(p).cast("long")).withColumn(
+        "payload_md5", F.md5(p)
+    )
+
+
+def _fake_features(payload: bytes | None) -> list[float]:
+    """Deterministic stand-in for a decoder+encoder: md5 bytes → unit floats."""
+    if payload is None:
+        return [0.0] * _FEATURE_DIM
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:_FEATURE_DIM]]
+
+
+def decode_media_batch(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract stage as `mapInPandas`.
+
+    Arrow streams partition batches through the worker; each batch is a
+    pandas DataFrame with a `payload` bytes column. At scale, partition
+    sizing bounds worker memory (`spark.sql.files.maxPartitionBytes`), and
+    the stage is stateless so speculative retry is safe.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/ffmpeg — not in this container"
+                )
+            pdf = pdf.copy()
+            pdf["n_bytes"] = pdf["payload"].map(lambda b: 0 if b is None else len(b))
+            pdf["features"] = pdf["payload"].map(_fake_features)
+            yield pdf
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (UDTF shape).
+
+    Row expansion happens inside `mapInPandas` (batch in, larger batch
+    out) — the Spark-side contract a real ffmpeg sampler would use. The
+    frame payload itself is stubbed.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("frame_features", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real frame sampling requires ffmpeg")
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = (r["meta"]["duration_ms"] if r["meta"] is not None else 0) or 0
+                n = max(1, int(dur // every_ms))
+                for i in range(n):
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "frame_ms": i * every_ms,
+                            "frame_features": _fake_features(
+                                (r["payload"] or b"") + i.to_bytes(4, "little")
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(sample, schema=out_schema)

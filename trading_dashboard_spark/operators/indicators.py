@@ -1,0 +1,141 @@
+"""Technical indicators — SMA / EMA / RSI / Bollinger bands.
+
+The reference computes these client-side in pandas on each dashboard render
+(dashboard/components/indicators.py:1-27). The engine computes them
+server-side as window expressions so the client receives finished columns
+(SURVEY.md §3.2) and the work distributes across executors.
+
+All but EMA are pure window frames (JVM-side, whole-stage codegen). EMA is
+recursive — not expressible as a Spark frame — so it ships two forms:
+
+- ``ema``: exact pandas parity (``ewm(span, adjust=False)``,
+  indicators.py:8) via ``applyInPandas`` per key. Per-key history is small
+  (one row per trading day), so the grouped-map batches stay tiny even when
+  the table is huge: this scales with keys × history, and keys partition.
+- ``ema_sql``: pure-SQL recurrence unrolled with the ``aggregate`` higher-
+  order function over ``collect_list`` — kept for environments where Python
+  workers are unavailable; quadratic-ish per key, only for short histories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, WindowSpec, functions as F
+
+from .windows import per_key_window, rolling
+
+
+def sma(value: Column, w: WindowSpec, n: int, pandas_parity: bool = True) -> Column:
+    """W5 — simple moving average over the last n rows.
+
+    ``pandas_parity=True`` reproduces ``rolling(n).mean()``'s NaN-until-full
+    behavior (indicators.py:3); False gives the SQL partial mean used by the
+    50/200-day crossover SQL (full_stock_pipeline.py:452-457).
+    """
+    return rolling(value, w, n, "avg", min_periods=n if pandas_parity else None)
+
+
+def bollinger(value: Column, w: WindowSpec, n: int = 20, k: float = 2.0) -> tuple[Column, Column, Column]:
+    """W6 — Bollinger bands: rolling mean ± k·stddev_samp over n rows
+    (indicators.py:20-27). Returns (middle, upper, lower)."""
+    mid = rolling(value, w, n, "avg", min_periods=n)
+    sd = rolling(value, w, n, "stddev_samp", min_periods=n)
+    return mid, mid + k * sd, mid - k * sd
+
+
+def rsi(value: Column, w: WindowSpec, n: int = 14) -> Column:
+    """W8 — Relative Strength Index.
+
+    pandas chain (indicators.py:11-18): diff(1) → clip to gains/losses →
+    n-row rolling means → ``100 - 100/(1+rs)``. loss == 0 → rs = Inf →
+    RSI 100 (division guard, SURVEY.md §7.4); gain == 0 and loss == 0
+    (flat window) → pandas yields NaN/0 division → RSI NaN... the pandas
+    expression yields 100·0/(0) = NaN → we emit NULL for that degenerate
+    case and 100.0 for loss-only-zero.
+    """
+    delta = value - F.lag(value, 1).over(w)
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    frame = w.rowsBetween(-(n - 1), 0)
+    # pandas rolling(min_periods=n) parity: need n non-null diffs; the first
+    # row's diff is null, so guard on the count of non-null deltas.
+    cnt = F.count(delta).over(frame)
+    avg_gain = F.avg(gain).over(frame)
+    avg_loss = F.avg(loss).over(frame)
+    raw = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+    out = (
+        F.when(avg_loss == 0.0, F.when(avg_gain == 0.0, F.lit(None)).otherwise(F.lit(100.0)))
+        .otherwise(raw)
+    )
+    return F.when(cnt >= n, out)
+
+
+def ema(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: list[str] | str,
+    span: int = 14,
+    out_col: str | None = None,
+) -> DataFrame:
+    """W7 — exponential moving average, exact pandas parity.
+
+    ``ewm(span=span, adjust=False).mean()`` (indicators.py:6-9) is the
+    recurrence ``y[t] = α·x[t] + (1-α)·y[t-1]``, α = 2/(span+1) — inherently
+    sequential per key, so it runs as a grouped-map pandas UDF: one Arrow
+    batch per key, vectorized inside, distributed across keys.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    keys = [keys] if isinstance(keys, str) else keys
+    order = [order] if isinstance(order, str) else order
+    out_col = out_col or f"{value_col}_ema{span}"
+    schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(schema_parts + [f"{out_col} double"])
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        pdf[out_col] = pdf[value_col].ewm(span=span, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+
+
+def ema_sql(value_list: Column, span: int) -> Column:
+    """Pure-SQL EMA over a pre-collected ordered array (fallback form).
+
+    ``aggregate(slice(xs,1,k), ...)`` unrolled recurrence; use only on
+    short per-key histories.
+    """
+    alpha = 2.0 / (span + 1.0)
+    return F.aggregate(
+        value_list,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(alpha * x + (1.0 - alpha) * acc),
+    )
+
+
+def with_indicators(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: list[str] | str,
+    sma_n: int = 14,
+    rsi_n: int = 14,
+    boll_n: int = 20,
+    ema_span: int | None = None,
+) -> DataFrame:
+    """Attach SMA/RSI/Bollinger (and optionally EMA) in one pass — the
+    server-side replacement for dashboard/components/indicators.py."""
+    w = per_key_window(keys, order)
+    v = F.col(value_col)
+    mid, up, lo = bollinger(v, w, boll_n)
+    out = (
+        df.withColumn(f"sma_{sma_n}", sma(v, w, sma_n))
+        .withColumn(f"rsi_{rsi_n}", rsi(v, w, rsi_n))
+        .withColumn("boll_mid", mid)
+        .withColumn("boll_upper", up)
+        .withColumn("boll_lower", lo)
+    )
+    if ema_span:
+        out = ema(out, value_col, keys, order, span=ema_span)
+    return out

@@ -1,0 +1,81 @@
+"""Core relational operators the reference embeds as SQL idioms.
+
+Each function is a composable DataFrame transform; Catalyst handles the
+physical strategy (broadcast vs sort-merge, TakeOrderedAndProject for
+top-k, partition pruning) — see SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_col: str, tiebreak: list[str] | None = None) -> DataFrame:
+    """J4 — greatest-n-per-group, n=1 ("latest row per symbol").
+
+    The reference joins the fact to ``(SELECT symbol, MAX(trade_date) ...
+    GROUP BY symbol)`` (data_loader.py:144-148). The idiomatic Spark plan is
+    a single window + filter: one shuffle on the key instead of two
+    (aggregate + join), and AQE handles skew.
+
+    ``tiebreak`` makes the survivor deterministic when `order_col` ties.
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """O3 — ``ORDER BY ... LIMIT k``.
+
+    Spark compiles orderBy+limit to TakeOrderedAndProject: each partition
+    keeps a k-row heap, the driver merges — no global sort materializes.
+    (Reference: data_loader.py:150,175,195,232.)
+    """
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_key(df: DataFrame, keys: list[str], order_cols: list[Column], k: int) -> DataFrame:
+    """Top-k within each group via ranked window (Spark-native rewrite of
+    the reference's greatest-n-per-group join idiom)."""
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def safe_div(num: Column, den: Column) -> Column:
+    """P16 — divide with NULLIF(den, 0) guard.
+
+    Mirrors ``x / NULLIF(y, 0)`` (full_stock_pipeline.py:478,481;
+    analyze_news_stock_patterns.py:36,39): zero denominator yields NULL,
+    never an error or Inf, independent of ANSI mode.
+    """
+    return num / F.when(den != 0, den)
+
+
+def pct_change_expr(cur: Column, prev: Column) -> Column:
+    """P18 — percent change ``(cur - prev) / prev * 100`` with zero guard
+    (analyze_news_stock_patterns.py:34-39)."""
+    return safe_div(cur - prev, prev) * 100.0
+
+
+def weekend_adjust(d: Column) -> Column:
+    """F8 — map a date to the most recent trading day.
+
+    Reference: ``weekday()==5 -> -1 day; ==6 -> -2 days``
+    (full_stock_pipeline.py:51-57, repeated at 160-166 and 242-247).
+    Spark ``dayofweek``: 1=Sunday ... 7=Saturday.
+    """
+    dow = F.dayofweek(d)
+    return (
+        F.when(dow == 7, F.date_sub(d, 1))  # Saturday -> Friday
+        .when(dow == 1, F.date_sub(d, 2))  # Sunday -> Friday
+        .otherwise(F.to_date(d))
+    )

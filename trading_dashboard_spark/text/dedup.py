@@ -1,0 +1,201 @@
+"""Deduplication operators — exact, MinHash-LSH, n-gram Jaccard, SimHash.
+
+Extension tier (SURVEY.md §2.11 X1/X2): training-data dedup at corpus
+scale. Design constraints for 100 TB:
+
+- **Never shuffle raw text.** Exact dedup groups on an md5 fingerprint
+  (16 bytes) instead of the document body; near-dup candidates are found by
+  banded MinHash buckets so the candidate-pair join is an equi-join on a
+  small band hash — the O(n²) all-pairs comparison only ever runs *within*
+  buckets (and a final exact-Jaccard verify runs only on candidates).
+- **Determinism.** Hash seeds are static; MinHash components are the
+  lexicographic minimum of fixed-seed md5 hex digests, which is
+  order-invariant and reproducible in ANSI SQL — every stage here is
+  oracle-checkable, unusual for LSH implementations.
+- Everything is built-in `pyspark.sql.functions` (md5 / transform /
+  array_min / aggregate) — JVM-side, no Python in the hot path.
+  `pyspark.ml.feature.MinHashLSH` offers the same capability behind a
+  fitted-model API; this formulation avoids the fit step (seeds are static)
+  and keeps the plan a plain DataFrame graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .analysis import fingerprint, tokenize
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1 — exact dedup: one survivor per canonicalized text, smallest id
+    wins (deterministic, unlike dropDuplicates). Shuffles the 128-bit
+    fingerprint, not the document."""
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), the MinHash input unit."""
+    toks = F.transform(tokenize(text), lambda x: F.lower(x))
+    k = F.size(toks)
+    grams = F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
+    """MinHash signature: component i = min over shingles of
+    ``md5(i || ':' || shingle)``.
+
+    Fixed-length lowercase hex compares lexicographically in numeric order,
+    so the string min *is* the hash min — no hex→int conversion needed,
+    which keeps the construction portable to any SQL engine (the oracle).
+    """
+    return [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """X2 — banded MinHash LSH near-duplicate pairs, exact-verified.
+
+    1. signature per doc (num_hashes components),
+    2. band hash per (doc, band) — rows explode ×bands,
+    3. self-equi-join on (band_idx, band_hash) → candidate pairs (id_a < id_b),
+    4. exact shingle-Jaccard on candidates only; keep ≥ threshold.
+
+    The join key is a 32-hex band digest: at 100 TB the shuffle carries
+    (id, band_hash) pairs only. Candidate verification re-reads shingle
+    sets for the candidate ids — a semi-join-pruned second scan, not a
+    broadcast of the corpus.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
+        )
+    banded = sig.select(
+        "id", "sh", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = inter / F.when(union != 0, union).cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all (optionally blocked) pairs.
+
+    The exact-oracle counterpart of the LSH path: O(n²) within a block, so
+    callers must block (e.g. by source, length bucket) at scale; unblocked
+    it's the ground-truth oracle for LSH recall at test scale.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (block_col if block_col is not None else F.lit(0)).alias("blk"),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter / F.when(union != 0, union).cast("double")
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint (default 32-bit for portable integer math).
+
+    Per token: md5 → first 8 hex chars → uint32; bit b contributes +1/-1 to
+    position b; fingerprint bit b = sign of the sum. Near-dups then differ
+    in few bits (Hamming distance via bit_count(xor)).
+
+    Pure higher-order-function SQL (transform/aggregate/conv) — JVM-side.
+    """
+    toks = F.array_distinct(F.transform(tokenize(text), lambda x: F.lower(x)))
+    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    def bit_of(h, b):  # (h >> b) & 1 without shift-by-column: h < 2^32 is double-exact
+        return (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(bit_of(h, b) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.element_at(bit_votes, b + 1) > 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
