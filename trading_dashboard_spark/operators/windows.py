@@ -95,6 +95,7 @@ def as_of_join(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row at-or-before
     (``strict=False``) or strictly-before (``strict=True``) its timestamp.
@@ -113,13 +114,17 @@ def as_of_join(
     One shuffle on the join key, linear in rows, no correlated subquery —
     this is the plan that survives 100 TB. Source rows sort before probe
     rows at equal timestamps (strict=False) or after (strict=True), which
-    encodes the tie rule without a second pass.
+    encodes the tie rule without a second pass. ``right_tiebreak`` makes
+    the winner among same-timestamp source rows deterministic (greatest
+    tiebreak wins, matching ``ORDER BY t DESC, tb DESC LIMIT 1``).
     """
     lcols = left.columns
+    tb_type = dict(right.dtypes).get(right_tiebreak, "bigint") if right_tiebreak else "bigint"
     probe = left.select(
         F.col(left_on).alias("__k"),
         F.col(left_time).cast("timestamp").alias("__t"),
         F.lit(1).alias("__probe"),
+        F.lit(None).cast(tb_type).alias("__tb"),
         F.struct(*lcols).alias("__row"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
@@ -127,12 +132,18 @@ def as_of_join(
         F.col(right_on).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(0).alias("__probe"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast(tb_type).alias("__tb"),
         F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     # At equal __t: non-strict wants the source visible to the probe
-    # (source first), strict wants it hidden (probe first).
-    order = [F.col("__t").asc(), F.col("__probe").asc() if not strict else F.col("__probe").desc()]
+    # (source first), strict wants it hidden (probe first). Among sources
+    # at equal __t, ascending tiebreak puts the greatest last -> last() wins.
+    order = [
+        F.col("__t").asc(),
+        F.col("__probe").asc() if not strict else F.col("__probe").desc(),
+        F.col("__tb").asc_nulls_first(),
+    ]
     w = W.partitionBy("__k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     tagged = probe.unionByName(source)
     filled = tagged.select(

@@ -1,0 +1,582 @@
+"""Relational-tier queries — scans, projections, filters, joins,
+aggregations, sorts/limits, set ops, scalar functions (SURVEY.md §2.1-2.4,
+2.6-2.8)."""
+
+from pyspark.sql import Window as W, functions as F
+
+from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
+
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A1", "P18"),
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: multi-agg groupBy — the canonical scan+agg operator
+    (A1/A2 family; SURVEY.md §2.4). Map-side partial aggregation + single
+    shuffle on the 6-value group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_gainers",
+    f"""
+    WITH {DAILY_SQL},
+    seq AS (
+      SELECT user_id, d, close,
+             lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev_close,
+             row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn
+      FROM daily
+    )
+    SELECT s.user_id, c.c_name,
+           strftime(s.d, '%Y-%m-%d') AS trade_date,
+           round(s.close, 2) AS close,
+           round(s.prev_close, 2) AS prev_close,
+           round((s.close - s.prev_close) / s.prev_close * 100, 4) AS pct_change
+    FROM seq s JOIN customer c ON s.user_id = c.c_custkey
+    WHERE s.rn = 1 AND s.prev_close IS NOT NULL AND s.prev_close <> 0
+    ORDER BY pct_change DESC, s.user_id
+    LIMIT 10
+    """,
+    tags=("flagship", "J1", "J4", "W1", "O3", "P18"),
+)
+def top_gainers(spark, sf_dir):
+    """Flagship (SURVEY.md §7.2): the reference's "top gainers" dashboard
+    query (data_loader.py:131-154) over the events series — window lag
+    (W1) + latest-per-key (J4 as row_number) + broadcast dim join (J1) +
+    pct-change projection (P18/P17) + top-k (O3)."""
+    from .operators import latest_per_key
+    from .operators.relational import pct_change_expr
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    w = W.partitionBy("user_id").orderBy("d")
+    seq = daily.withColumn("prev_close", F.lag("close").over(w))
+    latest = latest_per_key(seq, ["user_id"], "d")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        latest.filter(F.col("prev_close").isNotNull() & (F.col("prev_close") != 0))
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "user_id",
+            "c_name",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround("close", 2).alias("close"),
+            pround("prev_close", 2).alias("prev_close"),
+            pround(pct_change_expr(F.col("close"), F.col("prev_close")), 4).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy(F.col("pct_change").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "market_avg_by_date",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS trade_date,
+           round(avg(value), 4) AS avg_value,
+           round(sum(value), 2) AS total_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "A2"),
+)
+def market_avg_by_date(spark, sf_dir):
+    """A2 — market-behavior aggregate: AVG per trade_date
+    (data_loader.py:208-213)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("trade_date")
+    ).agg(
+        pround(F.avg("value"), 4).alias("avg_value"),
+        pround(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "J4", "O4"),
+)
+def latest_event_per_user(spark, sf_dir):
+    """J4/O4 — greatest-n-per-group (latest row per key), the reference's
+    MAX(trade_date) join idiom (data_loader.py:144-148) as a single-window
+    plan."""
+    from .operators import latest_per_key
+
+    ev = _t(spark, sf_dir, "events")
+    return latest_per_key(ev, ["user_id"], "ts", tiebreak=["event_id"]).select(
+        "user_id", "event_id", "event_type", pround("value", 2).alias("value")
+    )
+
+
+@register(
+    "top_customers_by_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 10
+    """,
+    tags=("join", "J3", "A3", "O3"),
+)
+def top_customers_by_revenue(spark, sf_dir):
+    """J3+O3 — inner equi-join fact→dim, aggregate, top-k
+    (data_loader.py:112-121,150)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@register(
+    "regional_revenue",
+    """
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("join", "J1", "J3", "A1", "bench"),
+)
+def regional_revenue(spark, sf_dir):
+    """Star-join rollup: fact → orders → customer → nation → region.
+
+    The big-fact path: lineitem⋈orders shuffles on orderkey; every
+    dimension hop is broadcast (nation/region always; customer via AQE at
+    small SF, explicit at scale the dim is still ≪ fact). This is the
+    bench headline for join throughput."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "orders_in_range_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("filter", "P6", "P7"),
+)
+def orders_in_range_by_priority(spark, sf_dir):
+    """P6 — BETWEEN range filter pushed to the parquet scan
+    (data_loader.py:46-50)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-01-01").cast("timestamp"),
+                F.lit("1997-12-31").cast("timestamp"),
+            )
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+            pround(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "parts_regex_filter",
+    """
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
+      AND regexp_matches(p_name, '(red|blue)')
+    GROUP BY p_brand
+    """,
+    tags=("filter", "P9", "F4"),
+)
+def parts_regex_filter(spark, sf_dir):
+    """P9/F4 — regex predicates (the reference's ^[A-Z]+$ symbol filter,
+    fetch_tech_companies.py:56)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").rlike("^(PROMO|ECONOMY)"))
+        .filter(F.col("p_name").rlike("(red|blue)"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            pround(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "priority_buckets",
+    """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS priority_bucket,
+           CASE WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'open' END AS status_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    tags=("project", "P14"),
+)
+def priority_buckets(spark, sf_dir):
+    """P14 — CASE WHEN conditional buckets (the Bullish/Bearish/Up/Down
+    idiom, full_stock_pipeline.py:435-443)."""
+    o = _t(spark, sf_dir, "orders")
+    prio = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    status = F.when(F.col("o_orderstatus") == "F", "finished").otherwise("open")
+    return (
+        o.groupBy(prio.alias("priority_bucket"), status.alias("status_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "customer_balance_health",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal = 0 THEN 'zero'
+                ELSE 'positive' END AS balance_class,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           round(sum(c_acctbal) / nullif(CAST(count(*) AS DOUBLE), 0), 4) AS avg_bal,
+           round(coalesce(max(c_acctbal), 0.0), 2) AS max_bal
+    FROM customer GROUP BY 1
+    """,
+    tags=("project", "P8", "P15", "P16"),
+)
+def customer_balance_health(spark, sf_dir):
+    """P8/P15/P16 — null/zero guards: NULLIF divide guard + COALESCE
+    defaults (full_stock_pipeline.py:395-402,478,481)."""
+    c = _t(spark, sf_dir, "customer")
+    cls = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("positive")
+    )
+    n = F.count(F.lit(1))
+    return c.groupBy(cls.alias("balance_class")).agg(
+        n.alias("n"),
+        pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        pround(F.sum("c_acctbal") / F.when(n.cast("double") != 0, n.cast("double")), 4).alias("avg_bal"),
+        pround(F.coalesce(F.max("c_acctbal"), F.lit(0.0)), 2).alias("max_bal"),
+    )
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("agg", "A5"),
+)
+def distinct_segments(spark, sf_dir):
+    """A5 — SELECT DISTINCT (company-list query, data_loader.py:29-33)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "global_lineitem_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg", "A4"),
+)
+def global_lineitem_stats(spark, sf_dir):
+    """A4 — global (grand) aggregate, no grouping
+    (full_stock_pipeline.py:357)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("l_quantity"), 2).alias("total_qty"),
+        pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+@register(
+    "multi_key_sorted_events",
+    """
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM events
+    ORDER BY user_id, ts, event_id
+    LIMIT 100
+    """,
+    tags=("sort", "O1", "O5"),
+)
+def multi_key_sorted_events(spark, sf_dir):
+    """O1/O5 — multi-key sort + head-n (analyze_news_stock_patterns.py:84;
+    data_loader.py:94)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy("user_id", "ts", "event_id")
+        .limit(100)
+        .select("user_id", "event_id", "event_type", pround("value", 2).alias("value"))
+    )
+
+
+@register(
+    "top_events_by_value",
+    """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value
+    FROM events ORDER BY value DESC, event_id LIMIT 10
+    """,
+    tags=("sort", "O3"),
+)
+def top_events_by_value(spark, sf_dir):
+    """O3 — global top-k with deterministic tiebreak; compiles to
+    TakeOrderedAndProject (no full sort)."""
+    from .operators import top_k
+
+    ev = _t(spark, sf_dir, "events")
+    return top_k(ev, [F.col("value").desc(), F.col("event_id").asc()], 10).select(
+        "event_id", "user_id", "event_type", pround("value", 2).alias("value")
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "J7"),
+)
+def customers_with_orders(spark, sf_dir):
+    """J7 — semi-join (EXISTS): the tracked-symbols ∩ mentioned-tickers
+    set intersection (fetch_transform_news.py:43-81) as left_semi."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "S15"),
+)
+def customers_without_orders(spark, sf_dir):
+    """S15's engine primitive — anti-join (NOT EXISTS), the
+    insert-if-absent building block."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "extreme_value_events_union",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+    FROM (
+      SELECT event_type, value FROM events WHERE value > 190
+      UNION ALL
+      SELECT event_type, value FROM events WHERE value < 10
+    ) GROUP BY event_type
+    """,
+    tags=("setop",),
+)
+def extreme_value_events_union(spark, sf_dir):
+    """§2.7 — UNION ALL of two filtered branches (engine-free capability;
+    the reference has no set ops, SURVEY.md §2.7)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    hi = ev.filter(F.col("value") > 190)
+    lo = ev.filter(F.col("value") < 10)
+    return (
+        hi.unionByName(lo)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), pround(F.sum("value"), 2).alias("total"))
+    )
+
+
+@register(
+    "finished_only_customers_except",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_customers FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+    )
+    """,
+    tags=("setop",),
+)
+def finished_only_customers_except(spark, sf_dir):
+    """§2.7 — EXCEPT (set difference): customers with only finished
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    other = o.filter(F.col("o_orderstatus") != "F").select("o_custkey").distinct()
+    return fin.exceptAll(other).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "event_scalar_functions",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H') AS hour_str,
+           upper(event_type) AS type_upper,
+           concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+           round(value * 1.1, 2) AS value_taxed,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str
+    FROM events WHERE event_id < 500
+    """,
+    tags=("functions", "F1", "F5", "F6", "F7"),
+)
+def event_scalar_functions(spark, sf_dir):
+    """F1/F5/F6/F7 — scalar function family: date formatting, concat,
+    JSON field extraction, epoch conversion (SURVEY.md §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH").alias("hour_str"),
+        F.upper("event_type").alias("type_upper"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        pround(F.col("value") * 1.1, 2).alias("value_taxed"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@register(
+    "weekend_adjusted_days",
+    """
+    SELECT strftime(
+             CASE WHEN dayofweek(d) = 6 THEN d - 1
+                  WHEN dayofweek(d) = 0 THEN d - 2
+                  ELSE d END, '%Y-%m-%d') AS trading_day,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (SELECT CAST(ts AS DATE) AS d FROM events)
+    GROUP BY 1
+    """,
+    tags=("functions", "F8"),
+)
+def weekend_adjusted_days(spark, sf_dir):
+    """F8 — weekend→last-Friday calendar adjustment
+    (full_stock_pipeline.py:51-57). DuckDB dayofweek: Sun=0..Sat=6;
+    Spark dayofweek: Sun=1..Sat=7 — both sides encode the same mapping."""
+    from .operators import weekend_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(weekend_adjust(F.to_date("ts")).alias("td"))
+        .groupBy(F.date_format("td", "yyyy-MM-dd").alias("trading_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,522 @@
+"""Window-tier queries — lag/lead/rolling/indicator/pattern/as-of operators
+(SURVEY.md §2.5, §2.2 P14-P18) over the events series.
+
+Every oracle reproduces the exact frame semantics in DuckDB SQL, including
+the pandas ``min_periods`` guard (count-over-frame) and the NULLIF division
+guards, so the engine's window tier is hash-checked end to end.
+"""
+
+from pyspark.sql import Window as W, functions as F
+
+from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
+
+#: Shared window clause fragments for oracle SQL.
+_WIN = "PARTITION BY user_id ORDER BY d"
+
+
+@register(
+    "daily_pct_change",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close,
+           round(lag(close) OVER ({_WIN}), 2) AS prev_close,
+           round((close - lag(close) OVER ({_WIN}))
+                 / nullif(lag(close) OVER ({_WIN}), 0) * 100, 4) AS pct_change
+    FROM daily
+    """,
+    tags=("window", "W1", "W9"),
+)
+def daily_pct_change(spark, sf_dir):
+    """W1/W9 — lag(1) previous close + grouped pct_change
+    (full_stock_pipeline.py:396; analyze_news_stock_patterns.py:96)."""
+    from .operators.relational import pct_change_expr
+
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 2).alias("close"),
+        pround(prev, 2).alias("prev_close"),
+        pround(pct_change_expr(F.col("close"), prev), 4).alias("pct_change"),
+    )
+
+
+@register(
+    "lead_next_value",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close,
+           round(lead(close) OVER ({_WIN}), 2) AS next_close
+    FROM daily
+    """,
+    tags=("window", "W3"),
+)
+def lead_next_value(spark, sf_dir):
+    """W3 — lead(1): next-day close, the ML training target
+    (analyze_news_stock_patterns.py:110-111)."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 2).alias("close"),
+        pround(F.lead("close", 1).over(w), 2).alias("next_close"),
+    )
+
+
+@register(
+    "three_day_trends",
+    f"""
+    WITH {DAILY_SQL},
+    lagged AS (
+      SELECT user_id, d, close,
+             lag(close, 1) OVER ({_WIN}) AS l1,
+             lag(close, 2) OVER ({_WIN}) AS l2
+      FROM daily
+    )
+    SELECT user_id AS key, strftime(d, '%Y-%m-%d') AS time,
+           CASE WHEN close > l1 AND l1 > l2 THEN 'Bullish Trend'
+                WHEN close < l1 AND l1 < l2 THEN 'Bearish Trend' END AS pattern,
+           'Trend' AS pattern_category,
+           CAST(0.8 AS DOUBLE) AS confidence_score
+    FROM lagged
+    WHERE (close > l1 AND l1 > l2) OR (close < l1 AND l1 < l2)
+    """,
+    tags=("window", "W2", "P14", "patterns"),
+)
+def three_day_trends(spark, sf_dir):
+    """W2 — chained lag(1)/lag(2) 3-day monotone trend detector
+    (full_stock_pipeline.py:434-443), via operators.patterns."""
+    from .operators.patterns import detect_trends
+
+    daily = _daily_close(spark, sf_dir)
+    out = detect_trends(daily, "user_id", "d", "close")
+    return out.select(
+        "key",
+        F.date_format("time", "yyyy-MM-dd").alias("time"),
+        "pattern",
+        "pattern_category",
+        "confidence_score",
+    )
+
+
+@register(
+    "ma_crossover_signals",
+    f"""
+    WITH {DAILY_SQL},
+    ma AS (
+      SELECT user_id, d,
+             avg(close) OVER ({_WIN} ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma_s,
+             avg(close) OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ma_l
+      FROM daily
+    ),
+    flags AS (
+      SELECT user_id, d,
+             CASE WHEN ma_s > ma_l THEN 1 ELSE 0 END AS above,
+             lag(CASE WHEN ma_s > ma_l THEN 1 ELSE 0 END) OVER ({_WIN}) AS prev_above
+      FROM ma
+    )
+    SELECT user_id AS key, strftime(d, '%Y-%m-%d') AS time,
+           CASE WHEN above = 1 AND prev_above = 0 THEN 'Golden Cross'
+                WHEN above = 0 AND prev_above = 1 THEN 'Death Cross' END AS pattern,
+           'Moving_Averages' AS pattern_category,
+           CAST(0.9 AS DOUBLE) AS confidence_score
+    FROM flags
+    WHERE (above = 1 AND prev_above = 0) OR (above = 0 AND prev_above = 1)
+    """,
+    tags=("window", "W4", "patterns"),
+)
+def ma_crossover_signals(spark, sf_dir):
+    """W4 — golden/death cross via 5/20-row moving averages with SQL
+    partial-mean frames (full_stock_pipeline.py:452-471; the reference's
+    50/200 windows shrink to 5/20 to fit the 30-day series)."""
+    from .operators.patterns import detect_ma_cross
+
+    daily = _daily_close(spark, sf_dir)
+    out = detect_ma_cross(daily, "user_id", "d", "close", short_n=5, long_n=20)
+    return out.select(
+        "key",
+        F.date_format("time", "yyyy-MM-dd").alias("time"),
+        "pattern",
+        "pattern_category",
+        "confidence_score",
+    )
+
+
+@register(
+    "volatility_patterns",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id AS key, strftime(d, '%Y-%m-%d') AS time,
+           'High Volatility' AS pattern,
+           'Volatility' AS pattern_category,
+           round((high - low) / nullif(low, 0) * 100, 2) AS confidence_score
+    FROM daily
+    WHERE (high - low) / nullif(low, 0) * 100 > 400
+    """,
+    tags=("window", "P18", "P16", "patterns"),
+)
+def volatility_patterns(spark, sf_dir):
+    """Intraday volatility detector ``(high-low)/NULLIF(low,0)*100 >
+    threshold`` (full_stock_pipeline.py:475-482); threshold 400% fits the
+    synthetic uniform-value series."""
+    from .operators.patterns import detect_volatility
+
+    daily = _daily_close(spark, sf_dir)
+    out = detect_volatility(daily, "user_id", "d", "high", "low", threshold_pct=400.0)
+    return out.select(
+        "key",
+        F.date_format("time", "yyyy-MM-dd").alias("time"),
+        "pattern",
+        "pattern_category",
+        "confidence_score",
+    )
+
+
+@register(
+    "sma_dual_semantics",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(avg(close) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 4)
+             AS sma_partial,
+           round(CASE WHEN count(close) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) >= 14
+                 THEN avg(close) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END, 4)
+             AS sma_pandas
+    FROM daily
+    """,
+    tags=("window", "W5"),
+)
+def sma_dual_semantics(spark, sf_dir):
+    """W5 + SURVEY.md §7.4 — the SMA boundary-semantics pair: SQL partial
+    mean (ROWS 13 PRECEDING) vs pandas ``rolling(14, min_periods=14)``
+    NaN-until-full. The engine exposes both behind one flag."""
+    from .operators.indicators import sma
+    from .operators.windows import per_key_window
+
+    daily = _daily_close(spark, sf_dir)
+    w = per_key_window("user_id", "d")
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(sma(F.col("close"), w, 14, pandas_parity=False), 4).alias("sma_partial"),
+        pround(sma(F.col("close"), w, 14, pandas_parity=True), 4).alias("sma_pandas"),
+    )
+
+
+@register(
+    "bollinger_bands",
+    f"""
+    WITH {DAILY_SQL},
+    frames AS (
+      SELECT user_id, d, close,
+             avg(close)         OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+             stddev_samp(close) OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd,
+             count(close)       OVER ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+      FROM daily
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close,
+           round(CASE WHEN cnt >= 20 THEN mid END, 4) AS boll_mid,
+           round(CASE WHEN cnt >= 20 THEN mid + 2 * sd END, 4) AS boll_upper,
+           round(CASE WHEN cnt >= 20 THEN mid - 2 * sd END, 4) AS boll_lower
+    FROM frames
+    """,
+    tags=("window", "W6"),
+)
+def bollinger_bands(spark, sf_dir):
+    """W6 — Bollinger bands: 20-row rolling mean ± 2·stddev_samp with
+    pandas min_periods parity (indicators.py:20-27)."""
+    from .operators.indicators import bollinger
+    from .operators.windows import per_key_window
+
+    daily = _daily_close(spark, sf_dir)
+    w = per_key_window("user_id", "d")
+    mid, up, lo = bollinger(F.col("close"), w, n=20, k=2.0)
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 2).alias("close"),
+        pround(mid, 4).alias("boll_mid"),
+        pround(up, 4).alias("boll_upper"),
+        pround(lo, 4).alias("boll_lower"),
+    )
+
+
+@register(
+    "rsi_indicator",
+    f"""
+    WITH {DAILY_SQL},
+    diffs AS (
+      SELECT user_id, d, close,
+             close - lag(close) OVER ({_WIN}) AS delta
+      FROM daily
+    ),
+    gl AS (
+      SELECT user_id, d, delta,
+             CASE WHEN delta > 0 THEN delta ELSE 0 END AS gain,
+             CASE WHEN delta < 0 THEN -delta ELSE 0 END AS loss
+      FROM diffs
+    ),
+    frames AS (
+      SELECT user_id, d,
+             avg(gain)    OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+             avg(loss)    OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al,
+             count(delta) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS cnt
+      FROM gl
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(CASE WHEN cnt >= 14 THEN
+                   CASE WHEN al = 0 THEN CASE WHEN ag = 0 THEN NULL ELSE 100.0 END
+                        ELSE 100.0 - 100.0 / (1.0 + ag / al) END
+                 END, 4) AS rsi_14
+    FROM frames
+    """,
+    tags=("window", "W8"),
+)
+def rsi_indicator(spark, sf_dir):
+    """W8 — composite RSI: lag-diff → gain/loss clip → 14-row rolling
+    means → 100-100/(1+rs), loss=0 → RSI 100 (indicators.py:11-18 +
+    SURVEY.md §7.4 divide-by-zero rule)."""
+    from .operators.indicators import rsi
+    from .operators.windows import per_key_window
+
+    daily = _daily_close(spark, sf_dir)
+    w = per_key_window("user_id", "d")
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(rsi(F.col("close"), w, 14), 4).alias("rsi_14"),
+    )
+
+
+@register(
+    "cumulative_user_totals",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(sum(close) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           round(round(sum(close) OVER ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                 / row_number() OVER ({_WIN}), 4)
+             AS running_avg,
+           CAST(row_number() OVER ({_WIN}) AS BIGINT) AS day_number
+    FROM daily
+    """,
+    tags=("window", "W10"),
+)
+def cumulative_user_totals(spark, sf_dir):
+    """Running (unbounded-preceding) aggregates + row_number — the
+    cumulative-frame family the greatest-n-per-group rewrite builds on.
+
+    running_avg derives from the *rounded* running total (not a second
+    windowed avg): cumulative aggregation associates differently across
+    engines (segment tree vs sequential), so the avg is rebuilt from a
+    value both engines agree on bit-for-bit."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    frame = w.rowsBetween(W.unboundedPreceding, 0)
+    total = pround(F.sum("close").over(frame), 2)
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        total.alias("running_total"),
+        pround(total / F.row_number().over(w), 4).alias("running_avg"),
+        F.row_number().over(w).cast("long").alias("day_number"),
+    )
+
+
+@register(
+    "top3_days_per_user",
+    f"""
+    WITH {DAILY_SQL},
+    ranked AS (
+      SELECT user_id, d, close,
+             row_number() OVER (PARTITION BY user_id ORDER BY close DESC, d) AS rnk
+      FROM daily
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("window", "J4", "O3"),
+)
+def top3_days_per_user(spark, sf_dir):
+    """Top-k-per-group via ranked window — the Spark-native generalization
+    of the reference's greatest-n-per-group join (data_loader.py:144-148)."""
+    from .operators.relational import top_k_per_key
+
+    daily = _daily_close(spark, sf_dir)
+    ranked = (
+        daily.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("close").desc(), F.col("d"))
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 2).alias("close"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register(
+    "prev_available_close",
+    f"""
+    WITH {DAILY_SQL},
+    gappy AS (SELECT * FROM daily WHERE dayofweek(d) NOT IN (0, 6))
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close,
+           round(coalesce(
+             lag(close) OVER ({_WIN}),
+             (SELECT max(close) FROM gappy g2
+              WHERE g2.user_id = gappy.user_id AND g2.d < gappy.d
+                AND g2.d = (SELECT max(d) FROM gappy g3
+                            WHERE g3.user_id = gappy.user_id AND g3.d < gappy.d))
+           ), 2) AS prev_close
+    FROM gappy
+    """,
+    tags=("window", "W10", "J5"),
+)
+def prev_available_close(spark, sf_dir):
+    """W10/J5 — previous *available* close over a gapped calendar:
+    ``COALESCE(LAG(close), <correlated as-of subquery>)``
+    (full_stock_pipeline.py:395-400). The engine rewrite is a single
+    ``last(value, ignorenulls)`` over unbounded-preceding — the oracle
+    keeps the reference's correlated-subquery form to prove equivalence.
+    Weekends are filtered out to manufacture gaps."""
+    from .operators.windows import per_key_window, prev_available
+
+    daily = _daily_close(spark, sf_dir).filter(~F.dayofweek("d").isin(1, 7))
+    w = per_key_window("user_id", "d")
+    prev = F.coalesce(F.lag("close").over(w), prev_available(F.col("close"), w))
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 2).alias("close"),
+        pround(prev, 2).alias("prev_close"),
+    )
+
+
+@register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(p.value, 2) AS purchase_value,
+           round((SELECT c.value FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND (c.ts < p.ts OR (c.ts = p.ts AND TRUE))
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 2) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("window", "J5", "asof"),
+)
+def asof_purchase_click(spark, sf_dir):
+    """As-of join: each purchase gets the latest click value at-or-before
+    its timestamp, per user — the reference's correlated LIMIT-1 lookup
+    (analyze_news_stock_patterns.py:184-189) as the union-tag window plan
+    (operators/windows.as_of_join): one shuffle, no correlated subquery."""
+    from .operators.windows import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = as_of_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["value"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        pround("value", 2).alias("purchase_value"),
+        pround("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
+    "merge_upsert_digest",
+    f"""
+    WITH {DAILY_SQL},
+    base AS (SELECT user_id, d, close FROM daily WHERE d < DATE '2024-01-20'),
+    upd  AS (SELECT user_id, d, close + 1.0 AS close FROM daily WHERE d >= DATE '2024-01-15'),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.user_id = b.user_id AND u.d = b.d)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(close), 2) AS total_close,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM merged
+    """,
+    tags=("write", "S14"),
+)
+def merge_upsert_digest(spark, sf_dir):
+    """S14 — MERGE/upsert semantics (`INSERT ... ON CONFLICT DO UPDATE`,
+    full_stock_pipeline.py:405-415) as left-anti + union, digest-checked.
+    Applying the merge twice is asserted identical in tests/ (idempotency)."""
+    from .io.writers import merge_upsert
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    base = daily.filter(F.col("d") < F.lit("2024-01-20").cast("date"))
+    upd = daily.filter(F.col("d") >= F.lit("2024-01-15").cast("date")).withColumn(
+        "close", F.col("close") + 1.0
+    )
+    merged = merge_upsert(base, upd, ["user_id", "d"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("close"), 2).alias("total_close"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "insert_if_absent_digest",
+    f"""
+    WITH {DAILY_SQL},
+    base AS (SELECT user_id, d, close FROM daily WHERE d < DATE '2024-01-20'),
+    newr AS (SELECT user_id, d, close * 2.0 AS close FROM daily WHERE d >= DATE '2024-01-15'),
+    merged AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT n.* FROM newr n
+      WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.user_id = n.user_id AND b.d = n.d)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(close), 2) AS total_close
+    FROM merged
+    """,
+    tags=("write", "S15"),
+)
+def insert_if_absent_digest(spark, sf_dir):
+    """S15 — ``ON CONFLICT DO NOTHING`` (insert-if-absent): existing keys
+    keep their rows (full_stock_pipeline.py:449,471,482)."""
+    from .io.writers import insert_if_absent
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    base = daily.filter(F.col("d") < F.lit("2024-01-20").cast("date"))
+    new = daily.filter(F.col("d") >= F.lit("2024-01-15").cast("date")).withColumn(
+        "close", F.col("close") * 2.0
+    )
+    merged = insert_if_absent(base, new, ["user_id", "d"])
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        pround(F.sum("close"), 2).alias("total_close"),
+    )
