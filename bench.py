@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs a representative slice of the registry (scan+agg, star join, window
+tier, as-of, dedup/LSH, vector search, pandas-UDF lane) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced with the noop sink (full computation, no driver
+materialization cost). A tiny warmup action runs first so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "top_gainers",            # flagship: window + latest-per-key + broadcast join + top-k
+    "pricing_summary",        # scan + multi-agg groupBy
+    "regional_revenue",       # lineitem star join, shuffle-heavy
+    "top_customers_by_revenue",
+    "latest_event_per_user",  # greatest-n-per-group window
+    "market_avg_by_date",
+    "rsi_indicator",          # composite window-frame chain
+    "bollinger_bands",
+    "cumulative_user_totals",
+    "asof_purchase_click",    # union-tag as-of join
+    "exact_dedup_docs",       # fingerprint dedup
+    "minhash_near_dup_pairs", # banded LSH near-dup
+    "doc_sentiment",          # Arrow pandas-UDF lane
+    "doc_quality_features",   # regex/array expression lane
+    "knn_probe_top10",        # vector search, single scan
+    "lsh_ann_top3",           # bucketed ANN
+]
+
+
+def main() -> None:
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+    from trading_dashboard_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup JVM/codegen
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        spec = QUERY_REGISTRY[name]
+        t0 = time.time()
+        spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

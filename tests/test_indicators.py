@@ -1,0 +1,92 @@
+"""Indicator parity tests — engine windows must equal the reference's pandas
+implementations (dashboard/components/indicators.py:1-27) per symbol on a
+seeded random walk (SURVEY.md §5 item 4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.operators.indicators import bollinger, ema, rsi, sma
+from trading_dashboard_spark.operators.windows import per_key_window
+
+
+@pytest.fixture(scope="module")
+def walk(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    for sym in ["A", "B"]:
+        prices = 100 + np.cumsum(rng.normal(0, 2, size=60)).round(2)
+        rows += [(sym, i, float(p)) for i, p in enumerate(prices)]
+    # single-row partition edge case
+    rows.append(("C", 0, 42.0))
+    pdf = pd.DataFrame(rows, columns=["sym", "t", "close"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _pandas_indicators(pdf):
+    """The reference's exact pandas formulas (indicators.py:1-27)."""
+    out = {}
+    for sym, g in pdf.groupby("sym"):
+        g = g.sort_values("t")
+        data = pd.DataFrame(index=g.index)
+        data["sma"] = g["close"].rolling(window=14).mean()
+        data["ema"] = g["close"].ewm(span=14, adjust=False).mean()
+        delta = g["close"].diff(1)
+        gain = delta.clip(lower=0)
+        loss = -delta.clip(upper=0)
+        avg_gain = gain.rolling(window=14).mean()
+        avg_loss = loss.rolling(window=14).mean()
+        rs = avg_gain / avg_loss
+        data["rsi"] = 100 - (100 / (1 + rs))
+        data["boll_mid"] = g["close"].rolling(window=20).mean()
+        std = g["close"].rolling(window=20).std()
+        data["boll_up"] = data["boll_mid"] + 2 * std
+        data["boll_lo"] = data["boll_mid"] - 2 * std
+        data["t"] = g["t"].values
+        out[sym] = data
+    return out
+
+
+def test_indicators_match_pandas(spark, walk):
+    sdf, pdf = walk
+    w = per_key_window("sym", "t")
+    c = F.col("close")
+    mid, up, lo = bollinger(c, w, 20)
+    got = (
+        sdf.withColumn("sma", sma(c, w, 14))
+        .withColumn("rsi", rsi(c, w, 14))
+        .withColumn("boll_mid", mid)
+        .withColumn("boll_up", up)
+        .withColumn("boll_lo", lo)
+    )
+    got = ema(got, "close", "sym", "t", span=14, out_col="ema").toPandas()
+
+    expected = _pandas_indicators(pdf)
+    for sym, exp in expected.items():
+        g = got[got.sym == sym].sort_values("t").reset_index(drop=True)
+        e = exp.sort_values("t").reset_index(drop=True)
+        for col in ["sma", "ema", "rsi", "boll_mid", "boll_up", "boll_lo"]:
+            a, b = g[col].to_numpy(), e[col].to_numpy()
+            mask = ~np.isnan(b)
+            assert np.allclose(a[mask].astype(float), b[mask], atol=1e-9), (sym, col)
+            assert np.isnan(a[~mask].astype(float)).all() or (a[~mask] == None).all()  # noqa: E711
+
+
+def test_rsi_loss_zero_is_100(spark):
+    # monotonically rising -> avg_loss = 0 -> RSI pegged at 100 (indicators.py:16-17)
+    df = spark.createDataFrame(
+        [("A", i, float(100 + i)) for i in range(20)], ["sym", "t", "close"]
+    )
+    w = per_key_window("sym", "t")
+    out = df.withColumn("rsi", rsi(F.col("close"), w, 14)).orderBy("t").collect()
+    assert all(r["rsi"] == 100.0 for r in out[14:])
+
+
+def test_rsi_flat_is_null(spark):
+    df = spark.createDataFrame(
+        [("A", i, 50.0) for i in range(20)], ["sym", "t", "close"]
+    )
+    w = per_key_window("sym", "t")
+    out = df.withColumn("rsi", rsi(F.col("close"), w, 14)).orderBy("t").collect()
+    assert all(r["rsi"] is None for r in out)

@@ -1,0 +1,67 @@
+"""Unit tests for core relational operators — the edge cases the reference
+guards by hand (SURVEY.md §5: nulls, zero divisors, weekend dates,
+single-row partitions, empty inputs)."""
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from trading_dashboard_spark.operators import (
+    latest_per_key,
+    safe_div,
+    top_k,
+    top_k_per_key,
+    weekend_adjust,
+)
+
+
+def test_latest_per_key_basic_and_single_row(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, 20.0), ("B", 5, 50.0)],
+        ["sym", "t", "v"],
+    )
+    out = {r["sym"]: r["v"] for r in latest_per_key(df, ["sym"], "t").collect()}
+    assert out == {"A": 20.0, "B": 50.0}
+
+
+def test_latest_per_key_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [("A", 1, 1), ("A", 1, 2), ("A", 1, 3)], ["sym", "t", "id"]
+    )
+    rows = latest_per_key(df, ["sym"], "t", tiebreak=["id"]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == 3
+
+
+def test_latest_per_key_empty(spark):
+    df = spark.createDataFrame([], "sym string, t int, v double")
+    assert latest_per_key(df, ["sym"], "t").count() == 0
+
+
+def test_safe_div_zero_and_null(spark):
+    df = spark.createDataFrame(
+        [(10.0, 2.0), (1.0, 0.0), (None, 5.0), (3.0, None)], ["a", "b"]
+    )
+    out = df.select(safe_div(F.col("a"), F.col("b")).alias("q")).collect()
+    assert [r["q"] for r in out] == [5.0, None, None, None]
+
+
+def test_weekend_adjust_all_days(spark):
+    # Sat 2024-01-06 -> Fri 05; Sun 2024-01-07 -> Fri 05; Mon unchanged
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 5),), (dt.date(2024, 1, 6),), (dt.date(2024, 1, 7),), (dt.date(2024, 1, 8),)],
+        "d date",
+    )
+    out = [r[0] for r in df.select(weekend_adjust(F.col("d"))).collect()]
+    assert out == [dt.date(2024, 1, 5), dt.date(2024, 1, 5), dt.date(2024, 1, 5), dt.date(2024, 1, 8)]
+
+
+def test_top_k_and_per_key(spark):
+    df = spark.createDataFrame(
+        [("A", i, float(i)) for i in range(5)] + [("B", i, float(-i)) for i in range(5)],
+        ["g", "i", "v"],
+    )
+    top = top_k(df, [F.col("v").desc(), F.col("i")], 3).collect()
+    assert [r["v"] for r in top] == [4.0, 3.0, 2.0]
+    per = top_k_per_key(df, ["g"], [F.col("v").desc(), F.col("i")], 2)
+    got = {(r["g"], r["v"]) for r in per.collect()}
+    assert got == {("A", 4.0), ("A", 3.0), ("B", 0.0), ("B", -1.0)}

@@ -1,0 +1,51 @@
+"""Similarity-tier tests — exact kNN vs numpy, LSH recall vs exact."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.io.readers import load_table
+from trading_dashboard_spark.similarity.knn import knn_all_pairs, knn_to_probe
+from trading_dashboard_spark.similarity.lsh import lsh_knn
+
+
+def _np_cosine(m, v):
+    num = m @ v
+    den = np.linalg.norm(m, axis=1) * np.linalg.norm(v)
+    return num / den
+
+
+def test_knn_to_probe_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    pdf = emb.toPandas()
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    probe = m[0]
+    sims = _np_cosine(m[1:], probe)
+    ids = pdf["vec_id"].to_numpy()[1:]
+    order = np.lexsort((ids, -sims))
+    expected = list(ids[order][:5])
+
+    got = [
+        r["vec_id"]
+        for r in knn_to_probe(emb.filter(F.col("vec_id") != 0), list(probe), k=5).collect()
+    ]
+    assert got == expected
+
+
+def test_knn_all_pairs_self_excluded_and_k(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).limit(50)
+    out = knn_all_pairs(emb, k=3).toPandas()
+    assert (out["id"] != out["neighbor_id"]).all()
+    assert out.groupby("id").size().max() == 3
+
+
+def test_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    exact = knn_all_pairs(emb, k=1).toPandas()
+    # uniform-random vectors are LSH-hostile (top-1 cosine ~0.3); wide
+    # buckets (3 planes) x 6 tables trades candidate count for recall
+    approx = lsh_knn(emb, dim=64, k=1, n_planes=3, n_tables=6).toPandas()
+    e = dict(zip(exact["id"], exact["neighbor_id"]))
+    a = dict(zip(approx["id"], approx["neighbor_id"]))
+    hits = sum(1 for k, v in e.items() if a.get(k) == v)
+    recall = hits / len(e)
+    assert recall > 0.5, f"LSH top-1 recall too low: {recall}"

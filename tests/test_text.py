@@ -1,0 +1,96 @@
+"""Text-tier tests — dedup finds planted duplicates, analysis handles
+nulls/empties, simhash locality property."""
+
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.text.analysis import (
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+)
+from trading_dashboard_spark.text.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from trading_dashboard_spark.text.sentiment import sentiment_score
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, ""), (3, None), (4, "  x  ")], ["id", "text"]
+    )
+    out = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert out == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+def test_exact_dedup_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other doc")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    # canonicalization: lowercase + whitespace collapse -> 1 and 2 merge
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different text about spark execution engines and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = minhash_near_dup_pairs(df, jaccard_threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # LSH candidates are a subset of exact ground truth
+    exact = ngram_jaccard_pairs(df, threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} >= {(1, 2)}
+
+
+def test_simhash_locality(spark):
+    a = "shared tokens one two three four five six seven eight nine ten"
+    b = a + " extra"
+    c = "totally unrelated words xyz qqq www eee rrr ttt yyy uuu"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["sh"] for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()}
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_language_id_und_and_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "der hund ist nicht da"), (3, "xyzzy plugh")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["l"] for r in df.select("id", language_id(F.col("text")).alias("l")).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_quality_features_empty_and_null(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], ["id", "text"])
+    q = quality_features(F.col("text"))
+    rows = df.select(
+        q["n_tokens"].alias("nt"), q["punct_ratio"].alias("pr"), q["stopword_ratio"].alias("sr")
+    ).collect()
+    for r in rows:
+        assert r["nt"] == 0 and r["pr"] is None and r["sr"] is None
+
+
+def test_sentiment_sign_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "good great win"), (2, "bad loss fail"), (3, "neutral words here"), (4, None)],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["s"] for r in df.select("id", sentiment_score(F.col("text")).alias("s")).collect()}
+    assert out[1] == 1.0 and out[2] == -1.0 and out[3] == 0.0 and out[4] == 0.0
+
+
+def test_fingerprint_canonicalization(spark):
+    df = spark.createDataFrame([(1, " A  b "), (2, "a b")], ["id", "text"])
+    fps = [r["f"] for r in df.select(fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]

@@ -1,0 +1,89 @@
+"""Window/as-of operator tests — gap handling, strict vs non-strict ties,
+pandas merge_asof parity (SURVEY.md §7.4 hard parts)."""
+
+import datetime as dt
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.operators.windows import (
+    as_of_join,
+    per_key_window,
+    prev_available,
+    rolling,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_prev_available_handles_gaps(spark):
+    # history with a gap: prev value must be last *available*, not calendar-prev
+    df = spark.createDataFrame(
+        [("A", dt.date(2024, 1, 1), 1.0), ("A", dt.date(2024, 1, 2), 2.0),
+         ("A", dt.date(2024, 1, 10), 3.0)],
+        ["sym", "d", "v"],
+    )
+    w = per_key_window("sym", "d")
+    out = df.withColumn("prev", prev_available(F.col("v"), w)).orderBy("d").collect()
+    assert [r["prev"] for r in out] == [None, 1.0, 2.0]
+
+
+def test_rolling_min_periods_vs_partial(spark):
+    df = spark.createDataFrame(
+        [("A", i, float(i)) for i in range(1, 6)], ["sym", "t", "v"]
+    )
+    w = per_key_window("sym", "t")
+    out = (
+        df.withColumn("partial", rolling(F.col("v"), w, 3))
+        .withColumn("strict", rolling(F.col("v"), w, 3, min_periods=3))
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["partial"] for r in out] == [1.0, 1.5, 2.0, 3.0, 4.0]
+    assert [r["strict"] for r in out] == [None, None, 2.0, 3.0, 4.0]
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark, sf_dir):
+    from trading_dashboard_spark.io.readers import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    sources = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    out = as_of_join(
+        probes, sources, "user_id", "user_id", "ts", "ts", ["value"],
+        right_tiebreak="event_id",
+    ).toPandas()
+
+    lp = probes.toPandas().sort_values("ts")
+    rp = sources.toPandas().sort_values(["ts", "event_id"]).rename(columns={"event_id": "src_id"})
+    expected = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward", allow_exact_matches=True
+    )
+    merged = out.merge(expected, on="event_id", suffixes=("", "_exp"))
+    assert len(merged) == len(out) == len(lp)
+    a = merged["asof_value"].fillna(-1).to_numpy()
+    b = merged["value_exp"].fillna(-1).to_numpy()
+    assert (a == b).all()
+
+
+def test_as_of_join_strict_vs_nonstrict_ties(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 99.0), (1, _ts("2023-12-31T00:00:00"), 1.0)],
+        ["k", "t", "v"],
+    )
+    non_strict = as_of_join(left, right, "k", "k", "t", "t", ["v"]).collect()
+    strict = as_of_join(left, right, "k", "k", "t", "t", ["v"], strict=True).collect()
+    assert non_strict[0]["asof_v"] == 99.0  # same-instant row visible
+    assert strict[0]["asof_v"] == 1.0  # hidden when strict
+
+
+def test_as_of_join_no_match_yields_null(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T00:00:00"))], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, _ts("2024-06-01T00:00:00"), 5.0)], ["k", "t", "v"]
+    )
+    out = as_of_join(left, right, "k", "k", "t", "t", ["v"]).collect()
+    assert out[0]["asof_v"] is None

@@ -60,6 +60,22 @@ def load_tables(
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
+def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
+    """Repartition a small-file scan up to cluster parallelism.
+
+    A CPU-heavy operator (md5 shingling, vector math, pandas UDFs) over a
+    table that arrived as one or two parquet splits runs on one core no
+    matter how wide the cluster is. `spread` hash-repartitions to
+    ``defaultParallelism * factor`` (keyed by `cols` when given, so a
+    later groupBy/join on the same key reuses the exchange) — a no-op
+    upward only: wide scans keep their natural partitioning.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 class Catalog:
     """Lazy table catalog bound to one scale-factor directory.
 

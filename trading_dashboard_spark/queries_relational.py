@@ -16,9 +16,9 @@ from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
            round(sum(l_extendedprice), 2) AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(round(sum(l_quantity), 2) / count(l_quantity), 4) AS avg_qty,
+           round(round(sum(l_extendedprice), 2) / count(l_extendedprice), 4) AS avg_price,
+           round(round(sum(l_discount), 2) / count(l_discount), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -40,9 +40,9 @@ def pricing_summary(spark, sf_dir):
             pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             pround(F.sum(disc_price), 2).alias("sum_disc_price"),
             pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(pround(F.sum("l_quantity"), 2) / F.count("l_quantity"), 4).alias("avg_qty"),
+            pround(pround(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice"), 4).alias("avg_price"),
+            pround(pround(F.sum("l_discount"), 2) / F.count("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -105,7 +105,7 @@ def top_gainers(spark, sf_dir):
     "market_avg_by_date",
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS trade_date,
-           round(avg(value), 4) AS avg_value,
+           round(round(sum(value), 2) / count(value), 4) AS avg_value,
            round(sum(value), 2) AS total_value,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY 1
@@ -119,7 +119,7 @@ def market_avg_by_date(spark, sf_dir):
     return ev.groupBy(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("trade_date")
     ).agg(
-        pround(F.avg("value"), 4).alias("avg_value"),
+        pround(pround(F.sum("value"), 2) / F.count("value"), 4).alias("avg_value"),
         pround(F.sum("value"), 2).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -228,7 +228,7 @@ def regional_revenue(spark, sf_dir):
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_orders,
            round(sum(o_totalprice), 2) AS total,
-           round(avg(o_totalprice), 4) AS avg_price
+           round(round(sum(o_totalprice), 2) / count(o_totalprice), 4) AS avg_price
     FROM orders
     WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                           AND TIMESTAMP '1997-12-31 00:00:00'
@@ -251,7 +251,7 @@ def orders_in_range_by_priority(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             pround(F.sum("o_totalprice"), 2).alias("total"),
-            pround(F.avg("o_totalprice"), 4).alias("avg_price"),
+            pround(pround(F.sum("o_totalprice"), 2) / F.count("o_totalprice"), 4).alias("avg_price"),
         )
     )
 
@@ -261,7 +261,7 @@ def orders_in_range_by_priority(spark, sf_dir):
     """
     SELECT p_brand,
            CAST(count(*) AS BIGINT) AS n_parts,
-           round(avg(p_retailprice), 4) AS avg_price
+           round(round(sum(p_retailprice), 2) / count(p_retailprice), 4) AS avg_price
     FROM part
     WHERE regexp_matches(p_type, '^(PROMO|ECONOMY)')
       AND regexp_matches(p_name, '(red|blue)')
@@ -279,7 +279,7 @@ def parts_regex_filter(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            pround(F.avg("p_retailprice"), 4).alias("avg_price"),
+            pround(pround(F.sum("p_retailprice"), 2) / F.count("p_retailprice"), 4).alias("avg_price"),
         )
     )
 
@@ -324,7 +324,7 @@ def priority_buckets(spark, sf_dir):
                 ELSE 'positive' END AS balance_class,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(c_acctbal), 2) AS total_bal,
-           round(sum(c_acctbal) / nullif(CAST(count(*) AS DOUBLE), 0), 4) AS avg_bal,
+           round(round(sum(c_acctbal), 2) / nullif(CAST(count(*) AS DOUBLE), 0), 4) AS avg_bal,
            round(coalesce(max(c_acctbal), 0.0), 2) AS max_bal
     FROM customer GROUP BY 1
     """,
@@ -343,7 +343,7 @@ def customer_balance_health(spark, sf_dir):
     return c.groupBy(cls.alias("balance_class")).agg(
         n.alias("n"),
         pround(F.sum("c_acctbal"), 2).alias("total_bal"),
-        pround(F.sum("c_acctbal") / F.when(n.cast("double") != 0, n.cast("double")), 4).alias("avg_bal"),
+        pround(pround(F.sum("c_acctbal"), 2) / F.when(n.cast("double") != 0, n.cast("double")), 4).alias("avg_bal"),
         pround(F.coalesce(F.max("c_acctbal"), F.lit(0.0)), 2).alias("max_bal"),
     )
 
@@ -363,7 +363,7 @@ def distinct_segments(spark, sf_dir):
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            round(sum(l_quantity), 2) AS total_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
+           round(round(sum(l_extendedprice), 2) / count(l_extendedprice), 4) AS avg_price,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
@@ -380,7 +380,7 @@ def global_lineitem_stats(spark, sf_dir):
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         pround(F.sum("l_quantity"), 2).alias("total_qty"),
-        pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        pround(pround(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice"), 4).alias("avg_price"),
         pround(F.min("l_extendedprice"), 2).alias("min_price"),
         pround(F.max("l_extendedprice"), 2).alias("max_price"),
         F.countDistinct("l_partkey").alias("n_parts"),

@@ -1,1 +1,149 @@
-"""Similarity-tier queries (filled in next)."""
+"""Similarity-tier queries — embedding kNN + array-column analytics
+(SURVEY.md §2.11 X3/X5) over the embeddings table.
+
+All vector math is cast to double on both sides (`embedding::DOUBLE[]` /
+`transform(cast)`): the source column is float32, and letting either
+engine accumulate in single precision would diverge far beyond rounding
+tolerance. Dot products fold left-to-right in both engines → identical
+doubles → portable rounding matches exactly.
+"""
+
+from pyspark.sql import functions as F
+
+from .query_registry import _t, pround, register
+
+#: DuckDB cosine over double-cast lists (explicit, not list_cosine_similarity,
+#: to pin the accumulation semantics to a left fold like the engine's).
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0)"
+)
+
+
+@register(
+    "knn_probe_top10",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v FROM v WHERE vec_id = 0)
+    SELECT a.vec_id, round({_COS}, 6) AS cosine
+    FROM v a CROSS JOIN probe b
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "X3"),
+)
+def knn_probe_top10(spark, sf_dir):
+    """X3 — brute-force cosine top-k to a probe vector (similarity/knn.
+    knn_to_probe): single scan + TakeOrderedAndProject, embarrassingly
+    parallel — the exact-search baseline ANN variants are measured
+    against. The probe row enters the plan via broadcast cross join (no
+    driver-side collect in the data path)."""
+    from .similarity.knn import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_v")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            pround(cosine_sim(F.col("embedding"), F.col("probe_v")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "knn_per_vector_top3",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             round({_COS}, 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "X3"),
+)
+def knn_per_vector_top3(spark, sf_dir):
+    """X3 ground truth — exact per-vector top-3 neighbors (similarity/knn.
+    knn_all_pairs). O(n²): test-scale oracle for the LSH path; at corpus
+    scale the same operator runs with an LSH `block_col` bounding the
+    quadratic term per bucket."""
+    from .similarity.knn import knn_all_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_all_pairs(emb, k=3)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register(
+    "embedding_stats_by_label",
+    """
+    WITH v AS (
+      SELECT label, embedding::DOUBLE[] AS v, len(embedding) AS dim
+      FROM embeddings
+    ),
+    per_vec AS (
+      SELECT label, dim,
+             round(sqrt(list_dot_product(v, v)), 6) AS l2_norm,
+             round(list_sum(v) / dim, 6) AS mean_component
+      FROM v
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(dim) AS INT) AS min_dim, CAST(max(dim) AS INT) AS max_dim,
+           round(round(sum(l2_norm), 4) / count(*), 6) AS avg_norm,
+           round(round(sum(mean_component), 4) / count(*), 6) AS avg_mean_component
+    FROM per_vec GROUP BY label
+    """,
+    tags=("similarity", "X5"),
+)
+def embedding_stats_by_label(spark, sf_dir):
+    """X5 — typed array-column analytics (similarity/knn.embedding_norms):
+    per-label vector counts, dimension bounds, average L2 norm and mean
+    component. Group averages go through the rounded-sum pattern so
+    accumulation order can't skew the hash."""
+    from .similarity.knn import _as_double, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        pround(l2_norm(v), 6).alias("l2_norm"),
+        pround(
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("mean_component"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("dim").cast("int").alias("min_dim"),
+        F.max("dim").cast("int").alias("max_dim"),
+        pround(pround(F.sum("l2_norm"), 4) / F.count(F.lit(1)), 6).alias("avg_norm"),
+        pround(pround(F.sum("mean_component"), 4) / F.count(F.lit(1)), 6).alias(
+            "avg_mean_component"
+        ),
+    )
+
+
+@register("lsh_ann_top3", None, tags=("similarity", "X3", "approx"))
+def lsh_ann_top3(spark, sf_dir):
+    """X3 scale path — random-hyperplane LSH approximate top-3 neighbors
+    (similarity/lsh.lsh_knn; 6 planes x 2 tables, seed 42). Rows-only
+    check: the bucketing uses driver-generated hyperplanes (deterministic
+    but not SQL-replicable); recall vs `knn_per_vector_top3` is asserted
+    in tests/."""
+    from .similarity.lsh import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42)

@@ -1,1 +1,342 @@
-"""Text-tier queries (filled in next)."""
+"""Text-tier queries — dedup, text analysis, fingerprinting, sentiment
+(SURVEY.md §2.11 X1/X2/X4 + U1) over the documents table.
+
+The MinHash-LSH oracle is *generated* from the same constants as the engine
+implementation (seeds, band layout, shingle width), so the approximate
+near-dup pipeline is hash-checked end to end — unusual for LSH, possible
+here because the signature construction is deterministic md5 min-hashing
+(text/dedup.py).
+"""
+
+from pyspark.sql import functions as F
+
+from .query_registry import _t, pround, register
+from .text.analysis import LANG_MARKERS
+
+# --- shared SQL fragments -------------------------------------------------
+
+#: whitespace tokens, lowercased (matches text/analysis.tokenize + lower)
+_TOKS = "list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))"
+
+#: word 3-gram shingle set (matches text/dedup.shingles, n=3)
+_SHINGLES = f"""
+list_distinct(
+  CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       ELSE list_transform(range(1, len(toks) - 1),
+                           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+  END)
+""".strip()
+
+_NUM_HASHES, _BANDS, _JACCARD_T = 8, 4, 0.3
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = _NUM_HASHES // _BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT id, sh, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM toks_t),
+    sig AS (SELECT id, sh, {sig_cols} FROM base),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             any_value(a.sh) AS sh_a, any_value(b.sh) AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sh_a, sh_b))
+                   / CAST(nullif(len(list_distinct(list_concat(sh_a, sh_b))), 0) AS DOUBLE),
+                   6) AS jaccard
+      FROM cand
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {_JACCARD_T}
+    """
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    """,
+    tags=("text", "X1", "dedup"),
+)
+def exact_dedup_docs(spark, sf_dir):
+    """X1 — exact dedup on canonical md5 fingerprint; smallest doc_id
+    survives, duplicate count retained. The shuffle carries 16-byte
+    hashes, never document bodies (text/dedup.exact_dedup)."""
+    from .text.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stats_by_lang",
+    f"""
+    WITH toks_t AS (SELECT lang, len({_TOKS}) AS n_tok FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 4) AS avg_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM toks_t GROUP BY lang
+    """,
+    tags=("text", "X4"),
+)
+def token_stats_by_lang(spark, sf_dir):
+    """X4 — whitespace token counting (text/analysis.token_count),
+    aggregated per language label."""
+    from .text.analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("long")
+    return (
+        docs.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            pround(F.sum("n_tok").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_quality_features",
+    f"""
+    WITH t AS (
+      SELECT doc_id, coalesce(text, '') AS txt,
+             {_TOKS.replace("text", "coalesce(text, '')")} AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(ceil(length(txt) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+           round(CAST(length(txt) - length(regexp_replace(txt, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                 / nullif(length(txt), 0), 6) AS punct_ratio,
+           round(CAST(len(list_filter(toks,
+                     x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+                 / nullif(len(toks), 0), 6) AS stopword_ratio
+    FROM t
+    """,
+    tags=("text", "X4"),
+)
+def doc_quality_features(spark, sf_dir):
+    """X4 — quality scoring signals: length, token counts, BPE-ish
+    estimate, punctuation ratio, stopword ratio — all JVM-side regex/array
+    expressions (text/analysis.quality_features)."""
+    from .text.analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_chars"].cast("long").alias("n_chars"),
+        q["n_tokens"].cast("long").alias("n_tokens"),
+        q["n_tokens_bpe_est"].alias("n_tokens_bpe_est"),
+        pround(q["punct_ratio"], 6).alias("punct_ratio"),
+        pround(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS s_{lang}"
+        )
+    # argmax with ties broken by lexicographically greatest language code
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    case = " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs_desc
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM t),
+    b AS (SELECT *, greatest({", ".join("s_" + lg for lg in LANG_MARKERS)}) AS best FROM s),
+    d AS (SELECT doc_id, CASE WHEN best = 0 THEN 'und' {case} END AS detected FROM b)
+    SELECT detected, CAST(count(*) AS BIGINT) AS n_docs FROM d GROUP BY detected
+    """
+
+
+@register("language_id_counts", _langid_oracle(), tags=("text", "X4"))
+def language_id_counts(spark, sf_dir):
+    """X4 — heuristic stopword-marker language ID (text/analysis.
+    language_id): per-language hit counts, argmax with deterministic
+    tie-break, 'und' when no marker matches."""
+    from .text.analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("detected"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "fingerprint_uniqueness_by_source",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_unique
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "X4"),
+)
+def fingerprint_uniqueness_by_source(spark, sf_dir):
+    """X4 — md5 document fingerprinting (text/analysis.fingerprint):
+    distinct-fingerprint counts per source."""
+    from .text.analysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+    )
+
+
+@register("minhash_near_dup_pairs", _minhash_oracle(), tags=("text", "X2", "dedup"))
+def minhash_near_dup_pairs_q(spark, sf_dir):
+    """X2 — banded MinHash LSH near-dup pairs, exact-Jaccard verified
+    (text/dedup.minhash_near_dup_pairs; 8 hashes x 4 bands, 3-gram
+    shingles, threshold 0.3). Oracle SQL is generated from the same
+    constants — the full LSH pipeline is hash-checked."""
+    from .text.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM toks_t),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))
+                   / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS DOUBLE),
+                   6) AS jaccard
+      FROM base a JOIN base b ON a.id < b.id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3
+    """,
+    tags=("text", "X2", "dedup"),
+)
+def ngram_jaccard_near_dups(spark, sf_dir):
+    """X2 ground truth — exact all-pairs n-gram Jaccard (text/dedup.
+    ngram_jaccard_pairs). O(n²): the oracle for LSH recall at test scale;
+    block before using at corpus scale."""
+    from .text.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_n=3, threshold=0.3
+    )
+
+
+def _sentiment_oracle() -> str:
+    from .text.sentiment import NEGATIVE, POSITIVE
+
+    pos = ", ".join(f"'{w}'" for w in sorted(POSITIVE))
+    neg = ", ".join(f"'{w}'" for w in sorted(NEGATIVE))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ({pos}))) AS pos,
+             len(list_filter(toks, x -> x IN ({neg}))) AS neg
+      FROM t
+    )
+    SELECT doc_id,
+           round(CASE WHEN pos + neg = 0 THEN 0.0
+                      ELSE (pos - neg) / CAST(pos + neg AS DOUBLE) END, 6) AS sentiment
+    FROM s
+    """
+
+
+@register("doc_sentiment", _sentiment_oracle(), tags=("text", "U1"))
+def doc_sentiment(spark, sf_dir):
+    """U1 — the sentiment UDF path (text/sentiment.sentiment_score): an
+    Arrow-batched pandas UDF scoring each document. The deterministic
+    lexicon scorer is SQL-replicable, so even the engine's Python-UDF lane
+    is oracle-checked (the VADER upgrade path keeps the same shape)."""
+    from .io.readers import spread
+    from .text.sentiment import sentiment_score
+
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.select(
+        "doc_id", pround(sentiment_score(F.col("text")), 6).alias("sentiment")
+    )
+
+
+def _simhash_oracle() -> str:
+    # replicate text/dedup.simhash64(bits=32): per distinct lowercased token,
+    # md5 -> first 8 hex -> uint32; vote per bit; pack sign bits.
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(string_split_regex(trim(text), '\\s+'),
+                                          x -> lower(x))) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), b ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 = 1
+                         THEN 1 ELSE -1 END)) > 0
+                  THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+    FROM h
+    """
+
+
+@register("simhash_fingerprints", _simhash_oracle(), tags=("text", "X2", "dedup"))
+def simhash_fingerprints(spark, sf_dir):
+    """X2 — 32-bit SimHash fingerprints (text/dedup.simhash64): near-dups
+    differ in few bits; bucketing on the fingerprint gives an
+    O(n)-candidate dedup pass. Pure higher-order-function SQL on both
+    sides."""
+    from .io.readers import spread
+    from .text.dedup import simhash64
+
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))

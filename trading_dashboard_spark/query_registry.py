@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from .functions import portable_round_sql, pround  # noqa: F401
 from .io.readers import load_table
 from .session import apply_runtime_confs
 
@@ -51,60 +52,6 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
     return deco
 
 
-def pround(c, n: int):
-    """Portable rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ`` from primitive FP ops.
-
-    Engine-native ``round()`` implementations disagree on exact .5 ties
-    (Spark goes through BigDecimal.valueOf's shortest-string, DuckDB through
-    C-library rounding) — and ties are *common* here, because averages over
-    power-of-2-sized window frames of 2-decimal data terminate exactly on
-    boundary digits. Building the rounding from floor/multiply/add — each
-    IEEE-deterministic and identical in every engine — makes the engine and
-    the oracle agree bit-for-bit. Semantics: half-up toward +∞.
-
-    Oracle strings written with ``round(expr, n)`` are rewritten to the
-    same form by :func:`portable_round_sql` at registration time.
-    """
-    if isinstance(c, str):
-        c = F.col(c)
-    f = float(10**n)
-    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
-
-
-def portable_round_sql(sql: str) -> str:
-    """Rewrite every ``round(expr, n)`` in an oracle to the portable
-    ``floor((expr) * 10ⁿ + 0.5) / 10ⁿ`` form (recursively, paren-aware)."""
-    out: list[str] = []
-    i = 0
-    low = sql.lower()
-    while True:
-        j = low.find("round(", i)
-        if j == -1:
-            out.append(sql[i:])
-            break
-        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
-            out.append(sql[i : j + 6])
-            i = j + 6
-            continue
-        out.append(sql[i:j])
-        k = j + 6
-        depth = 1
-        last_comma = -1
-        while depth > 0:
-            ch = sql[k]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 1:
-                last_comma = k
-            k += 1
-        expr = portable_round_sql(sql[j + 6 : last_comma])
-        n = int(sql[last_comma + 1 : k - 1].strip())
-        f = 10**n
-        out.append(f"floor(({expr}) * {f}.0 + 0.5) / {f}.0")
-        i = k
-    return "".join(out)
 
 
 def _with_confs(fn):

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ..functions import pround
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -45,8 +47,8 @@ def embedding_norms(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.select(
         "*",
         F.size(F.col(vec_col)).alias("dim"),
-        F.round(l2_norm(v), 6).alias("l2_norm"),
-        F.round(
+        pround(l2_norm(v), 6).alias("l2_norm"),
+        pround(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
             / F.size(F.col(vec_col)).cast("double"),
             6,
@@ -64,7 +66,7 @@ def knn_to_probe(
     """Top-k nearest to one probe vector by cosine — single scan, no shuffle
     beyond the k-row heap merge (TakeOrderedAndProject)."""
     p = F.array(*[F.lit(float(x)) for x in probe])
-    sim = F.round(cosine_sim(F.col(vec_col), p), 6)
+    sim = pround(cosine_sim(F.col(vec_col), p), 6)
     return (
         df.select(F.col(id_col), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -85,10 +87,12 @@ def knn_all_pairs(
     LSH bucket id) the quadratic term is bounded per block — the scale
     path. Self-pairs excluded; ties broken by neighbor id.
     """
+    from ..io.readers import spread
+
     sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
         sel.append(F.col(block_col).alias("blk"))
-    base = df.select(*sel)
+    base = spread(df, id_col).select(*sel)
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") != F.col("b.id")
     if block_col:
@@ -96,7 +100,7 @@ def knn_all_pairs(
     pairs = a.join(b, cond).select(
         F.col("a.id").alias("id"),
         F.col("b.id").alias("neighbor_id"),
-        F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        pround(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

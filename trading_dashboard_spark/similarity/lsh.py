@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions import pround
+
 from .knn import _as_double, dot, knn_all_pairs
 
 
@@ -65,6 +67,9 @@ def lsh_knn(
     """
     from pyspark.sql import Window as W
 
+    from ..io.readers import spread
+
+    df = spread(df, id_col)
     cands = None
     for t in range(n_tables):
         bucketed = random_hyperplane_buckets(
@@ -80,7 +85,7 @@ def lsh_knn(
     from .knn import cosine_sim
 
     scored = cands.select(
-        "id", "neighbor_id", F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine")
+        "id", "neighbor_id", pround(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine")
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions import pround
+
 from .analysis import fingerprint, tokenize
 
 
@@ -90,19 +92,26 @@ def minhash_near_dup_pairs(
     broadcast of the corpus.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
+    from ..io.readers import spread
+
+    base = spread(df, id_col).select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), num_hashes))
+    sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
         )
-    banded = sig.select(
-        "id", "sh", F.explode(F.array(*band_cols)).alias("band")
-    ).select("id", "sh", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    # Slim (id, band) rows only — the self-join shuffle never carries
+    # shingle arrays (at corpus scale that's the difference between
+    # shuffling 16-byte digests and shuffling the corpus).
+    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -113,19 +122,19 @@ def minhash_near_dup_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Exact verification only on surviving candidate ids: re-attach shingle
+    # sets by id (semi-join-pruned), then Jaccard.
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter / F.when(union != 0, union).cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 6))
+        pairs.withColumn("jaccard", pround(jac, 6))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -145,7 +154,9 @@ def ngram_jaccard_pairs(
     callers must block (e.g. by source, length bucket) at scale; unblocked
     it's the ground-truth oracle for LSH recall at test scale.
     """
-    base = df.select(
+    from ..io.readers import spread
+
+    base = spread(df, id_col).select(
         F.col(id_col).alias("id"),
         (block_col if block_col is not None else F.lit(0)).alias("blk"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
@@ -161,7 +172,7 @@ def ngram_jaccard_pairs(
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
+            pround(jac, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -37,7 +37,9 @@ def _score_batch(texts: pd.Series) -> pd.Series:
         neg = sum(1 for x in toks if x in NEGATIVE)
         if pos + neg == 0:
             return 0.0
-        return round((pos - neg) / (pos + neg), 6)
+        # raw IEEE division — callers round with the portable pround so the
+        # value stays bit-comparable with a SQL replication of this scorer
+        return (pos - neg) / (pos + neg)
 
     return texts.fillna("").map(score)
 
