@@ -1,0 +1,52 @@
+"""Streaming tier tests — streaming results equal batch results over
+static data; watermarked dedup drops planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.io.readers import load_table
+from trading_dashboard_spark.streaming.ingest import (
+    dedup_stream,
+    run_stream_to_table,
+    stream_events,
+)
+from trading_dashboard_spark.streaming.windows import hourly_counts, session_aggregate
+
+
+def test_streaming_equals_batch_hourly(spark, sf_dir):
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    got = run_stream_to_table(
+        hourly_counts(stream), "t_hourly", output_mode="complete"
+    )
+    batch = load_table(spark, "events", sf_dir)
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    assert got.count() == expected
+
+
+def test_streaming_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
+    ev = load_table(spark, "events", sf_dir).limit(100)
+    dup = ev.union(ev)  # every event twice
+    # write with ts as long (the landing format the stream reader expects)
+    dup.withColumn("ts", F.unix_micros("ts") * 1000).write.mode("overwrite").parquet(
+        str(tmp_path / "dups")
+    )
+    stream = stream_events(spark, str(tmp_path / "dups"))
+    out = run_stream_to_table(dedup_stream(stream, ["event_id"]), "t_dedup")
+    assert out.count() == 100
+
+
+def test_session_aggregate_merges_by_gap(spark, sf_dir):
+    stream = stream_events(spark, f"{sf_dir}/events.parquet")
+    sessions = run_stream_to_table(
+        session_aggregate(stream, gap="12 hours"), "t_sessions", output_mode="complete"
+    )
+    pdf = sessions.toPandas()
+    # every session is at least one event and bounded sanely
+    assert (pdf["n_events"] >= 1).all()
+    assert (pdf["session_end"] > pdf["session_start"]).all()
+    # total events conserved across sessions
+    assert pdf["n_events"].sum() == load_table(spark, "events", sf_dir).count()

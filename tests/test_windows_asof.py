@@ -61,7 +61,9 @@ def test_as_of_join_matches_pandas_merge_asof(spark, sf_dir):
     expected = pd.merge_asof(
         lp, rp, on="ts", by="user_id", direction="backward", allow_exact_matches=True
     )
-    merged = out.merge(expected, on="event_id", suffixes=("", "_exp"))
+    merged = out.merge(
+        expected.rename(columns={"value": "value_exp"}), on="event_id"
+    )
     assert len(merged) == len(out) == len(lp)
     a = merged["asof_value"].fillna(-1).to_numpy()
     b = merged["value_exp"].fillna(-1).to_numpy()

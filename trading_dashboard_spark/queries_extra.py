@@ -1,0 +1,248 @@
+"""Extended relational coverage — rollup/cube, pivot, split+explode, the
+news-correlation pipeline shape, EMA, and the ML prediction lane.
+
+These close out the operator families the engine exposes beyond the
+reference's literal SQL surface (SURVEY.md §2.4 note, §2.8 F2, §3.3).
+"""
+
+from pyspark.sql import Window as W, functions as F
+
+from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
+
+
+@register(
+    "regional_revenue_rollup",
+    """
+    SELECT r.r_name, n.n_name,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup"),
+)
+def regional_revenue_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (region → nation → grand total) — the
+    grouping-sets family the reference lacks but the engine exposes free
+    (SURVEY.md §2.4 note)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            pround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS trade_date,
+           round(sum(CASE WHEN event_type = 'click'    THEN value END), 2) AS click,
+           round(sum(CASE WHEN event_type = 'error'    THEN value END), 2) AS error,
+           round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+           round(sum(CASE WHEN event_type = 'signup'   THEN value END), 2) AS signup,
+           round(sum(CASE WHEN event_type = 'view'     THEN value END), 2) AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "pivot"),
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): one column per event_type with summed
+    values — `.pivot()` compiles to the same CASE-sum plan the oracle
+    spells out."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("trade_date"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .sum("value")
+    )
+    return out.select(
+        "trade_date",
+        *[pround(F.col(t), 2).alias(t) for t in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@register(
+    "explode_user_event_types",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv
+      FROM events GROUP BY user_id
+    ),
+    exploded AS (
+      SELECT user_id, unnest(string_split(types_csv, ',')) AS event_type
+      FROM per_user
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM exploded GROUP BY event_type
+    """,
+    tags=("functions", "F2"),
+)
+def explode_user_event_types(spark, sf_dir):
+    """F2 — the CSV-ticker split+explode idiom (fetch_transform_news.py:
+    60-64): collect_set → CSV string → split → explode, then count users
+    per type."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_csv")
+    )
+    return (
+        per_user.select(
+            "user_id", F.explode(F.split("types_csv", ",")).alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+_ALPHA = 2.0 / 15.0  # span=14, adjust=False
+
+
+@register(
+    "ema_indicator",
+    f"""
+    WITH {DAILY_SQL},
+    ordered AS (
+      SELECT user_id, d, close,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM daily
+    ),
+    lists AS (
+      SELECT user_id, list(close ORDER BY d) AS xs FROM daily GROUP BY user_id
+    )
+    SELECT o.user_id, strftime(o.d, '%Y-%m-%d') AS trade_date,
+           round(
+             pow(1 - {_ALPHA}, o.rn - 1) * l.xs[1]
+             + coalesce(list_sum(list_transform(range(2, o.rn + 1),
+                 j -> {_ALPHA} * pow(1 - {_ALPHA}, o.rn - j) * l.xs[j])), 0.0),
+             4) AS ema_14
+    FROM ordered o JOIN lists l USING (user_id)
+    """,
+    tags=("window", "W7", "udf"),
+)
+def ema_indicator(spark, sf_dir):
+    """W7 — EMA (span 14, adjust=False): recursive, not frame-expressible,
+    so the engine runs pandas ``ewm`` per key via applyInPandas
+    (operators/indicators.ema; SURVEY.md §7.4). The oracle unrolls the
+    recursion in closed form (weighted power sum) — pandas' recursive
+    evaluation and the closed form agree far inside the rounding
+    tolerance."""
+    from .operators.indicators import ema
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    out = ema(daily, "close", "user_id", "d", span=14, out_col="ema_14")
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("ema_14", 4).alias("ema_14"),
+    )
+
+
+@register(
+    "signal_price_correlation",
+    f"""
+    WITH {DAILY_SQL},
+    price AS (
+      SELECT user_id, d, close, high, low,
+             lag(close) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      FROM daily
+    ),
+    signal AS (
+      SELECT user_id AS symbol, CAST(ts AS DATE) AS news_date,
+             round(round(sum(value), 2) / count(value), 4) AS avg_sentiment_score,
+             CAST(count(*) AS BIGINT) AS news_count
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2
+    )
+    SELECT s.symbol, strftime(s.news_date, '%Y-%m-%d') AS news_date,
+           s.avg_sentiment_score,
+           round(coalesce((p.close - p.prev) / nullif(p.prev, 0) * 100, 0.0), 4) AS price_change,
+           coalesce(CASE WHEN p.close > p.prev THEN 'Up'
+                         WHEN p.close < p.prev THEN 'Down'
+                         WHEN p.close IS NOT NULL THEN 'Flat' END, 'Unknown') AS price_direction,
+           round(coalesce((p.high - p.low) / nullif(p.low, 0) * 100, 0.0), 4) AS volatility_score,
+           s.news_count
+    FROM signal s
+    LEFT JOIN price p ON s.symbol = p.user_id AND s.news_date = p.d
+    """,
+    tags=("pipeline", "A1", "J2", "P14", "P15", "P16"),
+)
+def signal_price_correlation(spark, sf_dir):
+    """The news-sentiment correlation pipeline
+    (analyze_news_stock_patterns.py:17-74) on the events series: 'error'
+    events play the news role. A1 two-key agg → J2 two-key left join →
+    P14 direction CASE → P15/P16 COALESCE + NULLIF guards
+    (pipelines/news_pipeline.correlate_signal_with_price)."""
+    from .pipelines.news_pipeline import correlate_signal_with_price
+
+    ev = _t(spark, sf_dir, "events")
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    price_daily = daily.select(
+        F.col("user_id").alias("symbol"),
+        F.col("d").alias("trade_date"),
+        F.col("close").alias("closing_price"),
+        F.lag("close").over(w).alias("previous_closing_price"),
+        F.col("high").alias("highest_price"),
+        F.col("low").alias("lowest_price"),
+    )
+    # pre-aggregate the signal with the rounded-sum avg pattern so the
+    # downstream avg (inside correlate) is a pass-through
+    signal = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.col("user_id").alias("symbol"), F.to_date("ts").alias("news_date")
+        )
+        .agg(
+            pround(pround(F.sum("value"), 2) / F.count("value"), 4).alias(
+                "sentiment_score"
+            ),
+            F.count(F.lit(1)).alias("news_count"),
+        )
+    )
+    out = correlate_signal_with_price(
+        signal.select("symbol", "news_date", "sentiment_score"), price_daily
+    ).drop("news_count")
+    out = out.join(signal.select("symbol", "news_date", "news_count"), ["symbol", "news_date"])
+    return out.select(
+        "symbol",
+        F.date_format("news_date", "yyyy-MM-dd").alias("news_date"),
+        F.col("avg_sentiment_score"),
+        pround("price_change", 4).alias("price_change"),
+        "price_direction",
+        pround("volatility_score", 4).alias("volatility_score"),
+        "news_count",
+    )
+
+
+@register("ml_next_day_prediction", None, tags=("ml", "U2", "U8"))
+def ml_next_day_prediction(spark, sf_dir):
+    """U2-U8 — the two-stage linear predictor (ml/predictor): window
+    features → StandardScaler → LinearRegression + residual-correction
+    stage → latest-day inference stamped to the next day. Rows-only check
+    (model output is not SQL-expressible); numeric parity with a
+    closed-form least-squares oracle is asserted in tests/."""
+    from .ml.predictor import build_features, predict_next_value, train_next_value_model
+
+    daily = _daily_close(spark, sf_dir)
+    feats = build_features(daily)
+    model = train_next_value_model(feats)
+    out = predict_next_value(model, feats)
+    return out.select(
+        "user_id",
+        F.date_format("prediction_date", "yyyy-MM-dd").alias("prediction_date"),
+        pround("latest_close", 2).alias("latest_close"),
+        pround("predicted_close", 4).alias("predicted_close"),
+    )

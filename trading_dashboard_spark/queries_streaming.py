@@ -1,0 +1,109 @@
+"""Streaming-tier queries — Structured Streaming operators driven to
+completion over the static testdata, so results are deterministic and
+oracle-checkable (no late data → streaming == batch SQL).
+
+SURVEY.md §2.10: the reference has no streams (daily cron batch); this tier
+is the engine's incremental-ingest generalization (§7 phase 8).
+"""
+
+from pyspark.sql import functions as F
+
+from .query_registry import _t, pround, register
+
+
+@register(
+    "streaming_hourly_type_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def streaming_hourly_type_counts(spark, sf_dir):
+    """Tumbling 1-hour event-time window over a file-source stream
+    (streaming/windows.hourly_counts): watermark + window + agg, driven to
+    completion through the memory sink. The oracle is plain batch SQL —
+    equality *is* the streaming-correctness statement."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.windows import hourly_counts
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = hourly_counts(stream)
+    out = run_stream_to_table(agg, "hourly_type_counts", output_mode="complete")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        pround("total_value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '12 hours'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '12 hours', '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def streaming_session_windows(spark, sf_dir):
+    """Session windows (streaming/windows.session_aggregate): per-user
+    activity bursts separated by >= 12h gaps via native session_window.
+    The oracle is the batch islands construction (lag-gap flag + running
+    sum) — equivalent for complete data, which proves the merge semantics."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.windows import session_aggregate
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = session_aggregate(stream, gap="12 hours")
+    out = run_stream_to_table(agg, "session_windows", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        pround("total_value", 2).alias("total_value"),
+    )
+
+
+@register(
+    "streaming_dedup_ingest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    """,
+    tags=("streaming", "S15"),
+)
+def streaming_dedup_ingest(spark, sf_dir):
+    """Watermarked dropDuplicates ingest (streaming/ingest.dedup_stream) —
+    the streaming replacement for ON CONFLICT DO NOTHING idempotency. The
+    source has unique event_ids, so deduped count == distinct count."""
+    from .streaming.ingest import dedup_stream, run_stream_to_table, stream_events
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    deduped = dedup_stream(stream, ["event_id"])
+    out = run_stream_to_table(deduped, "dedup_ingest")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_unique"),
+    )

@@ -1,0 +1,80 @@
+"""Structured Streaming ingest — the incremental mode of the batch pipeline.
+
+The reference is strictly daily micro-batch (Airflow cron `0 2 * * *`,
+dags/trading_dashboard.py:56) with idempotency via ON CONFLICT keys
+(SURVEY.md §2.10). The streaming tier generalizes that: a file-source
+stream over the landing directory, watermarked dedup replacing the
+conflict-key idempotency (S14/S15), and windowed aggregation downstream.
+
+On a cluster this runs continuously against object storage with
+checkpointing; in tests, `run_stream_to_table` drives the same query to
+completion synchronously over a static directory (memory sink +
+processAllAvailable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..schemas import EVENTS
+from ..session import apply_runtime_confs
+
+
+def _events_read_schema() -> T.StructType:
+    """EVENTS with ts as raw int64 — the testdata parquet carries
+    TIMESTAMP(NANOS), readable only as long (see io/readers.load_table)."""
+    return T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
+            for f in EVENTS.fields
+        ]
+    )
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (S8's streaming analog).
+
+    ``path`` may be a directory or a single file — the file source needs a
+    directory, so a file path becomes (parent, pathGlobFilter=name).
+    ``maxFilesPerTrigger`` bounds each micro-batch; the ns→us conversion
+    matches the batch reader exactly so batch and streaming results are
+    comparable.
+    """
+    import os
+
+    apply_runtime_confs(spark)
+    reader = spark.readStream.schema(_events_read_schema()).option(
+        "maxFilesPerTrigger", "4"
+    )
+    if path.endswith(".parquet"):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    raw = reader.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming idempotency: watermarked dropDuplicates over the natural
+    key — the streaming replacement for ``ON CONFLICT DO NOTHING``
+    (full_stock_pipeline.py:405-415). State is bounded by the watermark
+    horizon; late duplicates beyond it age out of state (at-least-once
+    becomes exactly-once within the horizon)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming query to completion over a static source and
+    return the result as a batch DataFrame (memory sink +
+    processAllAvailable) — the test/oracle harness for streaming
+    operators."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)

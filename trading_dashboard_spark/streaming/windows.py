@@ -1,0 +1,60 @@
+"""Streaming windowed aggregation — tumbling and session windows.
+
+Watermarks bound state and admit late data up to the horizon; with a
+static source driven to completion (tests/oracle), no rows are late, so
+the streaming result equals the batch/SQL equivalent — which is what makes
+these operators oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def hourly_counts(
+    stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window,
+    event_type). Equivalent batch SQL: GROUP BY time_bucket(1h, ts),
+    event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_aggregate(
+    stream: DataFrame,
+    key: str = "user_id",
+    gap: str = "12 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows: per-key activity bursts separated by > gap.
+
+    Streaming uses the native ``session_window``; for complete (non-late)
+    data this equals the batch islands construction — per key, start a new
+    session when ``ts - lag(ts) > gap``, then aggregate islands — which is
+    the SQL-oracle form.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col(key))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
