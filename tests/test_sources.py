@@ -1,0 +1,110 @@
+"""Sources tier — distributed REST ingest (S1) and JSON landing sink (S6).
+
+The fetch operator is tested with an injected deterministic fake transport
+(no network); the landing sink round-trips through the partition-filtered
+scan (io.readers.read_quote_landing) that mirrors the reference's read side
+(full_stock_pipeline.py:181-217).
+"""
+
+import pytest
+
+from trading_dashboard_spark.io.readers import read_quote_landing
+from trading_dashboard_spark.sources import (
+    RateLimit,
+    fetch_quotes_distributed,
+    write_landing_json,
+)
+from trading_dashboard_spark.sources.landing import write_landing_json_partitioned
+
+
+def _make_fake_fetcher():
+    # nested so cloudpickle ships it by value — executors cannot import the
+    # test module by name
+    def fake_fetcher(symbol: str) -> dict:
+        if symbol == "BAD":
+            raise RuntimeError("simulated transport failure")
+        base = float(sum(ord(ch) for ch in symbol))
+        return {
+            "o": base,
+            "h": base + 2.0,
+            "l": base - 1.0,
+            "c": base + 1.0,
+            "pc": base - 0.5,
+            "d": 1.5,
+            "dp": 100 * 1.5 / (base - 0.5),
+            "v": int(base) * 10,
+        }
+
+    return fake_fetcher
+
+
+@pytest.fixture()
+def symbols(spark):
+    return spark.createDataFrame([("AAPL",), ("MSFT",), ("BAD",)], ["symbol"])
+
+
+def test_fetch_quotes_distributed(spark, symbols):
+    out = fetch_quotes_distributed(
+        symbols,
+        fetcher=_make_fake_fetcher(),
+        rate=RateLimit(sleep_s=0.0, retry_sleep_s=0.0, max_retries=1),
+        date="2024-01-08",
+    )
+    rows = {r["symbol"]: r for r in out.collect()}
+    assert set(rows) == {"AAPL", "MSFT", "BAD"}
+    # successful symbols carry the payload fields
+    aapl = rows["AAPL"]
+    assert aapl["c"] == float(sum(ord(ch) for ch in "AAPL")) + 1.0
+    assert aapl["date"] == "2024-01-08"
+    # failed symbol survives as a null row (reference: per-symbol try/except)
+    bad = rows["BAD"]
+    assert bad["c"] is None and bad["date"] == "2024-01-08"
+
+
+def test_fetch_default_fetcher_raises(spark, symbols):
+    out = fetch_quotes_distributed(symbols)
+    with pytest.raises(Exception):
+        out.collect()
+
+
+def test_landing_write_read_roundtrip(spark, symbols, tmp_path):
+    quotes = fetch_quotes_distributed(
+        symbols.filter("symbol != 'BAD'"),
+        fetcher=_make_fake_fetcher(),
+        rate=RateLimit(retry_sleep_s=0.0),
+        date="2024-01-08",
+    )
+    landing = str(tmp_path / "landing")
+    write_landing_json(quotes, landing, "2024", "01", "08")
+    back = read_quote_landing(spark, landing, "2024", "01", "08")
+    assert back.count() == 2
+    assert {r["symbol"] for r in back.collect()} == {"AAPL", "MSFT"}
+
+
+def test_landing_write_drops_foreign_dates(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("AAPL", "2024-01-08", 10.0), ("AAPL", "2024-01-09", 11.0)],
+        ["symbol", "date", "c"],
+    )
+    landing = str(tmp_path / "landing")
+    write_landing_json(df, landing, "2024", "01", "08")
+    back = read_quote_landing(spark, landing, "2024", "01", "08")
+    assert back.count() == 1
+
+
+def test_landing_partitioned_multi_day(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("AAPL", "2024-01-08", 10.0),
+            ("MSFT", "2024-01-08", 20.0),
+            ("AAPL", "2024-01-09", 11.0),
+        ],
+        ["symbol", "date", "c"],
+    )
+    landing = str(tmp_path / "landing")
+    write_landing_json_partitioned(df, landing)
+    scan = spark.read.json(landing)
+    # partition columns materialize; a date predicate prunes directories
+    day = scan.filter("y = '2024' and m = '01' and d = '08'")
+    assert day.count() == 2
+    assert scan.count() == 3
