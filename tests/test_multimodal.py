@@ -52,3 +52,20 @@ def test_frame_sample_row_expansion(spark):
     # 3500ms video -> 3 frames; image (no duration) -> 1; 1000ms audio -> 1
     assert per == {1: 1, 2: 3, 3: 1}
     assert set(out.columns) == {"media_id", "frame_idx", "frame_ms", "frame_features"}
+
+
+def test_media_from_documents_deterministic(spark, sf_dir):
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.multimodal.columns import media_from_documents
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    rows = media.limit(10).collect()
+    assert {r["media_type"] for r in media.select("media_type").distinct().collect()} == {
+        "image", "audio", "video"
+    }
+    for r in rows:
+        if r["media_type"] == "image":
+            assert r["meta"]["width"] is not None and r["meta"]["duration_ms"] is None
+        else:
+            assert r["meta"]["width"] is None and r["meta"]["duration_ms"] is not None
+        assert r["payload"] is not None

@@ -49,3 +49,17 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     hits = sum(1 for k, v in e.items() if a.get(k) == v)
     recall = hits / len(e)
     assert recall > 0.5, f"LSH top-1 recall too low: {recall}"
+
+
+def test_cosine_near_dup_pairs_finds_planted_twins(spark):
+    from trading_dashboard_spark.similarity.knn import cosine_near_dup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.02, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = cosine_near_dup_pairs(df, threshold=0.98)
+    pairs = {(r["keep_id"], r["drop_id"]) for r in out.collect()}
+    assert pairs == {(0, 1)}

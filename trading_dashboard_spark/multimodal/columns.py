@@ -54,6 +54,37 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media view over the `documents` testdata table.
+
+    The container ships no real image/audio fixtures, so the multimodal
+    tier is exercised against a synthesized — but fully deterministic and
+    SQL-replicable — mapping of each document onto MEDIA_SCHEMA:
+    payload = UTF-8 bytes of `text`, media_type cycles image/audio/video by
+    `doc_id % 3`, and metadata (dimensions for images, duration for
+    audio/video) derives from `n_chars`. Every downstream operator
+    (metadata attach, decode, frame sampling) treats the payload as opaque
+    bytes, exactly as it would real media.
+    """
+    mod = (F.col("doc_id") % 3).cast("int")
+    is_image = mod == 0
+    return docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.when(mod == 0, "image").when(mod == 1, "audio").otherwise("video").alias(
+            "media_type"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(is_image, (F.col("n_chars") % 640 + 16).cast("int")).alias("width"),
+            F.when(is_image, (F.col("n_chars") % 480 + 16).cast("int")).alias("height"),
+            F.when(~is_image, F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+            F.when(mod == 0, "png").when(mod == 1, "pcm").otherwise("h264").alias(
+                "codec"
+            ),
+        ).alias("meta"),
+    )
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap JVM-side metadata that needs no decode: byte length + md5."""
     p = F.col(payload_col)

@@ -1,0 +1,124 @@
+"""Multimodal-tier queries — binary media columns with typed metadata
+(SURVEY.md §2.11 X5) synthesized deterministically from the documents table
+(multimodal/columns.media_from_documents), so every stage is
+DuckDB-oracle-checkable: md5-over-UTF-8-bytes is identical on both sides,
+and the stubbed decode's fake features (md5 digest bytes / 255) are
+replicated in SQL via a 256-row hex→int lookup join.
+
+Scale notes: payloads never leave the JVM except through Arrow batches in
+the mapInPandas decode stage; metadata-only queries (media_metadata_by_type)
+touch bytes solely via length/md5 — JVM-side, no Python. At 100 TB the
+decode stage is bounded per-task by `spark.sql.files.maxPartitionBytes` and
+is stateless, so speculative execution and retries are safe.
+"""
+
+from pyspark.sql import functions as F
+
+from .query_registry import _t, pround, register
+
+#: media_type synthesis shared by every oracle below (doc_id % 3 cycle).
+_MTYPE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@register(
+    "media_metadata_by_type",
+    f"""
+    WITH m AS (
+      SELECT {_MTYPE} AS media_type,
+             strlen(text) AS n_bytes, md5(text) AS payload_md5
+      FROM documents
+    )
+    SELECT media_type, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT payload_md5) AS BIGINT) AS distinct_payloads,
+           round(CAST(sum(n_bytes) AS DOUBLE) / count(*), 4) AS avg_bytes
+    FROM m GROUP BY media_type
+    """,
+    tags=("multimodal", "X5"),
+)
+def media_metadata_by_type(spark, sf_dir):
+    """X5 — decode-free metadata pass (multimodal/columns.
+    attach_media_metadata): byte length + md5 computed JVM-side over the
+    binary payload, aggregated per modality. The shuffle carries 16-byte
+    hashes and counters, never payloads."""
+    from .multimodal.columns import attach_media_metadata, media_from_documents
+
+    media = attach_media_metadata(media_from_documents(_t(spark, sf_dir, "documents")))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("payload_md5").alias("distinct_payloads"),
+        pround(F.sum("n_bytes").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_bytes"
+        ),
+    )
+
+
+@register(
+    "media_decode_features",
+    """
+    WITH hx AS (SELECT i, printf('%02x', i) AS h FROM range(256) t(i)),
+    m AS (SELECT doc_id AS media_id, strlen(text) AS n_bytes, md5(text) AS dg
+          FROM documents)
+    SELECT m.media_id, CAST(coalesce(m.n_bytes, 0) AS BIGINT) AS n_bytes,
+           round(coalesce(h0.i / 255.0, 0.0), 6) AS f0,
+           round(coalesce(h1.i / 255.0, 0.0), 6) AS f1
+    FROM m
+    LEFT JOIN hx h0 ON substr(m.dg, 1, 2) = h0.h
+    LEFT JOIN hx h1 ON substr(m.dg, 3, 2) = h1.h
+    """,
+    tags=("multimodal", "X5"),
+)
+def media_decode_features(spark, sf_dir):
+    """X5 — the Arrow-batched mapInPandas decode stage (multimodal/columns.
+    decode_media_batch, stubbed: features = md5 digest bytes / 255). The
+    oracle reproduces the fake feature bytes in pure SQL with a 256-row
+    hex lookup, so even the stub path is value-checked end to end."""
+    from .multimodal.columns import decode_media_batch, media_from_documents
+
+    decoded = decode_media_batch(media_from_documents(_t(spark, sf_dir, "documents")))
+    return decoded.select(
+        "media_id",
+        F.col("n_bytes").alias("n_bytes"),
+        pround(F.coalesce(F.element_at("features", 1), F.lit(0.0)), 6).alias("f0"),
+        pround(F.coalesce(F.element_at("features", 2), F.lit(0.0)), 6).alias("f1"),
+    )
+
+
+@register(
+    "media_frame_plan",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 0
+                  ELSE coalesce(n_chars, 0) * 10 END AS dur
+      FROM documents
+    ),
+    n AS (SELECT media_id, greatest(1, dur // 1000) AS n_frames FROM m),
+    f AS (SELECT media_id,
+                 unnest(generate_series(0, n_frames - 1)) AS i
+          FROM n)
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS BIGINT) AS frame_ms
+    FROM f
+    """,
+    tags=("multimodal", "X5"),
+)
+def media_frame_plan(spark, sf_dir):
+    """X5 — video frame sampling as a row-expanding mapInPandas stage
+    (multimodal/columns.frame_sample): one row per sampled frame at 1 s
+    cadence, n = max(1, duration_ms // 1000). The oracle regenerates the
+    frame grid with generate_series; frame features (stub-derived) are
+    projected out so the check pins the expansion shape exactly."""
+    from .multimodal.columns import frame_sample, media_from_documents
+
+    frames = frame_sample(
+        media_from_documents(_t(spark, sf_dir, "documents")), every_ms=1000
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.col("frame_ms").alias("frame_ms"),
+    )

@@ -136,6 +136,49 @@ def embedding_stats_by_label(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_cosine_near_dup",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pert AS (
+      SELECT vec_id + 100000 AS vec_id,
+             list_concat([v[1] + 0.05], v[2:]) AS v
+      FROM base
+    ),
+    allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, round({_COS}, 6) AS cosine
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE round({_COS}, 6) >= 0.98
+    """,
+    tags=("similarity", "X2", "X3", "dedup"),
+)
+def embedding_cosine_near_dup(spark, sf_dir):
+    """X2/X3 — embedding-cosine near-duplicate dedup
+    (similarity/knn.cosine_near_dup_pairs). The corpus has no natural
+    near-dups (max cross cosine ~0.51), so the query derives them from the
+    data itself: each vector gets a deterministic perturbed twin (+0.05 on
+    component 0, id+100000); pairs at cosine >= 0.98 are exactly those
+    twins. min-id survives, matching exact_dedup's convention. At scale the
+    same operator runs with an LSH `block_col` so candidates are per-bucket
+    instead of O(n²)."""
+    from .similarity.knn import _as_double, cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.expr("slice(v, 2, size(v) - 1)"),
+        ).alias("v"),
+    )
+    allv = base.unionByName(pert)
+    return cosine_near_dup_pairs(allv, threshold=0.98, id_col="vec_id", vec_col="v")
+
+
 @register("lsh_ann_top3", None, tags=("similarity", "X3", "approx"))
 def lsh_ann_top3(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH approximate top-3 neighbors

@@ -74,6 +74,43 @@ def knn_to_probe(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (extension tier, X2/X3).
+
+    Emits one row per unordered pair with cosine >= threshold, keyed so the
+    smaller id is `keep_id` — the min-id-survives dedup convention shared
+    with exact_dedup (text/dedup.py). Without `block_col` the pair space is
+    O(n²) (test-scale / within-bucket use); with it (LSH bucket id from
+    lsh.py) candidates are generated per bucket, which is the 100 TB path:
+    shuffle on bucket id, quadratic only within buckets.
+    """
+    from ..io.readers import spread
+
+    sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
+    if block_col:
+        sel.append(F.col(block_col).alias("blk"))
+    base = spread(df, id_col).select(*sel)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("keep_id"),
+            F.col("b.id").alias("drop_id"),
+            pround(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def knn_all_pairs(
     df: DataFrame,
     k: int = 3,
