@@ -94,3 +94,19 @@ def test_fingerprint_canonicalization(spark):
     df = spark.createDataFrame([(1, " A  b "), (2, "a b")], ["id", "text"])
     fps = [r["f"] for r in df.select(fingerprint(F.col("text")).alias("f")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_minhash_near_dup_deterministic_across_runs(spark, sf_dir):
+    """Regression: the band self-join formulation intermittently lost a
+    pair under AQE (reused-exchange self-join); the bucket-aggregation
+    formulation must return the identical pair set on every execution."""
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.text.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    runs = [
+        {(r.id_a, r.id_b, r.jaccard) for r in minhash_near_dup_pairs(docs).collect()}
+        for _ in range(3)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    assert len(runs[0]) > 0

@@ -91,9 +91,11 @@ def main() -> int:
     failed = []
     import time
 
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -120,7 +122,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} queries pass")
+    print(f"\n{ran - len(failed)}/{ran} queries pass")
     return 1 if failed else 0
 
 

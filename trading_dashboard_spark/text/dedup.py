@@ -78,6 +78,7 @@ def minhash_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """X2 — banded MinHash LSH near-duplicate pairs, exact-verified.
 
@@ -94,9 +95,10 @@ def minhash_near_dup_pairs(
     rows_per_band = num_hashes // bands
     from ..io.readers import spread
 
-    base = spread(df, id_col).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    raw = spread(df, id_col).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
     )
+    base = raw.select("id", shingles(F.col("__txt"), shingle_n).alias("sh"))
     sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
     band_cols = []
     for b in range(bands):
@@ -113,20 +115,44 @@ def minhash_near_dup_pairs(
         F.col("band.band_hash").alias("band_hash"),
     )
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    # Candidate pairs by bucket aggregation, NOT a self-join: group ids per
+    # (band_idx, band_hash), expand i<j pairs within each bucket. One
+    # shuffle (the groupBy) vs the self-join's two + join, the signature
+    # subtree appears once in the plan, and there's no reliance on
+    # exchange-reuse/AQE behavior for a join whose both sides are the same
+    # exchange (observed to lose rows intermittently under AQE). Bucket
+    # arrays are near-dup groups — tiny by construction; a degenerate
+    # mega-bucket (e.g. empty-text collisions) can be dropped via
+    # `max_bucket` at corpus scale (standard LSH-dedup hygiene).
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Exact verification only on surviving candidate ids: re-attach shingle
-    # sets by id (semi-join-pruned), then Jaccard.
+    # Exact verification on the candidate pairs: re-attach shingle sets by
+    # id and compute true Jaccard. `cand` is referenced exactly once — every
+    # extra DataFrame reference re-expands the whole band-join subtree in
+    # the plan (exchange reuse is best-effort, not guaranteed), which
+    # matters more than row-pruning the shingle recompute. At corpus scale,
+    # persist `cand` (or pass an LSH bucket as `block_col` to
+    # ngram_jaccard_pairs) so verification scans only candidate ids.
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
