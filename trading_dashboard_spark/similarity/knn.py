@@ -95,17 +95,20 @@ def cosine_near_dup_pairs(
     sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
         sel.append(F.col(block_col).alias("blk"))
-    base = spread(df, id_col).select(*sel)
+    base = spread(df, id_col).select(*sel).withColumn("n", l2_norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    den = F.col("a.n") * F.col("b.n")
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("keep_id"),
             F.col("b.id").alias("drop_id"),
-            pround(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            pround(
+                dot(F.col("a.v"), F.col("b.v")) / F.when(den != 0.0, den), 6
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -129,15 +132,20 @@ def knn_all_pairs(
     sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
         sel.append(F.col(block_col).alias("blk"))
-    base = spread(df, id_col).select(*sel)
+    # Norms precomputed per vector: cosine per pair then costs one dot
+    # product, not one dot + two norms (O(pairs·dim) saved).
+    base = spread(df, id_col).select(*sel).withColumn("n", l2_norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.id") != F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    den = F.col("a.n") * F.col("b.n")
     pairs = a.join(b, cond).select(
         F.col("a.id").alias("id"),
         F.col("b.id").alias("neighbor_id"),
-        pround(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        pround(dot(F.col("a.v"), F.col("b.v")) / F.when(den != 0.0, den), 6).alias(
+            "cosine"
+        ),
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

@@ -69,23 +69,62 @@ def lsh_knn(
 
     from ..io.readers import spread
 
-    df = spread(df, id_col)
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    # Candidate generation by bucket aggregation (collect ids per bucket,
+    # expand directed pairs in-bucket), NOT a self-join: the candidate
+    # shuffle carries (table, bucket, id) rows only — never vectors — and
+    # avoids the identical-plan equi self-join shape that intermittently
+    # lost rows under AQE (see text/dedup.minhash_near_dup_pairs). Bucket
+    # arrays stay small when n_planes is sized so 2^n_planes tracks corpus
+    # size; degenerate buckets would surface here as oversized arrays.
     cands = None
     for t in range(n_tables):
-        bucketed = random_hyperplane_buckets(
-            df, dim, n_planes, seed, t, vec_col, "bucket"
-        ).select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"), "bucket")
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        pairs = a.join(
-            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
-        ).select(F.col("a.id").alias("id"), F.col("b.id").alias("neighbor_id"),
-                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        bucketed = random_hyperplane_buckets(base, dim, n_planes, seed, t, "v", "bucket")
+        buckets = (
+            bucketed.groupBy("bucket")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        ids = F.array_sort(F.col("ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    F.filter(ids, lambda y: y != x),
+                    lambda y: F.struct(x.alias("id"), y.alias("neighbor_id")),
+                ),
+            )
+        )
+        pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
+            F.col("p.id").alias("id"), F.col("p.neighbor_id").alias("neighbor_id")
+        )
         cands = pairs if cands is None else cands.unionByName(pairs)
     cands = cands.dropDuplicates(["id", "neighbor_id"])
-    from .knn import cosine_sim
+    from .knn import dot, l2_norm
 
-    scored = cands.select(
-        "id", "neighbor_id", pround(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine")
+    # Vectors re-attach to the deduplicated candidate set only; both joins
+    # key on a single id column (sides structurally different — no reused
+    # self-exchange). L2 norms are precomputed once per vector here — the
+    # naive cosine recomputes both norms for every candidate pair, an
+    # O(pairs·dim) tax that dwarfs the O(vectors·dim) it replaces.
+    withn = base.select("id", "v", l2_norm(F.col("v")).alias("n"))
+    va = withn.select(F.col("id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = withn.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    den = F.col("na") * F.col("nb")
+    scored = (
+        cands.join(va, "id")
+        .join(vb, "neighbor_id")
+        .select(
+            "id",
+            "neighbor_id",
+            pround(dot(F.col("va"), F.col("vb")) / F.when(den != 0.0, den), 6).alias(
+                "cosine"
+            ),
+        )
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
