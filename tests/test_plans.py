@@ -1,0 +1,123 @@
+"""Physical-plan quality tests — the 100 TB properties, pinned.
+
+Correctness tests say the answer is right; these say the *plan* is the one
+that survives a 1000-executor cluster: dims broadcast, rank pushdown
+(WindowGroupLimit) for greatest-n-per-group, top-k as TakeOrderedAndProject,
+filters reaching the parquet scan, no cartesian products, no join at all in
+the union-tag as-of rewrite, and no silent plan regressions that would only
+show up at scale.
+
+Known engine-level limitation (documented, not a bug here): parquet
+row-group pushdown does not cover timestamp_ntz predicates (Spark's
+ParquetFilters has no TimestampNTZType case), so date-range filters on the
+testdata's ntz columns evaluate post-scan. At rest, the engine's own tables
+are written date-partitioned (io/writers.write_partitioned) and rely on
+partition pruning — directory-level, type-independent — which is the
+mechanism that matters at 100 TB.
+"""
+
+import re
+
+import pytest
+
+from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _pushed(plan: str) -> list[str]:
+    return [m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m]
+
+
+def test_flagship_plan_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_gainers")
+    assert "BroadcastHashJoin" in plan          # dim join broadcasts (J1)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan           # latest-per-key = rank pushdown
+    assert "TakeOrderedAndProject" in plan      # top-10 never globally sorts
+    assert any("IsNotNull" in p for p in _pushed(plan))
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # region/nation never shuffle
+    assert "CartesianProduct" not in plan
+    assert any("IsNotNull" in p for p in _pushed(plan))
+
+
+def test_greatest_n_per_group_uses_rank_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "latest_event_per_user")
+    assert "WindowGroupLimit" in plan
+    # rewrite is window-based, not aggregate+self-join
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_events_by_value")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_asof_join_is_joinless(spark, sf_dir):
+    """The union-tag as-of rewrite must contain NO join operator — one
+    union, one window over (key, time), one filter. Linear, one shuffle."""
+    plan = _plan(spark, sf_dir, "asof_purchase_click")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_aggregations_are_partial(spark, sf_dir):
+    """Map-side combine: every groupBy plans partial + final HashAggregate,
+    so the shuffle carries partial states, not raw rows."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_minhash_plan_is_bounded(spark, sf_dir):
+    """Near-dup dedup: no cartesian product anywhere, and the corpus is
+    scanned a bounded number of times (candidate generation + two
+    verification sides), independent of corpus size."""
+    plan = _plan(spark, sf_dir, "minhash_near_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan") <= 3
+
+
+def test_knn_probe_single_scan(spark, sf_dir):
+    """Probe kNN is one corpus scan + broadcast of the 1-row probe +
+    TakeOrderedAndProject — embarrassingly parallel, no shuffle of vectors."""
+    plan = _plan(spark, sf_dir, "knn_probe_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_filters_reach_parquet_scan(spark, sf_dir):
+    """Non-timestamp predicates must push to the scan (row-group skipping)."""
+    from pyspark.sql import functions as F
+    from trading_dashboard_spark.io.readers import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    plan = (
+        o.filter((F.col("o_totalprice") > 1000.0) & F.col("o_orderstatus").isNotNull())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    joined = " ".join(_pushed(plan))
+    assert "GreaterThan(o_totalprice" in joined
+    assert "IsNotNull(o_orderstatus)" in joined
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A two-column projection must not read the full lineitem schema."""
+    from trading_dashboard_spark.io.readers import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_orderkey", "l_quantity"}
