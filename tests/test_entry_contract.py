@@ -19,7 +19,11 @@ def test_registry_shape():
     assert len(qs) >= 45
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented non-SQL-expressible ones
-    assert set(qs) - set(oracles) == {"lsh_ann_top3", "ml_next_day_prediction"}
+    assert set(qs) - set(oracles) == {
+        "lsh_ann_top3",
+        "ml_next_day_prediction",
+        "corpus_sketch_profile",
+    }
 
 
 @pytest.mark.parametrize("name", sorted(contract.queries()))

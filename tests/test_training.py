@@ -1,0 +1,36 @@
+"""Training-pipeline query tier — split determinism and sketch accuracy."""
+
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.io.readers import load_table
+from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+
+def test_split_deterministic_and_disjoint(spark, sf_dir):
+    out1 = {r.split: (r.n_docs, r.total_chars) for r in
+            QUERY_REGISTRY["train_test_split_stats"].fn(spark, sf_dir).collect()}
+    out2 = {r.split: (r.n_docs, r.total_chars) for r in
+            QUERY_REGISTRY["train_test_split_stats"].fn(spark, sf_dir).collect()}
+    assert out1 == out2
+    n_total = load_table(spark, "documents", sf_dir).count()
+    assert sum(v[0] for v in out1.values()) == n_total  # partition of corpus
+    # ~80/10/10 with generous tolerance at tiny scale
+    assert out1["train"][0] > out1["valid"][0]
+    assert out1["train"][0] > out1["test"][0]
+
+
+def test_sketches_track_exact_values(spark, sf_dir):
+    """HLL++ distinct counts and GK median must land near the exact values
+    computed by the oracle-checked queries (standard error ~2% for HLL at
+    default rsd, generous bounds for tiny groups)."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("d"),
+        F.expr("percentile(n_chars, 0.5)").alias("m"),
+    )
+    approx = QUERY_REGISTRY["corpus_sketch_profile"].fn(spark, sf_dir)
+    j = {r.source: r for r in exact.collect()}
+    for r in approx.collect():
+        e = j[r.source]
+        assert abs(r.approx_distinct_texts - e.d) <= max(3, 0.15 * e.d)
+        assert abs(r.approx_median_chars - e.m) <= max(10, 0.25 * e.m)

@@ -7,5 +7,6 @@ from . import queries_windows  # noqa: F401
 from . import queries_text  # noqa: F401
 from . import queries_similarity  # noqa: F401
 from . import queries_multimodal  # noqa: F401
+from . import queries_training  # noqa: F401
 from . import queries_streaming  # noqa: F401
 from . import queries_extra  # noqa: F401

@@ -1,0 +1,162 @@
+"""Training-data-pipeline queries — the operations a 100 TB LLM data
+pipeline runs between raw corpus and training shards: deterministic
+train/validation/test splitting, distribution statistics (exact and
+sketched), multidimensional quality cubes, and corpus↔embedding joins.
+
+Split discipline at scale: membership must be a pure function of a stable
+key (never `rand()`, never row position) so (a) re-runs and backfills land
+every document in the same split, (b) the split survives repartitioning,
+and (c) any engine — Spark today, something else tomorrow — reproduces it
+bit-for-bit. md5 over the key gives a uniform 2^128 space; comparing a hex
+prefix is an order-preserving threshold on it (lowercase hex compares
+lexicographically in numeric order on both engines).
+"""
+
+from pyspark.sql import functions as F
+
+from .query_registry import _t, pround, register
+
+
+@register(
+    "train_test_split_stats",
+    """
+    WITH tagged AS (
+      SELECT CASE
+               WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+               WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
+               ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM tagged GROUP BY split
+    """,
+    tags=("training", "split"),
+)
+def train_test_split_stats(spark, sf_dir):
+    """Deterministic ~80/10/10 split keyed on md5(doc_id): hex-prefix
+    thresholds 'cd' (205/256) and 'e6' (230/256). Stateless and
+    shuffle-free — the split column is a projection, so adding it to a
+    100 TB corpus is a map-only pass; the only shuffle here is the
+    reporting groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            pround(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+@register(
+    "doc_length_quartiles_by_lang",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.25), 4) AS q25,
+           round(quantile_cont(n_chars, 0.50), 4) AS median,
+           round(quantile_cont(n_chars, 0.75), 4) AS q75
+    FROM documents GROUP BY lang
+    """,
+    tags=("training", "stats"),
+)
+def doc_length_quartiles_by_lang(spark, sf_dir):
+    """Exact linear-interpolated quartiles of document length per language
+    (Spark `percentile` ≡ DuckDB `quantile_cont`). Exact percentiles
+    shuffle per-group value multisets — fine for bounded groups like
+    language; unbounded-cardinality profiling belongs to the sketched
+    variant (corpus_sketch_profile)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pround(F.expr("percentile(n_chars, 0.25)"), 4).alias("q25"),
+        pround(F.expr("percentile(n_chars, 0.50)"), 4).alias("median"),
+        pround(F.expr("percentile(n_chars, 0.75)"), 4).alias("q75"),
+    )
+
+
+@register("corpus_sketch_profile", None, tags=("training", "stats", "approx"))
+def corpus_sketch_profile(spark, sf_dir):
+    """Sketched corpus profile — the scale path for profiling: HyperLogLog++
+    distinct counts and GK approximate quantiles in one pass, constant
+    memory per group regardless of corpus size. Rows-only check (sketch
+    outputs are engine-specific by nature); the exact counterparts
+    (`doc_length_quartiles_by_lang`, `media_metadata_by_type`) are the
+    value-checked baselines the sketches are validated against in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("text").alias("approx_distinct_texts"),
+        F.approx_count_distinct("lang").alias("approx_distinct_langs"),
+        F.percentile_approx("n_chars", 0.5).alias("approx_median_chars"),
+    )
+
+
+@register(
+    "quality_cube_by_lang_source",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY CUBE (lang, source)
+    """,
+    tags=("training", "agg", "cube"),
+)
+def quality_cube_by_lang_source(spark, sf_dir):
+    """CUBE over (lang, source) — every marginal a curation dashboard
+    needs in one shuffle (grouping-set expansion is map-side row
+    replication feeding one partial-agg exchange, not N separate jobs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "docs_with_embeddings_by_lang",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_embedded_docs,
+           round(round(sum(sqrt(list_dot_product(v.v, v.v))), 4) / count(*), 6)
+             AS avg_l2_norm
+    FROM documents d JOIN v ON d.doc_id = v.vec_id
+    GROUP BY d.lang
+    """,
+    tags=("training", "similarity", "X5"),
+)
+def docs_with_embeddings_by_lang(spark, sf_dir):
+    """Corpus↔embedding equi-join (doc_id = vec_id) + per-language norm
+    stats — the join every embedding-aware curation step performs. Both
+    sides shuffle once on the id; at scale the embedding side is usually
+    the smaller and bucketed on the same key, making the join
+    exchange-free."""
+    from .similarity.knn import _as_double, l2_norm
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"])
+    norm = l2_norm(_as_double(F.col("embedding")))
+    return (
+        joined.select("lang", norm.alias("l2"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_embedded_docs"),
+            pround(pround(F.sum("l2"), 4) / F.count(F.lit(1)), 6).alias("avg_l2_norm"),
+        )
+    )
