@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "doc_quality_features",   # regex/array expression lane
     "knn_probe_top10",        # vector search, single scan
     "lsh_ann_top3",           # bucketed ANN
+    "ivf_ann_probe_top5",     # IVF cell-pruned ANN
 ]
 
 

@@ -51,6 +51,51 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert recall > 0.5, f"LSH top-1 recall too low: {recall}"
 
 
+def test_ivf_fitted_recall_and_balance(spark, sf_dir):
+    """Fitted IVF: assignment covers every vector exactly once, cells are
+    used (not degenerate), and probing half the cells recovers well over
+    half of exact top-10 for a corpus vector (uniform-random data is the
+    adversarial case for ANN — clustered real embeddings do better)."""
+    from trading_dashboard_spark.similarity.ivf import (
+        assign_cells,
+        fit_centroids,
+        ivf_search,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    cents = fit_centroids(emb, n_cells=8, seed=42)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # partition of the corpus, every cell id in range, no empty fit output
+    counts = (
+        assign_cells(emb, cents).groupBy("cell").count().toPandas().set_index("cell")
+    )
+    assert counts["count"].sum() == n
+    assert counts.index.isin(range(8)).all()
+    assert len(counts) >= 4  # fitted quantizer actually spreads the data
+
+    pdf = emb.toPandas()
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    probe = list(m[0])
+    sims = _np_cosine(np.delete(m, 0, axis=0), np.array(probe))
+    rest = np.delete(ids, 0)
+    exact_top10 = set(rest[np.lexsort((rest, -sims))][:10])
+
+    got = ivf_search(
+        emb.filter(F.col("vec_id") != 0), cents, probe, k=10, nprobe=4
+    ).toPandas()
+    recall = len(set(got["vec_id"]) & exact_top10) / 10
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+    # probed subset really is a strict subset of the corpus (the pruning
+    # that makes it ANN rather than exact search)
+    probed = assign_cells(emb, cents).filter(F.col("cell").isin(
+        __import__("trading_dashboard_spark.similarity.ivf", fromlist=["probe_cells"])
+        .probe_cells(cents, probe, 4)
+    )).count()
+    assert probed < n
+
+
 def test_cosine_near_dup_pairs_finds_planted_twins(spark):
     from trading_dashboard_spark.similarity.knn import cosine_near_dup_pairs
 

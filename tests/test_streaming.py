@@ -39,6 +39,51 @@ def test_streaming_dedup_drops_planted_duplicates(spark, sf_dir, tmp_path):
     assert out.count() == 100
 
 
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState folds state across micro-batches: events are
+    split over 8 files (maxFilesPerTrigger=4 → multiple batches); the
+    collapsed final state must equal the batch aggregate, and at least one
+    user must have emitted more than one update (proof the fold actually
+    crossed a batch boundary)."""
+    from trading_dashboard_spark.streaming.stateful import (
+        latest_state,
+        running_user_totals,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    (
+        ev.withColumn("ts", F.unix_micros("ts") * 1000)
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "ev"))
+    )
+    stream = stream_events(spark, str(tmp_path / "ev"))
+    updates = run_stream_to_table(
+        running_user_totals(stream), "t_stateful", output_mode="update"
+    )
+    upd = updates.toPandas()
+    assert upd.groupby("user_id").size().max() > 1, "never crossed a batch boundary"
+
+    final = latest_state(spark.createDataFrame(upd)).toPandas().set_index("user_id")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.unix_micros(F.min("ts")).alias("min_ts_us"),
+            F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    for uid in batch.index:
+        assert final.loc[uid, "n_events"] == batch.loc[uid, "n_events"]
+        assert abs(final.loc[uid, "total_value"] - batch.loc[uid, "total_value"]) < 1e-6
+        assert final.loc[uid, "min_ts_us"] == batch.loc[uid, "min_ts_us"]
+        assert final.loc[uid, "max_ts_us"] == batch.loc[uid, "max_ts_us"]
+
+
 def test_session_aggregate_merges_by_gap(spark, sf_dir):
     stream = stream_events(spark, f"{sf_dir}/events.parquet")
     sessions = run_stream_to_table(

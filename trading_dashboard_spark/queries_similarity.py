@@ -179,6 +179,70 @@ def embedding_cosine_near_dup(spark, sf_dir):
     return cosine_near_dup_pairs(allv, threshold=0.98, id_col="vec_id", vec_col="v")
 
 
+def _ivf_setup():
+    """Static IVF parameters for the oracle-checked query: data-independent
+    centroids + a fixed probe, so assignment and probing replay exactly in
+    static SQL (the fitted-quantizer path is recall-tested in tests/)."""
+    from .similarity.ivf import _unit_rows, probe_cells, static_centroids
+
+    cents = static_centroids(n_cells=8, dim=64, seed=7)
+    probe = _unit_rows(1, 64, seed=123)[0]
+    cells = probe_cells(cents, probe, nprobe=3)
+    return cents, probe, cells
+
+
+_IVF_CENTS, _IVF_PROBE, _IVF_CELLS = _ivf_setup()
+
+
+def _sql_list(vals):
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+@register(
+    "ivf_ann_probe_top5",
+    f"""
+    WITH cents(cid, c) AS (
+      VALUES {", ".join(f"({i}, {_sql_list(c)})" for i, c in enumerate(_IVF_CENTS))}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT vec_id, v, cid, round(list_dot_product(v, c), 6) AS d
+      FROM v CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, CAST(cid AS INT) AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, cell,
+           round(list_dot_product(v, {_sql_list(_IVF_PROBE)})
+                 / nullif(sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product({_sql_list(_IVF_PROBE)},
+                                                  {_sql_list(_IVF_PROBE)})), 0),
+                 6) AS cosine
+    FROM assigned
+    WHERE cell IN ({", ".join(str(c) for c in _IVF_CELLS)})
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "X3", "approx"),
+)
+def ivf_ann_probe_top5(spark, sf_dir):
+    """X3 scale path #2 — IVF probe search (similarity/ivf.ivf_search):
+    map-only nearest-centroid assignment (8 static unit centroids, seed 7),
+    prune to the probe's 3 nearest cells, exact cosine within them. Unlike
+    most ANN implementations this one is fully oracle-checked — centroids
+    and probe are plan literals, assignment rounds dots to 6 dp with
+    smallest-cid ties, so DuckDB replays cell membership AND scores
+    identically. The fitted-quantizer path (ivf.fit_centroids) is
+    recall-tested against exact kNN in tests/test_similarity.py."""
+    from .similarity.ivf import ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_search(emb, _IVF_CENTS, _IVF_PROBE, k=5, nprobe=3)
+
+
 @register("lsh_ann_top3", None, tags=("similarity", "X3", "approx"))
 def lsh_ann_top3(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH approximate top-3 neighbors

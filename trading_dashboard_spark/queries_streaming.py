@@ -86,6 +86,43 @@ def streaming_session_windows(spark, sf_dir):
 
 
 @register(
+    "streaming_stateful_user_totals",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def streaming_stateful_user_totals(spark, sf_dir):
+    """Custom stateful operator (streaming/stateful.running_user_totals):
+    per-user running totals held in `applyInPandasWithState` group state
+    across micro-batches, update-mode emissions collapsed to final state
+    by the monotone event counter. The oracle is the batch groupBy — for
+    complete data the operator's final state must equal the aggregate,
+    which checks the state fold itself (count/sum/min/max across batch
+    boundaries), not just plumbing."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.stateful import latest_state, running_user_totals
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    updates = run_stream_to_table(
+        running_user_totals(stream), "stateful_user_totals", output_mode="update"
+    )
+    final = latest_state(updates)
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        pround("total_value", 2).alias("total_value"),
+        F.date_format(F.timestamp_micros(F.col("min_ts_us")), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        F.date_format(F.timestamp_micros(F.col("max_ts_us")), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@register(
     "streaming_dedup_ingest",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
