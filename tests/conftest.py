@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 
@@ -5,7 +7,14 @@ import pytest
 def spark():
     from trading_dashboard_spark.session import get_spark
 
-    spark = get_spark("tests", shuffle_partitions=8)
+    spark = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # catalog tables (bucketing tests) land in a throwaway dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="tds_warehouse_"),
+        },
+    )
     yield spark
 
 

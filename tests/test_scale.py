@@ -1,0 +1,98 @@
+"""Scale-discipline tests — bucketed joins are exchange-free, salting
+preserves semantics while spreading hot keys."""
+
+from pyspark.sql import functions as F
+
+from trading_dashboard_spark.io.readers import load_table
+from trading_dashboard_spark.operators.scale import (
+    bucketed_join_is_exchange_free,
+    salted_agg,
+    salted_join,
+    with_salt,
+    write_bucketed,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the same key/count join without any shuffle —
+    the scan satisfies the join's distribution requirement (the one-time
+    layout cost that replaces a per-query 100 TB exchange)."""
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8,
+                   sort_keys=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", ["o_orderkey"], n_buckets=8, sort_keys=["o_orderkey"],
+    )
+    assert bucketed_join_is_exchange_free(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+    # and the same join over plain parquet DOES exchange (the comparison
+    # that proves bucketing is doing the work)
+    plain = orders.join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert "Exchange" in _plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # correctness: bucketed join result matches plain join
+    assert (
+        spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count()
+        == plain.count()
+    )
+
+
+def test_salt_is_deterministic_and_bounded(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    s1 = with_salt(ev, "event_id", 8).select("event_id", "__salt").toPandas()
+    s2 = with_salt(ev, "event_id", 8).select("event_id", "__salt").toPandas()
+    assert s1.sort_values("event_id").equals(s2.sort_values("event_id"))
+    assert s1["__salt"].between(0, 7).all()
+    assert s1["__salt"].nunique() > 1  # actually spreads
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting changes the shuffle layout, never the result — including a
+    planted hot key (half the rows on one key)."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "k", F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id"))
+    )
+    dim = (
+        ev.select("k").distinct().withColumn("k_name", F.concat(F.lit("key_"), "k"))
+    )
+    plain = ev.join(dim, ["k"]).select("event_id", "k_name")
+    salted = salted_join(ev, dim, ["k"], id_col="event_id", factor=8).select(
+        "event_id", "k_name"
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    plain = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("count_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    salted = (
+        salted_agg(
+            ev, ["event_type"], {"value": "max"}, id_col="event_id", factor=8
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (salted["max_value"] == plain["max_value"]).all()
+    counts = salted_agg(ev, ["event_type"], {"value": "count"}, id_col="event_id")
+    got = counts.toPandas().set_index("event_type").sort_index()
+    assert (got["count_value"] == plain["count_value"]).all()

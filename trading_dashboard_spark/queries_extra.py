@@ -246,3 +246,35 @@ def ml_next_day_prediction(spark, sf_dir):
         pround("latest_close", 2).alias("latest_close"),
         pround("predicted_close", 4).alias("predicted_close"),
     )
+
+
+@register(
+    "skew_salted_event_totals",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS count_value,
+           round(max(value), 2) AS max_value,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("scale", "skew"),
+)
+def skew_salted_event_totals(spark, sf_dir):
+    """Skew-resilient two-stage aggregation (operators/scale.salted_agg):
+    partial agg on (event_type, salt), final on event_type. The oracle is
+    the plain GROUP BY — salting must move only the shuffle layout, never
+    the result. event_type has ~5 distinct values over all events, the
+    exact hot-key shape (few reducers own everything) salting exists for."""
+    from .operators.scale import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev, ["event_type"],
+        {"value": ["count", "max", "sum"]}, id_col="event_id", factor=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_value").cast("long").alias("count_value"),
+        pround("max_value", 2).alias("max_value"),
+        pround("sum_value", 2).alias("sum_value"),
+    )
