@@ -160,3 +160,107 @@ def docs_with_embeddings_by_lang(spark, sf_dir):
             pround(pround(F.sum("l2"), 4) / F.count(F.lit(1)), 6).alias("avg_l2_norm"),
         )
     )
+
+
+@register(
+    "token_budget_shards",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS est_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - est_tokens) / 50000.0)
+                  AS BIGINT) AS shard_id
+      FROM tok
+    )
+    SELECT source, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY source, shard_id
+    """,
+    tags=("training", "packing"),
+)
+def token_budget_shards(spark, sf_dir):
+    """Greedy sequential shard packing — assign documents to ~50k-token
+    training shards: shard_id = floor(exclusive-prefix-sum(est_tokens) /
+    budget) in stable doc_id order. The prefix sum runs per source
+    partition (bounded cardinality), never globally — a single global
+    ordering would serialize 100 TB through one window partition; per-key
+    prefix sums shuffle once and parallelize across keys, and shard ids
+    stay deterministic under any partitioning because the order key is the
+    data, not arrival. Token estimate = ceil(chars/4), the standard BPE
+    heuristic (text/analysis.quality_features exposes the same)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    est = F.ceil(F.length(F.trim("text")) / 4.0).cast("long")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = docs.select(
+        "source",
+        "doc_id",
+        est.alias("est_tokens"),
+    ).withColumn(
+        "shard_id",
+        F.floor((F.sum("est_tokens").over(w) - F.col("est_tokens")) / 50000.0).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("est_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
+@register(
+    "cross_split_contamination",
+    """
+    WITH tagged AS (
+      SELECT CASE
+               WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+               WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
+               ELSE 'test' END AS split,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train')
+    SELECT t.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE tf.fp IS NOT NULL) AS BIGINT) AS n_contaminated
+    FROM tagged t LEFT JOIN train_fps tf ON t.fp = tf.fp
+    WHERE t.split <> 'train'
+    GROUP BY t.split
+    """,
+    tags=("training", "dedup", "split"),
+)
+def cross_split_contamination(spark, sf_dir):
+    """Eval-set decontamination check: held-out documents whose canonical
+    fingerprint (text/analysis.fingerprint — the exact-dedup hash) also
+    appears in the train split. The join carries 16-byte fingerprints,
+    never text; at corpus scale the train fingerprint set is the big side
+    and the held-out splits are small, so this shuffles the small side and
+    semi-joins the large one. Uses the same md5 split as
+    train_test_split_stats — the whole point is that split membership is
+    replayable anywhere."""
+    from .text.analysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cd", "train").when(h2 < "e6", "valid").otherwise("test")
+    tagged = docs.select(split.alias("split"), fingerprint(F.col("text")).alias("fp"))
+    train_fps = tagged.filter(F.col("split") == "train").select("fp").distinct()
+    held = tagged.filter(F.col("split") != "train")
+    joined = held.join(
+        train_fps.withColumnRenamed("fp", "tfp"),
+        held["fp"] == F.col("tfp"),
+        "left",
+    )
+    return joined.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("tfp").alias("n_contaminated"),
+    )
