@@ -1,0 +1,121 @@
+"""Versioned parquet table — atomic multi-writer-safe merge target.
+
+Plain ``mode("overwrite")`` on a path you are also reading is unsafe (the
+scan can observe a half-deleted directory), which is exactly what an
+incremental merge loop does. Delta/Iceberg solve this with a transaction
+log; this is the minimal pure-parquet version of the same idea:
+
+    path/
+      v=1/ part-*.parquet
+      v=2/ part-*.parquet      <- each commit writes a NEW directory
+      _VERSION                 <- tiny pointer file, rewritten last
+
+Readers resolve ``_VERSION`` → scan only that directory; a commit writes
+the full next snapshot to ``v=N+1/`` and repoints the file afterwards, so
+a reader never observes a partial state (the pointer flips only after the
+data is durable). Old versions remain for time travel until `vacuum`.
+
+This is the engine's merge *target* abstraction: `commit_merge` is the
+streaming/batch S14 upsert applied transactionally. On a cluster the
+pointer write should go through a conditional put / rename (object stores
+give atomic single-object replace, which is all this needs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .writers import merge_upsert
+
+_POINTER = "_VERSION"
+
+
+def _pointer_path(path: str) -> str:
+    return os.path.join(path, _POINTER)
+
+
+def current_version(path: str) -> int:
+    """0 = table does not exist yet."""
+    try:
+        with open(_pointer_path(path)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def read_versioned(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the pinned (or current) snapshot — never a directory mid-write."""
+    v = current_version(path) if version is None else version
+    if v <= 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def commit_snapshot(df: DataFrame, path: str) -> int:
+    """Write ``df`` as the next full snapshot and repoint. Returns the new
+    version. The data write completes before the pointer flips — crash
+    in between leaves the table at the old version (write is wasted,
+    never observed)."""
+    v = current_version(path) + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+    os.makedirs(path, exist_ok=True)
+    tmp = _pointer_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, _pointer_path(path))  # atomic on POSIX
+    return v
+
+
+def commit_merge(
+    spark: SparkSession, updates: DataFrame, path: str, keys: list[str]
+) -> int:
+    """Transactional S14 upsert: merge ``updates`` into the current
+    snapshot, commit as the next version. First commit bootstraps the
+    table from the updates alone (deduplicated on the keys)."""
+    from .writers import dedup_by_key
+
+    if current_version(path) == 0:
+        return commit_snapshot(dedup_by_key(updates, keys), path)
+    target = read_versioned(spark, path)
+    return commit_snapshot(merge_upsert(target, updates, keys), path)
+
+
+def vacuum(path: str, keep: int = 1) -> list[int]:
+    """Drop all but the newest ``keep`` versions. Returns removed versions."""
+    import shutil
+
+    cur = current_version(path)
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if not name.startswith("v="):
+            continue
+        v = int(name.split("=", 1)[1])
+        if v <= cur - keep:
+            shutil.rmtree(os.path.join(path, name))
+            removed.append(v)
+    return removed
+
+
+def incremental_merge_stream(
+    stream: DataFrame, path: str, keys: list[str], checkpoint: str | None = None
+):
+    """Streaming S14: each micro-batch merges transactionally into the
+    versioned table via ``foreachBatch`` — the continuous form of the
+    reference's daily staging→MERGE cycle (full_stock_pipeline.py:373-422).
+    Returns the started StreamingQuery; callers drive/stop it.
+
+    Idempotency comes from the merge keys themselves: a replayed batch
+    upserts the same keys to the same values, so end state is stable under
+    at-least-once delivery (same guarantee the reference got from
+    ON CONFLICT).
+    """
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        commit_merge(batch_df.sparkSession, batch_df, path, keys)
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
