@@ -121,3 +121,32 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert m is not None
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_ivf_probe_is_scan_filter_topk(spark, sf_dir):
+    """IVF probe search must stay map-only until the final top-k: cell
+    assignment is a projection, the probe-cell filter is a Filter (no
+    join, no aggregation), and the top-k is TakeOrderedAndProject — the
+    only wide operation in the plan."""
+    plan = _plan(spark, sf_dir, "ivf_ann_probe_top5")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_shard_packing_no_global_window(spark, sf_dir):
+    """Shard packing's prefix sum must partition by source — a global
+    (empty-partition) window would serialize the corpus through one task."""
+    plan = _plan(spark, sf_dir, "token_budget_shards")
+    assert "Window" in plan
+    # Spark marks an unpartitioned window's exchange as SinglePartition
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_salted_agg_is_two_stage(spark, sf_dir):
+    """The salted aggregate must show both groupBys (partial on
+    (keys, salt), final on keys) — collapsing them would re-concentrate
+    the hot key on one reducer."""
+    plan = _plan(spark, sf_dir, "skew_salted_event_totals")
+    assert plan.count("HashAggregate") >= 4  # 2 logical stages x partial/final
