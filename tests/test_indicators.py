@@ -90,3 +90,57 @@ def test_rsi_flat_is_null(spark):
     w = per_key_window("sym", "t")
     out = df.withColumn("rsi", rsi(F.col("close"), w, 14)).orderBy("t").collect()
     assert all(r["rsi"] is None for r in out)
+
+
+# --- property-based: engine == pandas for ARBITRARY price series ---------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _series = st.lists(
+        st.floats(
+            min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(prices=_series)
+    def test_property_indicators_match_pandas(spark, prices):
+        """For any positive price series — spikes, constants, fewer rows
+        than the window — SMA/EMA/RSI must equal the reference's pandas
+        formulas exactly (NaN positions included)."""
+        pdf = pd.DataFrame(
+            {"sym": "P", "t": range(len(prices)), "close": [float(p) for p in prices]}
+        )
+        sdf = spark.createDataFrame(pdf)
+        w = per_key_window("sym", "t")
+        c = F.col("close")
+        got = sdf.withColumn("sma", sma(c, w, 14)).withColumn("rsi", rsi(c, w, 14))
+        got = (
+            ema(got, "close", "sym", "t", span=14, out_col="ema")
+            .orderBy("t")
+            .toPandas()
+        )
+
+        g = pdf.sort_values("t")
+        exp_sma = g["close"].rolling(window=14).mean().to_numpy()
+        exp_ema = g["close"].ewm(span=14, adjust=False).mean().to_numpy()
+        delta = g["close"].diff(1)
+        avg_gain = delta.clip(lower=0).rolling(window=14).mean()
+        avg_loss = (-delta.clip(upper=0)).rolling(window=14).mean()
+        exp_rsi = (100 - 100 / (1 + avg_gain / avg_loss)).to_numpy()
+
+        for col, exp in [("sma", exp_sma), ("ema", exp_ema), ("rsi", exp_rsi)]:
+            a = got[col].to_numpy(dtype=float)
+            mask = ~np.isnan(exp)
+            assert np.allclose(a[mask], exp[mask], rtol=1e-9, atol=1e-9), col
+            assert np.isnan(a[~mask]).all(), col
+
+except ImportError:  # pragma: no cover - hypothesis is in the base image
+    pass
