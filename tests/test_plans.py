@@ -150,3 +150,21 @@ def test_salted_agg_is_two_stage(spark, sf_dir):
     the hot key on one reducer."""
     plan = _plan(spark, sf_dir, "skew_salted_event_totals")
     assert plan.count("HashAggregate") >= 4  # 2 logical stages x partial/final
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The bucketed range join must plan as an equi hash join on the
+    bucket key with a residual BETWEEN — BroadcastNestedLoopJoin is the
+    O(n·m) shape the rewrite exists to avoid."""
+    plan = _plan(spark, sf_dir, "range_join_opening_window")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_multi_resolution_rollup_single_exchange(spark, sf_dir):
+    """All grains aggregate through ONE shuffle (explode feeds a single
+    partial-agg exchange) — not one job per resolution."""
+    plan = _plan(spark, sf_dir, "multi_resolution_rollup")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Union" not in plan

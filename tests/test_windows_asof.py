@@ -89,3 +89,38 @@ def test_as_of_join_no_match_yields_null(spark):
     )
     out = as_of_join(left, right, "k", "k", "t", "t", ["v"]).collect()
     assert out[0]["asof_v"] is None
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    """Property check vs the naive theta-join: long intervals (spanning
+    many buckets), inclusive boundaries, empty intervals, overlap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.operators.temporal import bucketed_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i)) for i in range(0, 72, 1)], ["pid", "ts"]
+    )
+    ivs = spark.createDataFrame(
+        [
+            (1, base, base + dt.timedelta(hours=40)),          # spans many buckets
+            (2, base + dt.timedelta(hours=5), base + dt.timedelta(hours=5)),  # point interval
+            (3, base + dt.timedelta(hours=30), base + dt.timedelta(hours=50)),  # overlap
+            (4, base + dt.timedelta(hours=100), base + dt.timedelta(hours=110)),  # empty
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    got = {
+        (r.iid, r.pid)
+        for r in bucketed_range_join(pts, ivs, "ts", "w_start", "w_end", 7200).collect()
+    }
+    naive = {
+        (r.iid, r.pid)
+        for r in pts.crossJoin(ivs)
+        .filter(F.col("ts").between(F.col("w_start"), F.col("w_end")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0

@@ -520,3 +520,86 @@ def insert_if_absent_digest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         pround(F.sum("close"), 2).alias("total_close"),
     )
+
+
+@register(
+    "range_join_opening_window",
+    """
+    WITH iv AS (
+      SELECT user_id AS owner_id, min(ts) AS w_start,
+             min(ts) + INTERVAL '12 hours' AS w_end
+      FROM events GROUP BY user_id
+    )
+    SELECT iv.owner_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM iv JOIN events e ON e.ts BETWEEN iv.w_start AND iv.w_end
+    GROUP BY iv.owner_id
+    """,
+    tags=("window", "range-join"),
+)
+def range_join_opening_window(spark, sf_dir):
+    """Interval containment join (operators/temporal.bucketed_range_join):
+    per-user opening windows [first event, +12h] joined to EVERY event —
+    across users — that falls inside them. The oracle is the plain BETWEEN
+    theta-join; the engine runs the bucketed rewrite (12h buckets → each
+    interval explodes to ≤2 bucket rows, equi-join on the bucket id,
+    residual BETWEEN), so the plan is a hash join on a small int key
+    instead of a BroadcastNestedLoop over every (point, interval) pair."""
+    from .operators.temporal import bucketed_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy(F.col("user_id").alias("owner_id")).agg(
+        F.min("ts").alias("w_start")
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 12 HOURS"))
+    joined = bucketed_range_join(
+        ev.select("ts", "value"), iv, "ts", "w_start", "w_end", bucket_seconds=43200
+    )
+    return joined.groupBy("owner_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "multi_resolution_rollup",
+    """
+    SELECT 'hour' AS resolution,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S'),
+           event_type, CAST(count(*) AS BIGINT), round(sum(value), 2)
+    FROM events GROUP BY 2, 3
+    """,
+    tags=("window", "rollup", "hypertable"),
+)
+def multi_resolution_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate, batch form
+    (operators/temporal.multi_resolution_rollup): hourly AND daily grains
+    of the same measures in ONE shuffle — per-row (resolution, bucket)
+    fan-out feeds a single partial-aggregated exchange, versus one job per
+    grain. The oracle is the UNION of per-grain time_bucket GROUP BYs."""
+    from .operators.temporal import multi_resolution_rollup as rollup
+
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    out = rollup(
+        ev,
+        "ts",
+        {"hour": 3600, "day": 86400},
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        ],
+    )
+    return out.select(
+        "resolution",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "total_value",
+    )
