@@ -34,3 +34,20 @@ def test_sketches_track_exact_values(spark, sf_dir):
         e = j[r.source]
         assert abs(r.approx_distinct_texts - e.d) <= max(3, 0.15 * e.d)
         assert abs(r.approx_median_chars - e.m) <= max(10, 0.25 * e.m)
+
+
+def test_cms_overestimates_within_bound(spark, sf_dir):
+    """CMS guarantees: est >= true for every key; with depth 4 / width 256
+    the expected overshoot per key is ~2·n/width — assert a generous
+    multiple of it."""
+    ev = load_table(spark, "events", sf_dir)
+    true = {r.user_id: r.cnt for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    est = {r.user_id: r.est_count for r in
+           QUERY_REGISTRY["cms_user_frequencies"].fn(spark, sf_dir).collect()}
+    assert set(est) == set(true)
+    n = sum(true.values())
+    bound = max(4, 8 * n / 256)
+    for uid, t in true.items():
+        assert est[uid] >= t, f"CMS under-counted {uid}"
+        assert est[uid] - t <= bound, f"CMS overshoot too large for {uid}"

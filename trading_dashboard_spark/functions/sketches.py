@@ -1,0 +1,80 @@
+"""Count-Min sketch — fixed-memory frequency estimation over unbounded keys.
+
+The missing piece between exact `groupBy(key).count()` (state grows with
+distinct keys — fine for bounded keys, fatal for, say, URL or n-gram keys
+at corpus scale) and `approx_count_distinct` (cardinality, not per-key
+frequency). A CMS is a depth×width counter matrix: each key increments one
+bucket per depth row (independent hashes); a point estimate is the MIN over
+its depth buckets — always an over-estimate, with error ≤ 2n/width at 95%
+confidence for depth 4.
+
+Spark construction: explode each row to ``depth`` (row, bucket) pairs and
+count per (row, bucket) — ONE partial-aggregated shuffle whose state is at
+most depth×width cells regardless of key cardinality. Hashes are fixed-seed
+md5 slices (no RNG), so the whole sketch — build and probe — is
+deterministic and replayable in any SQL engine; the oracle replicates it
+verbatim, which makes this a rare *hash-checkable* sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def cms_bucket(key: Column, depth_idx: int, width: int) -> Column:
+    """Bucket of ``key`` in depth row ``depth_idx``: first 8 hex chars of
+    md5(depth:key) mod width — portable integer math in any engine."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{depth_idx}:"), key)), 1, 8), 16, 10)
+    return F.pmod(h.cast("long"), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key: Column, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Build the sketch: DataFrame of (depth_idx, bucket, cnt) — at most
+    depth×width rows, independent of distinct-key count."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth_idx"),
+                    cms_bucket(key, d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("p")
+    return (
+        df.select(pairs)
+        .select(F.col("p.depth_idx").alias("depth_idx"), F.col("p.bucket").alias("bucket"))
+        .groupBy("depth_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, key: Column, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-estimate each probe key: min over depth rows of its bucket
+    count. The sketch is tiny (≤ depth×width rows) — it broadcasts; the
+    probe side never shuffles."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth_idx"),
+                    cms_bucket(key, d, width).alias("bucket"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("p")
+    probed = probes.select("*", pairs).select(
+        *probes.columns,
+        F.col("p.depth_idx").alias("depth_idx"),
+        F.col("p.bucket").alias("bucket"),
+    )
+    joined = probed.join(F.broadcast(sketch), ["depth_idx", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy(*probes.columns).agg(F.min("cnt").alias("est_count"))

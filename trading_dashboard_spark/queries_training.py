@@ -264,3 +264,45 @@ def cross_split_contamination(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.count("tfp").alias("n_contaminated"),
     )
+
+
+@register(
+    "cms_user_frequencies",
+    """
+    WITH d(depth_idx) AS (VALUES (0), (1), (2), (3)),
+    pairs AS (
+      SELECT d.depth_idx,
+             ('0x' || substr(md5(d.depth_idx::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS bucket
+      FROM events, d
+    ),
+    sketch AS (
+      SELECT depth_idx, bucket, count(*) AS cnt FROM pairs GROUP BY 1, 2
+    ),
+    probes AS (SELECT DISTINCT user_id FROM events),
+    probe_pairs AS (
+      SELECT p.user_id, d.depth_idx,
+             ('0x' || substr(md5(d.depth_idx::VARCHAR || ':' || p.user_id::VARCHAR), 1, 8))::BIGINT % 256 AS bucket
+      FROM probes p, d
+    )
+    SELECT pp.user_id, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+    FROM probe_pairs pp LEFT JOIN sketch s USING (depth_idx, bucket)
+    GROUP BY pp.user_id
+    """,
+    tags=("training", "stats", "sketch"),
+)
+def cms_user_frequencies(spark, sf_dir):
+    """Count-Min sketch per-key frequency estimation
+    (functions/sketches.py): build a 4×256 counter matrix over event
+    user_ids (one shuffle, state bounded by depth×width forever), then
+    point-estimate every user as min over its depth buckets. Hashes are
+    fixed md5 slices, so — unusually for a sketch — build AND probe replay
+    exactly in the DuckDB oracle. The estimate is provably ≥ the true
+    count (over-count only); accuracy vs exact is asserted in tests."""
+    from .functions.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    sketch = cms_build(ev, key, depth=4, width=256)
+    probes = ev.select("user_id").distinct()
+    out = cms_estimate(sketch, probes, F.col("user_id").cast("string"), depth=4, width=256)
+    return out.select("user_id", F.col("est_count").cast("long").alias("est_count"))
