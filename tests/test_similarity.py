@@ -108,3 +108,28 @@ def test_cosine_near_dup_pairs_finds_planted_twins(spark):
     out = cosine_near_dup_pairs(df, threshold=0.98)
     pairs = {(r["keep_id"], r["drop_id"]) for r in out.collect()}
     assert pairs == {(0, 1)}
+
+
+def test_inverted_file_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The materialized inverted file (partitionBy cell) must serve a probe
+    with partition pruning: the scan's PartitionFilters carry the cell
+    predicate and only the probed cells' directories are listed."""
+    from trading_dashboard_spark.similarity.ivf import (
+        probe_cells,
+        static_centroids,
+        write_inverted_file,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = static_centroids(n_cells=8, dim=64, seed=7)
+    path = str(tmp_path / "ivf")
+    write_inverted_file(emb, cents, path)
+
+    probe = [1.0] + [0.0] * 63
+    cells = probe_cells(cents, probe, nprobe=2)
+    scan = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:80]
+    # only the probed directories are read
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files and all(any(f"cell={c}/" in f for c in cells) for f in files)
