@@ -306,3 +306,42 @@ def cms_user_frequencies(spark, sf_dir):
     probes = ev.select("user_id").distinct()
     out = cms_estimate(sketch, probes, F.col("user_id").cast("string"), depth=4, width=256)
     return out.select("user_id", F.col("est_count").cast("long").alias("est_count"))
+
+
+@register(
+    "stratified_sample_by_lang",
+    """
+    WITH sampled AS (
+      SELECT lang, n_chars
+      FROM documents
+      WHERE substr(md5('sample1:' || doc_id::VARCHAR), 1, 2) < '4d'
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+    FROM sampled GROUP BY lang
+    """,
+    tags=("training", "sampling"),
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic ~30% corpus sample (hex threshold '4d' = 77/256) keyed
+    on md5('sample1:' || doc_id) — the curation primitive for rebalancing
+    and ablation subsets. Same discipline as the split operator: membership
+    is a pure function of the key and a salt, so (a) re-runs, backfills
+    and other engines reproduce the sample exactly, (b) different salts
+    give independent samples, and (c) it composes with the train split
+    without correlation (different salt ⇒ different hash). Map-only — the
+    filter is a projection predicate; unlike `df.sample()`, no RNG state
+    and no partition-order sensitivity."""
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat(F.lit("sample1:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return (
+        docs.filter(h2 < "4d")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
