@@ -340,3 +340,48 @@ def simhash_fingerprints(spark, sf_dir):
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+@register(
+    "blocked_jaccard_within_source",
+    f"""
+    WITH toks_t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id AS id, source AS blk, {_SHINGLES} AS sh FROM toks_t),
+    pairs AS (
+      SELECT a.blk, a.id AS id_a, b.id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))
+                   / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS DOUBLE),
+                   6) AS jaccard
+      FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+    )
+    SELECT blk AS source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(max(jaccard), 6) AS max_jaccard
+    FROM pairs GROUP BY blk
+    """,
+    tags=("text", "X2", "dedup", "scale"),
+)
+def blocked_jaccard_within_source(spark, sf_dir):
+    """X2 scale path — BLOCKED exact Jaccard (text/dedup.ngram_jaccard_pairs
+    with block_col): the quadratic pair space is bounded per source block
+    instead of corpus-wide, which is how the exact verifier runs at 100 TB
+    (block key = LSH bucket, length band, or a metadata column like this
+    one). The equi-join keys on the block, so each task's pair expansion is
+    local to its block partition. Per-block pair counts and max similarity
+    summarize the result stably."""
+    from .text.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.0, block_col=F.col("source")
+    )
+    # re-derive the block for the summary (pairs carries ids only)
+    src = docs.select(F.col("doc_id").alias("id_a"), F.col("source"))
+    return (
+        pairs.join(src, "id_a")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            pround(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )
