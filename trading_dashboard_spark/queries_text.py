@@ -385,3 +385,37 @@ def blocked_jaccard_within_source(spark, sf_dir):
             pround(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+@register(
+    "top_trigrams",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks_t),
+    grams AS (SELECT unnest(sh) AS gram, doc_id FROM base)
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram
+    ORDER BY n_docs DESC, gram
+    LIMIT 20
+    """,
+    tags=("text", "X4", "stats"),
+)
+def top_trigrams(spark, sf_dir):
+    """Corpus vocabulary pass — most common word trigrams by document
+    frequency (shingles are per-doc distinct, so count(*) = doc frequency).
+    The explode multiplies rows by ~tokens-per-doc before the aggregate —
+    the shuffle profile of every corpus-statistics job — but partial
+    aggregation collapses repeats map-side and the top-k is
+    TakeOrderedAndProject, so the driver receives 20 rows, not the
+    vocabulary."""
+    from .text.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(20)
+    )
