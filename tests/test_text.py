@@ -87,7 +87,40 @@ def test_sentiment_sign_and_null(spark):
         ["id", "text"],
     )
     out = {r["id"]: r["s"] for r in df.select("id", sentiment_score(F.col("text")).alias("s")).collect()}
-    assert out[1] == 1.0 and out[2] == -1.0 and out[3] == 0.0 and out[4] == 0.0
+    assert 0.0 < out[1] <= 1.0 and -1.0 <= out[2] < 0.0
+    assert out[3] == 0.0 and out[4] == 0.0
+
+
+def test_sentiment_vader_rules():
+    """The vendored scorer implements VADER's rule set, not a count-ratio:
+    valence weighting, negation flip, degree modifiers, punctuation
+    emphasis, and the compound normalization (which pins known compound
+    values — 'good' alone is exactly 1.9/sqrt(1.9^2+15))."""
+    import math
+
+    from trading_dashboard_spark.text.sentiment import vader_score
+    from trading_dashboard_spark.text.vader_lexicon import LEXICON
+
+    assert len(LEXICON) >= 300  # a real lexicon, not a 20-word stand-in
+    # valence-weighted: stronger words score higher, same token count
+    assert vader_score("great") > vader_score("good") > 0
+    assert vader_score("terrible") < vader_score("concern") < 0
+    # exact compound for a single-token doc
+    v = LEXICON["good"]
+    assert vader_score("good") == v / math.sqrt(v * v + 15.0)
+    # negation flips sign (scaled by -0.74, not a hard flip)
+    assert vader_score("not good") < 0 < vader_score("good")
+    assert abs(vader_score("not good")) < abs(vader_score("good"))
+    # degree modifiers: intensifier amplifies, dampener attenuates
+    assert vader_score("very good") > vader_score("good") > vader_score("slightly good") > 0
+    # modifier reaches over a gap of up to 3 tokens with decay
+    assert vader_score("very truly good") > vader_score("good")
+    # punctuation emphasis, capped at 4 '!'
+    assert vader_score("good!") > vader_score("good")
+    assert vader_score("good!!!!") == vader_score("good!!!!!")
+    # bounded compound
+    strong = "great " * 50
+    assert -1.0 <= vader_score(strong) <= 1.0
 
 
 def test_fingerprint_canonicalization(spark):

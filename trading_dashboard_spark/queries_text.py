@@ -266,41 +266,25 @@ def ngram_jaccard_near_dups(spark, sf_dir):
 
 
 def _sentiment_oracle() -> str:
-    from .text.sentiment import NEGATIVE, POSITIVE
+    from .text.sentiment import vader_oracle_sql
 
-    pos = ", ".join(f"'{w}'" for w in sorted(POSITIVE))
-    neg = ", ".join(f"'{w}'" for w in sorted(NEGATIVE))
-    return f"""
-    WITH t AS (
-      SELECT doc_id,
-             string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') AS toks
-      FROM documents
-    ),
-    s AS (
-      SELECT doc_id,
-             len(list_filter(toks, x -> x IN ({pos}))) AS pos,
-             len(list_filter(toks, x -> x IN ({neg}))) AS neg
-      FROM t
-    )
-    SELECT doc_id,
-           round(CASE WHEN pos + neg = 0 THEN 0.0
-                      ELSE (pos - neg) / CAST(pos + neg AS DOUBLE) END, 6) AS sentiment
-    FROM s
-    """
+    return vader_oracle_sql(table="documents", id_col="doc_id", text_col="text")
 
 
 @register("doc_sentiment", _sentiment_oracle(), tags=("text", "U1"))
 def doc_sentiment(spark, sf_dir):
-    """U1 — the sentiment UDF path (text/sentiment.sentiment_score): an
-    Arrow-batched pandas UDF scoring each document. The deterministic
-    lexicon scorer is SQL-replicable, so even the engine's Python-UDF lane
-    is oracle-checked (the VADER upgrade path keeps the same shape)."""
+    """U1 — the sentiment UDF path (text/sentiment.sentiment_score): the
+    vendored-VADER scorer (valence lexicon + negation/booster/punctuation
+    rules + compound normalization, fetch_transform_news.py:171-175) as an
+    Arrow-batched pandas UDF. Every rule is elementary token-window
+    arithmetic, so even this Python-UDF lane is value-checked — the oracle
+    SQL is generated from the same lexicon (text/sentiment.vader_oracle_sql)."""
     from .io.readers import spread
     from .text.sentiment import sentiment_score
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
-        "doc_id", pround(sentiment_score(F.col("text")), 6).alias("sentiment")
+        "doc_id", pround(sentiment_score(F.col("text")), 4).alias("sentiment")
     )
 
 
