@@ -33,10 +33,10 @@ def _pandas_indicators(pdf):
         data["sma"] = g["close"].rolling(window=14).mean()
         data["ema"] = g["close"].ewm(span=14, adjust=False).mean()
         delta = g["close"].diff(1)
-        gain = delta.clip(lower=0)
-        loss = -delta.clip(upper=0)
-        avg_gain = gain.rolling(window=14).mean()
-        avg_loss = loss.rolling(window=14).mean()
+        # exact reference expressions (indicators.py:14-15): `where` turns
+        # the first row's NaN diff into 0, so RSI first emits at index n-1
+        avg_gain = (delta.where(delta > 0, 0)).rolling(window=14).mean()
+        avg_loss = (-delta.where(delta < 0, 0)).rolling(window=14).mean()
         rs = avg_gain / avg_loss
         data["rsi"] = 100 - (100 / (1 + rs))
         data["boll_mid"] = g["close"].rolling(window=20).mean()
@@ -132,8 +132,8 @@ try:
         exp_sma = g["close"].rolling(window=14).mean().to_numpy()
         exp_ema = g["close"].ewm(span=14, adjust=False).mean().to_numpy()
         delta = g["close"].diff(1)
-        avg_gain = delta.clip(lower=0).rolling(window=14).mean()
-        avg_loss = (-delta.clip(upper=0)).rolling(window=14).mean()
+        avg_gain = (delta.where(delta > 0, 0)).rolling(window=14).mean()
+        avg_loss = (-delta.where(delta < 0, 0)).rolling(window=14).mean()
         exp_rsi = (100 - 100 / (1 + avg_gain / avg_loss)).to_numpy()
 
         for col, exp in [("sma", exp_sma), ("ema", exp_ema), ("rsi", exp_rsi)]:

@@ -65,3 +65,34 @@ def test_top_k_and_per_key(spark):
     per = top_k_per_key(df, ["g"], [F.col("v").desc(), F.col("i")], 2)
     got = {(r["g"], r["v"]) for r in per.collect()}
     assert got == {("A", 4.0), ("A", 3.0), ("B", 0.0), ("B", -1.0)}
+
+
+def test_portable_round_sql_edge_cases():
+    """Single-arg round passes through, quoted 'round(' is untouched,
+    non-literal digit counts raise with the offending snippet."""
+    import pytest
+
+    from trading_dashboard_spark.functions import portable_round_sql
+
+    assert portable_round_sql("SELECT round(x, 2) FROM t") == (
+        "SELECT floor((x) * 100.0 + 0.5) / 100.0 FROM t"
+    )
+    # single-argument form: unchanged (DuckDB/Spark both default to 0 digits)
+    assert portable_round_sql("SELECT round(x) FROM t") == "SELECT round(x) FROM t"
+    # nested round inside a single-arg round is still rewritten
+    assert portable_round_sql("SELECT round(round(x, 1)) FROM t") == (
+        "SELECT round(floor((x) * 10.0 + 0.5) / 10.0) FROM t"
+    )
+    # 'round(' inside a string literal must never be rewritten
+    sql = "SELECT 'a round( b' AS s, round(y, 1) FROM t"
+    assert portable_round_sql(sql) == (
+        "SELECT 'a round( b' AS s, floor((y) * 10.0 + 0.5) / 10.0 FROM t"
+    )
+    # quotes (with '' escapes) inside the call's arguments are handled
+    sql2 = "SELECT round(CASE WHEN s = 'don''t (really)' THEN x ELSE y END, 2) FROM t"
+    out2 = portable_round_sql(sql2)
+    assert out2.startswith("SELECT floor((CASE WHEN s = 'don''t (really)'")
+    # identifier suffix like my_round( is not a round() call
+    assert portable_round_sql("SELECT my_round(x, 2)") == "SELECT my_round(x, 2)"
+    with pytest.raises(ValueError, match="digit count"):
+        portable_round_sql("SELECT round(x, n) FROM t")

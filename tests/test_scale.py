@@ -77,7 +77,7 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     plain = (
         ev.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("count_value"),
+            F.count("value").alias("count_value"),
             F.max("value").alias("max_value"),
         )
         .toPandas()
@@ -96,3 +96,17 @@ def test_salted_agg_equals_plain_agg(spark, sf_dir):
     counts = salted_agg(ev, ["event_type"], {"value": "count"}, id_col="event_id")
     got = counts.toPandas().set_index("event_type").sort_index()
     assert (got["count_value"] == plain["count_value"]).all()
+
+
+def test_salted_agg_count_skips_nulls(spark):
+    """count semantics: count(col) (non-null), exactly the plain groupBy's
+    F.count(col) — not count(*) — on nullable input."""
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("a", 3, 2.0), ("b", 4, None)],
+        ["k", "id", "v"],
+    )
+    out = {
+        r["k"]: r["count_v"]
+        for r in salted_agg(df, ["k"], {"v": "count"}, id_col="id", factor=4).collect()
+    }
+    assert out == {"a": 2, "b": 0}

@@ -79,6 +79,38 @@ def test_versioned_commit_and_time_travel(spark, tmp_path):
     assert current_version(path) == 2
 
 
+def test_versioned_commit_race_fails_cleanly(spark, tmp_path):
+    """Two committers racing for the same next version: the loser gets
+    ConcurrentCommitError (never a clobbered snapshot dir or a silently
+    lost update); vacuum clears the stale claim so commits resume."""
+    import pytest
+
+    from trading_dashboard_spark.io.versioned import (
+        ConcurrentCommitError,
+        _claim_path,
+        commit_snapshot,
+        current_version,
+        read_versioned,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vt_race")
+    df1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    assert commit_snapshot(df1, path) == 1
+    # simulate a concurrent committer that already claimed v=2
+    import os
+
+    os.close(os.open(_claim_path(path, 2), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    with pytest.raises(ConcurrentCommitError):
+        commit_snapshot(df1, path)
+    # table is untouched and still readable at v=1
+    assert current_version(path) == 1
+    assert {tuple(r) for r in read_versioned(spark, path).collect()} == {(1, "a")}
+    # vacuum clears the crashed/foreign claim; commits proceed
+    vacuum(path, keep=10)
+    assert commit_snapshot(df1, path) == 2
+
+
 def test_incremental_merge_stream_equals_batch_merge(spark, sf_dir, tmp_path):
     """foreachBatch merge over a multi-file stream (with planted duplicate
     keys across batches) converges to one row per key with the

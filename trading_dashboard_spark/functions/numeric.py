@@ -23,15 +23,41 @@ def pround(c: Column | str, n: int) -> Column:
     return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
 
 
+def _find_unquoted(sql: str, low: str, needle: str, start: int) -> int:
+    """Index of the next ``needle`` in ``low`` from ``start`` that is not
+    inside a single-quoted SQL string literal ('' escapes); -1 if none."""
+    i, in_q = start, False
+    while i < len(sql):
+        ch = sql[i]
+        if in_q:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2
+                    continue
+                in_q = False
+        elif ch == "'":
+            in_q = True
+        elif low.startswith(needle, i):
+            return i
+        i += 1
+    return -1
+
+
 def portable_round_sql(sql: str) -> str:
-    """Rewrite every ``round(expr, n)`` in a SQL string to the portable
-    ``floor((expr) * 10ⁿ + 0.5) / 10ⁿ`` form (recursive, paren-aware), so
-    oracle SQL can be written with readable ``round()`` calls."""
+    """Rewrite every two-argument ``round(expr, n)`` in a SQL string to the
+    portable ``floor((expr) * 10ⁿ + 0.5) / 10ⁿ`` form (recursive,
+    paren- and quote-aware), so oracle SQL can be written with readable
+    ``round()`` calls.
+
+    Single-argument ``round(expr)`` passes through unchanged (nested
+    rounds inside it are still rewritten); ``round(`` occurrences inside
+    string literals are never touched; a non-integer-literal digit count
+    raises with the offending snippet rather than garbling the SQL."""
     out: list[str] = []
     i = 0
     low = sql.lower()
     while True:
-        j = low.find("round(", i)
+        j = _find_unquoted(sql, low, "round(", i)
         if j == -1:
             out.append(sql[i:])
             break
@@ -43,17 +69,38 @@ def portable_round_sql(sql: str) -> str:
         k = j + 6
         depth = 1
         last_comma = -1
+        in_q = False
         while depth > 0:
             ch = sql[k]
-            if ch == "(":
+            if in_q:
+                if ch == "'":
+                    if k + 1 < len(sql) and sql[k + 1] == "'":
+                        k += 2
+                        continue
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
             elif ch == "," and depth == 1:
                 last_comma = k
             k += 1
+        if last_comma == -1:
+            inner = portable_round_sql(sql[j + 6 : k - 1])
+            out.append(f"round({inner})")
+            i = k
+            continue
         expr = portable_round_sql(sql[j + 6 : last_comma])
-        n = int(sql[last_comma + 1 : k - 1].strip())
+        digits = sql[last_comma + 1 : k - 1].strip()
+        try:
+            n = int(digits)
+        except ValueError:
+            raise ValueError(
+                f"portable_round_sql: round() digit count must be an integer "
+                f"literal, got {digits!r} in: {sql[j:k]!r}"
+            ) from None
         f = 10**n
         out.append(f"floor(({expr}) * {f}.0 + 0.5) / {f}.0")
         i = k

@@ -1,4 +1,4 @@
-"""Versioned parquet table — atomic multi-writer-safe merge target.
+"""Versioned parquet table — snapshot-isolated merge target.
 
 Plain ``mode("overwrite")`` on a path you are also reading is unsafe (the
 scan can observe a half-deleted directory), which is exactly what an
@@ -8,17 +8,29 @@ log; this is the minimal pure-parquet version of the same idea:
     path/
       v=1/ part-*.parquet
       v=2/ part-*.parquet      <- each commit writes a NEW directory
+      v=2.claim                <- O_EXCL marker: version 2 is owned
       _VERSION                 <- tiny pointer file, rewritten last
 
 Readers resolve ``_VERSION`` → scan only that directory; a commit writes
 the full next snapshot to ``v=N+1/`` and repoints the file afterwards, so
-a reader never observes a partial state (the pointer flips only after the
-data is durable). Old versions remain for time travel until `vacuum`.
+a **reader** never observes a partial state (the pointer flips only after
+the data is durable).
+
+Writer concurrency is optimistic, not serialized: a committer (1) O_EXCL-
+creates ``v=N+1.claim`` before touching the directory — two racing
+committers can never write (or half-delete) the same snapshot dir — and
+(2) re-checks the pointer still reads N before the atomic repoint,
+raising :class:`ConcurrentCommitError` if another commit landed first
+(the read-modify-write conflict surfaces as a clean retryable failure
+instead of a silently lost update). Intended use is still a single
+merge-loop writer; the claims make a configuration mistake loud, safe and
+retryable rather than corrupting. Old versions remain for time travel
+until `vacuum`, which also clears committed/stale claims.
 
 This is the engine's merge *target* abstraction: `commit_merge` is the
 streaming/batch S14 upsert applied transactionally. On a cluster the
-pointer write should go through a conditional put / rename (object stores
-give atomic single-object replace, which is all this needs).
+pointer write should go through a conditional put / rename and the claim
+through an if-absent put (object stores give both).
 """
 
 from __future__ import annotations
@@ -30,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from .writers import merge_upsert
 
 _POINTER = "_VERSION"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another committer claimed this version or moved the pointer first;
+    re-read the table and retry the merge."""
 
 
 def _pointer_path(path: str) -> str:
@@ -53,14 +70,34 @@ def read_versioned(spark: SparkSession, path: str, version: int | None = None) -
     return spark.read.parquet(os.path.join(path, f"v={v}"))
 
 
+def _claim_path(path: str, v: int) -> str:
+    return os.path.join(path, f"v={v}.claim")
+
+
 def commit_snapshot(df: DataFrame, path: str) -> int:
     """Write ``df`` as the next full snapshot and repoint. Returns the new
-    version. The data write completes before the pointer flips — crash
-    in between leaves the table at the old version (write is wasted,
-    never observed)."""
-    v = current_version(path) + 1
-    df.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+    version. The data write completes before the pointer flips — crash in
+    between leaves the table at the old version (write is wasted, never
+    observed) plus a stale claim that `vacuum` clears.
+
+    Raises :class:`ConcurrentCommitError` if the version claim or the
+    pointer check loses a race (see module docstring)."""
     os.makedirs(path, exist_ok=True)
+    base = current_version(path)
+    v = base + 1
+    try:
+        os.close(os.open(_claim_path(path, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {v} of {path} already claimed (concurrent committer, "
+            f"or a crashed commit — run vacuum to clear stale claims)"
+        ) from None
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+    if current_version(path) != base:
+        raise ConcurrentCommitError(
+            f"pointer of {path} moved past {base} during commit of v={v}; "
+            f"merge was based on a stale snapshot — retry"
+        )
     tmp = _pointer_path(path) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(str(v))
@@ -83,13 +120,23 @@ def commit_merge(
 
 
 def vacuum(path: str, keep: int = 1) -> list[int]:
-    """Drop all but the newest ``keep`` versions. Returns removed versions."""
+    """Drop all but the newest ``keep`` versions, and clear claim markers
+    that are committed (claim ≤ pointer) or stale (claimed but never
+    committed — a crashed writer). Returns removed versions."""
     import shutil
 
     cur = current_version(path)
     removed = []
     for name in sorted(os.listdir(path)):
         if not name.startswith("v="):
+            continue
+        if name.endswith(".claim"):
+            # committed claims are spent; a claim above the pointer is a
+            # crashed commit whose data dir (if any) is unreferenced
+            v = int(name[2 : -len(".claim")])
+            os.remove(os.path.join(path, name))
+            if v > cur:
+                shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
             continue
         v = int(name.split("=", 1)[1])
         if v <= cur - keep:

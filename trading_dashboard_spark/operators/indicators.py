@@ -45,20 +45,21 @@ def bollinger(value: Column, w: WindowSpec, n: int = 20, k: float = 2.0) -> tupl
 def rsi(value: Column, w: WindowSpec, n: int = 14) -> Column:
     """W8 — Relative Strength Index.
 
-    pandas chain (indicators.py:11-18): diff(1) → clip to gains/losses →
-    n-row rolling means → ``100 - 100/(1+rs)``. loss == 0 → rs = Inf →
-    RSI 100 (division guard, SURVEY.md §7.4); gain == 0 and loss == 0
-    (flat window) → pandas yields NaN/0 division → RSI NaN... the pandas
-    expression yields 100·0/(0) = NaN → we emit NULL for that degenerate
-    case and 100.0 for loss-only-zero.
+    pandas chain (indicators.py:11-18): diff(1) → ``delta.where(delta>0,
+    0)`` gains / ``-delta.where(delta<0, 0)`` losses → n-row rolling means
+    → ``100 - 100/(1+rs)``. ``where`` turns the first row's NaN diff into
+    0 (``F.when``'s null-condition → otherwise branch matches exactly), so
+    the gain/loss series has no NaN and pandas emits the first RSI at row
+    index n-1 — the guard below therefore counts *rows* in the frame, not
+    non-null deltas. loss == 0 → rs = Inf → RSI 100 (division guard,
+    SURVEY.md §7.4); gain == 0 and loss == 0 (flat window) → pandas yields
+    100·0/0 = NaN → we emit NULL for that degenerate case.
     """
     delta = value - F.lag(value, 1).over(w)
     gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
     loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
     frame = w.rowsBetween(-(n - 1), 0)
-    # pandas rolling(min_periods=n) parity: need n non-null diffs; the first
-    # row's diff is null, so guard on the count of non-null deltas.
-    cnt = F.count(delta).over(frame)
+    cnt = F.count(F.lit(1)).over(frame)
     avg_gain = F.avg(gain).over(frame)
     avg_loss = F.avg(loss).over(frame)
     raw = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)

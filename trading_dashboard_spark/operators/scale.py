@@ -109,9 +109,12 @@ def salted_agg(
     *reduce-side* per-key row count when a single grouping key dominates.)
 
     ``aggs`` maps column -> aggregate name or list of names; output columns
-    are ``{agg}_{col}``.
+    are ``{agg}_{col}``. ``count`` is ``count(col)`` — non-null count,
+    exactly what the plain ``groupBy(...).agg(F.count(col))`` it replaces
+    computes; pass a never-null column (e.g. the salt id) for ``count(*)``
+    row-count semantics.
     """
-    _partial = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    _partial = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     _final = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     pairs = [
         (c, a)

@@ -252,7 +252,7 @@ def ml_next_day_prediction(spark, sf_dir):
     "skew_salted_event_totals",
     """
     SELECT event_type,
-           CAST(count(*) AS BIGINT) AS count_value,
+           CAST(count(value) AS BIGINT) AS count_value,
            round(max(value), 2) AS max_value,
            round(sum(value), 2) AS sum_value
     FROM events GROUP BY event_type

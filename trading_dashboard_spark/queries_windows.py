@@ -264,9 +264,9 @@ def bollinger_bands(spark, sf_dir):
     ),
     frames AS (
       SELECT user_id, d,
-             avg(gain)    OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
-             avg(loss)    OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al,
-             count(delta) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS cnt
+             avg(gain) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+             avg(loss) OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al,
+             count(*)  OVER ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS cnt
       FROM gl
     )
     SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
@@ -279,9 +279,10 @@ def bollinger_bands(spark, sf_dir):
     tags=("window", "W8"),
 )
 def rsi_indicator(spark, sf_dir):
-    """W8 — composite RSI: lag-diff → gain/loss clip → 14-row rolling
-    means → 100-100/(1+rs), loss=0 → RSI 100 (indicators.py:11-18 +
-    SURVEY.md §7.4 divide-by-zero rule)."""
+    """W8 — composite RSI: lag-diff → ``delta.where`` gains/losses (the
+    first row's null diff becomes 0, so RSI first emits at row n-1, exact
+    reference parity) → 14-row rolling means → 100-100/(1+rs), loss=0 →
+    RSI 100 (indicators.py:11-18 + SURVEY.md §7.4 divide-by-zero rule)."""
     from .operators.indicators import rsi
     from .operators.windows import per_key_window
 

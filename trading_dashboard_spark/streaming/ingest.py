@@ -54,12 +54,18 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
 
 
 def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
-    """Streaming idempotency: watermarked dropDuplicates over the natural
-    key — the streaming replacement for ``ON CONFLICT DO NOTHING``
-    (full_stock_pipeline.py:405-415). State is bounded by the watermark
-    horizon; late duplicates beyond it age out of state (at-least-once
-    becomes exactly-once within the horizon)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(keys)
+    """Streaming idempotency: watermarked dedup over the natural key — the
+    streaming replacement for ``ON CONFLICT DO NOTHING``
+    (full_stock_pipeline.py:405-415).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates(keys)``
+    only evicts state when the event-time column is itself part of the
+    dedup key, so deduping on a business key like ``event_id`` would grow
+    state forever. The within-watermark variant expires each key's state
+    once the watermark passes its first-seen event time, so state is
+    genuinely bounded by the horizon (at-least-once becomes exactly-once
+    for duplicates arriving within it)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
