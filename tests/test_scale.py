@@ -110,3 +110,31 @@ def test_salted_agg_count_skips_nulls(spark):
         for r in salted_agg(df, ["k"], {"v": "count"}, id_col="id", factor=4).collect()
     }
     assert out == {"a": 2, "b": 0}
+
+
+def test_quadratic_guard_raises_unblocked_oversized(spark):
+    """All-pairs ground-truth ops refuse oversized unblocked inputs
+    (operators/guards.guard_quadratic); blocking or the explicit override
+    lifts the guard."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.similarity.knn import knn_all_pairs
+    from trading_dashboard_spark.text.dedup import ngram_jaccard_pairs
+
+    docs = spark.range(20_001).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma delta").alias("text")
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        ngram_jaccard_pairs(docs)
+    vecs = spark.range(20_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        knn_all_pairs(vecs)
+    # blocked construction is accepted (lazy — no execution here)
+    ngram_jaccard_pairs(docs, block_col=F.lit(1))
+    knn_all_pairs(vecs.withColumn("blk", F.lit(1)), block_col="blk")
+    # explicit override is accepted
+    ngram_jaccard_pairs(docs, allow_quadratic=True)

@@ -143,3 +143,22 @@ def test_minhash_near_dup_deterministic_across_runs(spark, sf_dir):
     ]
     assert runs[0] == runs[1] == runs[2]
     assert len(runs[0]) > 0
+
+
+def test_minhash_persist_caches_shingle_relation(spark, sf_dir):
+    """persist=True materializes the (id, shingles) relation once for its
+    three plan references (signature + both verify sides): the executed
+    plan reads from the cache (InMemoryTableScan) and results are
+    identical to the uncached run."""
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.text.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    plain = minhash_near_dup_pairs(docs, jaccard_threshold=0.4)
+    cached = minhash_near_dup_pairs(docs, jaccard_threshold=0.4, persist=True)
+    try:
+        plan = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.catalog.clearCache()

@@ -80,17 +80,21 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection (extension tier, X2/X3).
 
     Emits one row per unordered pair with cosine >= threshold, keyed so the
     smaller id is `keep_id` — the min-id-survives dedup convention shared
     with exact_dedup (text/dedup.py). Without `block_col` the pair space is
-    O(n²) (test-scale / within-bucket use); with it (LSH bucket id from
-    lsh.py) candidates are generated per bucket, which is the 100 TB path:
-    shuffle on bucket id, quadratic only within buckets.
+    O(n²) (test-scale / within-bucket use, size-guarded); with it (LSH
+    bucket id from lsh.py) candidates are generated per bucket, which is
+    the 100 TB path: shuffle on bucket id, quadratic only within buckets.
     """
     from ..io.readers import spread
+    from ..operators.guards import guard_quadratic
+
+    guard_quadratic(df, block_col is not None, allow_quadratic, "cosine_near_dup_pairs")
 
     sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:
@@ -120,14 +124,18 @@ def knn_all_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Per-vector top-k neighbors by cosine (exact).
 
-    Without `block_col` this is the O(n²) ground truth; with it (e.g. an
-    LSH bucket id) the quadratic term is bounded per block — the scale
-    path. Self-pairs excluded; ties broken by neighbor id.
+    Without `block_col` this is the O(n²) ground truth (size-guarded);
+    with it (e.g. an LSH bucket id) the quadratic term is bounded per
+    block — the scale path. Self-pairs excluded; ties broken by neighbor id.
     """
     from ..io.readers import spread
+    from ..operators.guards import guard_quadratic
+
+    guard_quadratic(df, block_col is not None, allow_quadratic, "knn_all_pairs")
 
     sel = [F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")]
     if block_col:

@@ -89,6 +89,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """X2 — banded MinHash LSH near-duplicate pairs, exact-verified.
 
@@ -101,6 +102,11 @@ def minhash_near_dup_pairs(
     (id, band_hash) pairs only. Candidate verification re-reads shingle
     sets for the candidate ids — a semi-join-pruned second scan, not a
     broadcast of the corpus.
+
+    ``persist=True`` caches the (id, shingles) relation, which the plan
+    references three times (signature build + both verify sides); without
+    it each reference re-expands the tokenize/shingle subtree (exchange
+    reuse is best-effort). Turn it on at corpus scale.
     """
     rows_per_band = num_hashes // bands
     from ..io.readers import spread
@@ -109,6 +115,8 @@ def minhash_near_dup_pairs(
         F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
     )
     base = raw.select("id", shingles(F.col("__txt"), shingle_n).alias("sh"))
+    if persist:
+        base = base.persist()
     sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
     band_cols = []
     for b in range(bands):
@@ -183,14 +191,20 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
     block_col: Column | None = None,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all (optionally blocked) pairs.
 
     The exact-oracle counterpart of the LSH path: O(n²) within a block, so
     callers must block (e.g. by source, length bucket) at scale; unblocked
-    it's the ground-truth oracle for LSH recall at test scale.
+    it's the ground-truth oracle for LSH recall at test scale — guarded by
+    ``operators.guards.guard_quadratic`` (unblocked inputs above the size
+    cap raise unless ``allow_quadratic=True``).
     """
     from ..io.readers import spread
+    from ..operators.guards import guard_quadratic
+
+    guard_quadratic(df, block_col is not None, allow_quadratic, "ngram_jaccard_pairs")
 
     base = spread(df, id_col).select(
         F.col(id_col).alias("id"),
