@@ -69,3 +69,155 @@ def test_media_from_documents_deterministic(spark, sf_dir):
         else:
             assert r["meta"]["width"] is None and r["meta"]["duration_ms"] is not None
         assert r["payload"] is not None
+
+
+def test_png_codec_roundtrip():
+    """Real PNG decode: encode a known pixel array (stdlib-only writer),
+    decode it back bit-exactly; header parse agrees; unsupported formats
+    raise with the format named."""
+    import numpy as np
+    import pytest
+
+    from trading_dashboard_spark.multimodal.codecs import (
+        decode_png,
+        encode_png,
+        media_features,
+        png_header,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(5, 7, 3), (4, 4, 1), (3, 6, 4)]:
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        payload = encode_png(px)
+        hdr = png_header(payload)
+        assert (hdr["width"], hdr["height"]) == (shape[1], shape[0])
+        assert np.array_equal(decode_png(payload), px)
+        feats = media_features(payload)
+        assert feats[0] == shape[1] and feats[1] == shape[0] and feats[2] == shape[2]
+        assert abs(feats[3] - px.astype(float).mean()) < 1e-9
+    with pytest.raises(NotImplementedError, match="magic"):
+        media_features(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def test_png_decode_all_filter_types():
+    """Decode PNGs whose scanlines use filters 1/2/3/4 (Sub/Up/Average/
+    Paeth), hand-built at the zlib level — proves the unfilter path, not
+    just the filter-0 writer round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from trading_dashboard_spark.multimodal.codecs import PNG_SIGNATURE, decode_png
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, c = px.shape
+    bpp = c
+
+    # forward-filter each scanline with a distinct type (0..4)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - left) & 0xFF
+        elif ftype == 2:
+            filt = (cur - prev) & 0xFF
+        elif ftype == 3:
+            filt = (cur - (left + prev) // 2) & 0xFF
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = (cur - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(filt.astype(np.uint8)))
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_wav_codec_roundtrip():
+    """Real WAV decode: write PCM16 with the stdlib wave module, decode
+    samples and duration back exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trading_dashboard_spark.multimodal.codecs import (
+        decode_wav,
+        media_features,
+        wav_header,
+    )
+
+    rate, n_frames = 8000, 1600  # 200 ms
+    t = np.arange(n_frames)
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+
+    hdr = wav_header(payload)
+    assert hdr["sample_rate"] == rate and hdr["n_frames"] == n_frames
+    assert hdr["duration_ms"] == 200
+    decoded, got_rate = decode_wav(payload)
+    assert got_rate == rate and np.array_equal(decoded[:, 0], samples)
+    feats = media_features(payload)
+    assert feats[0] == 200.0 and feats[1] == float(rate) and feats[7] == float(n_frames)
+
+
+def test_decode_media_batch_real_decoders(spark):
+    """fake=False end-to-end through the mapInPandas stage: PNG and WAV
+    payloads produce real decoded features on executors."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from trading_dashboard_spark.multimodal.codecs import encode_png
+    from trading_dashboard_spark.multimodal.columns import decode_media_batch
+
+    png = encode_png(np.full((8, 6, 3), 128, dtype=np.uint8))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(b"\x00\x00" * 2 * 1600)  # 100 ms silence, stereo
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(png), (6, 8, None, "png")),
+            (2, "audio", bytearray(wav), (None, None, 100, "pcm")),
+        ],
+        "media_id long, media_type string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+    )
+    out = {r["media_id"]: r for r in decode_media_batch(df, fake=False).collect()}
+    assert out[1]["features"][:3] == [6.0, 8.0, 3.0]  # width, height, channels
+    assert out[1]["features"][3] == 128.0  # mean pixel
+    assert out[2]["features"][0] == 100.0  # duration_ms
+    assert out[2]["features"][2] == 2.0  # channels

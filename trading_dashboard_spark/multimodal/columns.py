@@ -6,12 +6,15 @@ frame-sample run as Arrow-batched `mapInPandas` stages so the heavy bytes
 never pass through Python row-at-a-time and partitions stream batch by
 batch.
 
-The image/audio codec libraries are not in this container, so the decode
-kernel is STUBBED: `decode_media_batch(..., fake=True)` produces a
-deterministic fake feature vector from the payload hash (stable for tests),
-and `fake=False` raises NotImplementedError where a real
-PIL/torchaudio/ffmpeg call would go. The Spark-side plumbing — schema,
-batching, partition behavior, UDF signatures — is real and tested.
+Decode modes: `decode_media_batch(..., fake=True)` produces a
+deterministic feature vector from the payload hash (stable, SQL-replicable
+— what the oracle-checked queries use, since the synthesized testdata
+payloads are text bytes, not media). `fake=False` runs REAL decoders:
+PNG (zlib + scanline unfiltering → pixel stats) and WAV (RIFF/PCM →
+sample stats) are implemented dependency-free in `codecs.py`; other
+formats (JPEG/H.264/...) raise NotImplementedError naming the format,
+where a PIL/ffmpeg call would slot in. The Spark-side plumbing — schema,
+batching, partition behavior, UDF signatures — is identical in both modes.
 """
 
 from __future__ import annotations
@@ -111,14 +114,13 @@ def decode_media_batch(df: DataFrame, fake: bool = True) -> DataFrame:
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from .codecs import media_features  # executor-side import
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this container"
-                )
             pdf = pdf.copy()
             pdf["n_bytes"] = pdf["payload"].map(lambda b: 0 if b is None else len(b))
-            pdf["features"] = pdf["payload"].map(_fake_features)
+            extract = _fake_features if fake else media_features
+            pdf["features"] = pdf["payload"].map(extract)
             yield pdf
 
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
