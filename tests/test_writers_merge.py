@@ -159,3 +159,59 @@ def test_incremental_merge_stream_equals_batch_merge(spark, sf_dir, tmp_path):
         for r in read_versioned(spark, tbl).select("event_id", "value").collect()
     }
     assert before == after
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    """Dynamic-partition-overwrite merge: updates touching one date (plus
+    a brand-new date) leave every other partition's files untouched on
+    disk, results equal a full-table merge, and re-running the same merge
+    is a no-op (idempotency)."""
+    import os
+
+    from trading_dashboard_spark.io.writers import (
+        merge_upsert,
+        merge_upsert_partitioned,
+    )
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [("A", "2024-01-01", 1.0), ("B", "2024-01-01", 2.0),
+         ("A", "2024-01-02", 3.0), ("B", "2024-01-02", 4.0),
+         ("A", "2024-01-03", 5.0)],
+        ["sym", "d", "v"],
+    )
+    merge_upsert_partitioned(spark, base, path, keys=["sym", "d"], partition_col="d")
+
+    def files(day):
+        p = os.path.join(path, f"d={day}")
+        return {
+            f: os.path.getmtime(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        }
+
+    before_d1, before_d3 = files("2024-01-01"), files("2024-01-03")
+
+    updates = spark.createDataFrame(
+        [("A", "2024-01-02", 30.0),          # update existing key
+         ("C", "2024-01-02", 99.0),          # new key, existing partition
+         ("A", "2024-01-04", 7.0)],          # brand-new partition
+        ["sym", "d", "v"],
+    )
+    merge_upsert_partitioned(spark, updates, path, keys=["sym", "d"], partition_col="d")
+
+    # untouched partitions: identical files, same mtimes
+    assert files("2024-01-01") == before_d1
+    assert files("2024-01-03") == before_d3
+
+    # partition-column type inference reads d back as a date -> normalize
+    got = {(r["sym"], str(r["d"])): r["v"] for r in spark.read.parquet(path).collect()}
+    expected_df = merge_upsert(base, updates, ["sym", "d"])
+    expected = {(r["sym"], r["d"]): r["v"] for r in expected_df.collect()}
+    assert got == expected
+    assert got[("A", "2024-01-02")] == 30.0 and got[("A", "2024-01-03")] == 5.0
+
+    # idempotency: same merge again -> same table
+    merge_upsert_partitioned(spark, updates, path, keys=["sym", "d"], partition_col="d")
+    again = {(r["sym"], str(r["d"])): r["v"] for r in spark.read.parquet(path).collect()}
+    assert again == expected

@@ -68,6 +68,49 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     return survivors.unionByName(updates.select(*target.columns))
 
 
+def merge_upsert_partitioned(
+    spark,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """S14 at table scale: upsert into a partitioned parquet dataset,
+    rewriting ONLY the partitions the updates touch (dynamic partition
+    overwrite) — the bounded-rewrite pattern the module docstring
+    promises. With year/date partitions this is the reference's
+    staging→MERGE into the year-partitioned ``stock_price_history``
+    (full_stock_pipeline.py:373-422 + create_partitions.py:14-38): a daily
+    batch rewrites one partition, not years of history.
+
+    ``partition_col`` must be functionally dependent on ``keys`` (e.g.
+    ``trade_date`` with key (symbol, trade_date)) so an update can never
+    move a row across partitions — otherwise the stale copy in the old
+    partition would survive.
+
+    The touched-partition slice is read with a partition-pruned scan
+    (``isin`` on collected partition values — bounded by partitions per
+    batch), merged, then locally checkpointed before the overwrite so the
+    write never scans the files it is replacing.
+    """
+    vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    updates = dedup_by_key(updates, keys)
+    try:
+        target = spark.read.parquet(path)
+        affected = target.filter(F.col(partition_col).isin(vals))
+        merged = merge_upsert(affected, updates, keys).select(*target.columns)
+    except Exception:  # first write: no table yet
+        merged = updates
+    merged = merged.localCheckpoint(eager=True)
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(conf, prev)
+
+
 def insert_if_absent(target: DataFrame, new_rows: DataFrame, keys: list[str]) -> DataFrame:
     """S15 — ``ON CONFLICT DO NOTHING``: keep target rows, add only new keys."""
     new_rows = dedup_by_key(new_rows, keys)

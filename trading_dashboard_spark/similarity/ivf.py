@@ -62,18 +62,29 @@ def fit_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Spherical k-means coarse quantizer fit on a deterministic sample.
+    """Spherical k-means coarse quantizer fit on a bounded seeded sample.
 
-    Sample = first ``sample_n`` rows by id (deterministic across runs and
-    partitionings; at corpus scale swap in ``df.sample(f, seed)`` — the
-    fit only needs a few hundred vectors per cell). Lloyd iterations on
-    L2-normalized vectors with cosine assignment; empty cells keep their
-    previous centroid. Components round to 6 dp so the fitted quantizer
-    serializes to the same compact literal form as `static_centroids`.
+    A Bernoulli ``df.sample(fraction, seed)`` feeds the fit — a plain
+    filtered scan, no global ordering pass (``orderBy(id).limit(n)`` would
+    heap-merge the whole corpus just to pick ids). The one ``count()``
+    that sizes the fraction is metadata-cheap on parquet. The collected
+    sample is id-sorted driver-side and truncated to ``sample_n``, so the
+    fit is deterministic for a fixed data layout; the fit only needs a few
+    hundred vectors per cell. Lloyd iterations on L2-normalized vectors
+    with cosine assignment; empty cells keep their previous centroid.
+    Components round to 6 dp so the fitted quantizer serializes to the
+    same compact literal form as `static_centroids`.
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    sel = df.select(id_col, vec_col)
+    total = df.count()
+    if total > sample_n:
+        # oversample ~30% so the post-truncation count reaches sample_n
+        # with near-certainty; hard cap bounds the driver collect anyway
+        frac = min(1.0, 1.3 * sample_n / total)
+        sel = sel.sample(fraction=frac, seed=seed).limit(4 * sample_n)
+    rows = sorted(sel.collect(), key=lambda r: r[0])[:sample_n]
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
