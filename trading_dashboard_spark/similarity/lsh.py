@@ -69,6 +69,7 @@ def lsh_knn(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    persist: bool = False,
 ) -> DataFrame:
     """Approximate per-vector top-k: union candidates from `n_tables`
     independent bucketings, dedup, exact-score, rank.
@@ -76,6 +77,14 @@ def lsh_knn(
     Each table contributes an equi-join on its bucket id; more tables →
     higher recall, linearly more candidate pairs. All shuffles key on
     (table, bucket) — small fixed-width keys.
+
+    Vectors are unit-normalized ONCE, up front: bucketing runs on the
+    normalized vectors (sign(<v,p>) == sign(<u,p>) for positive ‖v‖, so
+    buckets are identical) and scoring reuses them, collapsing the old
+    separate normalize pass. The normalized relation is referenced three
+    times (bucketing + both scoring sides); ``persist=True`` caches it so
+    the scan + normalization UDF run once — the right call whenever the
+    corpus fits the cluster's storage tier.
     """
     from pyspark.sql import Window as W
 
@@ -84,6 +93,17 @@ def lsh_knn(
     base = spread(df, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
+
+    @pandas_udf("array<double>")
+    def _unit(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series(list(m / n))
+
+    withn = base.select("id", _unit(F.col("v")).alias("u"))
+    if persist:
+        withn = withn.persist()
     # Candidate generation by bucket aggregation (collect ids per bucket,
     # expand directed pairs in-bucket), NOT a self-join: the candidate
     # shuffle carries (table, bucket, id) rows only — never vectors — and
@@ -108,8 +128,8 @@ def lsh_knn(
         vals = bits.reshape(len(m), n_tables, n_planes) @ weights  # B × tables
         return pd.Series(list(vals))
 
-    banded = base.select(
-        "id", F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket")
+    banded = withn.select(
+        "id", F.posexplode(_all_buckets(F.col("u"))).alias("tbl", "bucket")
     )
     buckets = (
         banded.groupBy("tbl", "bucket")
@@ -134,24 +154,15 @@ def lsh_knn(
 
     # Vectors re-attach to the deduplicated candidate set only; both joins
     # key on a single id column (sides structurally different — no reused
-    # self-exchange). Each vector is pre-normalized to unit length once
-    # (O(vectors·dim)), so per-pair scoring collapses to one Arrow-batched
-    # dot product — a single einsum per batch instead of interpreted
-    # per-element lambdas over every candidate pair.
-    @pandas_udf("array<double>")
-    def _unit(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return pd.Series(list(m / n))
-
+    # self-exchange). Scoring reuses the up-front unit normalization, so
+    # per-pair cost is one Arrow-batched dot product — a single einsum per
+    # batch instead of interpreted per-element lambdas over every pair.
     @pandas_udf("double")
     def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
         ma = np.array(a.tolist(), dtype=np.float64)
         mb = np.array(b.tolist(), dtype=np.float64)
         return pd.Series(np.round(np.einsum("ij,ij->i", ma, mb), 6))
 
-    withn = base.select("id", _unit(F.col("v")).alias("u"))
     va = withn.select(F.col("id"), F.col("u").alias("ua"))
     vb = withn.select(F.col("id").alias("neighbor_id"), F.col("u").alias("ub"))
     scored = (

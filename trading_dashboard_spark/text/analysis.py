@@ -53,12 +53,14 @@ def quality_features(text: Column) -> dict[str, Column]:
     toks = tokenize(t)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    stop_rx = r"\b(the|a|an|and|or|of|to|is|in|it)\b"
+    stopwords = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "it")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
-    # count stopword hits: remove them, compare token counts
-    n_stop = n_tokens - F.size(
-        F.filter(toks, lambda x: ~F.lower(x).rlike("^(the|a|an|and|or|of|to|is|in|it)$"))
-    )
+    # stopword hits by literal-array membership — equivalent to matching
+    # each token against ^(the|a|...)$ but without per-token regex
+    # evaluation inside the interpreted lambda (HOFs are outside codegen;
+    # the regex engine per element dominated this projection's cost)
+    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
     safe_tokens = F.when(n_tokens != 0, n_tokens)
     return {
         "n_chars": n_chars,
@@ -67,7 +69,7 @@ def quality_features(text: Column) -> dict[str, Column]:
         "avg_token_len": (n_alpha / safe_tokens.cast("double")),
         "punct_ratio": n_punct / F.when(n_chars != 0, n_chars).cast("double"),
         "stopword_ratio": n_stop / safe_tokens.cast("double"),
-        "_stop_rx": F.lit(stop_rx),  # exposed for tests
+        "_stopwords": stop_arr,  # exposed for tests
     }
 
 
