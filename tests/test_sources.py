@@ -108,3 +108,50 @@ def test_landing_partitioned_multi_day(spark, tmp_path):
     day = scan.filter("y = '2024' and m = '01' and d = '08'")
     assert day.count() == 2
     assert scan.count() == 3
+
+
+def test_export_dataset_csv_json_roundtrip(spark, tmp_path):
+    """Path-based export (the engine's GCS/S3 shape): CSV with header and
+    JSON round-trip through spark.read; partitioned export lays out
+    partition directories; single_file yields exactly one part."""
+    import os
+
+    from trading_dashboard_spark.io.export import export_dataset
+
+    df = spark.createDataFrame(
+        [("AAPL", "2024-01-01", 10.5), ("MSFT", "2024-01-01", 20.0),
+         ("AAPL", "2024-01-02", 11.0)],
+        ["symbol", "d", "close"],
+    )
+    csv_path = str(tmp_path / "out_csv")
+    export_dataset(df, csv_path, fmt="csv", single_file=True)
+    parts = [f for f in os.listdir(csv_path) if f.startswith("part-")]
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(csv_path)
+    assert back.count() == 3 and set(back.columns) == {"symbol", "d", "close"}
+
+    json_path = str(tmp_path / "out_json")
+    export_dataset(df, json_path, fmt="json", partition_cols=["symbol"])
+    assert sorted(
+        d for d in os.listdir(json_path) if d.startswith("symbol=")
+    ) == ["symbol=AAPL", "symbol=MSFT"]
+    back_j = spark.read.json(json_path)
+    assert back_j.count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fmt"):
+        export_dataset(df, str(tmp_path / "x"), fmt="xml")
+
+
+def test_export_jdbc_missing_driver_is_clear(spark):
+    """Without a driver jar, export_jdbc fails with an actionable error
+    (not a raw ClassNotFoundException) and caps writer parallelism first."""
+    import pytest
+
+    from trading_dashboard_spark.io.export import export_jdbc
+
+    df = spark.range(10).repartition(32)
+    with pytest.raises((RuntimeError, Exception)) as ei:
+        export_jdbc(df, "jdbc:postgresql://localhost/nope", "t", max_connections=4)
+    assert "driver" in str(ei.value).lower()
