@@ -162,3 +162,44 @@ def test_minhash_persist_caches_shingle_relation(spark, sf_dir):
         assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.catalog.clearCache()
+
+
+def test_chunk_documents_boundaries(spark):
+    """Chunk grid: empty doc -> no rows; short doc -> one short chunk;
+    exact window -> one chunk; window+1 -> two overlapping chunks whose
+    overlap region matches."""
+    from trading_dashboard_spark.text.analysis import chunk_documents
+
+    toks = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, toks(5)), (4, toks(8)), (5, toks(9))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert not any(d in (1, 2) for d, _ in rows)           # empty/null: no chunks
+    assert rows[(3, 0)]["n_tokens"] == 5                   # short doc, one chunk
+    assert (3, 1) not in rows
+    assert rows[(4, 0)]["n_tokens"] == 8 and (4, 1) not in rows  # exact fit
+    assert rows[(5, 0)]["n_tokens"] == 8 and rows[(5, 1)]["n_tokens"] == 5
+    # overlap: chunk 1 starts at token 4
+    assert rows[(5, 1)]["chunk_text"].split() == [f"w{i}" for i in range(4, 9)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_char_entropy_known_values(spark):
+    """H('aaaa') = 0; H('abab') = 1 bit; uniform 4-char doc = 2 bits;
+    empty/null -> NULL."""
+    from trading_dashboard_spark.text.analysis import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
+    assert out[1] == 0.0 and abs(out[2] - 1.0) < 1e-12 and abs(out[3] - 2.0) < 1e-12
+    assert out[4] is None and out[5] is None

@@ -345,3 +345,74 @@ def stratified_sample_by_lang(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sampled_chars"),
         )
     )
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(coalesce(text, ''))) = 0
+                  THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, toks, len(toks) AS nt,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE greatest(1, CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1)
+             END AS nch
+      FROM t
+    ),
+    c AS (SELECT doc_id, toks, nt, unnest(range(nch)) AS i FROM n)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+           CAST(least(64, nt - i*48) AS INT) AS n_tokens
+    FROM c
+    """,
+    tags=("training", "text", "chunking"),
+)
+def doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (text/analysis.chunk_documents):
+    64-token windows, 16-token overlap — the corpus→context-window stage
+    of a training pipeline as a pure JVM array transform (tokenize →
+    sequence → slice → posexplode; no shuffle, no Python). The oracle
+    regenerates every window with DuckDB list slicing, so chunk
+    boundaries, short tails, and empty-doc elision are value-checked."""
+    from .text.analysis import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@register(
+    "doc_char_entropy",
+    """
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+    ch AS (
+      SELECT doc_id, substr(txt, i, 1) AS ch
+      FROM t, LATERAL (SELECT unnest(generate_series(1, length(txt))) AS i) g
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+    per_doc AS (
+      SELECT doc_id, sum(c) AS total,
+             sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+      FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(log2(CAST(p.total AS DOUBLE)) - p.s / p.total, 4) AS char_entropy
+    FROM t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("training", "text", "quality"),
+)
+def doc_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (text/analysis.
+    char_entropy) — a model-free perplexity proxy for quality filtering.
+    Two-stage aggregation: per-(doc, char) counts with map-side combine
+    (shuffle bounded by alphabet size per doc), then H = log2(T) −
+    Σ c·log2 c / T. Empty docs carry NULL."""
+    from .text.analysis import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = char_entropy(docs)
+    return out.select("doc_id", pround("char_entropy", 4).alias("char_entropy"))

@@ -12,7 +12,7 @@ into scans with full pushdown.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 #: Tiny per-language stopword markers for the heuristic language scorer.
 #: Deliberately small + deterministic (public common-word lists); real
@@ -96,3 +96,77 @@ def fingerprint(text: Column) -> Column:
     shuffled instead of full text) — X1/X4."""
     canon = F.regexp_replace(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+", " ")
     return F.md5(canon)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the corpus→context-window stage
+    of a training pipeline (UDTF shape: one input doc → n chunk rows).
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the last chunk may be short; empty
+    docs produce no chunks. Pure JVM array expressions (tokenize →
+    sequence → slice → posexplode): the explode multiplies rows ~n_tokens/
+    step ×, but each output row carries only its own window — no shuffle,
+    no Python, scales as a map-side transform.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    n_chunks = F.when(n > 0, F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)) + 1).cast("int"),
+    )).otherwise(F.lit(0))
+    win = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - i * step).cast("int").alias("n_tokens"),
+        ),
+    )
+    # sequence(0, n_chunks-1) runs DESCENDING when n_chunks = 0, so trim
+    # the window array to exactly n_chunks entries: empty docs slice to an
+    # empty array (of the right struct type) and explode drops them
+    win = F.slice(win, 1, n_chunks)
+    return df.select(F.col(id_col), F.explode(win).alias("c")).select(
+        id_col, F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-level Shannon entropy per document — a model-free
+    perplexity proxy for quality filtering (gibberish and boilerplate
+    both sit at distribution extremes).
+
+    H = log2(T) − Σ c·log2(c) / T over per-character counts c, total T.
+    Plan: explode to (doc, char) → count (map-side combine shrinks the
+    shuffle to ≤ alphabet size per doc) → one aggregate. Scales as a
+    standard two-stage aggregation keyed by doc.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias("ch"),
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias("s"),
+    )
+    ent = F.log2(F.col("total").cast("double")) - F.col("s") / F.col("total")
+    return df.select(id_col).join(
+        per_doc.select(id_col, ent.alias("char_entropy")), id_col, "left"
+    )
