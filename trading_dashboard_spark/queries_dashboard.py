@@ -252,3 +252,111 @@ def trading_patterns_top100(spark, sf_dir):
         .orderBy(F.col("symbol").asc(), "pattern_category", "pattern")
         .limit(100)
     )
+
+
+@register(
+    "company_list",
+    """
+    SELECT DISTINCT c_name AS company_name, c_custkey AS symbol_key,
+           c_custkey AS market_cap_rank
+    FROM customer
+    ORDER BY market_cap_rank ASC
+    LIMIT 200
+    """,
+    tags=("dashboard", "A5", "O1"),
+)
+def company_list(spark, sf_dir):
+    """`load_company_list` (data_loader.py:22-40) — the sidebar dropdown
+    feed: DISTINCT over the company dimension ordered by rank (A5 + O1;
+    ``c_custkey`` is the rank surrogate, as everywhere in this suite)."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.col("c_name").alias("company_name"),
+            F.col("c_custkey").alias("symbol_key"),
+            F.col("c_custkey").alias("market_cap_rank"),
+        )
+        .distinct()
+        .orderBy(F.col("market_cap_rank").asc())
+        .limit(200)
+    )
+
+
+@register(
+    "stock_history_range",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close, round(high, 2) AS high,
+           round(low, 2) AS low, n_events
+    FROM daily
+    WHERE user_id = 7 AND d BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+    ORDER BY d DESC
+    """,
+    tags=("dashboard", "P5", "P6", "O2"),
+)
+def stock_history_range(spark, sf_dir):
+    """`load_stock_data` (data_loader.py:42-57) — one company's bars over
+    a date range: equality filter on the key (P5) + BETWEEN on the date
+    (P6), newest first (O2). Both predicates sit below the aggregation's
+    group keys, so they reach the scan."""
+    daily = _daily_close(spark, sf_dir)
+    return (
+        daily.filter(
+            (F.col("user_id") == 7)
+            & F.col("d").between(F.lit("2024-01-05"), F.lit("2024-01-20"))
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround("close", 2).alias("close"),
+            pround("high", 2).alias("high"),
+            pround("low", 2).alias("low"),
+            "n_events",
+        )
+        .orderBy(F.col("trade_date").desc())
+    )
+
+
+@register(
+    "market_trends_latest",
+    f"""
+    WITH {DAILY_SQL},
+    seq AS (
+      SELECT user_id, d, close,
+             lag(close) OVER ({_WIN}) AS prev_close
+      FROM daily
+    ),
+    latest AS (SELECT max(d) AS mx FROM daily)
+    SELECT s.user_id, round(s.close, 2) AS close,
+           round(s.close - s.prev_close, 2) AS price_change,
+           round((s.close - s.prev_close) / s.prev_close * 100, 2) AS percent_change
+    FROM seq s JOIN latest l ON s.d = l.mx
+    WHERE s.prev_close IS NOT NULL AND s.prev_close <> 0
+    ORDER BY percent_change DESC, s.user_id
+    LIMIT 10
+    """,
+    tags=("dashboard", "J6", "W1", "O3", "P18"),
+)
+def market_trends_latest(spark, sf_dir):
+    """`load_market_trends` (data_loader.py:181-199) — latest-date percent
+    movers: uncorrelated max-date subquery (J6 as broadcast single-row
+    join) over the lagged series (W1), zero-guard (P8), top-10 (O3)."""
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    w = W.partitionBy("user_id").orderBy("d")
+    seq = daily.withColumn("prev_close", F.lag("close").over(w))
+    latest = daily.agg(F.max("d").alias("mx"))
+    return (
+        seq.join(F.broadcast(latest), seq.d == F.col("mx"))
+        .filter(F.col("prev_close").isNotNull() & (F.col("prev_close") != 0))
+        .select(
+            "user_id",
+            pround("close", 2).alias("close"),
+            pround(F.col("close") - F.col("prev_close"), 2).alias("price_change"),
+            pround(
+                (F.col("close") - F.col("prev_close")) / F.col("prev_close") * 100, 2
+            ).alias("percent_change"),
+        )
+        .orderBy(F.col("percent_change").desc(), "user_id")
+        .limit(10)
+    )
