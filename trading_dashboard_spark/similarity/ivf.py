@@ -12,10 +12,11 @@ Scale design (100 TB):
   deterministic sample — the standard IVF recipe (train on a few hundred
   vectors per cell); the corpus itself never leaves the executors.
 - **Assignment is map-only.** Nearest-centroid is an argmax over
-  ``n_cells`` dot products built from plan-literal centroid arrays — JVM
-  expression math, no UDF, no shuffle. Centroids are unit vectors, so
-  ``argmax dot == argmax cosine`` and per-row norms cancel out of the
-  assignment entirely.
+  ``n_cells`` dot products built from plan-literal centroid arrays — no
+  shuffle, expression form or a value-identical Arrow matmul kernel
+  (``vectorized=True``). Centroids are unit vectors, so ``argmax dot ==
+  argmax cosine`` and per-row norms cancel out of the assignment
+  entirely.
 - **The inverted file is the storage layout.** At rest the corpus is
   written ``partitionBy(cell)`` (see `write_inverted_file`), so a probe's
   cell filter prunes at the file listing — the scan reads nprobe/n_cells
@@ -27,11 +28,13 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions import pround
 
-from .knn import _as_double, cosine_sim, dot
+from .knn import _as_double, cosine_sim, cosine_sim_arrow, dot
 
 
 def _unit_rows(n: int, dim: int, seed: int) -> list[list[float]]:
@@ -108,14 +111,31 @@ def assign_cells(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cell",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Attach the IVF cell id: argmax over centroid dot products.
 
-    One map-only expression — struct array (rounded dot, -cid), array_max
-    picks the best dot with ties to the smallest cell id. No shuffle, no
-    UDF; at 100 TB this is a pass over the corpus that typically rides
-    along with ingest.
+    Map-only either way — no shuffle; at 100 TB this is a pass over the
+    corpus that typically rides along with ingest. The expression form
+    (struct array of (rounded dot, -cid), array_max → best dot with ties
+    to the smallest cell id) is the bit-reproducible oracle-replayable
+    path; ``vectorized=True`` computes the same assignment as one Arrow
+    batch matmul + argmax (identical floor-rounding to 6 dp; numpy argmax
+    takes the first maximum, which is the smallest cid) — ~n_cells×dim
+    interpreted lambda steps per row collapse to one BLAS call per batch.
     """
+    if vectorized:
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array(centroids, dtype=np.float64).T  # dim × cells
+
+        @pandas_udf("int")
+        def _assign(v: pd.Series) -> pd.Series:
+            m = np.array(v.tolist(), dtype=np.float64)
+            d = np.floor(m @ C * 1e6 + 0.5) / 1e6
+            return pd.Series(np.argmax(d, axis=1).astype(np.int32))
+
+        return df.withColumn(out_col, _assign(F.col(vec_col)))
     v = _as_double(F.col(vec_col))
     entries = [
         F.struct(
@@ -162,22 +182,26 @@ def ivf_search(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = True,
 ) -> DataFrame:
     """Probe-pruned top-k: filter to the probe's ``nprobe`` cells, exact
     cosine within them, TakeOrderedAndProject. Against a
     `write_inverted_file` layout the cell filter prunes partitions; here it
     composes with on-the-fly assignment so the operator also works over an
-    unmaterialized corpus."""
+    unmaterialized corpus. ``vectorized`` routes assignment and scoring
+    through the Arrow batch kernels (value-identical — see assign_cells /
+    knn.cosine_sim_arrow)."""
     cells = probe_cells(centroids, probe, nprobe)
-    p = F.array(*[F.lit(float(x)) for x in probe])
-    assigned = assign_cells(df, centroids, vec_col)
+    assigned = assign_cells(df, centroids, vec_col, vectorized=vectorized)
+    if vectorized:
+        pcol = F.array(*[F.lit(float(x)) for x in probe])
+        sim = cosine_sim_arrow(F.col(vec_col), pcol)
+    else:
+        pcol = F.array(*[F.lit(float(x)) for x in probe])
+        sim = pround(cosine_sim(F.col(vec_col), pcol), 6)
     return (
         assigned.filter(F.col("cell").isin(cells))
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            pround(cosine_sim(F.col(vec_col), p), 6).alias("cosine"),
-        )
+        .select(F.col(id_col), F.col("cell"), sim.alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
