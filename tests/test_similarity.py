@@ -133,3 +133,38 @@ def test_inverted_file_layout_prunes_partitions(spark, sf_dir, tmp_path):
     # only the probed directories are read
     files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
     assert files and all(any(f"cell={c}/" in f for c in cells) for f in files)
+
+
+def test_int8_quantization_roundtrip(spark):
+    """Codes stay in [-127,127]; reconstruction cosine ~1 for random
+    vectors; max component error <= scale/2; zero vectors -> NULL codes."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.similarity.quantize import (
+        dequantize,
+        quantize_int8,
+        reconstruction_metrics,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.normal(0, 3, 16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    q = quantize_int8(df).collect()
+    by_id = {r["vec_id"]: r for r in q}
+    assert by_id[99]["codes"] is None or all(c is None for c in by_id[99]["codes"])
+    for r in q:
+        if r["vec_id"] == 99:
+            continue
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # max|x| maps to exactly +/-127
+        assert max(abs(c) for c in r["codes"]) == 127
+
+    m = {r["vec_id"]: r for r in reconstruction_metrics(df).collect()}
+    for i, vec in rows[:-1]:
+        assert m[i]["recon_cosine"] > 0.999
+        scale = max(abs(x) for x in vec) / 127.0
+        assert m[i]["max_abs_err"] <= scale / 2 + 1e-9
+    assert m[99]["recon_cosine"] is None

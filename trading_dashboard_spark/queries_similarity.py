@@ -259,3 +259,68 @@ def lsh_ann_top3(spark, sf_dir):
     return lsh_knn(
         emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42, persist=True
     )
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, v,
+             nullif(list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0, 0.0)
+               AS scale
+      FROM v
+    ),
+    r AS (
+      SELECT vec_id, label, v, scale,
+             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+      FROM q
+    ),
+    m AS (
+      SELECT label,
+             round(list_dot_product(v, dq)
+                   / nullif(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)), 0),
+                   6) AS recon_cosine,
+             round(list_aggregate(list_transform(range(1, len(v) + 1),
+                                                 i -> abs(v[i] - dq[i])), 'max'),
+                   6) AS max_abs_err
+      FROM r
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(round(sum(recon_cosine), 4) / count(*), 6) AS avg_recon_cosine,
+           round(max(max_abs_err), 6) AS worst_abs_err
+    FROM m GROUP BY label
+    """,
+    tags=("similarity", "X5", "quantization"),
+)
+def embedding_int8_quantization(spark, sf_dir):
+    """Int8 scalar quantization QA (similarity/quantize): per label, the
+    average cosine between each vector and its int8 reconstruction and
+    the worst absolute component error — the storage-compression
+    trade-off (4x smaller vectors) measured, and the whole codec
+    oracle-replayed in SQL (floor-based half-up rounding on both sides).
+    Map-only + one aggregation; scales as a scan."""
+    from .similarity.knn import _as_double, cosine_sim
+    from .similarity.quantize import dequantize, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb.select("vec_id", "label", "embedding"), "embedding", "vec_id")
+    dq = dequantize(F.col("codes"), F.col("scale"))
+    v = _as_double(F.col("embedding"))
+    per_vec = q.select(
+        "label",
+        pround(cosine_sim(F.col("embedding"), dq), 6).alias("recon_cosine"),
+        pround(
+            F.array_max(F.zip_with(v, dq, lambda a, b: F.abs(a - b))), 6
+        ).alias("max_abs_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(pround(F.sum("recon_cosine"), 4) / F.count(F.lit(1)), 6).alias(
+            "avg_recon_cosine"
+        ),
+        pround(F.max("max_abs_err"), 6).alias("worst_abs_err"),
+    )

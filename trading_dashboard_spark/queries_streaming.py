@@ -144,3 +144,38 @@ def streaming_dedup_ingest(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_unique"),
     )
+
+
+@register(
+    "streaming_sliding_counts",
+    """
+    WITH w AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '1 hour', ts) - to_hours(i.i) AS w_start
+      FROM events, LATERAL (SELECT unnest([0, 1]) AS i) i
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(w_start + INTERVAL '2 hours', '%Y-%m-%d %H:%M:%S') AS window_end,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM w GROUP BY w_start
+    """,
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding 2h/1h event-time windows (streaming/windows.sliding_counts):
+    every event lands in two overlapping buckets. The oracle regenerates
+    the window grid by joining each event to its two covering window
+    starts — streaming == batch for complete data."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.windows import sliding_counts
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = sliding_counts(stream)
+    out = run_stream_to_table(agg, "sliding_counts", output_mode="complete")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        F.col("n").cast("long").alias("n"),
+        pround("total_value", 2).alias("total_value"),
+    )

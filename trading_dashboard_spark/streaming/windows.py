@@ -30,6 +30,30 @@ def hourly_counts(
     )
 
 
+def sliding_counts(
+    stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time window: each event contributes to
+    ``window/slide`` overlapping buckets (here 2). State per key is
+    bounded by the watermark; the overlap factor multiplies aggregate
+    state, not input rows. Equivalent batch SQL: join each event to the
+    grid of window starts covering it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def session_aggregate(
     stream: DataFrame,
     key: str = "user_id",
