@@ -278,3 +278,74 @@ def skew_salted_event_totals(spark, sf_dir):
         pround("max_value", 2).alias("max_value"),
         pround("sum_value", 2).alias("sum_value"),
     )
+
+
+@register(
+    "daily_bars_unpivot",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           metric, round(val, 2) AS val
+    FROM (
+      SELECT user_id, d, 'close' AS metric, close AS val FROM daily
+      UNION ALL
+      SELECT user_id, d, 'high', high FROM daily
+      UNION ALL
+      SELECT user_id, d, 'low', low FROM daily
+    )
+    """,
+    tags=("setops", "unpivot"),
+)
+def daily_bars_unpivot(spark, sf_dir):
+    """Unpivot (wide→long) via ``stack`` — the inverse of
+    event_type_pivot: each daily bar's (close, high, low) becomes three
+    (metric, value) rows. Map-only row expansion inside the projection
+    (no shuffle); the oracle is the portable UNION ALL form."""
+    daily = _daily_close(spark, sf_dir)
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        F.expr(
+            "stack(3, 'close', close, 'high', high, 'low', low) AS (metric, val)"
+        ),
+    ).select("user_id", "trade_date", "metric", pround("val", 2).alias("val"))
+
+
+@register(
+    "user_value_quartiles",
+    """
+    WITH totals AS (
+      SELECT user_id, sum(value) AS total
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT user_id, total,
+             ntile(4) OVER (ORDER BY total DESC, user_id) AS quartile
+      FROM totals
+    )
+    SELECT CAST(quartile AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(total), 2) AS quartile_total,
+           round(min(total), 2) AS min_total,
+           round(max(total), 2) AS max_total
+    FROM tiled GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def user_value_quartiles(spark, sf_dir):
+    """ntile ranking — users bucketed into total-value quartiles (the one
+    ranking-family window the suite didn't yet exercise; deterministic
+    via the (total DESC, user_id) tiebreak), then per-quartile stats.
+    Two aggregations + one global window over the small aggregate — the
+    window runs over users, not events, so the single-partition sort is
+    bounded by user cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    w = W.orderBy(F.col("total").desc(), F.col("user_id"))
+    tiled = totals.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        pround(F.sum("total"), 2).alias("quartile_total"),
+        pround(F.min("total"), 2).alias("min_total"),
+        pround(F.max("total"), 2).alias("max_total"),
+    )
