@@ -168,3 +168,35 @@ def test_multi_resolution_rollup_single_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "multi_resolution_rollup")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Union" not in plan
+
+
+def test_sessionization_single_exchange(spark, sf_dir):
+    """sessionize + both downstream rollups share ONE hash exchange: the
+    window shuffles on user_id, and (user_id, session_id) grouping is
+    satisfied by that same partitioning (key-prefix clustering)."""
+    plan = _plan(spark, sf_dir, "event_sessionization")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_macd_single_grouped_map_pass(spark, sf_dir):
+    """MACD computes fast/slow/signal EMAs in ONE applyInPandas pass —
+    chaining ema() three times would show three FlatMapGroupsInPandas
+    nodes and three exchanges."""
+    plan = _plan(spark, sf_dir, "macd_indicator")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_repetition_signals_map_only(spark, sf_dir):
+    """Per-doc repetition metrics (incl. the mode count) are pure
+    projection work — no exchange, no explode-shuffle."""
+    plan = _plan(spark, sf_dir, "repetition_signals")
+    assert "Exchange" not in plan
+
+
+def test_late_shipment_semi_join(spark, sf_dir):
+    """EXISTS with cross-side predicate compiles to a left-semi join,
+    never a cartesian/nested-loop."""
+    plan = _plan(spark, sf_dir, "late_shipment_priorities")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -101,6 +101,50 @@ def ema(
     return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
 
 
+def macd(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: list[str] | str,
+    fast: int = 12,
+    slow: int = 26,
+    signal_span: int = 9,
+) -> DataFrame:
+    """MACD — fast/slow EMA spread plus its signal EMA and histogram.
+
+    Standard composition (the indicator family the reference's dashboard
+    tier computes client-side in pandas): ``macd = ema(fast) - ema(slow)``,
+    ``macd_signal = ema(macd, signal_span)``, ``macd_hist = macd - signal``
+    — all EMAs ``adjust=False`` recurrences.
+
+    Chaining three ``ema()`` calls would cost three grouped-map shuffles;
+    because every series shares the same (key, order), one applyInPandas
+    pass computes all of them — one shuffle, one sort, three vectorized
+    ``ewm`` evaluations per Arrow batch. Per-key history is one row per
+    trading day, so batches stay tiny at any corpus scale.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    keys = [keys] if isinstance(keys, str) else keys
+    order = [order] if isinstance(order, str) else order
+    schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    out_schema = ", ".join(
+        schema_parts + ["macd double", "macd_signal double", "macd_hist double"]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order)
+        fast_e = pdf[value_col].ewm(span=fast, adjust=False).mean()
+        slow_e = pdf[value_col].ewm(span=slow, adjust=False).mean()
+        m = fast_e - slow_e
+        pdf["macd"] = m
+        pdf["macd_signal"] = m.ewm(span=signal_span, adjust=False).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+
+
 def ema_sql(value_list: Column, span: int) -> Column:
     """Pure-SQL EMA over a pre-collected ordered array (fallback form).
 

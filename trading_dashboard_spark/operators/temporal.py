@@ -23,7 +23,7 @@ which matches DuckDB/Timescale ``time_bucket`` for sub-week widths.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def time_bucket(ts: Column, width_seconds: int) -> Column:
@@ -99,3 +99,42 @@ def multi_resolution_rollup(
         *keep,
     )
     return exploded.groupBy("resolution", "bucket_start", *group_cols).agg(*agg_exprs)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: rows of the same ``key`` whose
+    consecutive timestamps are ≤ ``gap_seconds`` apart share a session.
+
+    The classic two-window composition — ``lag`` marks session starts
+    (gap strictly greater than the threshold, or first row), a running
+    sum over the same (partition, order) turns the marks into dense
+    per-key session ids. Both windows share one sort and one shuffle on
+    ``key``; downstream ``groupBy(key, session_id)`` needs no further
+    exchange (hash-partitioning on ``key`` already satisfies the
+    clustering requirement for any key-prefixed grouping). Event-time
+    ties land in the same session regardless of tiebreak order (their
+    gap is 0), so the ``tiebreak`` column only pins ordering
+    determinism for downstream first/last-in-session reads.
+
+    Batch twin of ``streaming/windows.session_aggregate`` (the
+    session-window streaming aggregation); the reference has no session
+    concept — this is the scale-tier extension for event/clickstream
+    tables.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    # gap in µs computed driver-side: a Column-side `lit(gap) * 1_000_000`
+    # would multiply as INT32 and wrap negative for gaps ≥ ~36 min
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    is_start = (prev.isNull() | ((us - prev) > gap_us)).cast("long")
+    running = F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return df.withColumn(out_col, running)

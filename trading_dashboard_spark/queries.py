@@ -41,11 +41,24 @@ _R01_VERIFIED = (
 
 def _front_unverified() -> None:
     """Re-key QUERY_REGISTRY so entries lacking round-1 driver evidence
-    come first (registration order preserved within each group)."""
-    fresh = {n: s for n, s in QUERY_REGISTRY.items() if n not in _R01_VERIFIED}
+    come first (registration order preserved within each group).
+
+    Within the fresh group, oracle-backed entries precede rows-only ones:
+    the driver verifies a bounded prefix, and a value-hash row is worth
+    more than a rows-only row, so when the fresh group overflows the
+    window it's the weaker checks that defer to the next round."""
+    fresh_oracle = {
+        n: s for n, s in QUERY_REGISTRY.items()
+        if n not in _R01_VERIFIED and s.oracle is not None
+    }
+    fresh_rows_only = {
+        n: s for n, s in QUERY_REGISTRY.items()
+        if n not in _R01_VERIFIED and s.oracle is None
+    }
     proven = {n: s for n, s in QUERY_REGISTRY.items() if n in _R01_VERIFIED}
     QUERY_REGISTRY.clear()
-    QUERY_REGISTRY.update(fresh)
+    QUERY_REGISTRY.update(fresh_oracle)
+    QUERY_REGISTRY.update(fresh_rows_only)
     QUERY_REGISTRY.update(proven)
 
 

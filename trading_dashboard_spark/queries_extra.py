@@ -349,3 +349,92 @@ def user_value_quartiles(spark, sf_dir):
         pround(F.min("total"), 2).alias("min_total"),
         pround(F.max("total"), 2).alias("max_total"),
     )
+
+
+@register(
+    "event_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > CAST(7200 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             count(*) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+             sum(value) AS sess_value
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n_events) AS BIGINT) AS max_session_events,
+           round(sum(dur_us) / 1000000.0, 2) AS total_session_sec,
+           round(avg(n_events), 4) AS avg_events_per_session,
+           round(sum(sess_value), 2) AS total_value
+    FROM per_sess GROUP BY user_id
+    """,
+    tags=("temporal", "sessionize"),
+)
+def event_sessionization(spark, sf_dir):
+    """Gap-based sessionization (2h inactivity gap) rolled up to per-user
+    session stats — operators/temporal.sessionize: lag marks session
+    starts, a running sum over the same sort assigns ids, and both
+    downstream aggregations reuse the window's hash partitioning on
+    user_id (key-prefix grouping ⇒ zero further exchanges)."""
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 7200, tiebreak="event_id")
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+        F.sum("value").alias("sess_value"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        pround(F.sum("dur_us") / 1e6, 2).alias("total_session_sec"),
+        pround(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        pround(F.sum("sess_value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "props_json_value_buckets",
+    """
+    SELECT event_type,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INT)
+             AS k_decade,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("functions", "json", "F4"),
+)
+def props_json_value_buckets(spark, sf_dir):
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` payload (get_json_object — JVM-side JsonPath, no Python)
+    and aggregate on the derived bucket. The idiom the reference's API
+    ingestion applies to quote/news payloads, kept lazy: extraction rides
+    the scan projection, so only ``$.k`` is materialized, never a parsed
+    tree."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy(
+        "event_type",
+        F.floor(k / 10).cast("int").alias("k_decade"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    )

@@ -580,3 +580,188 @@ def weekend_adjusted_days(spark, sf_dir):
         .groupBy(F.date_format("td", "yyyy-MM-dd").alias("trading_day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "promo_revenue_by_month",
+    """
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "J1", "A1"),
+)
+def promo_revenue_by_month(spark, sf_dir):
+    """TPC-H Q14 shape: promotion revenue share per ship month — fact⋈dim
+    with a conditional-aggregate ratio. part is the dimension side, so it
+    broadcasts (no fact shuffle for the join); the groupBy on the derived
+    month key is the only exchange. At 100 TB the same plan holds: dim
+    broadcast + single partial-aggregated shuffle on ~84 month keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            pround(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            pround(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "large_quantity_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "agg", "having", "J3", "O3"),
+)
+def large_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose line quantities sum past a threshold,
+    with customer names, top-100 by price. The HAVING pre-filter shrinks
+    the fact side to ~1% *before* the orders join (aggregate-then-join,
+    not join-then-aggregate), and TakeOrderedAndProject caps the sort —
+    no global ordering materializes."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            pround("o_totalprice", 2).alias("o_totalprice"),
+            pround("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "dormant_rich_customers",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           round(round(sum(c_acctbal), 2) / count(c_acctbal), 4) AS avg_balance
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "antijoin", "subquery", "J6", "J7", "A1"),
+)
+def dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by segment — uncorrelated scalar subquery (broadcast
+    single-row cross join, J6) + anti-join against the *filtered* orders
+    side (J7). The date filter prunes orders before the anti-join builds
+    its hash table; at scale the anti side stays a fraction of the fact."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cutoff = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+    return (
+        c.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("total_balance"),
+            pround(pround(F.sum("c_acctbal"), 2) / F.count("c_acctbal"), 4).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "late_shipment_priorities",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semijoin", "J7", "A1"),
+)
+def late_shipment_priorities(spark, sf_dir):
+    """TPC-H Q4 shape: priority mix of orders with at least one line shipped
+    60+ days after ordering — EXISTS with a cross-side predicate compiles
+    to a left-semi hash join carrying the extra condition; the semi join
+    deduplicates matches without a distinct, then a 5-key aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "value_percentiles_by_type",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "A1", "percentile"),
+)
+def value_percentiles_by_type(spark, sf_dir):
+    """Exact interpolated percentiles per group — Spark's `percentile`
+    aggregate and DuckDB's `quantile_cont` share the same (n-1)·q linear
+    interpolation, so the values hash-match exactly. The exact form sorts
+    per group; the sketch-based scale path for heavy groups is
+    `corpus_sketch_profile`'s GK approx_percentile (documented tradeoff,
+    SURVEY.md §2.11)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.percentile("value", 0.5), 4).alias("p50"),
+        pround(F.percentile("value", 0.9), 4).alias("p90"),
+        pround(F.percentile("value", 0.99), 4).alias("p99"),
+    )

@@ -8,7 +8,7 @@ here because the signature construction is deterministic md5 min-hashing
 (text/dedup.py).
 """
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from .query_registry import _t, pround, register
 from .text.analysis import LANG_MARKERS
@@ -402,4 +402,161 @@ def top_trigrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(F.col("n_docs").desc(), F.col("gram"))
         .limit(20)
+    )
+
+
+@register(
+    "repetition_signals",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    top AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1),
+    bg AS (
+      SELECT doc_id, len(ws) AS n,
+             len(list_distinct(ws)) AS n_distinct,
+             list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+      FROM toks
+    )
+    SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_words,
+           round(b.n_distinct / CAST(nullif(b.n, 0) AS DOUBLE), 4) AS type_token_ratio,
+           round(t.top_c / CAST(nullif(b.n, 0) AS DOUBLE), 4) AS top_word_frac,
+           round(1.0 - len(list_distinct(bgs)) / CAST(nullif(len(bgs), 0) AS DOUBLE), 4)
+             AS dup_bigram_frac
+    FROM bg b LEFT JOIN top t USING (doc_id)
+    """,
+    tags=("text", "X4", "quality"),
+)
+def repetition_signals_q(spark, sf_dir):
+    """Gopher/MassiveText repetition filters per document — type-token
+    ratio, most-frequent-token share, duplicate-bigram fraction
+    (text/analysis.repetition_signals). Engine side is map-only array
+    expressions (mode count = longest run in the sorted token array, one
+    aggregate() pass); the oracle takes the explode→groupBy road to the
+    same numbers."""
+    from .text.analysis import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = repetition_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        pround(sig["type_token_ratio"], 4).alias("type_token_ratio"),
+        pround(sig["top_word_frac"], 4).alias("top_word_frac"),
+        pround(sig["dup_bigram_frac"], 4).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.w,
+             (t.tf / CAST(d.dl AS DOUBLE))
+               * (ln((1.0 + n.n_docs) / (1.0 + f.df)) + 1.0) AS tfidf
+      FROM tf t JOIN dl d USING (doc_id) JOIN dfreq f USING (w) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, w, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+      FROM scored
+    )
+    SELECT doc_id, w AS term, CAST(rk AS INT) AS rk, round(tfidf, 6) AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "X4", "tfidf"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Distributed TF-IDF, top-3 terms per document — the canonical
+    explode → (doc,term) aggregate → document-frequency join → rank
+    pipeline (sklearn-style smooth idf: ln((1+N)/(1+df)) + 1). The
+    doc-frequency side aggregates to vocabulary size before the join, and
+    the per-doc rank prunes via WindowGroupLimit — ties broken by term so
+    both engines pick identical rows."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokenize(F.col("text")), lambda x: F.lower(x))).alias("w"),
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = W.partitionBy("doc_id")
+    tf = tf.withColumn("dl", F.sum("tf").over(dl))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") / F.col("dl").cast("double"))
+            * (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("w"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", F.col("w").alias("term"),
+            F.col("rk").cast("int").alias("rk"),
+            pround("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+    freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(f.c / CAST(t.n AS DOUBLE))) / count(*), 4)
+             AS avg_logprob
+    FROM words d JOIN freq f USING (w) CROSS JOIN tot t
+    GROUP BY d.doc_id
+    """,
+    tags=("text", "X4", "quality"),
+)
+def unigram_logprob_score(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet-style quality signal):
+    each document's mean token log-probability under the corpus unigram
+    distribution — rare-word-heavy docs score low. explode → corpus
+    frequency aggregate → frequency join back → per-doc mean. The
+    vocabulary aggregate is tiny relative to the corpus, so the join
+    broadcasts at any scale; token traffic shuffles once for the corpus
+    count and once for the per-doc mean."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.transform(tokenize(F.col("text")), lambda x: F.lower(x))).alias("w"),
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        words.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            pround(
+                F.sum(F.log(F.col("c") / F.col("n").cast("double"))) / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
     )

@@ -604,3 +604,166 @@ def multi_resolution_rollup(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         "total_value",
     )
+
+
+_A12, _A26, _A9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0  # span alphas, adjust=False
+
+
+def _macd_oracle() -> str:
+    """Closed-form MACD: each adjust=False EMA unrolls to a weighted power
+    sum (same identity the ema_indicator oracle uses); the signal line
+    applies the unroll a second time over the per-key MACD list."""
+    def _ema_term(xs: str, t: str, a: float) -> str:
+        return (
+            f"(pow(1 - {a}, {t} - 1) * {xs}[1]"
+            f" + coalesce(list_sum(list_transform(range(2, {t} + 1),"
+            f" j -> {a} * pow(1 - {a}, {t} - j) * {xs}[j])), 0.0))"
+        )
+
+    macd_t = f"{_ema_term('xs', 't', _A12)} - {_ema_term('xs', 't', _A26)}"
+    return f"""
+    WITH {DAILY_SQL},
+    ordered AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM daily
+    ),
+    lists AS (
+      SELECT user_id, list(close ORDER BY d) AS xs FROM daily GROUP BY user_id
+    ),
+    macd_lists AS (
+      SELECT user_id,
+             list_transform(range(1, len(xs) + 1), t -> {macd_t}) AS ms
+      FROM lists
+    ),
+    sel AS (
+      SELECT o.user_id, o.d, m.ms[o.rn] AS macd_v,
+             {_ema_term('m.ms', 'o.rn', _A9)} AS sig
+      FROM ordered o JOIN macd_lists m USING (user_id)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(macd_v, 4) AS macd,
+           round(sig, 4) AS macd_signal,
+           round(macd_v - sig, 4) AS macd_hist
+    FROM sel
+    """
+
+
+@register("macd_indicator", _macd_oracle(), tags=("window", "W7", "udf"))
+def macd_indicator(spark, sf_dir):
+    """MACD(12,26,9) over the daily bars — fast/slow EMA spread, signal
+    EMA, histogram, all from ONE grouped-map pass
+    (operators/indicators.macd): three chained ema() calls would cost
+    three shuffles; sharing the (key, order) sort costs one. The oracle
+    unrolls all three adjust=False recurrences in closed form."""
+    from .operators.indicators import macd
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    out = macd(daily, "close", "user_id", "d", fast=12, slow=26, signal_span=9)
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("macd", 4).alias("macd"),
+        pround("macd_signal", 4).alias("macd_signal"),
+        pround("macd_hist", 4).alias("macd_hist"),
+    )
+
+
+@register(
+    "stochastic_oscillator",
+    f"""
+    WITH {DAILY_SQL},
+    base AS (
+      SELECT user_id, d, close,
+             min(low)  OVER f AS lo14,
+             max(high) OVER f AS hi14,
+             count(*)  OVER f AS cnt
+      FROM daily
+      WINDOW f AS ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    ),
+    k AS (
+      SELECT user_id, d,
+             CASE WHEN cnt >= 14
+                  THEN 100.0 * (close - lo14) / nullif(hi14 - lo14, 0)
+             END AS pct_k
+      FROM base
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(pct_k, 4) AS pct_k,
+           round(CASE WHEN count(pct_k) OVER g = 3
+                      THEN avg(pct_k) OVER g END, 4) AS pct_d
+    FROM k
+    WINDOW g AS ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def stochastic_oscillator(spark, sf_dir):
+    """Stochastic oscillator %K(14)/%D(3) over the daily bars — rolling
+    min/max frames with the pandas min_periods guard (count-over-frame),
+    %D as a 3-row SMA of %K guarded on three non-null %K values; flat
+    14-day ranges NULL out via the NULLIF division guard. Pure JVM window
+    frames, one shuffle on user_id shared by every frame."""
+    from .operators.windows import per_key_window
+
+    daily = _daily_close(spark, sf_dir)
+    w = per_key_window("user_id", "d")
+    f = w.rowsBetween(-13, 0)
+    lo14, hi14 = F.min("low").over(f), F.max("high").over(f)
+    cnt = F.count(F.lit(1)).over(f)
+    pct_k = F.when(
+        cnt >= 14,
+        100.0 * (F.col("close") - lo14) / F.nullif(hi14 - lo14, F.lit(0.0)),
+    )
+    k = daily.select("user_id", "d", pct_k.alias("pct_k"))
+    g = per_key_window("user_id", "d").rowsBetween(-2, 0)
+    return k.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("pct_k", 4).alias("pct_k"),
+        pround(
+            F.when(F.count("pct_k").over(g) == 3, F.avg("pct_k").over(g)), 4
+        ).alias("pct_d"),
+    )
+
+
+@register(
+    "on_balance_volume",
+    f"""
+    WITH {DAILY_SQL},
+    signed AS (
+      SELECT user_id, d,
+             CASE WHEN lag(close) OVER ({_WIN}) IS NULL THEN 0
+                  WHEN close > lag(close) OVER ({_WIN}) THEN n_events
+                  WHEN close < lag(close) OVER ({_WIN}) THEN -n_events
+                  ELSE 0 END AS delta_v
+      FROM daily
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           CAST(sum(delta_v) OVER ({_WIN} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM signed
+    """,
+    tags=("window", "W2", "indicator"),
+)
+def on_balance_volume(spark, sf_dir):
+    """On-balance volume — signed daily volume (event count as volume)
+    accumulated per key: lag comparison picks the sign, a running sum
+    folds it. Both windows share one (user_id, d) sort; first day
+    contributes 0 (no prior close)."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    delta_v = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(F.col("close") > prev, F.col("n_events"))
+        .when(F.col("close") < prev, -F.col("n_events"))
+        .otherwise(F.lit(0))
+    )
+    signed = daily.select("user_id", "d", delta_v.alias("delta_v"))
+    return signed.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        F.sum("delta_v")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("obv"),
+    )

@@ -170,3 +170,46 @@ def char_entropy(
     return df.select(id_col).join(
         per_doc.select(id_col, ent.alias("char_entropy")), id_col, "left"
     )
+
+
+def repetition_signals(text: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family): type-token ratio, most-frequent-token share, duplicate
+    word-bigram fraction.
+
+    Everything runs as array expressions inside the projection — the
+    most-frequent-token count is the longest run in the *sorted* token
+    array, computed with one ``aggregate`` pass (struct accumulator), so
+    no explode/shuffle is needed for a per-document mode count. Map-only
+    at any corpus size.
+    """
+    ws = F.transform(tokenize(text), lambda x: F.lower(x))
+    n = F.size(ws)
+    safe_n = F.when(n > 0, n).cast("double")
+    sorted_ws = F.array_sort(ws)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_c = F.aggregate(sorted_ws, acc0, _step, lambda acc: acc["best"])
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigrams)
+    safe_nb = F.when(nb > 0, nb).cast("double")
+    return {
+        "n_words": n.cast("long"),
+        "type_token_ratio": F.size(F.array_distinct(ws)) / safe_n,
+        "top_word_frac": top_c / safe_n,
+        "dup_bigram_frac": F.lit(1.0) - F.size(F.array_distinct(bigrams)) / safe_nb,
+    }
