@@ -124,3 +124,31 @@ def test_repetition_signals_case_fold_and_empty(spark):
     assert out[1].twf == pytest.approx(1.0)  # case-folded mode count
     assert out[1].ttr == pytest.approx(1 / 3)
     assert out[2].n == 0 and out[2].ttr is None
+
+
+def test_connected_components_merges_transitively(spark):
+    from trading_dashboard_spark.text.clusters import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    clusters = {
+        r.component: (r.n_members, r.n_removed, r.max_member)
+        for r in dedup_clusters(edges).collect()
+    }
+    assert clusters == {1: (4, 3, 4), 10: (2, 1, 11), 20: (2, 1, 21)}
+
+
+def test_connected_components_long_chain_and_bound(spark):
+    from trading_dashboard_spark.text.clusters import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    cc = connected_components(chain, max_iter=50)
+    assert cc.select("component").distinct().count() == 1
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=2)

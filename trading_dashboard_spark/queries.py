@@ -39,17 +39,34 @@ _R01_VERIFIED = (
 )
 
 
+#: Oracle-backed but low-novelty entries that may wait a round when the
+#: fresh group overflows the driver's ~50-query window: each composes
+#: operator families (window frames, stack/ntile, chunk/entropy scalar
+#: work) that already carry driver-green rows from round 1.
+_DEFER_WHEN_WINDOW_FULL = (
+    "doc_chunks", "doc_char_entropy", "daily_bars_unpivot",
+    "user_value_quartiles", "on_balance_volume", "stochastic_oscillator",
+)
+
+
 def _front_unverified() -> None:
     """Re-key QUERY_REGISTRY so entries lacking round-1 driver evidence
     come first (registration order preserved within each group).
 
-    Within the fresh group, oracle-backed entries precede rows-only ones:
-    the driver verifies a bounded prefix, and a value-hash row is worth
-    more than a rows-only row, so when the fresh group overflows the
-    window it's the weaker checks that defer to the next round."""
+    Within the fresh group, oracle-backed entries precede rows-only ones
+    (a value-hash row is worth more than a rows-only row), and entries in
+    the explicit defer list go last: when fresh overflows the window,
+    what waits a round is the low-novelty tail — compositions of operator
+    families that already hold driver-green rows — never the queries the
+    round's verdict asked for."""
+    defer = set(_DEFER_WHEN_WINDOW_FULL)
     fresh_oracle = {
         n: s for n, s in QUERY_REGISTRY.items()
-        if n not in _R01_VERIFIED and s.oracle is not None
+        if n not in _R01_VERIFIED and s.oracle is not None and n not in defer
+    }
+    fresh_deferred = {
+        n: s for n, s in QUERY_REGISTRY.items()
+        if n not in _R01_VERIFIED and s.oracle is not None and n in defer
     }
     fresh_rows_only = {
         n: s for n, s in QUERY_REGISTRY.items()
@@ -58,6 +75,7 @@ def _front_unverified() -> None:
     proven = {n: s for n, s in QUERY_REGISTRY.items() if n in _R01_VERIFIED}
     QUERY_REGISTRY.clear()
     QUERY_REGISTRY.update(fresh_oracle)
+    QUERY_REGISTRY.update(fresh_deferred)
     QUERY_REGISTRY.update(fresh_rows_only)
     QUERY_REGISTRY.update(proven)
 

@@ -179,3 +179,63 @@ def streaming_sliding_counts(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         pround("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "streaming_click_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_click_attribution(spark, sf_dir):
+    """Stream-stream interval join: purchases attributed to any click by
+    the same user in the preceding hour (streaming/joins.
+    interval_attribution). Watermarks on BOTH sides + the time-range
+    bound let the state store expire buffered rows — the only
+    unbounded-stream-safe shape for a stream×stream join. Driven to
+    completion over static data, the result equals the batch
+    theta-join the oracle runs."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.joins import interval_attribution
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    clicks = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id_l"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_attribution(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        horizon="1 HOUR", watermark="2 hours",
+    )
+    out = run_stream_to_table(joined, "click_attribution", output_mode="append")
+    return out.select(
+        F.col("user_id_l").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        pround("purchase_value", 2).alias("purchase_value"),
+    )

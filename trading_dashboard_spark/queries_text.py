@@ -560,3 +560,50 @@ def unigram_logprob_score(spark, sf_dir):
             ).alias("avg_logprob"),
         )
     )
+
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed,
+           max(id) AS max_member
+    FROM labeled GROUP BY component
+    """,
+    tags=("text", "X2", "dedup", "clusters"),
+)
+def near_dup_clusters(spark, sf_dir):
+    """Near-dup pairs collapsed into dedup clusters — connected components
+    via iterative min-label propagation (text/clusters), the pass that
+    turns pairwise LSH output into survivor groups (A~B, B~C ⇒ one
+    cluster even without an A~C edge). The oracle computes the same
+    components with a recursive transitive-closure CTE — exact equality
+    between a fixpoint graph algorithm and SQL recursion."""
+    from .text.clusters import dedup_clusters
+    from .text.dedup import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+        persist=True,
+    )
+    return dedup_clusters(pairs)

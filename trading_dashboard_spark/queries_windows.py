@@ -767,3 +767,50 @@ def on_balance_volume(spark, sf_dir):
         .cast("long")
         .alias("obv"),
     )
+
+
+@register(
+    "rolling_zscore_anomalies",
+    f"""
+    WITH {DAILY_SQL},
+    scored AS (
+      SELECT user_id, d, close,
+             avg(close)         OVER f AS mu,
+             stddev_samp(close) OVER f AS sigma,
+             count(*)           OVER f AS cnt
+      FROM daily
+      WINDOW f AS ({_WIN} ROWS BETWEEN 29 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 2) AS close,
+           round((close - mu) / nullif(sigma, 0), 4) AS zscore
+    FROM scored
+    WHERE cnt >= 10 AND abs((close - mu) / nullif(sigma, 0)) > 2.0
+    """,
+    tags=("window", "W4", "anomaly"),
+)
+def rolling_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection: each close scored against the
+    trailing 30-day mean/stddev (window excludes the current row so a
+    spike can't dampen its own baseline); emit |z| > 2 with a 10-sample
+    warm-up guard. The filter is an anomaly sieve — output is tiny
+    relative to input, the shape monitoring pipelines want."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d").rowsBetween(-29, -1)
+    mu = F.avg("close").over(w)
+    sigma = F.stddev_samp("close").over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    z = (F.col("close") - mu) / F.nullif(sigma, F.lit(0.0))
+    return (
+        daily.select(
+            "user_id", "d", "close",
+            z.alias("z"), cnt.alias("cnt"),
+        )
+        .filter((F.col("cnt") >= 10) & (F.abs("z") > 2.0))
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround("close", 2).alias("close"),
+            pround("z", 4).alias("zscore"),
+        )
+    )

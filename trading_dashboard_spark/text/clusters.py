@@ -1,0 +1,104 @@
+"""Connected components over a pair graph — dedup clustering.
+
+Near-dup detection (MinHash LSH, SimHash, embedding cosine) emits *pairs*;
+corpus deduplication needs *clusters*: if A~B and B~C, all three are one
+duplicate group even when A~C was never emitted, and exactly one member
+survives. Every large-scale text pipeline (the CCNet / C4 / Dolma family)
+runs this as a connected-components pass over the near-dup graph.
+
+Spark has no native CC operator; the scalable form is iterative **min-label
+propagation** — the same large-star/small-star fixpoint GraphX/GraphFrames
+use. Each iteration is one join + one aggregate (labels flow along edges,
+every node keeps the min label seen); convergence takes O(graph diameter)
+rounds, and dup clusters are short-diameter by construction (members are
+mutually similar, so the pair graph is dense within a cluster). Each round
+materializes via ``localCheckpoint`` — the standard Spark iterative-algorithm
+pattern that truncates lineage so round N doesn't replay rounds 1..N-1.
+
+The per-round convergence check aggregates a single number (count of
+changed labels) — no label data ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label each node of an undirected pair graph with its component id
+    (the minimum node id in the component).
+
+    Returns ``DataFrame[id, component]`` covering every node that appears
+    in at least one edge. ``max_iter`` bounds the fixpoint loop; the loop
+    exits early as soon as an iteration changes nothing, and RAISES if the
+    bound is hit before convergence (propagation needs ~diameter rounds, so
+    a graph deeper than ``max_iter`` would otherwise return wrong labels
+    silently).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # pairs are often expensive (LSH) — never recompute
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds the bound); raise max_iter"
+        )
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters and pick survivors.
+
+    Output per cluster: ``component`` (= surviving doc id, the minimum),
+    ``n_members``, ``n_removed``. Docs in no pair are implicitly their own
+    singleton cluster and are not emitted (nothing to remove).
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+        F.max("id").alias("max_member"),
+    )
