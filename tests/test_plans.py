@@ -180,11 +180,14 @@ def test_sessionization_single_exchange(spark, sf_dir):
 
 
 def test_macd_single_grouped_map_pass(spark, sf_dir):
-    """MACD computes fast/slow/signal EMAs in ONE applyInPandas pass —
-    chaining ema() three times would show three FlatMapGroupsInPandas
-    nodes and three exchanges."""
+    """MACD computes fast/slow/signal EMAs in ONE grouped-sorted
+    mapInPandas pass — chaining ema() three times would show three
+    Python-lane nodes and three exchanges, and the per-group
+    FlatMapGroupsInPandas lane must not appear at all (its one-Arrow-
+    batch-per-key round-trip is ~10x slower on many-small-key tables)."""
     plan = _plan(spark, sf_dir, "macd_indicator")
-    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "FlatMapGroupsInPandas" not in plan
 
 
 def test_repetition_signals_map_only(spark, sf_dir):

@@ -82,10 +82,12 @@ def ema(
 
     ``ewm(span=span, adjust=False).mean()`` (indicators.py:6-9) is the
     recurrence ``y[t] = α·x[t] + (1-α)·y[t-1]``, α = 2/(span+1) — inherently
-    sequential per key, so it runs as a grouped-map pandas UDF: one Arrow
-    batch per key, vectorized inside, distributed across keys.
+    sequential per key, so it runs in the grouped-sorted mapInPandas lane
+    (operators/grouped): one shuffle + one sort, thousands of keys per
+    Arrow batch — NOT groupBy().applyInPandas, whose per-group Python
+    round-trip costs ~10× on many-small-key tables.
     """
-    import pandas as pd  # noqa: F401 (executor-side)
+    from .grouped import grouped_sorted_map
 
     keys = [keys] if isinstance(keys, str) else keys
     order = [order] if isinstance(order, str) else order
@@ -94,11 +96,13 @@ def ema(
     out_schema = ", ".join(schema_parts + [f"{out_col} double"])
 
     def fn(pdf):
-        pdf = pdf.sort_values(order)
-        pdf[out_col] = pdf[value_col].ewm(span=span, adjust=False).mean()
+        pdf = pdf.copy()
+        pdf[out_col] = pdf.groupby(keys, sort=False)[value_col].transform(
+            lambda s: s.ewm(span=span, adjust=False).mean()
+        )
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+    return grouped_sorted_map(df, keys, order, fn, out_schema)
 
 
 def macd(
@@ -117,13 +121,13 @@ def macd(
     ``macd_signal = ema(macd, signal_span)``, ``macd_hist = macd - signal``
     — all EMAs ``adjust=False`` recurrences.
 
-    Chaining three ``ema()`` calls would cost three grouped-map shuffles;
-    because every series shares the same (key, order), one applyInPandas
-    pass computes all of them — one shuffle, one sort, three vectorized
-    ``ewm`` evaluations per Arrow batch. Per-key history is one row per
-    trading day, so batches stay tiny at any corpus scale.
+    Chaining three ``ema()`` calls would cost three shuffles; because
+    every series shares the same (key, order), one grouped-sorted
+    mapInPandas pass (operators/grouped — thousands of keys per Arrow
+    batch, no per-group Python round-trip) computes all of them: one
+    shuffle, one sort, three ``ewm`` evaluations per group.
     """
-    import pandas as pd  # noqa: F401 (executor-side)
+    from .grouped import grouped_sorted_map
 
     keys = [keys] if isinstance(keys, str) else keys
     order = [order] if isinstance(order, str) else order
@@ -133,16 +137,19 @@ def macd(
     )
 
     def fn(pdf):
-        pdf = pdf.sort_values(order)
-        fast_e = pdf[value_col].ewm(span=fast, adjust=False).mean()
-        slow_e = pdf[value_col].ewm(span=slow, adjust=False).mean()
+        pdf = pdf.copy()
+        g = pdf.groupby(keys, sort=False)[value_col]
+        fast_e = g.transform(lambda s: s.ewm(span=fast, adjust=False).mean())
+        slow_e = g.transform(lambda s: s.ewm(span=slow, adjust=False).mean())
         m = fast_e - slow_e
         pdf["macd"] = m
-        pdf["macd_signal"] = m.ewm(span=signal_span, adjust=False).mean()
+        pdf["macd_signal"] = pdf.groupby(keys, sort=False)["macd"].transform(
+            lambda s: s.ewm(span=signal_span, adjust=False).mean()
+        )
         pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+    return grouped_sorted_map(df, keys, order, fn, out_schema)
 
 
 def ema_sql(value_list: Column, span: int) -> Column:

@@ -598,12 +598,16 @@ def near_dup_clusters(spark, sf_dir):
     from .text.clusters import dedup_clusters
     from .text.dedup import minhash_near_dup_pairs
 
+    # persist=False: connected_components eagerly checkpoints the pair
+    # relation as its first step, so the LSH plan executes exactly once
+    # here — persist would only leave a session-global cache behind
+    # (leaked caches silently rewrite later queries' plans via cache
+    # substitution and hold executor memory for the session's lifetime).
     pairs = minhash_near_dup_pairs(
         _t(spark, sf_dir, "documents"),
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
         shingle_n=3,
         jaccard_threshold=_JACCARD_T,
-        persist=True,
     )
     return dedup_clusters(pairs)

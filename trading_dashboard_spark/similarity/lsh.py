@@ -171,8 +171,18 @@ def lsh_knn(
         .select("id", "neighbor_id", _pair_dot(F.col("ua"), F.col("ub")).alias("cosine"))
     )
     w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("id", "neighbor_id", "cosine", "rnk")
     )
+    if persist:
+        # Scope the cache to this call: materialize the (small) top-k
+        # result, then release the normalized-vector cache. Leaving it
+        # persisted would hold executor memory for the session's lifetime
+        # and silently rewrite later queries' plans through cache
+        # substitution — a real hazard in a long-lived session running
+        # many registry queries.
+        out = out.localCheckpoint(eager=True)
+        withn.unpersist()
+    return out

@@ -106,7 +106,11 @@ def minhash_near_dup_pairs(
     ``persist=True`` caches the (id, shingles) relation, which the plan
     references three times (signature build + both verify sides); without
     it each reference re-expands the tokenize/shingle subtree (exchange
-    reuse is best-effort). Turn it on at corpus scale.
+    reuse is best-effort). Turn it on at corpus scale. The cache outlives
+    this call (the returned plan references it lazily), so the CALLER owns
+    its lifetime — release with ``spark.catalog.clearCache()`` once the
+    result is materialized, or prefer ``persist=False`` when a downstream
+    step (e.g. ``text/clusters``) checkpoints the pairs anyway.
     """
     rows_per_band = num_hashes // bands
     from ..io.readers import spread
