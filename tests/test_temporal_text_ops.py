@@ -152,3 +152,20 @@ def test_connected_components_long_chain_and_bound(spark):
     assert cc.select("component").distinct().count() == 1
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(chain, max_iter=2)
+
+
+def test_expect_null_counts_as_violation(spark):
+    from trading_dashboard_spark.operators.quality import expect
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,)], "x double"
+    )
+    out = {r.rule: r for r in expect(df, {
+        "positive": F.col("x") > 0,
+        "present": F.col("x").isNotNull(),
+    }).collect()}
+    assert out["positive"].n_violations == 2   # NULL and -2 both fail
+    assert out["present"].n_violations == 1
+    assert out["positive"].n_rows == 3
+    empty = expect(df.limit(0), {"positive": F.col("x") > 0}).collect()
+    assert empty[0].n_violations == 0 and empty[0].violation_rate is None

@@ -438,3 +438,123 @@ def props_json_value_buckets(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         pround(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "type_dow_grouping_sets",
+    """
+    SELECT event_type,
+           CAST(dow AS INT) AS dow,
+           CAST(grouping_id(event_type, dow) AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, value FROM events)
+    GROUP BY GROUPING SETS ((event_type), (dow))
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def type_dow_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — two independent marginals (per event type, per
+    day-of-week) from ONE pass/shuffle, with grouping_id disambiguating
+    which marginal a row belongs to; the grouping-sets family member
+    rollup/cube don't cover. DuckDB dayofweek (Sun=0) is replicated as
+    Spark ``dayofweek() - 1``."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
+        "value",
+    )
+    return base.groupingSets(
+        [["event_type"], ["dow"]], "event_type", "dow"
+    ).agg(
+        F.grouping_id("event_type", "dow").cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "event_type", F.col("dow").cast("int").alias("dow"),
+        "gid", "n_events", "total_value",
+    )
+
+
+@register(
+    "user_value_distribution_ranks",
+    """
+    WITH totals AS (
+      SELECT user_id, sum(value) AS total FROM events GROUP BY user_id
+    )
+    SELECT user_id, round(total, 2) AS total,
+           round(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY total, user_id), 6) AS cum_dist
+    FROM totals
+    """,
+    tags=("window", "rank"),
+)
+def user_value_distribution_ranks(spark, sf_dir):
+    """percent_rank + cume_dist — the distribution-position ranking family
+    (ntile's continuous cousins) over per-user totals; (total, user_id)
+    ordering pins tie determinism. The global window runs over the
+    150-user aggregate, not the events table, so the single-partition
+    sort is bounded by key cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    w = W.orderBy("total", "user_id")
+    return totals.select(
+        "user_id",
+        pround("total", 2).alias("total"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+@register(
+    "orders_quality_expectations",
+    """
+    WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    v AS (
+      SELECT 'positive_total'    AS rule,
+             sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orderdate_present',
+             sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'valid_status',
+             sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1 END)
+      FROM orders
+      UNION ALL
+      SELECT 'known_priority',
+             sum(CASE WHEN o_orderpriority LIKE '%-%' THEN 0 ELSE 1 END)
+      FROM orders
+    )
+    SELECT v.rule, base.n_rows,
+           CAST(coalesce(v.n_violations, 0) AS BIGINT) AS n_violations,
+           round(coalesce(v.n_violations, 0) / CAST(base.n_rows AS DOUBLE), 6)
+             AS violation_rate
+    FROM v CROSS JOIN base
+    """,
+    tags=("quality", "expectations"),
+)
+def orders_quality_expectations(spark, sf_dir):
+    """Data-quality gate (operators/quality.expect): four named row-level
+    expectations over orders evaluated in ONE scan + single-row shuffle
+    (each rule is a conditional count in the same partial aggregate;
+    NULL evaluates as a violation). The oracle spells out the same
+    counts as UNION ALL branches — one scan per rule, the shape the
+    one-pass operator avoids."""
+    from .operators.quality import expect
+
+    o = _t(spark, sf_dir, "orders")
+    out = expect(o, {
+        "positive_total": F.col("o_totalprice") > 0,
+        "orderdate_present": F.col("o_orderdate").isNotNull(),
+        "valid_status": F.col("o_orderstatus").isin("O", "F", "P"),
+        "known_priority": F.col("o_orderpriority").like("%-%"),
+    })
+    return out.select(
+        "rule",
+        "n_rows",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        pround("violation_rate", 6).alias("violation_rate"),
+    )

@@ -814,3 +814,39 @@ def rolling_zscore_anomalies(spark, sf_dir):
             pround("z", 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "max_drawdown_per_user",
+    f"""
+    WITH {DAILY_SQL},
+    dd AS (
+      SELECT user_id, close,
+             max(close) OVER ({_WIN} ROWS UNBOUNDED PRECEDING) AS peak
+      FROM daily
+    )
+    SELECT user_id,
+           round(max((peak - close) / nullif(peak, 0)), 6) AS max_drawdown,
+           round(max(peak), 2) AS peak_value
+    FROM dd GROUP BY user_id
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def max_drawdown_per_user(spark, sf_dir):
+    """Maximum drawdown — largest peak-to-trough decline of each user's
+    close series: running-peak window + a per-key max aggregate. The
+    aggregate reuses the window's hash partitioning on user_id, so the
+    whole metric costs one exchange."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    peak = F.max("close").over(w)
+    dd = daily.select(
+        "user_id", "close", peak.alias("peak"),
+    )
+    return dd.groupBy("user_id").agg(
+        pround(
+            F.max((F.col("peak") - F.col("close")) / F.nullif(F.col("peak"), F.lit(0.0))),
+            6,
+        ).alias("max_drawdown"),
+        pround(F.max("peak"), 2).alias("peak_value"),
+    )
