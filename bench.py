@@ -176,7 +176,8 @@ SWEEP_QUERIES = [
     "latest_event_per_user", "market_avg_by_date", "rsi_indicator",
     "bollinger_bands", "cumulative_user_totals", "asof_purchase_click",
     "exact_dedup_docs", "minhash_near_dup_pairs", "doc_sentiment",
-    "doc_quality_features",
+    "doc_quality_features", "macd_indicator", "event_sessionization",
+    "tfidf_top_terms",
 ]
 
 

@@ -169,3 +169,37 @@ def test_expect_null_counts_as_violation(spark):
     assert out["positive"].n_rows == 3
     empty = expect(df.limit(0), {"positive": F.col("x") > 0}).collect()
     assert empty[0].n_violations == 0 and empty[0].violation_rate is None
+
+
+def test_grouped_sorted_map_batch_boundary_carry(spark):
+    """Order-sensitive per-group computation must survive Arrow batch
+    boundaries: with a tiny maxRecordsPerBatch, groups span batches and
+    the carry logic must hand fn whole sorted groups — a boundary bug
+    corrupts the leading values of carried groups."""
+    import pandas as pd
+
+    from trading_dashboard_spark.operators.grouped import grouped_sorted_map
+
+    rows = [(k, i, float(k * 100 + i)) for k in range(5) for i in range(11)]
+    df = spark.createDataFrame(rows, "k long, i long, x double")
+
+    def fn(pdf):
+        pdf = pdf.copy()
+        pdf["cs"] = pdf.groupby("k", sort=False)["x"].cumsum()
+        return pdf
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = (
+            grouped_sorted_map(df, ["k"], ["i"], fn, "k long, i long, x double, cs double")
+            .toPandas()
+            .sort_values(["k", "i"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    pdf = pd.DataFrame(rows, columns=["k", "i", "x"]).sort_values(["k", "i"])
+    expected = pdf.groupby("k")["x"].cumsum().reset_index(drop=True)
+    pd.testing.assert_series_equal(got["cs"], expected, check_names=False)
+    assert len(got) == len(rows)

@@ -46,7 +46,8 @@ _R01_VERIFIED = (
 _DEFER_WHEN_WINDOW_FULL = (
     "doc_chunks", "doc_char_entropy", "daily_bars_unpivot",
     "user_value_quartiles", "on_balance_volume", "stochastic_oscillator",
-    "max_drawdown_per_user",
+    "max_drawdown_per_user", "calendar_week_range_avg",
+    "window_value_positions",
 )
 
 

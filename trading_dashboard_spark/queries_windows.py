@@ -850,3 +850,70 @@ def max_drawdown_per_user(spark, sf_dir):
         ).alias("max_drawdown"),
         pround(F.max("peak"), 2).alias("peak_value"),
     )
+
+
+@register(
+    "calendar_week_range_avg",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(avg(close) OVER w, 4) AS avg_7d,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+    FROM daily
+    WINDOW w AS ({_WIN} RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "W4", "range-frame"),
+)
+def calendar_week_range_avg(spark, sf_dir):
+    """Calendar-time RANGE frame — trailing 7-day average by *date
+    distance*, not row count: a sparse series (missing trading days)
+    averages only what falls inside the week, where a rows-frame would
+    silently reach back further. Spark expresses interval ranges by
+    ordering on the day number (unix_date) with a numeric rangeBetween —
+    semantically identical to DuckDB's RANGE INTERVAL frame."""
+    daily = _daily_close(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(F.avg("close").over(w), 4).alias("avg_7d"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "window_value_positions",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(first_value(close) OVER w, 2) AS first_close,
+           round(nth_value(close, 2) OVER w, 2) AS second_close,
+           round(last_value(close) OVER w, 2) AS running_close
+    FROM daily
+    WINDOW w AS ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "W3", "value-positions"),
+)
+def window_value_positions(spark, sf_dir):
+    """first/nth/last_value positional window functions over the growing
+    frame: series anchor (first close), second observation (NULL until
+    the frame holds two rows — nth_value's frame-relative semantics),
+    and the running close. Completes the ranking/positional family
+    alongside lag/lead/ntile/percent_rank."""
+    daily = _daily_close(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(F.first("close").over(w), 2).alias("first_close"),
+        pround(F.nth_value("close", 2).over(w), 2).alias("second_close"),
+        pround(F.last("close").over(w), 2).alias("running_close"),
+    )
