@@ -47,7 +47,8 @@ _DEFER_WHEN_WINDOW_FULL = (
     "doc_chunks", "doc_char_entropy", "daily_bars_unpivot",
     "user_value_quartiles", "on_balance_volume", "stochastic_oscillator",
     "max_drawdown_per_user", "calendar_week_range_avg",
-    "window_value_positions",
+    "window_value_positions", "promo_revenue_by_month",
+    "large_quantity_orders", "dormant_rich_customers",
 )
 
 

@@ -239,3 +239,46 @@ def streaming_click_attribution(spark, sf_dir):
         F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         pround("purchase_value", 2).alias("purchase_value"),
     )
+
+
+@register(
+    "streaming_nation_enrichment",
+    """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("streaming", "join", "J1"),
+)
+def streaming_nation_enrichment(spark, sf_dir):
+    """Stream-static enrichment: the event stream joins a STATIC
+    dimension (customer⋈nation, broadcast) — map-side per micro-batch,
+    no join state at all (the stream-stream machinery is never engaged
+    for a static side), then a streaming aggregate in complete mode.
+    The incremental form of the batch star join; the oracle is that
+    batch join."""
+    from .io.readers import load_table
+    from .streaming.ingest import run_stream_to_table, stream_events
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = stream_events(spark, path)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    dim = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).select(F.col("c_custkey").alias("user_id"), "n_name")
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    out = run_stream_to_table(agg, "nation_enrichment", output_mode="complete")
+    return out.select(
+        "n_name",
+        F.col("n_events").cast("long").alias("n_events"),
+        pround("total_value", 2).alias("total_value"),
+    )

@@ -416,3 +416,115 @@ def doc_char_entropy(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = char_entropy(docs)
     return out.select("doc_id", pround("char_entropy", 4).alias("char_entropy"))
+
+
+@register(
+    "fixed_window_packing",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(ceil(length(trim(text)) / 4.0) AS BIGINT) AS est
+      FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id, est,
+             CAST(sum(est) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - est AS BIGINT) AS start
+      FROM tok WHERE est > 0
+    ),
+    spans AS (SELECT source, doc_id, est, start, start + est - 1 AS fin FROM pos),
+    win AS (
+      SELECT source, doc_id, start, fin,
+             unnest(range(start // 2048, fin // 2048 + 1)) AS window_id
+      FROM spans
+    )
+    SELECT source, CAST(window_id AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN start < window_id * 2048 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spanning,
+           CAST(sum(least(fin, (window_id + 1) * 2048 - 1)
+                    - greatest(start, window_id * 2048) + 1) AS BIGINT)
+             AS window_tokens
+    FROM win GROUP BY source, window_id
+    """,
+    tags=("training", "packing"),
+)
+def fixed_window_packing(spark, sf_dir):
+    """GPT-style fixed-length sequence packing: each source's token stream
+    (stable doc_id order, ceil(chars/4) estimates) is conceptually
+    concatenated and cut into 2048-token windows; a document occupies
+    windows floor(start/2048)..floor(end/2048). Emits the packing grid —
+    docs per window, boundary-crossing docs, token fill. Same
+    per-source-prefix-sum scaling argument as token_budget_shards (no
+    global window); the window fan-out is a sequence+explode inside the
+    projection. The complementary op to budget sharding: shards bound
+    tokens per FILE, windows bound tokens per TRAINING ROW."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w_tok = 2048
+    est = F.ceil(F.length(F.trim("text")) / 4.0).cast("long")
+    tok = docs.select("source", "doc_id", est.alias("est")).filter(F.col("est") > 0)
+    win = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    pos = tok.select(
+        "source", "doc_id", "est",
+        (F.sum("est").over(win) - F.col("est")).alias("start"),
+    ).withColumn("fin", F.col("start") + F.col("est") - 1)
+    expanded = pos.select(
+        "source", "start", "fin",
+        F.explode(F.expr(f"sequence(start div {w_tok}, fin div {w_tok})")).alias("window_id"),
+    )
+    return expanded.groupBy("source", "window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("start") < F.col("window_id") * w_tok, 1).otherwise(0)
+        ).alias("n_spanning"),
+        F.sum(
+            F.least(F.col("fin"), (F.col("window_id") + 1) * w_tok - 1)
+            - F.greatest(F.col("start"), F.col("window_id") * w_tok)
+            + 1
+        ).alias("window_tokens"),
+    )
+
+
+@register(
+    "reservoir_sample_per_lang",
+    """
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             md5('rsv7|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+    tags=("training", "sampling"),
+)
+def reservoir_sample_per_lang(spark, sf_dir):
+    """Deterministic reservoir-k per group: exactly 20 docs per language,
+    chosen by ranking on a salted hash — the distributed replacement for
+    sequential reservoir sampling (same marginal uniformity, but a pure
+    function of the data, so it reproduces under any partitioning and
+    re-run). Rank pushdown (WindowGroupLimit) prunes below the shuffle;
+    complements stratified_sample_by_lang, which samples a *fraction*
+    where this pins a *count*."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("rsv7|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select(
+            "lang", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
+    )
