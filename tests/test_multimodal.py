@@ -96,7 +96,11 @@ def test_png_codec_roundtrip():
         assert feats[0] == shape[1] and feats[1] == shape[0] and feats[2] == shape[2]
         assert abs(feats[3] - px.astype(float).mean()) < 1e-9
     with pytest.raises(NotImplementedError, match="magic"):
-        media_features(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+        media_features(b"GIF89a not a supported format")
+    # JPEG bytes now route to the header parser; truncated ones raise
+    # a precise ValueError, never a wrong answer
+    with pytest.raises(ValueError, match="no SOF"):
+        media_features(b"\xff\xd8\xff\xd9")
 
 
 def test_png_decode_all_filter_types():
@@ -221,3 +225,43 @@ def test_decode_media_batch_real_decoders(spark):
     assert out[1]["features"][3] == 128.0  # mean pixel
     assert out[2]["features"][0] == 100.0  # duration_ms
     assert out[2]["features"][2] == 2.0  # channels
+
+
+def _mini_jpeg(w, h, n_ch=3, marker=0xC0):
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    sof_len = 8 + 3 * n_ch
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_ch))
+    sof = bytes([0xFF, marker]) + struct.pack(">HBHHB", sof_len, 8, h, w, n_ch) + comps
+    return soi + app0 + sof + b"\xff\xd9"
+
+
+def test_jpeg_header_parse():
+    from trading_dashboard_spark.multimodal.codecs import (
+        is_jpeg, jpeg_header, media_features,
+    )
+
+    payload = _mini_jpeg(640, 480)
+    assert is_jpeg(payload)
+    hdr = jpeg_header(payload)
+    assert (hdr["width"], hdr["height"], hdr["n_channels"]) == (640, 480, 3)
+    assert hdr["bit_depth"] == 8 and hdr["progressive"] is False
+    feats = media_features(payload)
+    assert feats[:3] == [640.0, 480.0, 3.0]
+    assert feats[7] == 640.0 * 480.0
+
+    prog = jpeg_header(_mini_jpeg(32, 16, n_ch=1, marker=0xC2))
+    assert prog["progressive"] is True and prog["n_channels"] == 1
+
+
+def test_jpeg_header_rejects_garbage():
+    import pytest as _pytest
+
+    from trading_dashboard_spark.multimodal.codecs import jpeg_header
+
+    with _pytest.raises(ValueError, match="bad SOI"):
+        jpeg_header(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(ValueError, match="no SOF"):
+        jpeg_header(b"\xff\xd8\xff\xd9")

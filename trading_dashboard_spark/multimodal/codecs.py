@@ -213,6 +213,9 @@ def media_features(payload: bytes | None, dim: int = 8) -> list[float]:
 
     PNG  → [width, height, channels, mean, std, min, max, n_pixels]
     WAV  → [duration_ms, sample_rate, channels, rms, mean, min, max, n_frames]
+    JPEG → [width, height, channels, bit_depth, progressive, 0, 0, n_pixels]
+           (header-parse only — pixel statistics require entropy decoding,
+           which needs an external library; zeros mark the absent slots)
     """
     if payload is None:
         return [0.0] * dim
@@ -237,7 +240,64 @@ def media_features(payload: bytes | None, dim: int = 8) -> list[float]:
             float(s.max()) if s.size else 0.0,
             float(n_frames),
         ]
+    if is_jpeg(payload):
+        hdr = jpeg_header(payload)
+        return [
+            float(hdr["width"]), float(hdr["height"]),
+            float(hdr["n_channels"]), float(hdr["bit_depth"]),
+            float(hdr["progressive"]), 0.0, 0.0,
+            float(hdr["width"] * hdr["height"]),
+        ]
     raise NotImplementedError(
         f"unsupported media format (magic {payload[:4]!r}); real decoders "
-        f"exist for PNG and WAV, other codecs need external libraries"
+        f"exist for PNG and WAV (JPEG: header-level), other codecs need "
+        f"external libraries"
     )
+
+
+#: JPEG SOF (start-of-frame) markers — every frame type that carries
+#: dimensions (C4/C8/CC are DHT/JPG/DAC, not frames)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+def jpeg_header(payload: bytes) -> dict:
+    """Scan segment markers to the first SOF frame header: width, height,
+    channels, bit depth, progressive flag.
+
+    Header parse only — baseline JPEG entropy decoding (Huffman + IDCT)
+    is deliberately out of scope for a dependency-free codec; pixel-level
+    requests on JPEG raise in `media_features`' callers, never return a
+    wrong answer. The marker walk skips entropy-coded segments by
+    honoring each segment's declared length, so it is O(#segments), not
+    O(bytes).
+    """
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG: bad SOI marker")
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad marker sync at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            i += 2
+            continue
+        (length,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if marker in _JPEG_SOF:
+            depth, h, w, n_ch = struct.unpack(">BHHB", payload[i + 4 : i + 10])
+            return {
+                "width": w,
+                "height": h,
+                "n_channels": n_ch,
+                "bit_depth": depth,
+                "progressive": marker == 0xC2,
+            }
+        i += 2 + length
+    raise ValueError("no SOF frame header found")
