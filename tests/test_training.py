@@ -51,3 +51,34 @@ def test_cms_overestimates_within_bound(spark, sf_dir):
     for uid, t in true.items():
         assert est[uid] >= t, f"CMS under-counted {uid}"
         assert est[uid] - t <= bound, f"CMS overshoot too large for {uid}"
+
+
+def test_misra_gries_compaction_bound(spark):
+    """Small-capacity regime: estimates undercount by at most
+    n/(capacity+1), never overcount, and every item whose true frequency
+    exceeds the bound survives compaction."""
+    from trading_dashboard_spark.functions.sketches import heavy_hitters
+
+    # skewed stream: item 0 dominates, long tail of singletons
+    rows = [(0,)] * 400 + [(1,)] * 120 + [(2,)] * 60 + [(i,) for i in range(3, 103)]
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    n, cap = len(rows), 4
+    got = {r.item: r.est for r in heavy_hitters(df, "item", k=10, capacity=cap).collect()}
+    true = {0: 400, 1: 120, 2: 60}
+    bound = n / (cap + 1)
+    for item, t in true.items():
+        if t > bound:
+            assert item in got, f"heavy item {item} lost"
+    for item, est in got.items():
+        t = true.get(item, 1)
+        assert est <= t, "MG must never overcount"
+        assert t - est <= bound + 1e-9, "undercount exceeded n/(k+1)"
+
+
+def test_heavy_hitters_exact_regime(spark):
+    from trading_dashboard_spark.functions.sketches import heavy_hitters
+
+    rows = [(i % 7,) for i in range(700)]
+    df = spark.createDataFrame(rows, "item long").repartition(3)
+    got = {r.item: r.est for r in heavy_hitters(df, "item", k=7, capacity=64).collect()}
+    assert got == {i: 100 for i in range(7)}

@@ -78,3 +78,55 @@ def cms_estimate(
         {"cnt": 0}
     )
     return joined.groupBy(*probes.columns).agg(F.min("cnt").alias("est_count"))
+
+
+def misra_gries_partition(col: str, capacity: int):
+    """Partition-level Misra-Gries summary as a mapInPandas function:
+    at most ``capacity`` (item, est) rows per partition, whatever the
+    distinct-key cardinality.
+
+    Classic decrement-compaction, batch-vectorized: fold each Arrow
+    batch's exact value_counts into the running counters, and whenever
+    the counter set exceeds capacity, subtract the (capacity+1)-th
+    largest count from everything and drop the non-positive — the
+    mergeable-summaries form (Agarwal et al.), so summing summaries
+    across partitions is again a valid summary. Estimates UNDERCOUNT by
+    at most n/(capacity+1) globally; any item with true frequency above
+    that bound is guaranteed to survive.
+    """
+
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: n - cut for k, n in counters.items() if n - cut > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "est": list(counters.values())}
+        )
+
+    return fn
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, k: int = 10, capacity: int = 64
+) -> DataFrame:
+    """Approximate top-k frequent items in bounded memory: per-partition
+    Misra-Gries summaries (≤ capacity counters each), one aggregate to
+    merge, top-k by estimate. Exact ``groupBy.count`` state grows with
+    distinct keys; this never exceeds partitions × capacity rows in
+    flight. When capacity exceeds the per-partition distinct count the
+    estimates are exact — the regime the oracle query pins — and the
+    compaction regime's error bound is unit-tested."""
+    item_type = df.schema[col].dataType.simpleString()
+    summaries = df.select(col).mapInPandas(
+        misra_gries_partition(col, capacity), schema=f"item {item_type}, est long"
+    )
+    merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
+    return merged.orderBy(F.col("est").desc(), F.col("item")).limit(k)

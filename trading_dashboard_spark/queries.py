@@ -49,6 +49,7 @@ _DEFER_WHEN_WINDOW_FULL = (
     "max_drawdown_per_user", "calendar_week_range_avg",
     "window_value_positions", "promo_revenue_by_month",
     "large_quantity_orders", "dormant_rich_customers",
+    "rolling_zscore_anomalies", "reservoir_sample_per_lang",
 )
 
 

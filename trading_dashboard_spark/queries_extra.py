@@ -558,3 +558,69 @@ def orders_quality_expectations(spark, sf_dir):
         F.col("n_violations").cast("long").alias("n_violations"),
         pround("violation_rate", 6).alias("violation_rate"),
     )
+
+
+@register(
+    "click_purchase_funnel",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_so_far
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' AND click_so_far IS NOT NULL
+                      THEN ts END) AS first_conv
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id,
+           strftime(first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+           strftime(first_conv, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+           CAST(first_conv IS NOT NULL AS INT) AS converted,
+           round((epoch_us(first_conv) - epoch_us(first_click)) / 3600000000.0, 4)
+             AS hours_to_convert
+    FROM agg WHERE first_click IS NOT NULL
+    """,
+    tags=("pattern", "funnel", "W2"),
+)
+def click_purchase_funnel(spark, sf_dir):
+    """Funnel conversion (CEP-lite sequence detection): for each user, the
+    first click and the first purchase at-or-after it — a running
+    conditional min over the event sequence turns 'purchase preceded by a
+    click' into one window pass + one aggregate (no self-join, no
+    MATCH_RECOGNIZE engine needed), the order-sensitive pattern family
+    alongside three_day_trends/ma_crossover."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    seq = ev.select(
+        "user_id", "ts", "event_type",
+        F.min(click_ts).over(w).alias("click_so_far"),
+    )
+    agg = seq.groupBy("user_id").agg(
+        F.min(click_ts).alias("first_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("click_so_far").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("first_conv"),
+    )
+    return agg.filter(F.col("first_click").isNotNull()).select(
+        "user_id",
+        F.date_format("first_click", "yyyy-MM-dd HH:mm:ss").alias("first_click"),
+        F.date_format("first_conv", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+        F.col("first_conv").isNotNull().cast("int").alias("converted"),
+        pround(
+            (F.unix_micros("first_conv") - F.unix_micros("first_click")) / 3.6e9, 4
+        ).alias("hours_to_convert"),
+    )

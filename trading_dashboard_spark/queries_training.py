@@ -528,3 +528,29 @@ def reservoir_sample_per_lang(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "heavy_hitter_users",
+    """
+    SELECT user_id AS item, CAST(count(*) AS BIGINT) AS est
+    FROM events
+    GROUP BY user_id
+    ORDER BY est DESC, item
+    LIMIT 10
+    """,
+    tags=("training", "sketch", "heavy-hitters"),
+)
+def heavy_hitter_users(spark, sf_dir):
+    """Top-10 most active users via the Misra-Gries heavy-hitters sketch
+    (functions/sketches.heavy_hitters): per-partition bounded summaries
+    (≤ capacity counters regardless of key cardinality), one merge
+    aggregate, top-k. Capacity 512 exceeds the user cardinality, so the
+    sketch runs in its exact regime and the oracle is plain exact
+    counting; the compaction regime's undercount bound n/(capacity+1)
+    is asserted in tests/."""
+    from .functions.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    out = heavy_hitters(ev, "user_id", k=10, capacity=512)
+    return out.select("item", F.col("est").cast("long").alias("est"))
