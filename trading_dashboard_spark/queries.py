@@ -77,6 +77,9 @@ def _front_unverified() -> None:
         if n not in _R01_VERIFIED and s.oracle is None
     }
     proven = {n: s for n, s in QUERY_REGISTRY.items() if n in _R01_VERIFIED}
+    unknown = (set(_R01_VERIFIED) | defer) - set(QUERY_REGISTRY)
+    if unknown:  # a typo here would silently front the wrong set
+        raise ValueError(f"ordering tuples name unregistered queries: {sorted(unknown)}")
     QUERY_REGISTRY.clear()
     QUERY_REGISTRY.update(fresh_oracle)
     QUERY_REGISTRY.update(fresh_deferred)
