@@ -624,3 +624,65 @@ def click_purchase_funnel(spark, sf_dir):
             (F.unix_micros("first_conv") - F.unix_micros("first_click")) / 3.6e9, 4
         ).alias("hours_to_convert"),
     )
+
+
+@register(
+    "scd2_price_history",
+    f"""
+    WITH {DAILY_SQL},
+    marked AS (
+      SELECT user_id, d, close,
+             CASE WHEN lag(close) OVER (PARTITION BY user_id ORDER BY d) IS NULL
+                       OR lag(close) OVER (PARTITION BY user_id ORDER BY d) <> close
+                  THEN 1 ELSE 0 END AS chg
+      FROM daily
+    ),
+    vers AS (
+      SELECT user_id, d, close,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM marked
+    ),
+    hist AS (
+      SELECT user_id, ver, close,
+             min(d) AS valid_from, CAST(count(*) AS BIGINT) AS n_days
+      FROM vers GROUP BY user_id, ver, close
+    )
+    SELECT user_id, CAST(ver AS INT) AS version,
+           round(close, 2) AS close,
+           strftime(valid_from, '%Y-%m-%d') AS valid_from,
+           strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+                    '%Y-%m-%d') AS valid_to,
+           n_days
+    FROM hist
+    """,
+    tags=("temporal", "scd2", "W1"),
+)
+def scd2_price_history(spark, sf_dir):
+    """SCD2 history compression: collapse the daily close series into
+    slowly-changing-dimension validity intervals — lag marks change
+    points, a running sum numbers versions, one aggregate per version,
+    lead supplies each interval's end (NULL = current). The standard
+    warehouse shape for 'attribute history without storing every day';
+    every window shares the one user_id exchange."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    chg = (prev.isNull() | (prev != F.col("close"))).cast("long")
+    vers = daily.select(
+        "user_id", "d", "close",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("ver"),
+    )
+    hist = vers.groupBy("user_id", "ver", "close").agg(
+        F.min("d").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wv = W.partitionBy("user_id").orderBy("valid_from")
+    return hist.select(
+        "user_id",
+        F.col("ver").cast("int").alias("version"),
+        pround("close", 2).alias("close"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(wv), "yyyy-MM-dd").alias("valid_to"),
+        "n_days",
+    )
