@@ -50,7 +50,7 @@ _DEFER_WHEN_WINDOW_FULL = (
     "window_value_positions", "promo_revenue_by_month",
     "large_quantity_orders", "dormant_rich_customers",
     "rolling_zscore_anomalies", "reservoir_sample_per_lang",
-    "scd2_price_history",
+    "scd2_price_history", "user_market_beta",
 )
 
 

@@ -917,3 +917,53 @@ def window_value_positions(spark, sf_dir):
         pround(F.nth_value("close", 2).over(w), 2).alias("second_close"),
         pround(F.last("close").over(w), 2).alias("running_close"),
     )
+
+
+@register(
+    "user_market_beta",
+    f"""
+    WITH {DAILY_SQL},
+    ret AS (
+      SELECT user_id, d,
+             (close - lag(close) OVER ({_WIN}))
+               / nullif(lag(close) OVER ({_WIN}), 0) AS r
+      FROM daily
+    ),
+    mkt AS (
+      SELECT d, avg(r) AS mr FROM ret WHERE r IS NOT NULL GROUP BY d
+    ),
+    j AS (
+      SELECT ret.user_id, ret.r, mkt.mr
+      FROM ret JOIN mkt USING (d) WHERE ret.r IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(covar_pop(r, mr) / nullif(var_pop(mr), 0), 4) AS beta,
+           round(corr(r, mr), 4) AS market_corr
+    FROM j GROUP BY user_id
+    """,
+    tags=("window", "agg", "stats", "A1"),
+)
+def user_market_beta(spark, sf_dir):
+    """CAPM beta per user — covariance of each user's daily return with
+    the equal-weight market return over market variance, plus the
+    correlation: the statistical aggregate family (covar_pop / var_pop /
+    corr) the suite hadn't exercised. Lag returns share one exchange;
+    the market series is a tiny per-day aggregate that broadcasts back
+    onto the returns."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    ret = daily.select(
+        "user_id", "d",
+        ((F.col("close") - prev) / F.nullif(prev, F.lit(0.0))).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = ret.groupBy("d").agg(F.avg("r").alias("mr"))
+    j = ret.join(F.broadcast(mkt), "d")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        pround(
+            F.covar_pop("r", "mr") / F.nullif(F.var_pop("mr"), F.lit(0.0)), 4
+        ).alias("beta"),
+        pround(F.corr("r", "mr"), 4).alias("market_corr"),
+    )
