@@ -13,10 +13,6 @@ from . import queries_extra  # noqa: F401
 from . import queries_dashboard  # noqa: F401
 
 #: Queries with a green row in CORRECTNESS_r01.json (driver round 1).
-#: The driver verifies a bounded prefix of the registry, so queries without
-#: a prior green row are fronted below — new and previously-unchecked
-#: entries get driver evidence first; already-proven ones re-verify with
-#: whatever window remains.
 _R01_VERIFIED = (
     "pricing_summary", "top_gainers", "market_avg_by_date",
     "latest_event_per_user", "top_customers_by_revenue", "regional_revenue",
@@ -38,52 +34,80 @@ _R01_VERIFIED = (
     "knn_probe_top10", "knn_per_vector_top3", "embedding_stats_by_label",
 )
 
-
-#: Oracle-backed but low-novelty entries that may wait a round when the
-#: fresh group overflows the driver's ~50-query window: each composes
-#: operator families (window frames, stack/ntile, chunk/entropy scalar
-#: work) that already carry driver-green rows from round 1.
-_DEFER_WHEN_WINDOW_FULL = (
-    "doc_chunks", "doc_char_entropy", "daily_bars_unpivot",
-    "user_value_quartiles", "on_balance_volume", "stochastic_oscillator",
-    "max_drawdown_per_user", "calendar_week_range_avg",
-    "window_value_positions", "promo_revenue_by_month",
-    "large_quantity_orders", "dormant_rich_customers",
-    "rolling_zscore_anomalies", "reservoir_sample_per_lang",
-    "scd2_price_history", "user_market_beta",
+#: Queries with a green row in CORRECTNESS_r02.json (driver round 2).
+_R02_VERIFIED = (
+    "late_shipment_priorities", "value_percentiles_by_type", "macd_indicator",
+    "repetition_signals", "tfidf_top_terms", "unigram_logprob_score",
+    "near_dup_clusters", "embedding_cosine_near_dup", "ivf_ann_probe_top5",
+    "embedding_int8_quantization", "media_metadata_by_type",
+    "media_decode_features", "media_frame_plan", "train_test_split_stats",
+    "doc_length_quartiles_by_lang", "quality_cube_by_lang_source",
+    "docs_with_embeddings_by_lang", "token_budget_shards",
+    "cross_split_contamination", "cms_user_frequencies",
+    "stratified_sample_by_lang", "fixed_window_packing", "heavy_hitter_users",
+    "streaming_hourly_type_counts", "streaming_session_windows",
+    "streaming_stateful_user_totals", "streaming_dedup_ingest",
+    "streaming_sliding_counts", "streaming_click_attribution",
+    "streaming_nation_enrichment", "regional_revenue_rollup",
+    "event_type_pivot", "explode_user_event_types", "ema_indicator",
+    "signal_price_correlation", "skew_salted_event_totals",
+    "event_sessionization", "props_json_value_buckets",
+    "type_dow_grouping_sets", "user_value_distribution_ranks",
+    "orders_quality_expectations", "click_purchase_funnel", "top_losers",
+    "high_volatility_top10", "latest_prediction_per_symbol",
+    "company_news_latest5", "trading_patterns_top100", "company_list",
+    "stock_history_range", "market_trends_latest",
 )
+
+_VERIFIED = _R01_VERIFIED + _R02_VERIFIED
+
+#: Bump once per build round. Rotates which previously-green queries fill
+#: the re-verification reserve of the driver's ~50-query window, so every
+#: proven query cycles back through external verification over time
+#: instead of being permanently excluded (regression insurance).
+_ROUND = 3
+
+#: How many window slots to spend re-verifying previously-green queries.
+#: The rest of the window goes to never-verified / new entries.
+_REVERIFY_RESERVE = 12
 
 
 def _front_unverified() -> None:
-    """Re-key QUERY_REGISTRY so entries lacking round-1 driver evidence
-    come first (registration order preserved within each group).
+    """Re-key QUERY_REGISTRY so the driver's bounded verification window
+    is spent where it buys the most evidence:
 
-    Within the fresh group, oracle-backed entries precede rows-only ones
-    (a value-hash row is worth more than a rows-only row), and entries in
-    the explicit defer list go last: when fresh overflows the window,
-    what waits a round is the low-novelty tail — compositions of operator
-    families that already hold driver-green rows — never the queries the
-    round's verdict asked for."""
-    defer = set(_DEFER_WHEN_WINDOW_FULL)
+    1. never-driver-verified entries with value oracles (fresh, oracle),
+    2. never-driver-verified rows-only entries,
+    3. a rotating slice of previously-green queries (re-verification
+       reserve — regressions in proven queries get re-caught over time),
+    4. the remaining proven queries, rotated so the reserve slice
+       changes every round.
+
+    Registration order is preserved within groups 1–2; groups 3–4 rotate
+    deterministically by ``_ROUND`` so the subset re-verified each round
+    walks the whole proven set."""
+    verified = set(_VERIFIED)
     fresh_oracle = {
         n: s for n, s in QUERY_REGISTRY.items()
-        if n not in _R01_VERIFIED and s.oracle is not None and n not in defer
-    }
-    fresh_deferred = {
-        n: s for n, s in QUERY_REGISTRY.items()
-        if n not in _R01_VERIFIED and s.oracle is not None and n in defer
+        if n not in verified and s.oracle is not None
     }
     fresh_rows_only = {
         n: s for n, s in QUERY_REGISTRY.items()
-        if n not in _R01_VERIFIED and s.oracle is None
+        if n not in verified and s.oracle is None
     }
-    proven = {n: s for n, s in QUERY_REGISTRY.items() if n in _R01_VERIFIED}
-    unknown = (set(_R01_VERIFIED) | defer) - set(QUERY_REGISTRY)
+    proven_names = [n for n in QUERY_REGISTRY if n in verified]
+    unknown = verified - set(QUERY_REGISTRY)
     if unknown:  # a typo here would silently front the wrong set
-        raise ValueError(f"ordering tuples name unregistered queries: {sorted(unknown)}")
+        raise ValueError(
+            f"ordering tuples name unregistered queries: {sorted(unknown)}")
+    # Rotate the proven list so a different reserve-sized slice leads
+    # each round; stride by the reserve so consecutive rounds don't overlap.
+    if proven_names:
+        off = (_ROUND * _REVERIFY_RESERVE) % len(proven_names)
+        proven_names = proven_names[off:] + proven_names[:off]
+    proven = {n: QUERY_REGISTRY[n] for n in proven_names}
     QUERY_REGISTRY.clear()
     QUERY_REGISTRY.update(fresh_oracle)
-    QUERY_REGISTRY.update(fresh_deferred)
     QUERY_REGISTRY.update(fresh_rows_only)
     QUERY_REGISTRY.update(proven)
 
