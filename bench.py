@@ -11,18 +11,22 @@ tier, as-of, dedup/LSH, vector search, pandas-UDF lane) on
      "ratio_total": <sum(spark)/sum(duck) over anchored queries>}
 
 Each Spark query is forced with the noop sink (full computation, no
-driver materialization cost); min-of-2 fresh-plan runs. The reference
+driver materialization cost); min-of-3 fresh-plan runs (the "runs"
+keys in the output label the per-engine run counts). The reference
 publishes no benchmark numbers (BASELINE.md), so the DuckDB oracle —
 a mature vectorized single-node OLAP engine running the semantically
 identical SQL on the same parquet — doubles as the quantitative anchor:
 ``ratio`` makes the "within 2× of a native engine" gate measurable.
 Queries without an oracle (rows-only checks) have no ratio.
 
-Set SPARK_GRAFT_SCALE_SWEEP=1 to append a scaling run: the events/
-documents/embeddings tables replicated ~10× into a temp dir (ids
-shifted per copy so keys stay unique) and the scalable headline subset
-re-timed — the per-query sf0.1→sf~1 slope shows which plans scale
-sublinearly. Off by default to keep the driver's bench cheap.
+A scaling run is appended by default (disable with
+SPARK_GRAFT_SCALE_SWEEP=0): the events/documents/embeddings tables
+replicated ~10× into a temp dir (ids shifted per copy so keys stay
+unique) and the scalable headline subset re-timed against DuckDB on the
+same replicated data — the per-query sf0.1→sf~1 slope is the evidence
+that per-query ratios converge as real work grows to dominate Spark's
+fixed per-job overhead (the crossover a single toy-SF aggregate ratio
+cannot show).
 """
 
 from __future__ import annotations
@@ -36,6 +40,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Fresh-plan invocations per query per engine; the min is reported.
+SPARK_RUNS = 3
+DUCK_RUNS = 3
+SWEEP_RUNS = 2
 
 BENCH_QUERIES = [
     "top_gainers",            # flagship: window + latest-per-key + broadcast join + top-k
@@ -90,13 +99,13 @@ def main() -> None:
         F.col("c_nationkey") == F.col("n_nationkey"),
     ).count()  # broadcast-exchange machinery warmup
 
-    # Steady-state timing: each query runs twice, each run building a FRESH
-    # plan (new DataFrame lineage — shuffle outputs are NOT reused across
-    # runs), and the min is reported. The first execution of a plan pays
-    # one-time JVM costs (whole-stage-codegen class compilation, JIT) that a
-    # long-running cluster amortizes away; min-of-2 reports the
-    # steady-state execution the way JMH-style harnesses do, and damps
-    # same-host noise from unrelated load.
+    # Steady-state timing: each query runs SPARK_RUNS times, each run
+    # building a FRESH plan (new DataFrame lineage — shuffle outputs are
+    # NOT reused across runs), and the min is reported. The first
+    # execution of a plan pays one-time JVM costs (whole-stage-codegen
+    # class compilation, JIT) that a long-running cluster amortizes away;
+    # min-of-N reports the steady-state execution the way JMH-style
+    # harnesses do, and damps same-host noise from unrelated load.
     # Per-query fixed cost of a Spark job on this host (scheduling + noop
     # sink on a 1-row plan): the irreducible floor every micro-query pays
     # regardless of data size — reported so ratios against sub-100ms
@@ -111,7 +120,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         spec = QUERY_REGISTRY[name]
         best = float("inf")
-        for _ in range(3):
+        for _ in range(SPARK_RUNS):
             t0 = time.time()
             spec.fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
@@ -140,14 +149,16 @@ def main() -> None:
         if anchored_duck
         else None,
         "spark_job_floor_sec": round(floor, 3),
+        "runs": {"spark": SPARK_RUNS, "duckdb": DUCK_RUNS,
+                 "sweep": SWEEP_RUNS},
     }
-    if os.environ.get("SPARK_GRAFT_SCALE_SWEEP"):
+    if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") != "0":
         out["scale_sweep"] = _scale_sweep(spark, QUERY_REGISTRY)
     print(json.dumps(out))
 
 
 def _time_duckdb(registry, sf_dir: str) -> dict[str, float]:
-    """Min-of-2 DuckDB wall time per oracle on the same parquet tables."""
+    """Min-of-DUCK_RUNS DuckDB wall time per oracle on the same parquet."""
     import duckdb
 
     con = duckdb.connect()
@@ -162,7 +173,7 @@ def _time_duckdb(registry, sf_dir: str) -> dict[str, float]:
         if sql is None:
             continue
         best = float("inf")
-        for _ in range(3):
+        for _ in range(DUCK_RUNS):
             t0 = time.time()
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
@@ -237,7 +248,7 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
         sweep: dict[str, float] = {}
         for name in SWEEP_QUERIES:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(SWEEP_RUNS):
                 t0 = time.time()
                 registry[name].fn(spark, tmp).write.mode("overwrite").format(
                     "noop"
@@ -268,7 +279,7 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
             if sql is None:
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(SWEEP_RUNS):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 best = min(best, time.time() - t0)

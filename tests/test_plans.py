@@ -77,12 +77,24 @@ def test_aggregations_are_partial(spark, sf_dir):
 
 
 def test_minhash_plan_is_bounded(spark, sf_dir):
-    """Near-dup dedup: no cartesian product anywhere, and the corpus is
-    scanned a bounded number of times (candidate generation + two
-    verification sides), independent of corpus size."""
-    plan = _plan(spark, sf_dir, "minhash_near_dup_pairs")
-    assert "CartesianProduct" not in plan
-    assert plan.count("FileScan") <= 3
+    """Near-dup dedup: no cartesian product anywhere, and with the
+    registered query's ``persist=True`` every reference to the
+    (id, shingles) relation is an InMemoryTableScan — the tokenize/
+    shingle expansion executes once, not once per reference. (The
+    executedPlan *text* repeats the cached relation's child plan under
+    each InMemoryTableScan node, so FileScan counts are textual, not
+    executions; the InMemoryTableScan count is the real property.)"""
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.text.dedup import minhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = minhash_near_dup_pairs(docs, persist=True, scope_cache=False)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert plan.count("InMemoryTableScan") == 3
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_knn_probe_single_scan(spark, sf_dir):

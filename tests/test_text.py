@@ -155,13 +155,21 @@ def test_minhash_persist_caches_shingle_relation(spark, sf_dir):
 
     docs = load_table(spark, "documents", sf_dir)
     plain = minhash_near_dup_pairs(docs, jaccard_threshold=0.4)
-    cached = minhash_near_dup_pairs(docs, jaccard_threshold=0.4, persist=True)
+    cached = minhash_near_dup_pairs(
+        docs, jaccard_threshold=0.4, persist=True, scope_cache=False
+    )
     try:
         plan = cached._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan
         assert sorted(map(tuple, cached.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.catalog.clearCache()
+    # default call-scoped variant: same rows, and the shingle-relation
+    # cache is released (the only persisted thing left is the checkpointed
+    # tiny result RDD, whose lifetime is the returned DataFrame's)
+    scoped = minhash_near_dup_pairs(docs, jaccard_threshold=0.4, persist=True)
+    assert sorted(map(tuple, scoped.collect())) == sorted(map(tuple, plain.collect()))
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_chunk_documents_boundaries(spark):

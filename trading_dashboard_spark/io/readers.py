@@ -29,13 +29,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     passing a differing StructType would defeat vectorized reading — but the
     result is validated against the registry so drift fails fast.
 
-    The testdata writes TIMESTAMP(NANOS), which Spark's reader only accepts
-    as raw int64 (``spark.sql.legacy.parquet.nanosAsLong``). Registry
-    columns declared TimestampType that arrive as long are converted with
-    integer division ``ns div 1000`` → ``timestamp_micros`` — truncation
-    toward zero, byte-for-byte what DuckDB's scanner does, so oracle
-    comparisons stay exact. (Integer div matters: doubles lose precision
-    above 2^53, and epoch-nanos is ~1.7e18.)
+    Timestamp columns are normalized across testdata generations:
+    TIMESTAMP(NANOS) drops arrive as raw int64
+    (``spark.sql.legacy.parquet.nanosAsLong``) and registry columns
+    declared TimestampType that arrive as long are converted with integer
+    division ``ns div 1000`` → ``timestamp_micros`` — truncation toward
+    zero, byte-for-byte what DuckDB's scanner does, so oracle comparisons
+    stay exact (integer div matters: doubles lose precision above 2^53,
+    and epoch-nanos is ~1.7e18). TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    drops read directly as session-tz TIMESTAMP because the session pins
+    UTC and disables NTZ inference
+    (``spark.sql.parquet.inferTimestampNTZ.enabled=false`` — see
+    session.RUNTIME_CONFS).
     """
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")

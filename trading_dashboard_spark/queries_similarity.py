@@ -252,13 +252,16 @@ def lsh_ann_top3(spark, sf_dir):
     (similarity/lsh.lsh_knn; 6 planes x 2 tables, seed 42). Rows-only
     check: the bucketing uses driver-generated hyperplanes (deterministic
     but not SQL-replicable); recall vs `knn_per_vector_top3` is asserted
-    in tests/."""
+    in tests/.
+
+    Single-shot execution, so ``persist`` stays off: the eager
+    materialize-then-release cache scoping in lsh_knn pays a full extra
+    materialization that only amortizes when the result is reused —
+    benched ~2× slower for this one-pass registry call (BENCH_r02)."""
     from .similarity.lsh import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_knn(
-        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42, persist=True
-    )
+    return lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42)
 
 
 @register(

@@ -31,10 +31,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Testdata parquet carries TIMESTAMP(NANOS) which the vectorized reader
-    # rejects; read as raw long and convert (readers.load_table truncates
-    # ns -> us exactly like DuckDB does, keeping the oracle comparable).
+    # Testdata parquet timestamps, both generations:
+    # - TIMESTAMP(NANOS) (older drops): the vectorized reader rejects it;
+    #   read as raw long and convert (readers.load_table truncates
+    #   ns -> us exactly like DuckDB does, keeping the oracle comparable).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current drops): by
+    #   default Spark infers TIMESTAMP_NTZ, a distinct type that breaks
+    #   unix_micros()/timestamp arithmetic written for TimestampType.
+    #   Disabling the inference reads it as session-tz TIMESTAMP — with
+    #   the UTC pin above, identical wall-clock values to both the old
+    #   nanos path and DuckDB's naive-timestamp reading.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

@@ -20,9 +20,33 @@ from ..schemas import EVENTS
 from ..session import apply_runtime_confs
 
 
-def _events_read_schema() -> T.StructType:
-    """EVENTS with ts as raw int64 — the testdata parquet carries
-    TIMESTAMP(NANOS), readable only as long (see io/readers.load_table)."""
+def _ts_is_int64(path: str) -> bool:
+    """True when the events parquet at ``path`` stores ts as a physical
+    int64 (the TIMESTAMP(NANOS) testdata generation, readable only as
+    long — see io/readers.load_table); False for the TIMESTAMP(MICROS)
+    generation, which reads directly as a timestamp. One footer read of
+    one file at stream-definition time — not a per-batch cost."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return False
+        f = files[0]
+    t = pq.read_schema(f).field("ts").type
+    return str(t) == "int64"
+
+
+def _events_read_schema(ts_int64: bool) -> T.StructType:
+    """EVENTS, with ts widened to raw int64 for the nanos generation."""
+    if not ts_int64:
+        return EVENTS
     return T.StructType(
         [
             f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
@@ -36,21 +60,26 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
 
     ``path`` may be a directory or a single file — the file source needs a
     directory, so a file path becomes (parent, pathGlobFilter=name).
-    ``maxFilesPerTrigger`` bounds each micro-batch; the ns→us conversion
-    matches the batch reader exactly so batch and streaming results are
-    comparable.
+    ``maxFilesPerTrigger`` bounds each micro-batch. The ts handling is
+    generation-aware, matching the batch reader exactly so batch and
+    streaming results are comparable: nanos-era files arrive as int64 and
+    get the same ns→us truncation; micros-era files read directly as
+    timestamps (the forced schema overrides NTZ inference).
     """
     import os
 
     apply_runtime_confs(spark)
-    reader = spark.readStream.schema(_events_read_schema()).option(
+    ts_int64 = _ts_is_int64(path)
+    reader = spark.readStream.schema(_events_read_schema(ts_int64)).option(
         "maxFilesPerTrigger", "4"
     )
     if path.endswith(".parquet"):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     raw = reader.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_int64:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
