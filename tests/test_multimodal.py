@@ -265,3 +265,21 @@ def test_jpeg_header_rejects_garbage():
         jpeg_header(b"\x89PNG\r\n\x1a\n")
     with _pytest.raises(ValueError, match="no SOF"):
         jpeg_header(b"\xff\xd8\xff\xd9")
+
+
+def test_jpeg_header_skips_fill_bytes():
+    """The JPEG spec allows any run of 0xFF fill bytes before a marker;
+    the walk must skip them instead of parsing 0xFF as a length-bearing
+    marker (which misreads the stream or raises 'bad marker sync')."""
+    import struct
+
+    from trading_dashboard_spark.multimodal.codecs import jpeg_header
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, 480, 640, 3) + comps
+    # fill bytes before APP0 and before the SOF marker
+    payload = soi + b"\xff\xff\xff" + app0 + b"\xff" * 5 + sof + b"\xff\xd9"
+    hdr = jpeg_header(payload)
+    assert (hdr["width"], hdr["height"], hdr["n_channels"]) == (640, 480, 3)

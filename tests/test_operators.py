@@ -96,3 +96,25 @@ def test_portable_round_sql_edge_cases():
     assert portable_round_sql("SELECT my_round(x, 2)") == "SELECT my_round(x, 2)"
     with pytest.raises(ValueError, match="digit count"):
         portable_round_sql("SELECT round(x, n) FROM t")
+
+
+def test_portable_round_negative_digits(spark):
+    """round(x, -n) rounds to tens/hundreds via the division form — and
+    never interpolates a float power into the SQL ('0.1.0')."""
+    import duckdb
+
+    from trading_dashboard_spark.functions import portable_round_sql, pround
+    from pyspark.sql import functions as F
+
+    sql = portable_round_sql("SELECT round(x, -1) AS r FROM t")
+    assert sql == "SELECT floor((x) / 10.0 + 0.5) * 10.0 AS r FROM t"
+    assert ".0.0" not in sql and "0.1.0" not in sql
+
+    vals = [4.9, 5.0, 15.0, 123.0, 149.9, 150.0, -5.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = [r[0] for r in df.select(pround(F.col("x"), -1).alias("r")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?::DOUBLE[]) AS x", [vals])
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == want
+    assert got[:6] == [0.0, 10.0, 20.0, 120.0, 150.0, 150.0]

@@ -106,8 +106,10 @@ def test_versioned_commit_race_fails_cleanly(spark, tmp_path):
     # table is untouched and still readable at v=1
     assert current_version(path) == 1
     assert {tuple(r) for r in read_versioned(spark, path).collect()} == {(1, "a")}
-    # vacuum clears the crashed/foreign claim; commits proceed
-    vacuum(path, keep=10)
+    # vacuum clears the crashed/foreign claim; commits proceed.
+    # grace_sec=0 is the no-committer-running maintenance case — the
+    # default grace would (correctly) spare this seconds-old claim.
+    vacuum(path, keep=10, grace_sec=0)
     assert commit_snapshot(df1, path) == 2
 
 
@@ -215,3 +217,55 @@ def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
     merge_upsert_partitioned(spark, updates, path, keys=["sym", "d"], partition_col="d")
     again = {(r["sym"], str(r["d"])): r["v"] for r in spark.read.parquet(path).collect()}
     assert again == expected
+
+
+def test_merge_upsert_partitioned_raises_on_corrupt_target(spark, tmp_path):
+    """A read failure on an EXISTING table must propagate, not silently
+    fall back to treating the merge as a first write (which would
+    dynamic-overwrite touched partitions with only the update rows)."""
+    import pytest
+
+    from trading_dashboard_spark.io.writers import merge_upsert_partitioned
+
+    path = tmp_path / "corrupt_tbl"
+    (path / "d=2024-01-01").mkdir(parents=True)
+    (path / "d=2024-01-01" / "part-0.parquet").write_bytes(b"not a parquet file")
+    updates = spark.createDataFrame([("A", "2024-01-01", 1.0)], ["sym", "d", "v"])
+    with pytest.raises(Exception) as ei:
+        merge_upsert_partitioned(
+            spark, updates, str(path), keys=["sym", "d"], partition_col="d"
+        )
+    # the corruption surfaced; nothing overwrote the existing partition
+    assert (path / "d=2024-01-01" / "part-0.parquet").read_bytes() == b"not a parquet file"
+
+
+def test_vacuum_grace_period_spares_inflight_claim(spark, tmp_path):
+    """vacuum must not reclaim an above-pointer claim younger than the
+    grace period — it may belong to an in-flight commit whose data dir
+    is being written right now."""
+    import os
+
+    from trading_dashboard_spark.io.versioned import (
+        commit_snapshot,
+        current_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "vtab")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    commit_snapshot(df, path)
+    assert current_version(path) == 1
+
+    # simulate an in-flight committer: claim v=2, data dir half-written
+    claim = os.path.join(path, "v=2.claim")
+    open(claim, "w").close()
+    os.makedirs(os.path.join(path, "v=2"))
+    vacuum(path)  # default grace: fresh claim is spared
+    assert os.path.exists(claim) and os.path.isdir(os.path.join(path, "v=2"))
+
+    # a stale claim (older than the grace) is reclaimed with its dir
+    old = 7200.0
+    os.utime(claim, (os.path.getmtime(claim) - old, os.path.getmtime(claim) - old))
+    vacuum(path)
+    assert not os.path.exists(claim)
+    assert not os.path.isdir(os.path.join(path, "v=2"))

@@ -16,9 +16,16 @@ from pyspark.sql import Column, functions as F
 
 
 def pround(c: Column | str, n: int) -> Column:
-    """Portable rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ`` from primitive ops."""
+    """Portable rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ`` from primitive ops.
+
+    Negative ``n`` rounds to tens/hundreds/... via the division form
+    ``floor(x / 10⁻ⁿ + 0.5) · 10⁻ⁿ`` — multiplying by the inexact double
+    0.1 and dividing back would not round-trip bit-for-bit."""
     if isinstance(c, str):
         c = F.col(c)
+    if n < 0:
+        p = float(10 ** (-n))
+        return F.floor(c / F.lit(p) + F.lit(0.5)) * F.lit(p)
     f = float(10**n)
     return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
 
@@ -101,7 +108,13 @@ def portable_round_sql(sql: str) -> str:
                 f"portable_round_sql: round() digit count must be an integer "
                 f"literal, got {digits!r} in: {sql[j:k]!r}"
             ) from None
-        f = 10**n
-        out.append(f"floor(({expr}) * {f}.0 + 0.5) / {f}.0")
+        if n < 0:
+            # division form, mirroring pround: 10**n as a Python float
+            # would interpolate garbage SQL like "0.1.0"
+            p = 10 ** (-n)
+            out.append(f"floor(({expr}) / {p}.0 + 0.5) * {p}.0")
+        else:
+            f = 10**n
+            out.append(f"floor(({expr}) * {f}.0 + 0.5) / {f}.0")
         i = k
     return "".join(out)

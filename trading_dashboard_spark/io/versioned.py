@@ -119,24 +119,43 @@ def commit_merge(
     return commit_snapshot(merge_upsert(target, updates, keys), path)
 
 
-def vacuum(path: str, keep: int = 1) -> list[int]:
+def vacuum(path: str, keep: int = 1, grace_sec: float = 3600.0) -> list[int]:
     """Drop all but the newest ``keep`` versions, and clear claim markers
-    that are committed (claim ≤ pointer) or stale (claimed but never
-    committed — a crashed writer). Returns removed versions."""
+    that are committed (claim ≤ pointer) or abandoned (claimed but never
+    committed — a crashed writer). Returns removed versions.
+
+    A claim above the pointer is only treated as crashed once it is older
+    than ``grace_sec`` (claim-file mtime): an above-pointer claim younger
+    than that may belong to an IN-FLIGHT commit, and reclaiming it would
+    delete the active writer's data directory out from under it — the
+    writer would then repoint ``_VERSION`` at a deleted directory and
+    break every reader. The default one-hour grace covers any realistic
+    snapshot write; pass ``grace_sec=0`` only when no committer can be
+    running (e.g. single-process maintenance windows)."""
     import shutil
+    import time
 
     cur = current_version(path)
     removed = []
+    now = time.time()
     for name in sorted(os.listdir(path)):
         if not name.startswith("v="):
             continue
         if name.endswith(".claim"):
-            # committed claims are spent; a claim above the pointer is a
-            # crashed commit whose data dir (if any) is unreferenced
+            # committed claims are spent; above-pointer claims past the
+            # grace period are crashed commits whose data dir (if any)
+            # is unreferenced
             v = int(name[2 : -len(".claim")])
-            os.remove(os.path.join(path, name))
+            claim = os.path.join(path, name)
             if v > cur:
+                try:
+                    age = now - os.path.getmtime(claim)
+                except OSError:
+                    continue  # claim vanished: its committer just finished
+                if age < grace_sec:
+                    continue  # possibly in-flight — leave it alone
                 shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+            os.remove(claim)
             continue
         v = int(name.split("=", 1)[1])
         if v <= cur - keep:

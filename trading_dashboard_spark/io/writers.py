@@ -93,13 +93,23 @@ def merge_upsert_partitioned(
     batch), merged, then locally checkpointed before the overwrite so the
     write never scans the files it is replacing.
     """
+    from pyspark.errors import AnalysisException
+
     vals = [r[0] for r in updates.select(partition_col).distinct().collect()]
     updates = dedup_by_key(updates, keys)
     try:
         target = spark.read.parquet(path)
         affected = target.filter(F.col(partition_col).isin(vals))
         merged = merge_upsert(affected, updates, keys).select(*target.columns)
-    except Exception:  # first write: no table yet
+    except AnalysisException as e:
+        # ONLY the missing-table case means first write. Any other read
+        # failure (permissions, corrupt footers, transient FS errors) on
+        # an EXISTING table must propagate: falling back to
+        # `merged = updates` would dynamic-overwrite every touched
+        # partition with just the update rows, silently dropping the
+        # pre-existing rows in them.
+        if "PATH_NOT_FOUND" not in str(e) and "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
         merged = updates
     merged = merged.localCheckpoint(eager=True)
     conf = "spark.sql.sources.partitionOverwriteMode"

@@ -283,6 +283,12 @@ def jpeg_header(payload: bytes) -> dict:
     while i + 4 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad marker sync at byte {i}")
+        # the spec allows any number of 0xFF fill bytes before a marker:
+        # advance to the last 0xFF so the byte after it is the marker code
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 4 > n:
+            break
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
