@@ -211,3 +211,44 @@ def test_char_entropy_known_values(spark):
     out = {r["doc_id"]: r["char_entropy"] for r in char_entropy(df).collect()}
     assert out[1] == 0.0 and abs(out[2] - 1.0) < 1e-12 and abs(out[3] - 2.0) < 1e-12
     assert out[4] is None and out[5] is None
+
+
+def test_sentiment_caps_but_qm_rules_and_oracle_parity():
+    """Round-3 rule families: ALL-CAPS emphasis (mixed-case docs only),
+    "but"-clause reweighting, '?' emphasis — each changes the score the
+    way VADER specifies, and the generated DuckDB oracle reproduces the
+    Python scorer bit-for-bit on sentences exercising every rule."""
+    import duckdb
+    import pandas as pd
+
+    from trading_dashboard_spark.text.sentiment import vader_oracle_sql, vader_score
+
+    # ALL-CAPS token gains magnitude — but only in a mixed-case doc
+    assert vader_score("the result is GOOD") > vader_score("the result is good")
+    assert vader_score("THE RESULT IS GOOD") == vader_score("the result is good")
+    assert vader_score("the result is BAD") < vader_score("the result is bad")
+    # uppercase degree modifier gains C_INCR too
+    assert vader_score("the result is VERY good") > vader_score("the result is very good")
+    # but-clause: later clause dominates
+    assert vader_score("earnings were good but guidance is terrible") < 0
+    assert vader_score("guidance is terrible but earnings were good") > 0
+    # '?' emphasis: 1 adds nothing, 2-3 add per-mark, >3 saturates
+    assert vader_score("good?") == vader_score("good")
+    assert vader_score("good??") > vader_score("good")
+    assert vader_score("good????") == vader_score("good?????")
+
+    cases = [
+        "the market is GOOD", "THE MARKET IS GOOD",
+        "the market is VERY good",
+        "earnings were good but guidance is terrible",
+        "is this good? really? are you sure?", "good???? what????",
+        "absolutely amazing results!!! BEST quarter",
+        "slightly bad news but SO great!!", "BAD BAD bad but GOOD",
+        "don't panic, it isn't terrible", "", "no sentiment words here",
+    ]
+    df = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = dict(con.execute(vader_oracle_sql(digits=6)).fetchall())
+    for i, t in enumerate(cases):
+        assert abs(round(vader_score(t), 6) - got[i]) < 1e-9, t

@@ -9,17 +9,27 @@ curated lexicon in ``vader_lexicon.py``, executed as a vectorized
 Arrow-batched pandas UDF. Implemented rules, in evaluation order per
 valenced token:
 
-1. degree modifiers: an intensifier/dampener within the 3 preceding
+1. ALL-CAPS emphasis: in a mixed-case document, a fully-uppercase
+   valenced token gains ``C_INCR`` (0.733) magnitude — and an uppercase
+   degree modifier's increment gains ``C_INCR`` likewise;
+2. degree modifiers: an intensifier/dampener within the 3 preceding
    tokens adds ``±B_INCR`` (decayed 1.0 / 0.95 / 0.9 by distance) to the
    token's magnitude;
-2. negation: any negator within the 3 preceding tokens multiplies the
+3. negation: any negator within the 3 preceding tokens multiplies the
    modified valence by ``N_SCALAR`` (-0.74);
-3. punctuation emphasis: each '!' (capped at 4) adds ``EP_AMPLIFY`` with
-   the sign of the summed valence;
-4. compound normalization ``s / sqrt(s*s + 15)`` onto [-1, 1].
+4. "but"-clause reweighting: token sentiments before the first ``but``
+   are scaled by 0.5, after it by 1.5 (contrastive focus shift);
+5. punctuation emphasis: each '!' (capped at 4) adds ``EP_AMPLIFY``, and
+   2-3 '?' add ``QM_AMPLIFY`` each (saturating at ``QM_MAX``), with the
+   sign of the summed valence;
+6. compound normalization ``s / sqrt(s*s + 15)`` onto [-1, 1].
 
-Omitted VADER rules (documented divergence): ALL-CAPS emphasis, special
-idioms/bigrams, the "but"-clause reweighting, and '?' emphasis.
+Omitted VADER rules (documented divergence): special idioms/bigrams
+("kind of", "the bomb", ...) and the "never so/this" extended-negation
+patterns. The lexicon is the curated ~400-entry subset in
+``vader_lexicon.py`` — the full ~7.5k NLTK file cannot be vendored from
+this offline container without fabricating empirical valences; its
+format is drop-in compatible (see that module's docstring).
 
 Every rule is elementary arithmetic over a token window, so the scorer is
 SQL-replicable: ``vader_oracle_sql()`` renders the *same* lexicon and
@@ -41,6 +51,9 @@ from pyspark.sql import Column, functions as F, types as T
 
 from .vader_lexicon import (
     B_INCR,
+    BUT_AFTER,
+    BUT_BEFORE,
+    C_INCR,
     DAMPENERS,
     DECAY_2,
     DECAY_3,
@@ -50,34 +63,57 @@ from .vader_lexicon import (
     LEXICON,
     NEGATORS,
     N_SCALAR,
+    QM_AMPLIFY,
+    QM_MAX,
 )
 
-#: lowercase words + inner apostrophes — mirrored by the oracle's regex.
-_TOKEN_RE = re.compile(r"[a-z']+")
+#: case-preserving words + inner apostrophes (lowercased for lexicon
+#: lookup, raw case kept for the ALL-CAPS rule) — mirrored by the
+#: oracle's regex.
+_TOKEN_RE = re.compile(r"[A-Za-z']+")
 
 
-def _modifier(tok: str) -> float:
+def _is_caps(raw_tok: str) -> bool:
+    """Fully-uppercase token with at least one letter (str.isupper)."""
+    return raw_tok.isupper()
+
+
+def _modifier(raw_tok: str, cap_diff: bool) -> float:
+    tok = raw_tok.lower()
     if tok in INTENSIFIERS:
-        return B_INCR
-    if tok in DAMPENERS:
-        return -B_INCR
-    return 0.0
+        m = B_INCR
+    elif tok in DAMPENERS:
+        m = -B_INCR
+    else:
+        return 0.0
+    # an uppercase modifier in a mixed-case doc gains C_INCR — VADER adds
+    # it in the direction of the modified token's sign, which the caller's
+    # v>0/v<0 branches apply, so the magnitude increment lands here
+    if cap_diff and _is_caps(raw_tok):
+        m += C_INCR
+    return m
 
 
 def vader_score(text: str | None) -> float:
     """Compound sentiment of one string on [-1, 1] (deterministic,
     SQL-replicable — see module docstring for the rule set)."""
     raw = text or ""
-    toks = _TOKEN_RE.findall(raw.lower())
+    raw_toks = _TOKEN_RE.findall(raw)
+    toks = [t.lower() for t in raw_toks]
+    n_caps = sum(1 for t in raw_toks if _is_caps(t))
+    cap_diff = 0 < n_caps < len(raw_toks)
+    but_idx = toks.index("but") if "but" in toks else None
     s = 0.0
     for i, tok in enumerate(toks):
         v = LEXICON.get(tok)
         if v is None:
             continue
+        if cap_diff and _is_caps(raw_toks[i]):
+            v = v + C_INCR if v > 0 else (v - C_INCR if v < 0 else v)
         b = (
-            (_modifier(toks[i - 1]) if i >= 1 else 0.0)
-            + (_modifier(toks[i - 2]) if i >= 2 else 0.0) * DECAY_2
-            + (_modifier(toks[i - 3]) if i >= 3 else 0.0) * DECAY_3
+            (_modifier(raw_toks[i - 1], cap_diff) if i >= 1 else 0.0)
+            + (_modifier(raw_toks[i - 2], cap_diff) if i >= 2 else 0.0) * DECAY_2
+            + (_modifier(raw_toks[i - 3], cap_diff) if i >= 3 else 0.0) * DECAY_3
         )
         if v > 0:
             val = v + b
@@ -87,12 +123,17 @@ def vader_score(text: str | None) -> float:
             val = v
         if any(i > k and toks[i - 1 - k] in NEGATORS for k in range(3)):
             val *= N_SCALAR
+        if but_idx is not None and i != but_idx:
+            val *= BUT_BEFORE if i < but_idx else BUT_AFTER
         s += val
     n_excl = min(raw.count("!"), EP_CAP)
+    n_qm = raw.count("?")
+    qm_amp = 0.0 if n_qm <= 1 else (n_qm * QM_AMPLIFY if n_qm <= 3 else QM_MAX)
+    pe = n_excl * EP_AMPLIFY + qm_amp
     if s > 0:
-        s += n_excl * EP_AMPLIFY
+        s += pe
     elif s < 0:
-        s -= n_excl * EP_AMPLIFY
+        s -= pe
     return s / math.sqrt(s * s + 15.0)
 
 
@@ -141,12 +182,22 @@ def vader_oracle_sql(table: str = "documents", id_col: str = "doc_id",
         f"('{tok.replace(chr(39), chr(39) * 2)}', {val})"
         for tok, val in sorted(LEXICON.items())
     )
+    mods = _sql_set(INTENSIFIERS | DAMPENERS)
+
+    def caps(idx: str) -> str:
+        # str.isupper: all cased chars upper, at least one cased char
+        return (
+            f"(rtks[{idx}] = upper(rtks[{idx}]) "
+            f"AND rtks[{idx}] <> lower(rtks[{idx}]))"
+        )
 
     def mod_case(idx: str) -> str:
         return (
-            f"(CASE WHEN tks[{idx}] IN ({_sql_set(INTENSIFIERS)}) THEN {B_INCR} "
+            f"((CASE WHEN tks[{idx}] IN ({_sql_set(INTENSIFIERS)}) THEN {B_INCR} "
             f"WHEN tks[{idx}] IN ({_sql_set(DAMPENERS)}) THEN -{B_INCR} "
-            f"ELSE 0.0 END)"
+            f"ELSE 0.0 END) "
+            f"+ (CASE WHEN cap_diff AND {caps(idx)} "
+            f"AND tks[{idx}] IN ({mods}) THEN {C_INCR} ELSE 0.0 END))"
         )
 
     neg = _sql_set(NEGATORS)
@@ -156,38 +207,66 @@ def vader_oracle_sql(table: str = "documents", id_col: str = "doc_id",
     ),
     docs AS (
       SELECT {id_col} AS doc_id,
-             regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z'']+') AS tks,
-             least(len(regexp_extract_all(coalesce({text_col}, ''), '!')), {EP_CAP}) AS n_excl
+             regexp_extract_all(coalesce({text_col}, ''), '[A-Za-z'']+') AS rtks,
+             list_transform(regexp_extract_all(coalesce({text_col}, ''), '[A-Za-z'']+'),
+                            t -> lower(t)) AS tks,
+             least(len(regexp_extract_all(coalesce({text_col}, ''), '!')), {EP_CAP}) AS n_excl,
+             len(regexp_extract_all(coalesce({text_col}, ''), '\\?')) AS n_qm
       FROM {table}
     ),
+    docs2 AS (
+      SELECT *,
+             len(list_filter(rtks, t -> t = upper(t) AND t <> lower(t))) AS n_caps,
+             CASE WHEN list_contains(tks, 'but')
+                  THEN list_position(tks, 'but') END AS but_pos
+      FROM docs
+    ),
+    docs3 AS (
+      SELECT *, (n_caps > 0 AND n_caps < len(rtks)) AS cap_diff FROM docs2
+    ),
     flat AS (
-      SELECT doc_id, tks,
+      SELECT doc_id, rtks, tks, cap_diff, but_pos,
              unnest(tks) AS tok,
              generate_subscripts(tks, 1) AS i
-      FROM docs
+      FROM docs3
     ),
     scored AS (
       SELECT f.doc_id,
-             (CASE WHEN l.v > 0 THEN l.v + b WHEN l.v < 0 THEN l.v - b ELSE l.v END)
-             * (CASE WHEN negated THEN {N_SCALAR} ELSE 1.0 END) AS val
+             (CASE WHEN vc > 0 THEN vc + b WHEN vc < 0 THEN vc - b ELSE vc END)
+             * (CASE WHEN negated THEN {N_SCALAR} ELSE 1.0 END)
+             * (CASE WHEN but_pos IS NOT NULL AND i < but_pos THEN {BUT_BEFORE}
+                     WHEN but_pos IS NOT NULL AND i > but_pos THEN {BUT_AFTER}
+                     ELSE 1.0 END) AS val
       FROM (
-        SELECT doc_id, tok,
+        SELECT doc_id, flat.tok AS tok, i, but_pos,
+               (CASE WHEN cap_diff AND {caps('i')} THEN
+                  (CASE WHEN l.v > 0 THEN l.v + {C_INCR}
+                        WHEN l.v < 0 THEN l.v - {C_INCR} ELSE l.v END)
+                ELSE l.v END) AS vc,
                (CASE WHEN i >= 2 THEN {mod_case('i-1')} ELSE 0.0 END)
                + (CASE WHEN i >= 3 THEN {mod_case('i-2')} ELSE 0.0 END) * {DECAY_2}
                + (CASE WHEN i >= 4 THEN {mod_case('i-3')} ELSE 0.0 END) * {DECAY_3} AS b,
                ((i >= 2 AND tks[i-1] IN ({neg}))
                 OR (i >= 3 AND tks[i-2] IN ({neg}))
                 OR (i >= 4 AND tks[i-3] IN ({neg}))) AS negated
-        FROM flat
-      ) f JOIN lex l ON f.tok = l.tok
+        FROM flat JOIN lex l ON flat.tok = l.tok
+      ) f
     ),
     agg AS (SELECT doc_id, sum(val) AS s FROM scored GROUP BY doc_id),
     emph AS (
       SELECT d.doc_id,
-             CASE WHEN coalesce(a.s, 0.0) > 0 THEN a.s + d.n_excl * {EP_AMPLIFY}
-                  WHEN coalesce(a.s, 0.0) < 0 THEN a.s - d.n_excl * {EP_AMPLIFY}
+             CASE WHEN coalesce(a.s, 0.0) > 0
+                    THEN a.s + d.n_excl * {EP_AMPLIFY} + qm_amp
+                  WHEN coalesce(a.s, 0.0) < 0
+                    THEN a.s - d.n_excl * {EP_AMPLIFY} - qm_amp
                   ELSE 0.0 END AS s
-      FROM docs d LEFT JOIN agg a USING (doc_id)
+      FROM (
+        SELECT *,
+               CASE WHEN n_qm > 3 THEN {QM_MAX}
+                    WHEN n_qm > 1 THEN n_qm * {QM_AMPLIFY}
+                    ELSE 0.0 END AS qm_amp
+        FROM docs3
+      ) d LEFT JOIN agg a USING (doc_id)
     )
     SELECT doc_id, round(s / sqrt(s * s + 15.0), {digits}) AS sentiment
     FROM emph

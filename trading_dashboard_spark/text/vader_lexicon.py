@@ -458,9 +458,18 @@ DAMPENERS = frozenset({
 
 # Published VADER rule constants (Hutto & Gilbert 2014).
 B_INCR = 0.293      # degree-modifier increment
+C_INCR = 0.733      # ALL-CAPS emphasis increment (mixed-case docs only)
 N_SCALAR = -0.74    # negation flip scalar
 EP_AMPLIFY = 0.292  # per-'!' emphasis, capped at 4
 EP_CAP = 4
+#: '?' emphasis: 2-3 question marks add QM_AMPLIFY each, more saturate
+#: at QM_MAX (one or zero adds nothing)
+QM_AMPLIFY = 0.18
+QM_MAX = 0.96
+#: "but"-clause reweighting: sentiments before the first 'but' are
+#: discounted, after it amplified (contrastive conjunction shifts focus)
+BUT_BEFORE = 0.5
+BUT_AFTER = 1.5
 #: distance decay for degree modifiers at positions -2 / -3
 DECAY_2 = 0.95
 DECAY_3 = 0.9
