@@ -118,3 +118,58 @@ def test_portable_round_negative_digits(spark):
     want = [r[0] for r in con.execute(sql).fetchall()]
     assert got == want
     assert got[:6] == [0.0, 10.0, 20.0, 120.0, 150.0, 150.0]
+
+
+def test_global_ranks_two_stage_equals_exact(spark, sf_dir):
+    """The distributed ranking path must return byte-identical rows to
+    the exact global-window path (unique total order via tie-break), and
+    its plan must contain NO single-partition exchange — the property
+    that keeps the ranking family alive at unbounded key cardinality."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.operators.ranks import (
+        distribution_ranks,
+        ntile_buckets,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+
+    cols = [F.col("total").desc(), F.col("user_id")]
+    exact = ntile_buckets(totals, 4, cols, "q", exact=True)
+    dist = ntile_buckets(totals, 4, cols, "q", exact=False)
+    key = lambda r: r["user_id"]
+    assert sorted(map(tuple, exact.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, dist.collect()), key=lambda t: t[0]
+    )
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+
+    cols2 = [F.col("total"), F.col("user_id")]
+    exact2 = distribution_ranks(totals, cols2, exact=True)
+    dist2 = distribution_ranks(totals, cols2, exact=False)
+    e = {r["user_id"]: (r["pct_rank"], r["cum_dist"]) for r in exact2.collect()}
+    d = {r["user_id"]: (r["pct_rank"], r["cum_dist"]) for r in dist2.collect()}
+    assert e == d
+    plan2 = dist2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan2
+
+
+def test_ntile_uneven_split_matches_sql_rule(spark):
+    """N=10 rows, n=4 buckets: SQL ntile gives sizes 3,3,2,2 — the
+    rank-derived bucket formula must reproduce that exactly, exact and
+    distributed paths alike."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.operators.ranks import ntile_buckets
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    for exact in (True, False):
+        out = ntile_buckets(df, 4, [F.col("x")], "b", exact=exact)
+        sizes = {
+            r["b"]: r["n"]
+            for r in out.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}, (exact, sizes)

@@ -1,0 +1,144 @@
+"""Global ranking — exact single-window and scale-safe two-stage forms.
+
+The ranking family (``ntile`` / ``percent_rank`` / ``cume_dist`` over an
+unpartitioned ORDER BY) has no per-key parallelism: Spark plans it as an
+``Exchange SinglePartition`` + one sorting task. Over a *per-key
+aggregate* whose cardinality is bounded (150 users, a term vocabulary)
+that is the right plan — but if key cardinality ever tracks corpus size
+(10⁹ users), the one-task sort becomes the bottleneck the 100 TB design
+must not contain.
+
+``distributed=True`` computes the SAME exact values with no
+single-partition stage, classic two-pass distributed ranking:
+
+1. ``repartitionByRange`` on the sort key (range partitioner: partition
+   i's rows all sort before partition i+1's) + ``sortWithinPartitions``;
+2. an Arrow ``mapInPandas`` pass stamps each row with its partition id
+   and a within-partition row number (pure map work, batch-carry for the
+   running counter);
+3. per-partition row counts → prefix-sum offsets. The counts are
+   collected to the driver — bounded by the PARTITION count (a cluster
+   constant, like the IVF fit sample), never by row count — and enter
+   the plan as a literal array indexed by partition id, so the final
+   rank is ``offset[pid] + local_rank``: map-side, no join, no window.
+
+The trade is two executions of the input subtree (the counts action +
+the main plan) plus range-partitioner sampling — all fully parallel.
+With a unique total order (callers must tie-break, e.g. ``(total,
+user_id)``), ``percent_rank``/``cume_dist``/``ntile`` derived from the
+global row number match the SQL window functions exactly, so the
+``exact`` and ``distributed`` paths return identical rows and the same
+DuckDB oracle checks both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Window as W
+
+
+def _with_global_rank(
+    df: DataFrame,
+    sort_cols: list[Column],
+    rank_col: str,
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Two-stage exact global row_number; returns (df, total_rows)."""
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__lrank", T.LongType(), False),
+        ]
+    )
+
+    def stamp(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            pdf["__lrank"] = range(seen + 1, seen + len(pdf) + 1)
+            seen += len(pdf)
+            yield pdf
+
+    stamped = rp.mapInPandas(stamp, out_schema)
+    # Driver-side prefix sum over per-partition counts: bounded by the
+    # partition count, not the data (documented bounded-collect, same
+    # class as similarity/ivf's fit sample).
+    counts = {
+        r["__pid"]: r["n"]
+        for r in stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    arr = F.array(*[F.lit(int(o)) for o in offsets])
+    ranked = stamped.withColumn(
+        rank_col,
+        (F.element_at(arr, F.col("__pid") + 1) + F.col("__lrank")).cast("long"),
+    ).drop("__pid", "__lrank")
+    return ranked, acc
+
+
+def ntile_buckets(
+    df: DataFrame,
+    n: int,
+    sort_cols: list[Column],
+    bucket_col: str = "bucket",
+    exact: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY sort_cols)`` — exact window form, or the
+    two-stage scale-safe form (``exact=False``) deriving the bucket from
+    the global row number with SQL ntile's uneven-split rule (the first
+    ``N mod n`` buckets get the extra row). ``sort_cols`` must be a
+    unique total order for the two paths to agree on ties."""
+    if exact:
+        return df.withColumn(bucket_col, F.ntile(n).over(W.orderBy(*sort_cols)))
+    ranked, total = _with_global_rank(df, sort_cols, "__grank", partitions)
+    q, rem = divmod(total, n)
+    big = (q + 1) * rem  # rows covered by the first `rem` (larger) buckets
+    r = F.col("__grank")
+    if q == 0:  # fewer rows than buckets: bucket i = row i
+        bucket = r
+    else:
+        bucket = F.when(r <= big, ((r - 1) / (q + 1)).cast("long") + 1).otherwise(
+            F.lit(rem) + ((r - big - 1) / q).cast("long") + 1
+        )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__grank")
+
+
+def distribution_ranks(
+    df: DataFrame,
+    sort_cols: list[Column],
+    pct_col: str = "pct_rank",
+    cume_col: str = "cum_dist",
+    exact: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``percent_rank`` + ``cume_dist`` over a global ORDER BY — exact
+    window form, or the two-stage form (``exact=False``):
+    ``(rank-1)/(N-1)`` and ``rank/N`` from the global row number, which
+    equal the window functions whenever ``sort_cols`` is a unique total
+    order (no ties, which callers guarantee by tie-breaking on a key)."""
+    if exact:
+        w = W.orderBy(*sort_cols)
+        return df.withColumn(pct_col, F.percent_rank().over(w)).withColumn(
+            cume_col, F.cume_dist().over(w)
+        )
+    ranked, total = _with_global_rank(df, sort_cols, "__grank", partitions)
+    r = F.col("__grank")
+    pct = (r - 1) / F.lit(total - 1) if total > 1 else F.lit(0.0)
+    return (
+        ranked.withColumn(pct_col, pct.cast("double"))
+        .withColumn(cume_col, (r / F.lit(total)).cast("double"))
+        .drop("__grank")
+    )

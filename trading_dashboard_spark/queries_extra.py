@@ -336,13 +336,18 @@ def user_value_quartiles(spark, sf_dir):
     """ntile ranking — users bucketed into total-value quartiles (the one
     ranking-family window the suite didn't yet exercise; deterministic
     via the (total DESC, user_id) tiebreak), then per-quartile stats.
-    Two aggregations + one global window over the small aggregate — the
-    window runs over users, not events, so the single-partition sort is
-    bounded by user cardinality."""
+    Runs operators/ranks.ntile_buckets on the exact path: the global
+    window sorts the per-user AGGREGATE (bounded key cardinality), not
+    events. If key cardinality ever tracks corpus size, ``exact=False``
+    switches to the two-stage range-partitioned form — same values, no
+    single-partition window (equality + plan pinned in tests)."""
+    from .operators.ranks import ntile_buckets
+
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
-    w = W.orderBy(F.col("total").desc(), F.col("user_id"))
-    tiled = totals.withColumn("quartile", F.ntile(4).over(w))
+    tiled = ntile_buckets(
+        totals, 4, [F.col("total").desc(), F.col("user_id")], "quartile", exact=True
+    )
     return tiled.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n_users"),
         pround(F.sum("total"), 2).alias("quartile_total"),
@@ -493,17 +498,22 @@ def type_dow_grouping_sets(spark, sf_dir):
 def user_value_distribution_ranks(spark, sf_dir):
     """percent_rank + cume_dist — the distribution-position ranking family
     (ntile's continuous cousins) over per-user totals; (total, user_id)
-    ordering pins tie determinism. The global window runs over the
-    150-user aggregate, not the events table, so the single-partition
-    sort is bounded by key cardinality."""
+    ordering pins tie determinism. Runs operators/ranks.distribution_ranks
+    on the exact path (global window over the bounded per-user aggregate);
+    ``exact=False`` is the two-stage scale-safe form with identical
+    values (equality + plan pinned in tests)."""
+    from .operators.ranks import distribution_ranks
+
     ev = _t(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
-    w = W.orderBy("total", "user_id")
-    return totals.select(
+    ranked = distribution_ranks(
+        totals, [F.col("total"), F.col("user_id")], exact=True
+    )
+    return ranked.select(
         "user_id",
         pround("total", 2).alias("total"),
-        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        pround(F.cume_dist().over(w), 6).alias("cum_dist"),
+        pround("pct_rank", 6).alias("pct_rank"),
+        pround("cum_dist", 6).alias("cum_dist"),
     )
 
 
