@@ -269,3 +269,92 @@ def test_vacuum_grace_period_spares_inflight_claim(spark, tmp_path):
     vacuum(path)
     assert not os.path.exists(claim)
     assert not os.path.isdir(os.path.join(path, "v=2"))
+
+
+def test_versioned_merge_concurrent_writers_10x(spark, sf_dir, tmp_path):
+    """Commit atomicity under real contention at ~10x events volume: two
+    writers upsert disjoint key halves through the optimistic-commit
+    retry loop while a reader polls. Invariants: every reader poll sees
+    a complete committed snapshot (constant row count, never a partial
+    directory); no writer's batch is lost (the compare-and-swap in
+    commit_merge — a merge computed against version N may only commit
+    while the pointer still reads N); final values equal the sequential
+    result."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.io.versioned import (
+        ConcurrentCommitError,
+        commit_merge,
+        current_version,
+        read_versioned,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    offset = ev.agg(F.max("event_id")).first()[0] + 1
+    big = ev
+    for i in range(1, 10):  # ~10x replication, ids stay unique
+        big = big.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * offset))
+        )
+    big = big.localCheckpoint(eager=True)
+    n_rows = big.count()
+    path = str(tmp_path / "contended")
+    commit_merge(spark, big, path, ["event_id"])
+
+    n_batches, errors = 3, []
+
+    def writer(wid: int) -> None:
+        try:
+            for b in range(n_batches):
+                upd = big.filter(F.col("event_id") % 2 == wid).withColumn(
+                    "value", (F.col("event_id") * 1000 + F.lit(wid * 10 + b)).cast("double")
+                )
+                for _ in range(60):  # optimistic retry loop
+                    try:
+                        commit_merge(spark, upd, path, ["event_id"])
+                        break
+                    except ConcurrentCommitError:
+                        time.sleep(0.1)
+                else:
+                    raise AssertionError(f"writer {wid} starved at batch {b}")
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(e)
+
+    stop = threading.Event()
+
+    def reader() -> None:
+        try:
+            while not stop.is_set():
+                got = read_versioned(spark, path).count()
+                assert got == n_rows, f"reader saw partial snapshot: {got}"
+                time.sleep(0.05)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+    assert errors == []
+
+    # every writer's LAST batch survived: upserts on disjoint key halves
+    # end at value = event_id*1000 + wid*10 + (n_batches-1)
+    final = read_versioned(spark, path)
+    bad = final.filter(
+        F.col("value")
+        != F.col("event_id") * 1000 + (F.col("event_id") % 2) * 10 + (n_batches - 1)
+    ).count()
+    assert bad == 0
+    assert final.count() == n_rows
+    # versions advanced once per successful commit: bootstrap + 2 writers
+    # x n_batches (retries never consume committed versions)
+    assert current_version(path) == 1 + 2 * n_batches

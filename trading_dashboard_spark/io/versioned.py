@@ -74,16 +74,29 @@ def _claim_path(path: str, v: int) -> str:
     return os.path.join(path, f"v={v}.claim")
 
 
-def commit_snapshot(df: DataFrame, path: str) -> int:
+def commit_snapshot(df: DataFrame, path: str, expect_version: int | None = None) -> int:
     """Write ``df`` as the next full snapshot and repoint. Returns the new
     version. The data write completes before the pointer flips — crash in
     between leaves the table at the old version (write is wasted, never
     observed) plus a stale claim that `vacuum` clears.
 
-    Raises :class:`ConcurrentCommitError` if the version claim or the
+    ``expect_version`` makes the commit compare-and-swap: it fails unless
+    the pointer still reads that version. :func:`commit_merge` passes the
+    snapshot version its merge was computed against, closing the
+    read-merge-commit window — without it, a merge based on version N
+    could land as N+2 and silently drop N+1's changes (the claim files,
+    which are never removed until vacuum, enforce the version sequence in
+    between; the pointer re-check before repoint is the backstop).
+
+    Raises :class:`ConcurrentCommitError` if the version claim or any
     pointer check loses a race (see module docstring)."""
     os.makedirs(path, exist_ok=True)
     base = current_version(path)
+    if expect_version is not None and base != expect_version:
+        raise ConcurrentCommitError(
+            f"{path} is at v={base}, but the commit was prepared against "
+            f"v={expect_version} — re-read and retry"
+        )
     v = base + 1
     try:
         os.close(os.open(_claim_path(path, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY))
@@ -113,10 +126,13 @@ def commit_merge(
     table from the updates alone (deduplicated on the keys)."""
     from .writers import dedup_by_key
 
-    if current_version(path) == 0:
-        return commit_snapshot(dedup_by_key(updates, keys), path)
-    target = read_versioned(spark, path)
-    return commit_snapshot(merge_upsert(target, updates, keys), path)
+    base = current_version(path)
+    if base == 0:
+        return commit_snapshot(dedup_by_key(updates, keys), path, expect_version=0)
+    target = read_versioned(spark, path, version=base)
+    return commit_snapshot(
+        merge_upsert(target, updates, keys), path, expect_version=base
+    )
 
 
 def vacuum(path: str, keep: int = 1, grace_sec: float = 3600.0) -> list[int]:
