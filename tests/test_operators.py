@@ -173,3 +173,97 @@ def test_ntile_uneven_split_matches_sql_rule(spark):
             for r in out.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}, (exact, sizes)
+
+
+def test_table_diff_classification_with_nulls(spark):
+    """added/removed/changed/unchanged per key; null->value and
+    value->null both count as changed (null-safe comparison)."""
+    from trading_dashboard_spark.operators.relational import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0), (4, "w", 4.0)],
+        "k int, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (5, "new", 5.0)],
+        "k int, s string, v double",
+    )
+    out = {r["k"]: r["diff_status"] for r in table_diff(a, b, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+
+
+def test_cohort_retention_matrix(spark):
+    """Two cohorts; day offsets counted per cohort; offsets beyond the
+    horizon dropped."""
+    from trading_dashboard_spark.operators.temporal import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-02 23:00:00"),  # same user-day counted once
+        (2, "2024-01-01 11:00:00"),
+        (3, "2024-01-03 08:00:00"), (3, "2024-01-20 08:00:00"),  # > horizon
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts")
+    )
+    out = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_active_users"]
+        for r in cohort_retention(df, max_offset=7).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,   # users 1 and 2
+        ("2024-01-01", 1): 1,   # user 1 returns next day
+        ("2024-01-03", 0): 1,   # user 3's cohort; day 17 beyond horizon
+    }
+
+
+def test_redact_pii_families_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.text.analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@corp.example.org and http://x.io/p?q=1 now"),
+            (2, "call +1-555-123-4567 twice: +44-20-7946-0958"),
+            (3, "nothing here"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    r = redact_pii(F.col("text"))
+    out = {
+        row["id"]: row
+        for row in df.select(
+            "id", r["n_email"].alias("e"), r["n_url"].alias("u"),
+            r["n_phone"].alias("p"), r["redacted"].alias("red")
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["u"], out[1]["p"]) == (1, 1, 0)
+    assert "<EMAIL>" in out[1]["red"] and "<URL>" in out[1]["red"]
+    assert "@" not in out[1]["red"]
+    assert out[2]["p"] == 2 and out[2]["red"].count("<PHONE>") == 2
+    assert out[3]["red"] == "nothing here"
+    assert out[4]["red"] == ""
+
+
+def test_chunk_fingerprints_boundaries(spark):
+    from trading_dashboard_spark.text.analysis import chunk_fingerprints
+
+    toks = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, ""), (2, toks(3)), (3, toks(8)), (4, toks(17)), (5, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_fingerprints(df, chunk_tokens=8).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["chunk_idx"])
+    assert 1 not in per_doc and 5 not in per_doc      # empty/null -> no chunks
+    assert per_doc[2] == [0]                          # short -> one chunk
+    assert per_doc[3] == [0]                          # exact window -> one
+    assert sorted(per_doc[4]) == [0, 1, 2]            # 17 tokens -> 3 chunks
+    # identical windows fingerprint identically across docs
+    fp = {(r["doc_id"], r["chunk_idx"]): r["chunk_fp"] for r in out}
+    assert fp[(3, 0)] == fp[(4, 0)]

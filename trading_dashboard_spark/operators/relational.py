@@ -79,3 +79,48 @@ def weekend_adjust(d: Column) -> Column:
         .when(dow == 1, F.date_sub(d, 2))  # Sunday -> Friday
         .otherwise(F.to_date(d))
     )
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added`` (only in
+    ``b``), ``removed`` (only in ``a``), ``changed`` (present in both,
+    any compared column differs, null-safely) or ``unchanged``.
+
+    The data-engineering primitive behind CDC validation, restatement
+    audits, and versioned-table regression checks (io/versioned time
+    travel pairs naturally with it). One full outer join on the keys —
+    a single co-partitioned shuffle per side; with both snapshots
+    bucketed on the keys the exchanges disappear entirely (operators/
+    scale.write_bucketed). Comparison is ``<=>`` (null-safe equality)
+    per column, so NULL→value and value→NULL both count as changes.
+
+    Returns key columns + ``diff_status`` + each compared column from
+    both sides as ``<col>_a`` / ``<col>_b``.
+    """
+    cols = compare_cols or [c for c in a.columns if c not in keys]
+    la = a.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_a"),
+        *[F.col(c).alias(f"{c}_a") for c in cols],
+    )
+    lb = b.select(
+        *[F.col(k) for k in keys],
+        F.lit(True).alias("__in_b"),
+        *[F.col(c).alias(f"{c}_b") for c in cols],
+    )
+    j = la.join(lb, on=keys, how="full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"{c}_a").eqNullSafe(F.col(f"{c}_b"))
+    status = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("diff_status", status).drop("__in_a", "__in_b")

@@ -138,3 +138,33 @@ def sessionize(
     is_start = (prev.isNull() | ((us - prev) > gap_us)).cast("long")
     running = F.sum(is_start).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     return df.withColumn(out_col, running)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, then
+    for each day-offset 0..max_offset the count of cohort users active
+    that day — the standard activation/retention analysis shape.
+
+    Plan: one aggregate for (user, activity_day) distinct pairs, a window
+    min over user for the cohort day (reuses the same user_id hash
+    partitioning — no second shuffle), then one aggregate to the
+    (cohort_day, offset) matrix. No join: the cohort day travels with
+    each activity row via the window. Scales as two exchanges over
+    per-user-day data regardless of raw event volume.
+    """
+    days = df.select(
+        F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id")
+    with_cohort = days.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        with_cohort.withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

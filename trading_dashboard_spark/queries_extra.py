@@ -696,3 +696,173 @@ def scd2_price_history(spark, sf_dir):
         F.date_format(F.lead("valid_from").over(wv), "yyyy-MM-dd").alias("valid_to"),
         "n_days",
     )
+
+
+@register(
+    "user_retention_cohorts",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    coh AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM days
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM coh
+    WHERE date_diff('day', cohort_day, day) <= 7
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "cohort"),
+)
+def user_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (operators/temporal.cohort_retention):
+    users grouped by first-activity day, per-offset active counts for the
+    first week — the standard activation analysis. Join-free plan: the
+    cohort day rides each per-user-day row via a window over the same
+    user_id partitioning the distinct aggregation already established."""
+    from .operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, max_offset=7)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+        F.col("n_active_users").cast("long").alias("n_active_users"),
+    )
+
+
+@register(
+    "hourly_ohlc_candles",
+    """
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      FROM events
+    ),
+    m AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts, event_id) AS rna,
+             row_number() OVER (PARTITION BY event_type, h
+                                ORDER BY ts DESC, event_id DESC) AS rnd
+      FROM b
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+           round(max(CASE WHEN rna = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rnd = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM m GROUP BY 1, 2
+    """,
+    tags=("temporal", "resample"),
+)
+def hourly_ohlc_candles(spark, sf_dir):
+    """OHLC resampling — the candle-building operator every trading stack
+    needs (the reference stores daily bars pre-built; here the engine
+    derives them from raw events at any grain). First/last per bucket via
+    two opposed row_number windows over ONE (event_type, hour) exchange,
+    then a single aggregate: deterministic open/close through the
+    (ts, event_id) tiebreak, scale = one shuffle regardless of grain."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
+    wa = W.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "h").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    m = b.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return m.groupBy("event_type", "h").agg(
+        pround(F.max(F.when(F.col("rna") == 1, F.col("value"))), 2).alias("open"),
+        pround(F.max("value"), 2).alias("high"),
+        pround(F.min("value"), 2).alias("low"),
+        pround(F.max(F.when(F.col("rnd") == 1, F.col("value"))), 2).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    ).select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "open", "high", "low", "close", "n_events", "total_value",
+    )
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    b0 AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderpriority LIKE '1-%'
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderstatus <> 'P'
+    ),
+    badd AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey,
+             'O' AS o_orderstatus,
+             round(o_totalprice / 2, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd),
+    j AS (
+      SELECT a.o_orderkey IS NOT NULL AS ina,
+             b.o_orderkey IS NOT NULL AS inb,
+             a.o_orderstatus AS sa, b.o_orderstatus AS sb,
+             a.o_totalprice AS pa, b.o_totalprice AS pb
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT CASE WHEN NOT ina THEN 'added'
+                WHEN NOT inb THEN 'removed'
+                WHEN sa IS NOT DISTINCT FROM sb
+                     AND pa IS NOT DISTINCT FROM pb THEN 'unchanged'
+                ELSE 'changed' END AS diff_status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           round(sum(coalesce(pb, 0) - coalesce(pa, 0)), 2) AS value_delta
+    FROM j GROUP BY 1
+    """,
+    tags=("relational", "diff"),
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (operators/relational.table_diff): the
+    orders table diffed against a deterministically restated copy —
+    'P'-status rows dropped (removed), urgent orders repriced +10%
+    (changed), a synthetic slice of new keys (added) — classified per key
+    by one full outer join with null-safe comparison, then rolled up to
+    counts + net value delta per class. The CDC-validation / restatement-
+    audit primitive; pairs with io/versioned time travel."""
+    from .operators.relational import table_diff
+
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    b0 = o.filter(F.col("o_orderstatus") != "P").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderpriority").like("1-%"),
+            pround(F.col("o_totalprice") * 1.1, 2),
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    badd = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        pround(F.col("o_totalprice") / 2, 2).alias("o_totalprice"),
+    )
+    d = table_diff(a, b0.unionByName(badd), ["o_orderkey"])
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        pround(
+            F.sum(
+                F.coalesce(F.col("o_totalprice_b"), F.lit(0.0))
+                - F.coalesce(F.col("o_totalprice_a"), F.lit(0.0))
+            ),
+            2,
+        ).alias("value_delta"),
+    )

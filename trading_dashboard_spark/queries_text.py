@@ -617,3 +617,123 @@ def near_dup_clusters(spark, sf_dir):
         jaccard_threshold=_JACCARD_T,
     )
     return dedup_clusters(pairs)
+
+
+def _pii_oracle() -> str:
+    """Generated from text/analysis.PII_PATTERNS so the two lanes share
+    one pattern table (replacement order matters and is preserved)."""
+    from .text.analysis import PII_PATTERNS
+
+    enrich = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com via "
+        "https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ' or +1-555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    ctes = [f"s0 AS (SELECT doc_id, {enrich} AS s FROM documents)"]
+    carried: list[str] = []
+    for idx, (name, pat, token) in enumerate(PII_PATTERNS):
+        # DuckDB string literals are standard SQL: backslashes pass
+        # through verbatim, only quotes need doubling
+        esc = pat.replace("'", "''")
+        keep = (", ".join(carried) + ", ") if carried else ""
+        ctes.append(
+            f"s{idx + 1} AS (SELECT doc_id, {keep}"
+            f"len(regexp_extract_all(s, '{esc}')) AS n_{name}, "
+            f"regexp_replace(s, '{esc}', '{token}', 'g') AS s FROM s{idx})"
+        )
+        carried.append(f"n_{name}")
+    counts = ", ".join(f"CAST({c} AS INT) AS {c}" for c in carried)
+    cte_sql = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_sql}
+    SELECT doc_id, {counts},
+           CAST(length(s) AS BIGINT) AS redacted_len,
+           md5(s) AS redacted_fp
+    FROM s{len(PII_PATTERNS)}
+    """
+
+
+@register("doc_pii_redaction", _pii_oracle(), tags=("text", "X4", "pii"))
+def doc_pii_redaction(spark, sf_dir):
+    """Training-data PII scrubbing (text/analysis.redact_pii): emails,
+    URLs and phone numbers replaced by typed placeholders, per-family
+    counts kept for audit. The corpus has no natural PII, so each doc
+    gains a deterministic contact string derived from its id (same
+    derivation in the oracle) — the twin-derivation pattern
+    embedding_cosine_near_dup uses. Redaction itself is verified through
+    md5 of the full redacted text, not just the counts. Map-only JVM
+    regexp work; patterns live in one table (PII_PATTERNS) rendered into
+    both lanes, restricted to the Java-RE2-common regex subset."""
+    from .text.analysis import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com via https://ex.org/d/"), F.col("doc_id").cast("string"),
+        F.lit(" or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    r = redact_pii(enriched)
+    return docs.select(
+        "doc_id",
+        r["n_email"].cast("int").alias("n_email"),
+        r["n_url"].cast("int").alias("n_url"),
+        r["n_phone"].cast("int").alias("n_phone"),
+        F.length(r["redacted"]).cast("long").alias("redacted_len"),
+        F.md5(r["redacted"]).alias("redacted_fp"),
+    )
+
+
+@register(
+    "chunk_boilerplate_ratio",
+    """
+    WITH toks_t AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                      t -> lower(t)) END AS tks
+      FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(tks[(i*8+1):(i*8+8)], ' ')) AS chunk_fp
+      FROM toks_t, UNNEST(range(CAST(ceil(len(tks) / 8.0) AS BIGINT))) AS t(i)
+    ),
+    rep AS (
+      SELECT chunk_fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk_fp
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN r.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           round(avg(CASE WHEN r.nd > 1 THEN 1.0 ELSE 0.0 END), 4) AS boilerplate_ratio
+    FROM ch c JOIN rep r USING (chunk_fp)
+    GROUP BY c.doc_id
+    """,
+    tags=("text", "X2", "dedup"),
+)
+def chunk_boilerplate_ratio(spark, sf_dir):
+    """Segment-level corpus dedup signal (text/analysis.chunk_fingerprints):
+    documents split into non-overlapping 8-token chunks, chunks
+    fingerprinted, and each doc scored by the fraction of its chunks that
+    recur in OTHER docs — the CCNet/RefinedWeb-style boilerplate-removal
+    stage, which whole-document dedup cannot see. The shuffle carries
+    16-byte chunk fingerprints, never text: groupBy(fp) for corpus-wide
+    repeat counts, one fp-keyed join back, one per-doc aggregate —
+    scales as the corpus' chunk count regardless of doc sizes."""
+    from .text.analysis import chunk_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = chunk_fingerprints(docs, chunk_tokens=8)
+    rep = fps.groupBy("chunk_fp").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        fps.join(rep, "chunk_fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_repeated"),
+            pround(F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 4).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )

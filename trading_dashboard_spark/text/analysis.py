@@ -213,3 +213,63 @@ def repetition_signals(text: Column) -> dict[str, Column]:
         "top_word_frac": top_c / safe_n,
         "dup_bigram_frac": F.lit(1.0) - F.size(F.array_distinct(bigrams)) / safe_nb,
     }
+
+
+#: PII patterns chosen from the regex subset Java (Spark) and RE2
+#: (DuckDB) interpret identically: character classes, bounded repeats,
+#: no lookaround/backrefs. Order matters — URLs before emails would eat
+#: the '@' host forms; emails run first.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\+[0-9][0-9\-]{7,14}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> dict[str, Column]:
+    """Training-data PII scrubbing: replace emails, URLs and
+    international-format phone numbers with typed placeholder tokens and
+    count each family. Returns ``{"redacted", "n_email", "n_url",
+    "n_phone"}`` columns — all JVM regexp expressions, map-only, and
+    SQL-replicable pattern-for-pattern (the query tier renders the same
+    PII_PATTERNS into the DuckDB oracle)."""
+    src = F.coalesce(text, F.lit(""))
+    out: dict[str, Column] = {}
+    red = src
+    for name, pat, token in PII_PATTERNS:
+        out[f"n_{name}"] = F.regexp_count(red, F.lit(pat))
+        red = F.regexp_replace(red, pat, token)
+    out["redacted"] = red
+    return out
+
+
+def chunk_fingerprints(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Non-overlapping token-window fingerprints — the unit of line/
+    paragraph-level corpus dedup (CCNet/RefinedWeb-style boilerplate
+    removal works on repeated *segments*, not whole documents).
+
+    One row per (doc, chunk_idx) with a 128-bit md5 of the chunk text:
+    downstream stages group on the fingerprint (16-byte shuffle, never
+    text) to find segments repeated across documents. Map-only explode.
+    """
+    toks = tokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))).alias("chunk_fp"),
+        ),
+    )
+    win = F.slice(win, 1, n_chunks)
+    return df.select(F.col(id_col), F.explode(win).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_fp").alias("chunk_fp"),
+    )
