@@ -215,3 +215,20 @@ def test_late_shipment_semi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "late_shipment_priorities")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroids_broadcasts_centroids(spark, sf_dir):
+    """The centroid scoring join must broadcast the (labels x dim)
+    centroid relation — shuffling the vector side to join a
+    kilobyte-scale table would be the classic 100 TB mistake."""
+    plan = _plan(spark, sf_dir, "label_centroids")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_mixture_sampling_is_map_side(spark, sf_dir):
+    """The sampling filter applies a broadcast plan to the corpus scan:
+    no shuffle of document rows before the filter (only the reporting
+    aggregates exchange)."""
+    plan = _plan(spark, sf_dir, "source_mixture_plan")
+    assert "BroadcastHashJoin" in plan

@@ -765,3 +765,36 @@ def value_percentiles_by_type(spark, sf_dir):
         pround(F.percentile("value", 0.9), 4).alias("p90"),
         pround(F.percentile("value", 0.99), 4).alias("p99"),
     )
+
+
+@register(
+    "customer_order_counts",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(n_orders AS INT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    tags=("join", "agg", "J1", "A1"),
+)
+def customer_order_counts(spark, sf_dir):
+    """TPC-H Q13 shape: the customer order-count distribution — LEFT
+    OUTER join so zero-order customers keep a row (count of the
+    null-extended side is 0), aggregated twice (per customer, then the
+    histogram). The outer join shuffles both sides on custkey once; the
+    second aggregate groups on ~tens of distinct counts — partial
+    aggregation collapses it before the exchange."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy(F.col("n_orders").cast("int").alias("n_orders")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -327,3 +327,75 @@ def embedding_int8_quantization(spark, sf_dir):
         ),
         pround(F.max("max_abs_err"), 6).alias("worst_abs_err"),
     )
+
+
+@register(
+    "label_centroids",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    flat AS (
+      SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM v
+    ),
+    cent AS (
+      SELECT label, i, round(round(sum(x), 4) / count(*), 6) AS c
+      FROM flat GROUP BY label, i
+    ),
+    cvec AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT a.label,
+             sqrt(list_dot_product(b.cv, b.cv)) AS cnorm,
+             round(list_dot_product(a.v, b.cv)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.cv, b.cv)), 0), 6) AS cos
+      FROM v a JOIN cvec b USING (label)
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(max(cnorm), 6) AS centroid_norm,
+           round(round(sum(cos), 4) / count(*), 6) AS avg_cosine_to_centroid
+    FROM scored GROUP BY label
+    """,
+    tags=("similarity", "X3", "stats"),
+)
+def label_centroids(spark, sf_dir):
+    """Per-label centroid + cluster tightness — the quality probe behind
+    every IVF/k-means-style index (similarity/ivf fits on exactly this
+    kind of statistic): mean vector per label via posexplode→(label,dim)
+    aggregate→ordered reassembly, then each member's cosine to its
+    centroid. Centroids are tiny (labels × dim) so the scoring join
+    BROADCASTS them — vectors never shuffle; the explode shuffle carries
+    (label, dim_idx, component) triples with full map-side partial
+    aggregation. Component means use the rounded-sum pattern so both
+    engines see identical centroid inputs."""
+    from .similarity.knn import _as_double, cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("label", "vec_id", _as_double(F.col("embedding")).alias("v"))
+    flat = base.select("label", F.posexplode("v").alias("i", "x"))
+    cent = flat.groupBy("label", "i").agg(
+        pround(pround(F.sum("x"), 4) / F.count(F.lit(1)), 6).alias("c")
+    )
+    cvec = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("cv"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = base.join(F.broadcast(cvec), "label").select(
+        "label",
+        F.sqrt(dot).alias("cnorm"),
+        pround(cosine_sim(F.col("v"), F.col("cv")), 6).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(F.max("cnorm"), 6).alias("centroid_norm"),
+        pround(pround(F.sum("cos"), 4) / F.count(F.lit(1)), 6).alias(
+            "avg_cosine_to_centroid"
+        ),
+    )

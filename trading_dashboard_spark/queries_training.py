@@ -554,3 +554,62 @@ def heavy_hitter_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = heavy_hitters(ev, "user_id", k=10, capacity=512)
     return out.select("item", F.col("est").cast("long").alias("est"))
+
+
+@register(
+    "source_mixture_plan",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    planned AS (
+      SELECT source, n_docs,
+             least(1.0, (2000.0 / (SELECT count(*) FROM counts)) / n_docs) AS rate
+      FROM counts
+    ),
+    sampled AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM documents d JOIN planned p USING (source)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0 < p.rate
+      GROUP BY d.source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           round(p.rate, 6) AS rate,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM planned p LEFT JOIN sampled s USING (source)
+    """,
+    tags=("training", "mixing"),
+)
+def source_mixture_plan(spark, sf_dir):
+    """Data mixing — the source-reweighting stage of a pretraining
+    pipeline (equal-share target across sources, 2000-doc budget):
+    per-source sampling rates from the count profile, then a
+    deterministic md5-fraction Bernoulli sample at those rates. The plan
+    (a few rows) broadcasts onto the corpus scan, so sampling is a
+    map-only filter — rerunnable byte-for-byte (hash-keyed, not random)
+    and embarrassingly parallel at any corpus size. The driver-free
+    scalar (source count) rides a broadcast cross join, not a collect."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    nsrc = counts.agg(F.count(F.lit(1)).alias("n_src"))
+    planned = counts.crossJoin(F.broadcast(nsrc)).withColumn(
+        "rate",
+        F.least(F.lit(1.0), (F.lit(2000.0) / F.col("n_src")) / F.col("n_docs")),
+    )
+    frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    sampled = (
+        docs.join(F.broadcast(planned.select("source", "rate")), "source")
+        .filter(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return planned.join(sampled, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        pround("rate", 6).alias("rate"),
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
