@@ -866,3 +866,152 @@ def orders_snapshot_diff(spark, sf_dir):
             2,
         ).alias("value_delta"),
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    """
+    WITH c AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT (epoch_us(p.first_purchase) - epoch_us(c.first_click))
+             / 1000000.0 AS latency_sec
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(latency_sec, 0.25), 4) AS p25_sec,
+           round(quantile_cont(latency_sec, 0.50), 4) AS p50_sec,
+           round(quantile_cont(latency_sec, 0.90), 4) AS p90_sec
+    FROM lat
+    """,
+    tags=("temporal", "funnel", "percentile"),
+)
+def conversion_latency_quantiles(spark, sf_dir):
+    """Funnel latency: per user, the gap from first click to the first
+    purchase after it, summarized as exact interpolated quantiles
+    (Spark `percentile` == DuckDB `quantile_cont`). Two per-user
+    aggregates sharing the user_id shuffle + one global quantile over
+    the converted-user aggregate (bounded by user cardinality;
+    percentile_approx is the unbounded-cardinality form)."""
+    ev = _t(spark, sf_dir, "events")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = p.join(c, "user_id").select(
+        (
+            (F.unix_micros("first_purchase") - F.unix_micros("first_click"))
+            / F.lit(1000000.0)
+        ).alias("latency_sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        pround(F.percentile("latency_sec", 0.25), 4).alias("p25_sec"),
+        pround(F.percentile("latency_sec", 0.50), 4).alias("p50_sec"),
+        pround(F.percentile("latency_sec", 0.90), 4).alias("p90_sec"),
+    )
+
+
+@register(
+    "repeat_status_customers_intersect",
+    """
+    WITH both_status AS (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM both_status b JOIN customer c ON b.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("setop", "intersect"),
+)
+def repeat_status_customers_intersect(spark, sf_dir):
+    """INTERSECT — the set-operation family's remaining member (union/
+    except already covered): customers holding both open and finished
+    orders, profiled by segment. Spark plans intersect as a left-semi
+    join over distincts; the custkey sets co-partition with the customer
+    join that follows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    both = (
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        .intersect(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+    return (
+        both.join(c, both.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            pround(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "daily_new_vs_returning",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    flagged AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day
+      FROM ud
+    ),
+    d AS (
+      SELECT day,
+             sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS n_new,
+             sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS n_returning
+      FROM flagged GROUP BY day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(n_returning AS BIGINT) AS n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumulative_unique_users
+    FROM d
+    """,
+    tags=("temporal", "cohort"),
+)
+def daily_new_vs_returning(spark, sf_dir):
+    """New-vs-returning daily actives + cumulative unique users — the
+    growth dashboard staple. Join-free: the per-user first day rides a
+    window over the distinct-aggregation's user_id partitioning (the
+    cohort_retention pattern); the running total's global window runs
+    over per-DAY rows (bounded by the calendar, documented — a running
+    distinct count over raw events would need the scale path)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    flagged = ud.withColumn("first_day", F.min("day").over(W.partitionBy("user_id")))
+    d = flagged.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)).alias(
+            "n_returning"
+        ),
+    )
+    wcum = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.col("n_returning").cast("long").alias("n_returning"),
+        F.sum("n_new").over(wcum).cast("long").alias("cumulative_unique_users"),
+    )

@@ -737,3 +737,70 @@ def chunk_boilerplate_ratio(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "quality_gate_summary",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_TOKS.replace("text", "coalesce(text, '')")} AS toks,
+             coalesce(text, '') AS txt
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+               / nullif(len(toks), 0) AS stop_ratio
+      FROM t
+    ),
+    gated AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens < 25 THEN 'too_short'
+                  WHEN n_tokens > 90 THEN 'too_long'
+                  WHEN coalesce(stop_ratio, 0) < 0.02 THEN 'low_stopword'
+                  ELSE 'pass' END AS outcome
+      FROM feats
+    )
+    SELECT outcome,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+    FROM gated GROUP BY outcome
+    """,
+    tags=("text", "X4", "quality-gate"),
+)
+def quality_gate_summary(spark, sf_dir):
+    """Composite quality gate — the keep/drop filter stage every
+    pretraining pipeline runs over its corpus (Gopher-rule shape):
+    per-doc signals (token count, stopword ratio) evaluated against
+    thresholds with first-failing-rule attribution, rolled up to docs
+    per outcome. One map-side projection + one small aggregate; adding
+    rules extends the CASE, not the plan. Signals come from
+    text/analysis.quality_features — the same expressions
+    doc_quality_features exposes raw."""
+    from .text.analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stop_ratio"),
+    )
+    outcome = (
+        F.when(F.col("n_tokens") < 25, "too_short")
+        .when(F.col("n_tokens") > 90, "too_long")
+        .when(F.coalesce(F.col("stop_ratio"), F.lit(0.0)) < 0.02, "low_stopword")
+        .otherwise("pass")
+    )
+    return (
+        feats.withColumn("outcome", outcome)
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
+        )
+    )
