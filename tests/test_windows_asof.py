@@ -124,3 +124,80 @@ def test_bucketed_range_join_matches_naive(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_asof_join_forward_and_tolerance_match_pandas(spark):
+    """Forward direction and tolerance must reproduce pandas
+    merge_asof semantics on a hand-checkable series (plus the
+    deterministic tiebreak pandas doesn't define)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from trading_dashboard_spark.operators.windows import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"),
+         (2, "2024-01-01 10:30:00")],
+        "k long, t string",
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 9.0), (1, "2024-01-01 10:00:00", 10.0),
+         (1, "2024-01-01 11:30:00", 11.5), (2, "2024-01-01 12:00:00", 12.0)],
+        "k long, t string, v double",
+    ).withColumn("t", F.to_timestamp("t"))
+
+    def run(**kw):
+        out = as_of_join(left, right, "k", "k", "t", "t", ["v"], **kw)
+        return {(r["k"], str(r["t"])): r["asof_v"] for r in out.collect()}
+
+    # backward, no tolerance: at-or-before (10:00 matches itself)
+    assert run() == {
+        (1, "2024-01-01 10:00:00"): 10.0,
+        (1, "2024-01-01 12:00:00"): 11.5,
+        (2, "2024-01-01 10:30:00"): None,
+    }
+    # backward + 20min tolerance: 12:00's match (11:30) is 30min stale -> null
+    assert run(tolerance_sec=1200.0) == {
+        (1, "2024-01-01 10:00:00"): 10.0,
+        (1, "2024-01-01 12:00:00"): None,
+        (2, "2024-01-01 10:30:00"): None,
+    }
+    # forward: earliest at-or-after
+    assert run(direction="forward") == {
+        (1, "2024-01-01 10:00:00"): 10.0,
+        (1, "2024-01-01 12:00:00"): None,
+        (2, "2024-01-01 10:30:00"): 12.0,
+    }
+    # forward strict: equal timestamp hidden
+    assert run(direction="forward", strict=True)[(1, "2024-01-01 10:00:00")] == 11.5
+    # parity with pandas merge_asof on the same frames (backward+forward)
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    for direction in ("backward", "forward"):
+        pd_out = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        got = run(direction=direction)
+        for _, row in pd_out.iterrows():
+            want = None if pd.isna(row["v"]) else row["v"]
+            assert got[(row["k"], str(row["t"]))] == want, (direction, row)
+
+
+def test_asof_forward_tiebreak_smallest_wins(spark):
+    """Two right rows at the identical timestamp: forward picks the
+    smallest tiebreak (ORDER BY t ASC, tb ASC LIMIT 1), backward the
+    greatest."""
+    from pyspark.sql import functions as F
+    from trading_dashboard_spark.operators.windows import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, t string"
+    ).withColumn("t", F.to_timestamp("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100, 1.0), (1, "2024-01-01 10:00:00", 200, 2.0)],
+        "k long, t string, eid long, v double",
+    ).withColumn("t", F.to_timestamp("t"))
+    fwd = as_of_join(left, right, "k", "k", "t", "t", ["v"],
+                     right_tiebreak="eid", direction="forward").collect()
+    bwd = as_of_join(left, right, "k", "k", "t", "t", ["v"],
+                     right_tiebreak="eid").collect()
+    assert fwd[0]["asof_v"] == 1.0
+    assert bwd[0]["asof_v"] == 2.0

@@ -96,9 +96,20 @@ def as_of_join(
     value_cols: list[str],
     strict: bool = False,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row at-or-before
     (``strict=False``) or strictly-before (``strict=True``) its timestamp.
+
+    ``direction="forward"`` flips the search to the EARLIEST right row
+    at-or-after (pandas ``merge_asof(direction='forward')``); the same
+    union-tag plan runs with the time ordering reversed, so the cost is
+    identical. ``tolerance_sec`` bounds staleness: matches farther than
+    the tolerance (in seconds, measured in the search direction) are
+    nulled, and the matched timestamp is exposed as ``asof_time`` —
+    correct because the nearest match is unique, so if IT violates the
+    tolerance no farther row can satisfy it.
 
     The reference expresses this as a correlated scalar subquery
     ``(SELECT closing_price ... WHERE trade_date < s.date ORDER BY
@@ -136,26 +147,53 @@ def as_of_join(
         F.lit(None).cast(probe.schema["__row"].dataType).alias("__row"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # At equal __t: non-strict wants the source visible to the probe
     # (source first), strict wants it hidden (probe first). Among sources
-    # at equal __t, ascending tiebreak puts the greatest last -> last() wins.
+    # at equal __t the tiebreak orders so the winner sorts LAST (last()
+    # wins): backward = greatest tiebreak (ORDER BY t DESC, tb DESC
+    # LIMIT 1), forward = smallest (ORDER BY t ASC, tb ASC LIMIT 1).
+    # Forward runs the identical plan on the reversed time order — the
+    # row immediately preceding the probe in DESC order is the earliest
+    # at-or-after match.
+    backward = direction == "backward"
     order = [
-        F.col("__t").asc(),
+        F.col("__t").asc() if backward else F.col("__t").desc(),
         F.col("__probe").asc() if not strict else F.col("__probe").desc(),
-        F.col("__tb").asc_nulls_first(),
+        F.col("__tb").asc_nulls_first() if backward else F.col("__tb").desc_nulls_first(),
     ]
     w = W.partitionBy("__k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    tagged = probe.unionByName(source)
+    tagged = probe.unionByName(source).withColumn(
+        "__vt", F.when(F.col("__probe") == 0, F.col("__t"))
+    )
     filled = tagged.select(
         "__probe",
         "__row",
+        F.col("__t").alias("__pt"),
+        F.last(F.col("__vt"), ignorenulls=True).over(w).alias("__asof_t"),
         *[
             F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in value_cols
         ],
     )
-    out = filled.filter(F.col("__probe") == 1).select(
+    probe_rows = filled.filter(F.col("__probe") == 1)
+    if tolerance_sec is not None:
+        gap = (
+            F.unix_micros(F.col("__pt")) - F.unix_micros(F.col("__asof_t"))
+            if backward
+            else F.unix_micros(F.col("__asof_t")) - F.unix_micros(F.col("__pt"))
+        ) / F.lit(1_000_000.0)
+        ok = F.col("__asof_t").isNotNull() & (gap <= F.lit(float(tolerance_sec)))
+        return probe_rows.select(
+            *[F.col("__row")[c].alias(c) for c in lcols],
+            F.when(ok, F.col("__asof_t")).alias("asof_time"),
+            *[
+                F.when(ok, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+    return probe_rows.select(
         *[F.col("__row")[c].alias(c) for c in lcols],
         *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
-    return out

@@ -967,3 +967,84 @@ def user_market_beta(spark, sf_dir):
         ).alias("beta"),
         pround(F.corr("r", "mr"), 4).alias("market_corr"),
     )
+
+
+@register(
+    "asof_click_tolerance_30m",
+    """
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           round(p.value, 2) AS purchase_value,
+           round((SELECT c.value FROM events c
+                  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+                  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), 2) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("window", "J5", "asof", "tolerance"),
+)
+def asof_click_tolerance_30m(spark, sf_dir):
+    """Tolerance-bounded as-of join (operators/windows.as_of_join,
+    ``tolerance_sec``): each purchase gets the latest same-user click
+    value, but only if it is at most 30 minutes stale — the pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` form. Same one-shuffle
+    union-tag plan as the unbounded as-of; staleness is a post-window
+    null-out (valid because the nearest match is unique)."""
+    from .operators.windows import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = as_of_join(
+        purchases, clicks,
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="ts",
+        value_cols=["value"], right_tiebreak="event_id",
+        tolerance_sec=1800.0,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        pround("value", 2).alias("purchase_value"),
+        pround("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
+    "click_next_purchase_forward_asof",
+    """
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round((SELECT p.value FROM events p
+                  WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+                    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+                  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1), 2)
+             AS next_purchase_value
+    FROM events c WHERE c.event_type = 'click'
+    """,
+    tags=("window", "J5", "asof", "forward"),
+)
+def click_next_purchase_forward_asof(spark, sf_dir):
+    """Forward as-of join (``direction="forward"`` + 2h tolerance): each
+    click gets the EARLIEST same-user purchase at-or-after it — the
+    attribution lookup as a nearest-single-match join (the stream-stream
+    interval join returns ALL matches; this returns one, deterministic
+    by (ts, event_id)). Identical union-tag plan on the reversed time
+    order: one shuffle, linear, no correlated subquery."""
+    from .operators.windows import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = as_of_join(
+        clicks, purchases,
+        left_on="user_id", right_on="user_id",
+        left_time="ts", right_time="ts",
+        value_cols=["value"], right_tiebreak="event_id",
+        direction="forward", tolerance_sec=7200.0,
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        pround("asof_value", 2).alias("next_purchase_value"),
+    )
