@@ -283,3 +283,28 @@ def test_jpeg_header_skips_fill_bytes():
     payload = soi + b"\xff\xff\xff" + app0 + b"\xff" * 5 + sof + b"\xff\xd9"
     hdr = jpeg_header(payload)
     assert (hdr["width"], hdr["height"], hdr["n_channels"]) == (640, 480, 3)
+
+
+def test_encode_wav_roundtrip_and_rms_windows(spark):
+    """encode_wav -> decode_wav is exact for PCM16 mono; the windowed
+    RMS operator matches numpy per window and keeps the short tail
+    window unpadded."""
+    import numpy as np
+
+    from trading_dashboard_spark.multimodal.codecs import decode_wav, encode_wav
+    from trading_dashboard_spark.multimodal.columns import audio_rms_windows
+
+    s = (np.arange(250) * 37 % 1999 - 999).astype("int16")
+    payload = encode_wav(s, 8000)
+    decoded, rate = decode_wav(payload)
+    assert rate == 8000 and decoded.shape == (250, 1)
+    assert (decoded[:, 0] == s).all()
+
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    rows = {r["window_idx"]: r for r in audio_rms_windows(df, 100).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[2]["n_samples"] == 50  # tail window is short, not padded
+    for w, r in rows.items():
+        win = s[w * 100 : (w + 1) * 100].astype(np.float64)
+        assert abs(r["rms"] - float(np.sqrt(np.mean(win * win)))) < 1e-9
+        assert r["peak"] == int(np.max(np.abs(win)))

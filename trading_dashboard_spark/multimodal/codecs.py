@@ -185,6 +185,24 @@ def wav_header(payload: bytes) -> dict:
     }
 
 
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono PCM16 WAV writer (RIFF + fmt + data) — the inverse of
+    :func:`decode_wav` for 16-bit mono, used to synthesize deterministic
+    audio payloads in tests and oracle-checked queries."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Full PCM decode → ((n_frames, n_channels) int array, sample_rate)."""
     hdr = wav_header(payload)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -164,3 +165,46 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(sample, schema=out_schema)
+
+
+def audio_rms_windows(
+    df: DataFrame,
+    window_samples: int = 100,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Windowed audio feature extraction over REAL WAV payloads: decode
+    PCM (codecs.decode_wav), cut the sample stream into fixed windows,
+    emit per-window RMS + peak — the signal-processing analog of
+    document chunking (one input row → n window rows).
+
+    Arrow ``mapInPandas``: payloads stream batch-by-batch through the
+    Python lane, each decoded once; multi-channel audio is averaged to
+    mono before windowing. The tail window may be short (``n_samples``
+    carries the actual count). Stateless and map-only — partition-size
+    bounded by ``spark.sql.files.maxPartitionBytes`` at scale, safe
+    under speculative retries."""
+    from .codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, rms, peak = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = decode_wav(bytes(payload))
+                mono = samples.astype(np.float64).mean(axis=1)
+                for w in range(0, len(mono), window_samples):
+                    win = mono[w : w + window_samples]
+                    ids.append(mid)
+                    widx.append(w // window_samples)
+                    ns.append(len(win))
+                    rms.append(float(np.sqrt(np.mean(win * win))))
+                    peak.append(int(np.max(np.abs(win))))
+            yield pd.DataFrame(
+                {id_col: ids, "window_idx": widx, "n_samples": ns,
+                 "rms": rms, "peak": peak}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, window_idx int, n_samples int, rms double, peak int",
+    )

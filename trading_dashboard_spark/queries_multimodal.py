@@ -122,3 +122,58 @@ def media_frame_plan(spark, sf_dir):
         "frame_idx",
         F.col("frame_ms").alias("frame_ms"),
     )
+
+
+@register(
+    "media_audio_rms_windows",
+    """
+    WITH audio AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    samp AS (
+      SELECT doc_id, CAST(i // 100 AS INT) AS window_idx,
+             ((doc_id * 7919 + i * 31) % 2003) - 1001 AS s
+      FROM audio, UNNEST(range(400)) t(i)
+    )
+    SELECT doc_id AS media_id, window_idx,
+           CAST(count(*) AS INT) AS n_samples,
+           round(sqrt(sum(s * s) / CAST(count(*) AS DOUBLE)), 6) AS rms,
+           CAST(max(abs(s)) AS INT) AS peak
+    FROM samp GROUP BY 1, 2
+    """,
+    tags=("multimodal", "X5", "audio"),
+)
+def media_audio_rms_windows(spark, sf_dir):
+    """X5 — windowed audio features over REAL WAV bytes (multimodal/
+    columns.audio_rms_windows): each audio doc gets a deterministic
+    400-sample PCM16 payload synthesized from its id, written through
+    codecs.encode_wav, then the operator decodes it back
+    (codecs.decode_wav) and emits per-100-sample-window RMS + peak. The
+    oracle computes the same windows straight from the sample formula —
+    hash equality therefore proves the WAV encode→decode roundtrip AND
+    the windowing, not just the arithmetic. Both Python stages are
+    chained Arrow maps: no shuffle until the (tiny) output."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal.codecs import encode_wav
+    from .multimodal.columns import audio_rms_windows
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                i = np.arange(400, dtype=np.int64)
+                s = ((int(did) * 7919 + i * 31) % 2003) - 1001
+                payloads.append(encode_wav(s.astype("int16"), 8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    wav = docs.select("doc_id").mapInPandas(synth, "media_id long, payload binary")
+    out = audio_rms_windows(wav, window_samples=100)
+    return out.select(
+        "media_id",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        F.col("n_samples").cast("int").alias("n_samples"),
+        pround("rms", 6).alias("rms"),
+        F.col("peak").cast("int").alias("peak"),
+    )

@@ -257,7 +257,15 @@ def lsh_ann_top3(spark, sf_dir):
     Single-shot execution, so ``persist`` stays off: the eager
     materialize-then-release cache scoping in lsh_knn pays a full extra
     materialization that only amortizes when the result is reused —
-    benched ~2× slower for this one-pass registry call (BENCH_r02)."""
+    benched ~2× slower for this one-pass registry call (BENCH_r02).
+
+    Parameter choice is recall-driven, measured at sf0.1 (2000 uniform
+    64-dim vectors — the LSH-adversarial case): (6 planes, 2 tables)
+    gives recall@3 0.117 at ~4 s wall; (8, 3) runs 2× faster at 0.069;
+    (9, 3) 2.5× faster at 0.045. Halving an ANN query's recall to save
+    wall-clock inverts its purpose, so the slowest-but-most-accurate
+    setting stays; clustered real-world embeddings shift the whole
+    frontier up without changing the ordering."""
     from .similarity.lsh import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")

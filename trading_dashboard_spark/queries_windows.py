@@ -1048,3 +1048,56 @@ def click_next_purchase_forward_asof(spark, sf_dir):
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         pround("asof_value", 2).alias("next_purchase_value"),
     )
+
+
+@register(
+    "gap_filled_daily_close",
+    f"""
+    WITH {DAILY_SQL},
+    bounds AS (
+      SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    j AS (
+      SELECT s.user_id, s.day, dl.close
+      FROM spine s LEFT JOIN daily dl
+        ON s.user_id = dl.user_id AND s.day = dl.d
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(last_value(close IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS UNBOUNDED PRECEDING), 2) AS close_filled,
+           close IS NULL AS is_gap
+    FROM j
+    """,
+    tags=("window", "temporal", "gap-fill"),
+)
+def gap_filled_daily_close(spark, sf_dir):
+    """Calendar densification + forward fill — the time-series repair
+    step between raw bars and any window math (rolling frames silently
+    mis-span gapped series): per user, a full date spine from first to
+    last active day (sequence + explode), left-joined to the actual
+    bars, nulls forward-filled by the unbounded last(ignorenulls)
+    window; is_gap marks synthesized rows. The spine join and the fill
+    window share the user_id hash partitioning; spine generation is
+    map-side (one row per user explodes to its own calendar)."""
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(
+        daily.withColumnRenamed("d", "day"), ["user_id", "day"], "left"
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        pround(F.last("close", ignorenulls=True).over(w), 2).alias("close_filled"),
+        F.col("close").isNull().alias("is_gap"),
+    )
