@@ -232,3 +232,20 @@ def test_source_mixture_sampling_is_map_side(spark, sf_dir):
     aggregates exchange)."""
     plan = _plan(spark, sf_dir, "source_mixture_plan")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cohort_retention_two_exchanges(spark, sf_dir):
+    """One explicit user_id repartition serves the (user, day) distinct
+    AND the cohort-day window (hash on a key subset clusters the full
+    key); only the final matrix aggregate adds a second exchange."""
+    plan = _plan(spark, sf_dir, "user_retention_cohorts")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ohlc_two_windows_share_one_exchange(spark, sf_dir):
+    """Both opposed row_number windows and the final aggregate run on a
+    single (event_type, hour)-compatible exchange — resampling costs one
+    shuffle at any grain."""
+    plan = _plan(spark, sf_dir, "hourly_ohlc_candles")
+    assert plan.count("Exchange hashpartitioning") == 1

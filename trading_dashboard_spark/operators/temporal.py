@@ -150,16 +150,20 @@ def cohort_retention(
     for each day-offset 0..max_offset the count of cohort users active
     that day — the standard activation/retention analysis shape.
 
-    Plan: one aggregate for (user, activity_day) distinct pairs, a window
-    min over user for the cohort day (reuses the same user_id hash
-    partitioning — no second shuffle), then one aggregate to the
-    (cohort_day, offset) matrix. No join: the cohort day travels with
-    each activity row via the window. Scales as two exchanges over
-    per-user-day data regardless of raw event volume.
+    Plan: one explicit repartition on user_id that BOTH the
+    (user, activity_day) distinct and the per-user cohort-day window
+    reuse — hash(user_id) clusters every (user_id, day) group, so the
+    distinct's ClusteredDistribution is already satisfied and the window
+    adds no exchange — then one aggregate to the (cohort_day, offset)
+    matrix. No join: the cohort day travels with each activity row via
+    the window. Two exchanges total over per-user-day data regardless of
+    raw event volume (plan-tested).
     """
-    days = df.select(
-        F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day")
-    ).distinct()
+    days = (
+        df.select(F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
     w = W.partitionBy("user_id")
     with_cohort = days.withColumn("cohort_day", F.min("day").over(w))
     return (

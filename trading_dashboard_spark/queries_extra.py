@@ -994,13 +994,19 @@ def repeat_status_customers_intersect(spark, sf_dir):
 )
 def daily_new_vs_returning(spark, sf_dir):
     """New-vs-returning daily actives + cumulative unique users — the
-    growth dashboard staple. Join-free: the per-user first day rides a
-    window over the distinct-aggregation's user_id partitioning (the
-    cohort_retention pattern); the running total's global window runs
-    over per-DAY rows (bounded by the calendar, documented — a running
-    distinct count over raw events would need the scale path)."""
+    growth dashboard staple. Join-free: one explicit user_id repartition
+    serves both the (user, day) distinct and the first-day window —
+    hash(user_id) clusters every (user_id, day) group, so the distinct
+    adds no exchange of its own (the cohort_retention pattern); the
+    running total's global window runs over per-DAY rows (bounded by
+    the calendar, documented — a running distinct count over raw events
+    would need the scale path)."""
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .repartition("user_id")
+        .distinct()
+    )
     flagged = ud.withColumn("first_day", F.min("day").over(W.partitionBy("user_id")))
     d = flagged.groupBy("day").agg(
         F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)).alias("n_new"),

@@ -1082,9 +1082,12 @@ def gap_filled_daily_close(spark, sf_dir):
     mis-span gapped series): per user, a full date spine from first to
     last active day (sequence + explode), left-joined to the actual
     bars, nulls forward-filled by the unbounded last(ignorenulls)
-    window; is_gap marks synthesized rows. The spine join and the fill
-    window share the user_id hash partitioning; spine generation is
-    map-side (one row per user explodes to its own calendar)."""
+    window; is_gap marks synthesized rows. Spine generation is map-side
+    (one row per user explodes to its own calendar); at test scale the
+    bar side broadcasts onto the spine, at corpus scale AQE picks the
+    co-partitioned (user_id, day) merge join and the fill window adds
+    its user_id exchange — per-user-day data either way, never raw
+    events."""
     daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
     spine = (
         daily.groupBy("user_id")
