@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "macd_indicator",         # single-pass grouped-map indicator chain
     "event_sessionization",   # lag+cumsum sessions, single exchange
     "tfidf_top_terms",        # explode -> df join -> per-doc rank
+    "chunk_boilerplate_ratio",  # chunk fp explode -> fp-keyed join (r3)
+    "hourly_ohlc_candles",    # one-exchange two-window resample (r3)
 ]
 
 
@@ -188,7 +190,7 @@ SWEEP_QUERIES = [
     "bollinger_bands", "cumulative_user_totals", "asof_purchase_click",
     "exact_dedup_docs", "minhash_near_dup_pairs", "doc_sentiment",
     "doc_quality_features", "macd_indicator", "event_sessionization",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "chunk_boilerplate_ratio", "hourly_ohlc_candles",
 ]
 
 
