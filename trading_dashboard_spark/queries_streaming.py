@@ -282,3 +282,50 @@ def streaming_nation_enrichment(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         pround("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "streaming_hourly_ohlc",
+    """
+    WITH keyed AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS b, value,
+             printf('%020d|%012d', epoch_us(ts), event_id) AS k
+      FROM events
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           event_type,
+           round(arg_min(value, k), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(arg_max(value, k), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM keyed GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "resample"),
+)
+def streaming_hourly_ohlc(spark, sf_dir):
+    """Streaming OHLC resampling (streaming/windows.hourly_ohlc): the
+    candle builder as an INCREMENTAL operator — min_by/max_by on a
+    sortable epoch|id key give deterministic open/close inside a
+    watermarked tumbling window, so state per (window, type) is six
+    scalars and late data folds in until the watermark passes. The
+    oracle replays the same declarative aggregation in batch SQL
+    (arg_min/arg_max on the identical key); the batch twin
+    hourly_ohlc_candles cross-checks the candle values themselves."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.windows import hourly_ohlc
+
+    stream = stream_events(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = hourly_ohlc(stream)
+    out = run_stream_to_table(agg, "hourly_ohlc", output_mode="complete")
+    return out.select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "event_type",
+        pround("open", 2).alias("open"),
+        pround("high", 2).alias("high"),
+        pround("low", 2).alias("low"),
+        pround("close", 2).alias("close"),
+        F.col("n_events").cast("long").alias("n_events"),
+        pround("total_value", 2).alias("total_value"),
+    )

@@ -82,3 +82,34 @@ def session_aggregate(
             "total_value",
         )
     )
+
+
+def hourly_ohlc(
+    stream: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC candles: tumbling event-time window per event_type
+    with deterministic open/close via ``min_by``/``max_by`` on a
+    zero-padded ``epoch_us|event_id`` ordering key — a scalar key
+    because streaming aggregation (and the SQL oracle's arg_min/arg_max)
+    needs declarative aggregates, not window functions. The batch
+    ``hourly_ohlc_candles`` computes the same candles with two opposed
+    row_number windows; this is the incremental form with
+    watermark-bounded state."""
+    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("bucket_start"),
+            "event_type", "open", "high", "low", "close",
+            "n_events", "total_value",
+        )
+    )
