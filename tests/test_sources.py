@@ -155,3 +155,49 @@ def test_export_jdbc_missing_driver_is_clear(spark):
     with pytest.raises((RuntimeError, Exception)) as ei:
         export_jdbc(df, "jdbc:postgresql://localhost/nope", "t", max_connections=4)
     assert "driver" in str(ei.value).lower()
+
+
+def test_rest_quotes_python_datasource(spark):
+    """Spark 4 Python DataSource form of S1: format("rest_quotes") with
+    the synthetic transport returns one deterministic RAW_QUOTE row per
+    symbol, split across the requested partitions; option validation
+    fails fast."""
+    import pytest
+
+    from trading_dashboard_spark.schemas import RAW_QUOTE
+    from trading_dashboard_spark.sources.datasource import (
+        QuoteRestDataSource,
+        synthetic_quote,
+    )
+
+    spark.dataSource.register(QuoteRestDataSource)
+    df = (
+        spark.read.format("rest_quotes")
+        .option("symbols", "AAPL, MSFT,GOOG,AMZN,NVDA")
+        .option("partitions", "3")
+        .option("date", "2024-02-01")
+        .load()
+    )
+    assert df.schema == RAW_QUOTE
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["symbol"]: r for r in df.collect()}
+    assert sorted(rows) == ["AAPL", "AMZN", "GOOG", "MSFT", "NVDA"]
+    want = synthetic_quote("MSFT", "2024-02-01")
+    got = rows["MSFT"]
+    assert got["c"] == want["c"] and got["v"] == want["v"]
+    assert got["h"] >= max(got["o"], got["c"])  # candle invariant
+    # second read is identical (deterministic transport)
+    again = {r["symbol"]: r["c"] for r in (
+        spark.read.format("rest_quotes")
+        .option("symbols", "AAPL, MSFT,GOOG,AMZN,NVDA")
+        .option("partitions", "3")
+        .option("date", "2024-02-01")
+        .load().collect()
+    )}
+    assert again == {s: r["c"] for s, r in rows.items()}
+
+    with pytest.raises(Exception, match="symbols"):
+        spark.read.format("rest_quotes").load().collect()
+    with pytest.raises(Exception, match="endpoint"):
+        (spark.read.format("rest_quotes")
+         .option("symbols", "A").option("transport", "http").load().collect())
