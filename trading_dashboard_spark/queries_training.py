@@ -613,3 +613,142 @@ def source_mixture_plan(spark, sf_dir):
         pround("rate", 6).alias("rate"),
         F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
     )
+
+
+@register(
+    "curation_funnel",
+    """
+    WITH base AS (
+      SELECT doc_id, source, text,
+             CAST(ceil(length(trim(coalesce(text, ''))) / 4.0) AS BIGINT) AS est_tokens,
+             list_transform(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                            t -> lower(t)) AS toks,
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ),
+    feats AS (
+      SELECT *, len(toks) AS n_tokens,
+             CAST(len(list_filter(toks,
+                 x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+               / nullif(len(toks), 0) AS stop_ratio
+      FROM base
+    ),
+    gated AS (
+      SELECT * FROM feats
+      WHERE n_tokens >= 25 AND n_tokens <= 90
+        AND coalesce(stop_ratio, 0) >= 0.02
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id,
+             arg_min(source, doc_id) AS source,
+             arg_min(est_tokens, doc_id) AS est_tokens
+      FROM gated GROUP BY fp
+    ),
+    counts AS (SELECT source, count(*) AS n_docs FROM survivors GROUP BY source),
+    planned AS (
+      SELECT source,
+             least(1.0, (2000.0 / (SELECT count(*) FROM counts)) / n_docs) AS rate
+      FROM counts
+    ),
+    sampled AS (
+      SELECT s.* FROM survivors s JOIN planned p USING (source)
+      WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8))::BIGINT
+            / 4294967296.0 < p.rate
+    ),
+    packed AS (
+      SELECT source, est_tokens,
+             CAST(floor((sum(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - est_tokens) / 50000.0)
+                  AS BIGINT) AS shard_id
+      FROM sampled
+    )
+    SELECT * FROM (
+      SELECT '0_all' AS stage, CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(est_tokens) AS BIGINT) AS total_est_tokens FROM base
+      UNION ALL
+      SELECT '1_gate_pass', CAST(count(*) AS BIGINT),
+             CAST(sum(est_tokens) AS BIGINT) FROM gated
+      UNION ALL
+      SELECT '2_dedup_survivors', CAST(count(*) AS BIGINT),
+             CAST(sum(est_tokens) AS BIGINT) FROM survivors
+      UNION ALL
+      SELECT '3_mixture_sample', CAST(count(*) AS BIGINT),
+             CAST(sum(est_tokens) AS BIGINT) FROM sampled
+      UNION ALL
+      SELECT '4_packed_shards',
+             CAST(count(DISTINCT (source, shard_id)) AS BIGINT),
+             CAST(sum(est_tokens) AS BIGINT) FROM packed
+    )
+    """,
+    tags=("training", "pipeline", "funnel"),
+)
+def curation_funnel(spark, sf_dir):
+    """The corpus-curation pipeline END TO END, as one query: quality
+    gate (token-count + stopword thresholds) → exact dedup (min-id
+    survivor per canonical fingerprint, survivor attributes via min_by)
+    → source-mixture Bernoulli sample (equal-share 2000-doc budget) →
+    ~50k-token shard packing — reported as a funnel of (stage, units,
+    tokens). Every stage is the registry's own operator composed
+    downstream of the previous one, and the whole composition
+    hash-matches the oracle: the strongest statement the engine makes
+    that its LLM-data stages are CORRECT TOGETHER, not just in
+    isolation. Each stage keeps its scale shape (map-side gate, 16-byte
+    fingerprint shuffle, broadcast mixture plan, per-source prefix
+    sums); the funnel summaries are five tiny aggregates unioned."""
+    from pyspark.sql import Window as W
+
+    from .text.analysis import fingerprint, quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    base = docs.select(
+        "doc_id", "source",
+        F.ceil(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) / 4.0)
+        .cast("long").alias("est_tokens"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stop_ratio"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    gated = base.filter(
+        (F.col("n_tokens") >= 25) & (F.col("n_tokens") <= 90)
+        & (F.coalesce(F.col("stop_ratio"), F.lit(0.0)) >= 0.02)
+    )
+    survivors = gated.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("est_tokens", "doc_id").alias("est_tokens"),
+    )
+    counts = survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    nsrc = counts.agg(F.count(F.lit(1)).alias("n_src"))
+    planned = counts.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        F.least(F.lit(1.0), (F.lit(2000.0) / F.col("n_src")) / F.col("n_docs")).alias("rate"),
+    )
+    frac = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") / F.lit(4294967296.0)
+    sampled = survivors.join(F.broadcast(planned), "source").filter(frac < F.col("rate"))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = sampled.withColumn(
+        "shard_id",
+        F.floor((F.sum("est_tokens").over(w) - F.col("est_tokens")) / 50000.0).cast("long"),
+    )
+
+    def stage(df, name, shard=False):
+        units = (
+            F.countDistinct("source", "shard_id") if shard else F.count(F.lit(1))
+        )
+        return df.agg(
+            units.cast("long").alias("n_units"),
+            F.sum("est_tokens").cast("long").alias("total_est_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_units", "total_est_tokens")
+
+    return (
+        stage(base, "0_all")
+        .unionByName(stage(gated, "1_gate_pass"))
+        .unionByName(stage(survivors, "2_dedup_survivors"))
+        .unionByName(stage(sampled, "3_mixture_sample"))
+        .unionByName(stage(packed, "4_packed_shards", shard=True))
+    )
