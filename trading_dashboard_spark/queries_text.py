@@ -804,3 +804,69 @@ def quality_gate_summary(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "cluster_survivor_selection",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+    members AS (
+      SELECT l.component, l.id, d.n_chars,
+             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
+      FROM labeled l JOIN documents d ON l.id = d.doc_id
+    )
+    SELECT component,
+           arg_max(id, keep_key) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_chars) - arg_max(n_chars, keep_key) AS BIGINT)
+             AS removed_chars
+    FROM members GROUP BY component
+    """,
+    tags=("text", "X2", "dedup", "clusters", "policy"),
+)
+def cluster_survivor_selection(spark, sf_dir):
+    """Quality-aware dedup survivor policy: within each near-dup cluster
+    keep the LONGEST document (ties → smallest id) instead of the
+    blind min-id convention — the curation-grade keep rule (RefinedWeb
+    keeps the longest/cleanest member). Cluster membership comes from
+    the same label-propagation components as near_dup_clusters; the
+    policy is one max_by over (n_chars, -id) after a doc-metadata join.
+    Reports per cluster: survivor, member count, and the char volume
+    the removal frees."""
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+    cc = connected_components(pairs)
+    members = cc.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
+    # sortable scalar (n_chars major, inverted id minor) — encodes
+    # (n_chars DESC, id ASC) preference in one max_by key, identical on
+    # both engines (DuckDB arg_max rejects struct ordering keys)
+    keep_key = F.col("n_chars") * F.lit(10_000_000_000) + (
+        F.lit(9_999_999_999) - F.col("id")
+    )
+    return members.groupBy("component").agg(
+        F.max_by("id", keep_key).alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("n_chars") - F.max_by("n_chars", keep_key)).cast("long").alias(
+            "removed_chars"
+        ),
+    )
