@@ -145,7 +145,10 @@ def test_global_ranks_two_stage_equals_exact(spark, sf_dir):
     )
     plan = dist._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    # downstream of the checkpointed (range-partitioned, locally ranked)
+    # rows the plan is pure map work — the checkpoint itself is the
+    # boundary-pinning step (see _with_global_rank)
+    assert "ExistingRDD" in plan
 
     cols2 = [F.col("total"), F.col("user_id")]
     exact2 = distribution_ranks(totals, cols2, exact=True)

@@ -95,3 +95,33 @@ def test_session_aggregate_merges_by_gap(spark, sf_dir):
     assert (pdf["session_end"] > pdf["session_start"]).all()
     # total events conserved across sessions
     assert pdf["n_events"].sum() == load_table(spark, "events", sf_dir).count()
+
+
+def test_ts_generation_sniff_all_generations(spark, tmp_path):
+    """_ts_is_int64 must detect BOTH long-read generations — raw int64
+    epoch-nanos fixtures AND TIMESTAMP(NANOS) parquet (pyarrow reports
+    the latter as timestamp[ns], not int64) — and reject the micros
+    generation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.streaming.ingest import _ts_is_int64
+
+    base = {"event_id": [1], "user_id": [2], "event_type": ["click"],
+            "value": [1.0], "props": ["{}"]}
+    ns_ts = pa.array([1_700_000_000_000_000_000], type=pa.int64())
+    pq.write_table(
+        pa.table({**base, "ts": ns_ts}), str(tmp_path / "int64.parquet")
+    )
+    pq.write_table(
+        pa.table({**base, "ts": ns_ts.cast(pa.timestamp("ns"))}),
+        str(tmp_path / "nanos.parquet"),
+    )
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1_700_000_000_000_000],
+                                         type=pa.timestamp("us"))}),
+        str(tmp_path / "micros.parquet"),
+    )
+    assert _ts_is_int64(str(tmp_path / "int64.parquet")) is True
+    assert _ts_is_int64(str(tmp_path / "nanos.parquet")) is True
+    assert _ts_is_int64(str(tmp_path / "micros.parquet")) is False

@@ -8,7 +8,7 @@ that is the right plan — but if key cardinality ever tracks corpus size
 (10⁹ users), the one-task sort becomes the bottleneck the 100 TB design
 must not contain.
 
-``distributed=True`` computes the SAME exact values with no
+``exact=False`` computes the SAME exact values with no
 single-partition stage, classic two-pass distributed ranking:
 
 1. ``repartitionByRange`` on the sort key (range partitioner: partition
@@ -22,8 +22,10 @@ single-partition stage, classic two-pass distributed ranking:
    the plan as a literal array indexed by partition id, so the final
    rank is ``offset[pid] + local_rank``: map-side, no join, no window.
 
-The trade is two executions of the input subtree (the counts action +
-the main plan) plus range-partitioner sampling — all fully parallel.
+The trade is one materialization of the ranked rows (an eager local
+checkpoint that also pins the sampled range boundaries — see
+``_with_global_rank``) plus range-partitioner sampling — all fully
+parallel.
 With a unique total order (callers must tie-break, e.g. ``(total,
 user_id)``), ``percent_rank``/``cume_dist``/``ntile`` derived from the
 global row number match the SQL window functions exactly, so the
@@ -68,7 +70,14 @@ def _with_global_rank(
             seen += len(pdf)
             yield pdf
 
-    stamped = rp.mapInPandas(stamp, out_schema)
+    # Pin ONE physical partitioning before anything reads it:
+    # repartitionByRange samples range boundaries per execution, so
+    # without this the counts action and the returned plan could run
+    # against DIFFERENT partitionings and the offsets would silently
+    # misalign (duplicated/skipped global ranks). The eager local
+    # checkpoint materializes the stamped rows once; both the counts
+    # job and the final plan then read the same frozen partitions.
+    stamped = rp.mapInPandas(stamp, out_schema).localCheckpoint(eager=True)
     # Driver-side prefix sum over per-partition counts: bounded by the
     # partition count, not the data (documented bounded-collect, same
     # class as similarity/ivf's fit sample).

@@ -99,6 +99,12 @@ def table_diff(
     scale.write_bucketed). Comparison is ``<=>`` (null-safe equality)
     per column, so NULL→value and value→NULL both count as changes.
 
+    PRECONDITION: ``keys`` must be unique within each snapshot —
+    duplicate keys fan out the outer join into multiple (possibly
+    conflicting) diff rows per key. Snapshots produced by the engine's
+    merge path already guarantee this (``dedup_by_key`` runs on every
+    upsert); for foreign inputs, dedup first or the counts lie.
+
     Returns key columns + ``diff_status`` + each compared column from
     both sides as ``<col>_a`` / ``<col>_b``.
     """

@@ -15,8 +15,14 @@ from .text.analysis import LANG_MARKERS
 
 # --- shared SQL fragments -------------------------------------------------
 
-#: whitespace tokens, lowercased (matches text/analysis.tokenize + lower)
-_TOKS = "list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t))"
+#: whitespace tokens, lowercased (matches text/analysis.tokenize + lower).
+#: The empty/whitespace-only guard matters: DuckDB's string_split_regex
+#: returns [''] (len 1) for empty input where tokenize() returns an empty
+#: array — latent divergence on any corpus containing empty docs.
+_TOKS = (
+    "(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[] "
+    "ELSE list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) END)"
+)
 
 #: word 3-gram shingle set (matches text/dedup.shingles, n=3)
 _SHINGLES = f"""
@@ -300,8 +306,10 @@ def _simhash_oracle() -> str:
     return """
     WITH t AS (
       SELECT doc_id,
-             list_distinct(list_transform(string_split_regex(trim(text), '\\s+'),
-                                          x -> lower(x))) AS toks
+             list_distinct(
+               CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                    ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                        x -> lower(x)) END) AS toks
       FROM documents
     ),
     h AS (

@@ -556,22 +556,52 @@ def heavy_hitter_users(spark, sf_dir):
     return out.select("item", F.col("est").cast("long").alias("est"))
 
 
+#: Equal-share mixture budget (docs) shared by source_mixture_plan and
+#: curation_funnel — ONE constant + helper pair rendered into both Spark
+#: lanes and both SQL oracles, so the sampling law cannot drift between
+#: the standalone query and the composed pipeline.
+_MIX_BUDGET = 2000.0
+
+
+def _mixture_rates(counts):
+    """(source, n_docs) → + equal-share Bernoulli `rate`; the source
+    count rides a broadcast cross join, not a collect."""
+    nsrc = counts.agg(F.count(F.lit(1)).alias("n_src"))
+    return counts.crossJoin(F.broadcast(nsrc)).withColumn(
+        "rate",
+        F.least(F.lit(1.0), (F.lit(_MIX_BUDGET) / F.col("n_src")) / F.col("n_docs")),
+    )
+
+
+def _hash_frac(col):
+    """Deterministic uniform fraction in [0,1) from md5 of a key."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+
+
+def _hash_frac_sql(col: str) -> str:
+    return f"('0x' || substr(md5({col}::VARCHAR), 1, 8))::BIGINT / 4294967296.0"
+
+
+def _mixture_rate_sql() -> str:
+    return f"least(1.0, ({_MIX_BUDGET} / (SELECT count(*) FROM counts)) / n_docs)"
+
+
 @register(
     "source_mixture_plan",
-    """
+    f"""
     WITH counts AS (
       SELECT source, count(*) AS n_docs FROM documents GROUP BY source
     ),
     planned AS (
-      SELECT source, n_docs,
-             least(1.0, (2000.0 / (SELECT count(*) FROM counts)) / n_docs) AS rate
+      SELECT source, n_docs, {_mixture_rate_sql()} AS rate
       FROM counts
     ),
     sampled AS (
       SELECT d.source, count(*) AS n_sampled
       FROM documents d JOIN planned p USING (source)
-      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
-            / 4294967296.0 < p.rate
+      WHERE {_hash_frac_sql('d.doc_id')} < p.rate
       GROUP BY d.source
     )
     SELECT p.source,
@@ -593,17 +623,10 @@ def source_mixture_plan(spark, sf_dir):
     scalar (source count) rides a broadcast cross join, not a collect."""
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    nsrc = counts.agg(F.count(F.lit(1)).alias("n_src"))
-    planned = counts.crossJoin(F.broadcast(nsrc)).withColumn(
-        "rate",
-        F.least(F.lit(1.0), (F.lit(2000.0) / F.col("n_src")) / F.col("n_docs")),
-    )
-    frac = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") / F.lit(4294967296.0)
+    planned = _mixture_rates(counts)
     sampled = (
         docs.join(F.broadcast(planned.select("source", "rate")), "source")
-        .filter(frac < F.col("rate"))
+        .filter(_hash_frac(F.col("doc_id")) < F.col("rate"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
@@ -617,12 +640,13 @@ def source_mixture_plan(spark, sf_dir):
 
 @register(
     "curation_funnel",
-    """
+    f"""
     WITH base AS (
       SELECT doc_id, source, text,
              CAST(ceil(length(trim(coalesce(text, ''))) / 4.0) AS BIGINT) AS est_tokens,
-             list_transform(string_split_regex(trim(coalesce(text, '')), '\\s+'),
-                            t -> lower(t)) AS toks,
+             CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                  ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                                      t -> lower(t)) END AS toks,
              md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
       FROM documents
     ),
@@ -646,14 +670,12 @@ def source_mixture_plan(spark, sf_dir):
     ),
     counts AS (SELECT source, count(*) AS n_docs FROM survivors GROUP BY source),
     planned AS (
-      SELECT source,
-             least(1.0, (2000.0 / (SELECT count(*) FROM counts)) / n_docs) AS rate
+      SELECT source, n_docs, {_mixture_rate_sql()} AS rate
       FROM counts
     ),
     sampled AS (
       SELECT s.* FROM survivors s JOIN planned p USING (source)
-      WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8))::BIGINT
-            / 4294967296.0 < p.rate
+      WHERE {_hash_frac_sql('s.doc_id')} < p.rate
     ),
     packed AS (
       SELECT source, est_tokens,
@@ -719,15 +741,10 @@ def curation_funnel(spark, sf_dir):
         F.min_by("est_tokens", "doc_id").alias("est_tokens"),
     )
     counts = survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    nsrc = counts.agg(F.count(F.lit(1)).alias("n_src"))
-    planned = counts.crossJoin(F.broadcast(nsrc)).select(
-        "source",
-        F.least(F.lit(1.0), (F.lit(2000.0) / F.col("n_src")) / F.col("n_docs")).alias("rate"),
+    planned = _mixture_rates(counts).select("source", "rate")
+    sampled = survivors.join(F.broadcast(planned), "source").filter(
+        _hash_frac(F.col("doc_id")) < F.col("rate")
     )
-    frac = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long") / F.lit(4294967296.0)
-    sampled = survivors.join(F.broadcast(planned), "source").filter(frac < F.col("rate"))
     w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

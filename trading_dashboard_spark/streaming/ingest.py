@@ -21,9 +21,10 @@ from ..session import apply_runtime_confs
 
 
 def _ts_is_int64(path: str) -> bool:
-    """True when the events parquet at ``path`` stores ts as a physical
-    int64 (the TIMESTAMP(NANOS) testdata generation, readable only as
-    long — see io/readers.load_table); False for the TIMESTAMP(MICROS)
+    """True when Spark will read the ts column as a raw long under
+    ``nanosAsLong``: either TIMESTAMP(NANOS) parquet (pyarrow reports it
+    as ``timestamp[ns]``) or an already-long int64 column (fixtures
+    written as raw epoch-nanos). False for the TIMESTAMP(MICROS)
     generation, which reads directly as a timestamp. One footer read of
     one file at stream-definition time — not a per-batch cost."""
     import glob
@@ -40,7 +41,7 @@ def _ts_is_int64(path: str) -> bool:
             return False
         f = files[0]
     t = pq.read_schema(f).field("ts").type
-    return str(t) == "int64"
+    return str(t) in ("int64", "timestamp[ns]")
 
 
 def _events_read_schema(ts_int64: bool) -> T.StructType:
