@@ -1,0 +1,155 @@
+"""Randomized cross-engine contract batteries — seeded, deterministic.
+
+Each test generates a few hundred adversarial cases (ties, negatives,
+empty strings, equal timestamps) and asserts the engine lane and its
+oracle/reference implementation agree bit-for-bit. They guard the
+properties the per-query oracle checks rely on: if any of these drift,
+dozens of registered queries would start hash-failing at once.
+"""
+
+import random
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_pround_matches_duckdb_portable_round_battery(spark):
+    """pround (Spark) == the floor-form SQL rewrite (DuckDB) across
+    digits -3..6 on values engineered to sit ON rounding boundaries —
+    the exact ties both engines' native round() disagree about."""
+    from trading_dashboard_spark.functions import portable_round_sql, pround
+
+    rng = random.Random(42)
+    vals = [0.0, -0.0, 1.5, -1.5, 2.5, 0.125, -0.125, 1e12 + 0.5]
+    vals += [round(rng.uniform(-1e6, 1e6), rng.randint(0, 6)) for _ in range(200)]
+    vals += [rng.randint(-10**9, 10**9) / 2**k for k in range(1, 10) for _ in [0]]
+    digits = [-3, -1, 0, 1, 2, 4, 6]
+
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    spark_out = df.select(
+        *[pround(F.col("x"), n).alias(f"r{i}") for i, n in enumerate(digits)]
+    ).collect()
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?::DOUBLE[]) AS x", [vals])
+    exprs = ", ".join(
+        portable_round_sql(f"round(x, {n})") + f" AS r{i}"
+        for i, n in enumerate(digits)
+    )
+    duck_out = con.execute(f"SELECT {exprs} FROM t").fetchall()
+    for srow, drow, v in zip(spark_out, duck_out, vals):
+        for i in range(len(digits)):
+            s, d = srow[i], drow[i]
+            assert (s == d) or (s != s and d != d), (v, digits[i], s, d)
+
+
+def test_vader_matches_oracle_random_sentence_battery():
+    """Python vader_score == generated DuckDB oracle on 300 random
+    sentences drawn from lexicon words, negators, modifiers, caps
+    variants, 'but', and punctuation runs — every rule family hit at
+    random interleavings."""
+    from trading_dashboard_spark.text.sentiment import vader_oracle_sql, vader_score
+    from trading_dashboard_spark.text.vader_lexicon import (
+        DAMPENERS, INTENSIFIERS, LEXICON, NEGATORS,
+    )
+
+    rng = random.Random(7)
+    lex = sorted(LEXICON)
+    neg = sorted(NEGATORS)
+    mods = sorted(INTENSIFIERS | DAMPENERS)
+    fillers = ["market", "report", "quarter", "the", "and", "of"]
+
+    def word():
+        r = rng.random()
+        if r < 0.4:
+            w = rng.choice(lex)
+        elif r < 0.55:
+            w = rng.choice(neg)
+        elif r < 0.7:
+            w = rng.choice(mods)
+        elif r < 0.8:
+            w = "but"
+        else:
+            w = rng.choice(fillers)
+        c = rng.random()
+        if c < 0.15:
+            w = w.upper()
+        elif c < 0.2:
+            w = w.capitalize()
+        return w
+
+    def sentence():
+        s = " ".join(word() for _ in range(rng.randint(0, 12)))
+        punct = rng.random()
+        if punct < 0.25:
+            s += "!" * rng.randint(1, 6)
+        elif punct < 0.5:
+            s += "?" * rng.randint(1, 5)
+        return s
+
+    cases = [sentence() for _ in range(300)]
+    df = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = dict(con.execute(vader_oracle_sql(digits=6)).fetchall())
+    for i, t in enumerate(cases):
+        assert abs(round(vader_score(t), 6) - got[i]) < 1e-9, repr(t)
+
+
+def test_asof_join_matches_pandas_random_battery(spark):
+    """as_of_join == pandas merge_asof on a random multi-key series with
+    planted equal timestamps and sparse keys, both directions, with and
+    without tolerance (pandas is the reference semantics for everything
+    except same-timestamp source ties, which pandas leaves undefined and
+    the operator pins via the tiebreak — ties excluded here)."""
+    from trading_dashboard_spark.operators.windows import as_of_join
+
+    rng = random.Random(99)
+    # unique timestamps per key on the right side -> pandas is definitive
+    def series(n, keys):
+        rows = []
+        seen = set()
+        for _ in range(n):
+            k = rng.choice(keys)
+            t = rng.randint(0, 5000)
+            while (k, t) in seen:
+                t = rng.randint(0, 5000)
+            seen.add((k, t))
+            rows.append((k, t, round(rng.uniform(-100, 100), 3)))
+        return rows
+
+    left = series(150, [1, 2, 3, 4])
+    right = series(200, [1, 2, 3, 5])
+    # plant exact left==right timestamp collisions (at-or-before/after)
+    for k, t, _v in right[:20]:
+        left.append((k, t, 0.0))
+
+    ldf = spark.createDataFrame(left, "k long, tsec long, lv double").withColumn(
+        "t", F.timestamp_seconds("tsec")
+    )
+    rdf = spark.createDataFrame(right, "k long, tsec long, v double").withColumn(
+        "t", F.timestamp_seconds("tsec")
+    )
+    lp = ldf.select("k", "t", "lv").toPandas().sort_values("t")
+    rp = rdf.select("k", "t", "v").toPandas().sort_values("t")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 300.0):
+            got = {
+                (r["k"], r["t"]): r["asof_v"]
+                for r in as_of_join(
+                    ldf.select("k", "t", "lv"), rdf.select("k", "t", "v"),
+                    "k", "k", "t", "t", ["v"],
+                    direction=direction, tolerance_sec=tol,
+                ).collect()
+            }
+            want_pdf = pd.merge_asof(
+                lp, rp, on="t", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            for _, row in want_pdf.iterrows():
+                want = None if pd.isna(row["v"]) else row["v"]
+                assert got[(row["k"], row["t"])] == want, (
+                    direction, tol, row["k"], row["t"])
