@@ -407,3 +407,95 @@ def label_centroids(spark, sf_dir):
             "avg_cosine_to_centroid"
         ),
     )
+
+
+@register(
+    "embedding_covariance_top_pairs",
+    """
+    WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    dims AS (
+      SELECT i, round(sum(v[i]), 4) AS s
+      FROM v, UNNEST(range(1, 65)) t(i)
+      GROUP BY i
+    ),
+    prods AS (
+      SELECT t1.i AS i, t2.j AS j, round(sum(v[t1.i] * v[t2.j]), 4) AS sp
+      FROM v, UNNEST(range(1, 65)) t1(i), UNNEST(range(1, 65)) t2(j)
+      WHERE t2.j > t1.i
+      GROUP BY t1.i, t2.j
+    ),
+    cov AS (
+      SELECT p.i, p.j,
+             (p.sp - a.s * b.s / (SELECT n FROM n)) / (SELECT n FROM n) AS c
+      FROM prods p
+      JOIN dims a ON a.i = p.i
+      JOIN dims b ON b.i = p.j
+    )
+    SELECT CAST(i - 1 AS INT) AS dim_i, CAST(j - 1 AS INT) AS dim_j,
+           round(c, 6) AS covariance
+    FROM cov
+    ORDER BY abs(c) DESC, dim_i, dim_j
+    LIMIT 10
+    """,
+    tags=("similarity", "X5", "stats"),
+)
+def embedding_covariance_top_pairs(spark, sf_dir):
+    """Embedding-space diagnostics: the 10 most-covariant off-diagonal
+    dimension pairs of the corpus covariance matrix — the 'are my
+    dimensions entangled / is whitening needed' probe run before PCA or
+    product quantization. The big-data-small-model pattern: pairwise
+    products explode map-side to (i, j, x_i*x_j) triples and reduce to a
+    dim x dim / 2 aggregate (2,016 cells at d=64) — corpus size only
+    affects the map side; the model is tiny. Sums are rounded at 4 dp
+    before the covariance combine (the rounded-sum discipline) so both
+    engines derive from identical doubles; top-10 is
+    TakeOrderedAndProject with (dim_i, dim_j) tiebreaks."""
+    from .similarity.knn import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(_as_double(F.col("embedding")).alias("v"))
+    n = base.agg(F.count(F.lit(1)).cast("double").alias("n"))
+
+    dims = (
+        base.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(pround(F.sum("x"), 4).alias("s"))
+    )
+    sz = F.size("v")
+    prod_structs = F.flatten(
+        F.transform(
+            "v",
+            lambda x, i: F.transform(
+                F.slice("v", i + 2, sz),
+                lambda y, j: F.struct(
+                    i.alias("i"), (i + j + 1).alias("j"), (x * y).alias("p")
+                ),
+            ),
+        )
+    )
+    prods = (
+        base.select(F.explode(prod_structs).alias("e"))
+        .select(F.col("e.i").alias("i"), F.col("e.j").alias("j"), F.col("e.p").alias("p"))
+        .groupBy("i", "j")
+        .agg(pround(F.sum("p"), 4).alias("sp"))
+    )
+    da = dims.select(F.col("i").alias("ia"), F.col("s").alias("sa"))
+    db = dims.select(F.col("i").alias("ib"), F.col("s").alias("sb"))
+    cov = (
+        prods.join(F.broadcast(da), prods.i == da.ia)
+        .join(F.broadcast(db), prods.j == db.ib)
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("int").alias("dim_i"),
+            F.col("j").cast("int").alias("dim_j"),
+            ((F.col("sp") - F.col("sa") * F.col("sb") / F.col("n")) / F.col("n")).alias("c"),
+        )
+    )
+    return (
+        cov.select("dim_i", "dim_j", pround("c", 6).alias("covariance"),
+                   F.abs("c").alias("__a"))
+        .orderBy(F.col("__a").desc(), "dim_i", "dim_j")
+        .limit(10)
+        .drop("__a")
+    )

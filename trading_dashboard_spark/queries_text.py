@@ -878,3 +878,39 @@ def cluster_survivor_selection(spark, sf_dir):
             "removed_chars"
         ),
     )
+
+
+@register(
+    "vocabulary_growth_by_source",
+    f"""
+    WITH toks_t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    flat AS (SELECT source, unnest(toks) AS tok FROM toks_t)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size,
+           round(CAST(count(DISTINCT tok) AS DOUBLE) / count(*), 6)
+             AS type_token_ratio
+    FROM flat GROUP BY source
+    """,
+    tags=("text", "X4", "stats"),
+)
+def vocabulary_growth_by_source(spark, sf_dir):
+    """Vocabulary statistics per source — token volume, distinct-term
+    vocabulary, type-token ratio (the Heaps-law inputs a curation
+    dashboard tracks to spot template/boilerplate sources: low TTR at
+    high volume = repetitive text). Explode → one aggregate with a
+    distinct-count expand; the scale path for unbounded vocabularies is
+    approx_count_distinct (corpus_sketch_profile's HLL lane)."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    flat = docs.select(
+        "source", F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+    )
+    return flat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("vocab_size"),
+        pround(F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 6).alias(
+            "type_token_ratio"
+        ),
+    )
