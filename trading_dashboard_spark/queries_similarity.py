@@ -499,3 +499,62 @@ def embedding_covariance_top_pairs(spark, sf_dir):
         .limit(10)
         .drop("__a")
     )
+
+
+@register(
+    "knn_multi_probe_top3",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, v FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, p.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(p.v, p.v)), 0), 6) AS cosine
+      FROM v a CROSS JOIN probes p
+      WHERE a.vec_id <> p.probe_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT probe_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("similarity", "X3", "serving"),
+)
+def knn_multi_probe_top3(spark, sf_dir):
+    """X3 serving shape — BATCHED probe search: top-3 neighbors for a
+    set of query vectors in ONE corpus scan (the nearest-neighbor
+    request batch every retrieval service actually issues; per-probe
+    scans would multiply the scan cost by batch size). The probe set
+    broadcasts (batch x dim is kilobytes); scoring fans each corpus row
+    out to its probe pairs map-side; WindowGroupLimit prunes to the
+    per-probe top-3 before any full sort. Corpus vectors never shuffle
+    — only (probe_id, neighbor_id, score) triples do."""
+    from pyspark.sql import Window as W
+
+    from .similarity.knn import _as_double, cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pv")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "neighbor_id",
+            pround(cosine_sim(F.col("v"), F.col("pv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
