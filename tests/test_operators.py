@@ -75,23 +75,23 @@ def test_portable_round_sql_edge_cases():
     from trading_dashboard_spark.functions import portable_round_sql
 
     assert portable_round_sql("SELECT round(x, 2) FROM t") == (
-        "SELECT floor((x) * 100.0 + 0.5) / 100.0 FROM t"
+        "SELECT (floor((x) * 100.0 + 0.5) / 100.0) FROM t"
     )
     # single-argument form: unchanged (DuckDB/Spark both default to 0 digits)
     assert portable_round_sql("SELECT round(x) FROM t") == "SELECT round(x) FROM t"
     # nested round inside a single-arg round is still rewritten
     assert portable_round_sql("SELECT round(round(x, 1)) FROM t") == (
-        "SELECT round(floor((x) * 10.0 + 0.5) / 10.0) FROM t"
+        "SELECT round((floor((x) * 10.0 + 0.5) / 10.0)) FROM t"
     )
     # 'round(' inside a string literal must never be rewritten
     sql = "SELECT 'a round( b' AS s, round(y, 1) FROM t"
     assert portable_round_sql(sql) == (
-        "SELECT 'a round( b' AS s, floor((y) * 10.0 + 0.5) / 10.0 FROM t"
+        "SELECT 'a round( b' AS s, (floor((y) * 10.0 + 0.5) / 10.0) FROM t"
     )
     # quotes (with '' escapes) inside the call's arguments are handled
     sql2 = "SELECT round(CASE WHEN s = 'don''t (really)' THEN x ELSE y END, 2) FROM t"
     out2 = portable_round_sql(sql2)
-    assert out2.startswith("SELECT floor((CASE WHEN s = 'don''t (really)'")
+    assert out2.startswith("SELECT (floor((CASE WHEN s = 'don''t (really)'")
     # identifier suffix like my_round( is not a round() call
     assert portable_round_sql("SELECT my_round(x, 2)") == "SELECT my_round(x, 2)"
     with pytest.raises(ValueError, match="digit count"):
@@ -107,7 +107,7 @@ def test_portable_round_negative_digits(spark):
     from pyspark.sql import functions as F
 
     sql = portable_round_sql("SELECT round(x, -1) AS r FROM t")
-    assert sql == "SELECT floor((x) / 10.0 + 0.5) * 10.0 AS r FROM t"
+    assert sql == "SELECT (floor((x) / 10.0 + 0.5) * 10.0) AS r FROM t"
     assert ".0.0" not in sql and "0.1.0" not in sql
 
     vals = [4.9, 5.0, 15.0, 123.0, 149.9, 150.0, -5.0, 0.0]
@@ -270,3 +270,15 @@ def test_chunk_fingerprints_boundaries(spark):
     # identical windows fingerprint identically across docs
     fp = {(r["doc_id"], r["chunk_idx"]): r["chunk_fp"] for r in out}
     assert fp[(3, 0)] == fp[(4, 0)]
+
+
+def test_portable_round_is_division_safe():
+    """Regression: the rewrite must be usable as a denominator —
+    `a / round(b, 4)` once expanded to `a / floor(...) / f`, silently
+    dividing the whole ratio by 10^4."""
+    import duckdb
+
+    from trading_dashboard_spark.functions import portable_round_sql
+
+    sql = portable_round_sql("SELECT 50.0 / round(25.0, 4) AS r")
+    assert duckdb.sql(sql).fetchone()[0] == 2.0

@@ -108,13 +108,17 @@ def portable_round_sql(sql: str) -> str:
                 f"portable_round_sql: round() digit count must be an integer "
                 f"literal, got {digits!r} in: {sql[j:k]!r}"
             ) from None
+        # The whole rewrite is parenthesized as ONE unit: emitted bare,
+        # `a / round(b, n)` would expand to `a / floor(...) / f` and
+        # left-associative division applies the trailing /f to the whole
+        # ratio — silently dividing the result by 10^n.
         if n < 0:
             # division form, mirroring pround: 10**n as a Python float
             # would interpolate garbage SQL like "0.1.0"
             p = 10 ** (-n)
-            out.append(f"floor(({expr}) / {p}.0 + 0.5) * {p}.0")
+            out.append(f"(floor(({expr}) / {p}.0 + 0.5) * {p}.0)")
         else:
             f = 10**n
-            out.append(f"floor(({expr}) * {f}.0 + 0.5) / {f}.0")
+            out.append(f"(floor(({expr}) * {f}.0 + 0.5) / {f}.0)")
         i = k
     return "".join(out)

@@ -798,3 +798,99 @@ def customer_order_counts(spark, sf_dir):
     return per_cust.groupBy(F.col("n_orders").cast("int").alias("n_orders")).agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "extendedprice_decile_stats",
+    """
+    WITH tiled AS (
+      SELECT l_extendedprice,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS decile
+      FROM lineitem
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           round(sum(l_extendedprice), 2) AS decile_revenue
+    FROM tiled GROUP BY decile
+    """,
+    tags=("window", "ntile", "scale-path"),
+)
+def extendedprice_decile_stats(spark, sf_dir):
+    """Decile profile of line-item prices — registered through the
+    DISTRIBUTED two-stage ranking path (operators/ranks.ntile_buckets
+    with ``exact=False``): range repartition + Arrow local row numbers +
+    partition-bounded offsets, NO single-partition window — over the
+    full fact table, not a per-key aggregate. The oracle is the plain
+    SQL ntile: the driver hash-match is therefore end-to-end evidence
+    that the scale path computes the exact window semantics (the unit
+    suite proves equality; this proves it on the external gate). Unique
+    total order via the (price, orderkey, linenumber) tiebreak."""
+    from .operators.ranks import ntile_buckets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    tiled = ntile_buckets(
+        li, 10,
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "decile", exact=False,
+    )
+    return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
+        pround(F.sum("l_extendedprice"), 2).alias("decile_revenue"),
+    )
+
+
+@register(
+    "nation_revenue_share_of_region",
+    """
+    WITH nat AS (
+      SELECT r.r_name, n.n_name, sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name,
+           round(raw_rev, 2) AS revenue,
+           round(round(raw_rev, 4) / round(tot, 4) * 100, 4) AS pct_of_region
+    FROM (
+      SELECT r_name, n_name, revenue AS raw_rev,
+             sum(revenue) OVER (PARTITION BY r_name) AS tot
+      FROM nat
+    )
+    """,
+    tags=("window", "ratio-to-report"),
+)
+def nation_revenue_share_of_region(spark, sf_dir):
+    """Ratio-to-report — the share-of-parent idiom (window aggregate
+    OVER the grouped aggregate): each nation's revenue as a percentage
+    of its region's total, one window over the tiny post-aggregation
+    relation (no second scan/join of the fact). The rounded-sum
+    discipline applies to both numerator and the windowed denominator
+    so accumulation order can't skew the ratio."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = W.partitionBy("r_name")
+    return nat.select(
+        "r_name", "n_name",
+        pround("revenue", 2).alias("revenue"),
+        pround(
+            pround("revenue", 4) / pround(F.sum("revenue").over(w), 4) * 100, 4
+        ).alias("pct_of_region"),
+    )
