@@ -535,7 +535,7 @@ def knn_multi_probe_top3(spark, sf_dir):
     — only (probe_id, neighbor_id, score) triples do."""
     from pyspark.sql import Window as W
 
-    from .similarity.knn import _as_double, cosine_sim
+    from .similarity.knn import _as_double, cosine_sim_arrow
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
@@ -544,12 +544,15 @@ def knn_multi_probe_top3(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pv")
     )
+    # Arrow batch kernel, not interpreted lambda folds: every corpus row
+    # is scored batch-size times here, the exact shape the kernel's ~10x
+    # per-vector CPU win was measured on (see knn_probe_top10)
     scored = (
         corpus.crossJoin(F.broadcast(probes))
         .filter(F.col("neighbor_id") != F.col("probe_id"))
         .select(
             "probe_id", "neighbor_id",
-            pround(cosine_sim(F.col("v"), F.col("pv")), 6).alias("cosine"),
+            cosine_sim_arrow(F.col("v"), F.col("pv")).alias("cosine"),
         )
     )
     w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
