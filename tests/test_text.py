@@ -252,3 +252,30 @@ def test_sentiment_caps_but_qm_rules_and_oracle_parity():
     got = dict(con.execute(vader_oracle_sql(digits=6)).fetchall())
     for i, t in enumerate(cases):
         assert abs(round(vader_score(t), 6) - got[i]) < 1e-9, t
+
+
+def test_chunk_udtf_matches_expression_operator(spark):
+    """The Python UDTF chunker must emit exactly the rows the JVM
+    expression operator produces (same windows, tails, empty-doc
+    behavior) — the SQL surface and the DataFrame surface are one
+    semantics."""
+    from trading_dashboard_spark.text.analysis import chunk_documents, chunk_udtf
+
+    rows = [(1, ""), (2, None),
+            (3, " ".join(f"w{i}" for i in range(5))),
+            (4, " ".join(f"w{i}" for i in range(64))),
+            (5, " ".join(f"w{i}" for i in range(150)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("chunk_doc", chunk_udtf())
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in spark.sql(
+            "SELECT d.doc_id, c.* FROM udtf_docs d, LATERAL chunk_doc(d.text, 64, 16) c"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    }
+    assert got == want and len(want) > 0

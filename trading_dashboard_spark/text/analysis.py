@@ -273,3 +273,40 @@ def chunk_fingerprints(
         F.col("c.chunk_idx").alias("chunk_idx"),
         F.col("c.chunk_fp").alias("chunk_fp"),
     )
+
+
+def chunk_udtf():
+    """The document-chunking operator as a Spark 4 Python UDTF — the
+    SQL-surface form of :func:`chunk_documents`, registered so plain SQL
+    can fan documents out to chunk rows via a LATERAL join:
+
+        spark.udtf.register("chunk_doc", chunk_udtf())
+        spark.sql(\"\"\"
+            SELECT d.doc_id, c.chunk_idx, c.n_tokens
+            FROM documents d, LATERAL chunk_doc(d.text, 64, 16) c
+        \"\"\")
+
+    Semantics match chunk_documents exactly (overlapping token windows,
+    short tails, empty docs emit nothing) — pinned by a parity test. The
+    expression form remains the hot path (JVM arrays, no Python); the
+    UDTF is the API for SQL-first users and arbitrary-Python chunkers
+    (sentence splitters, tokenizer-aware packing) that array expressions
+    cannot express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, text: str, chunk_tokens: int, overlap: int):
+            if overlap >= chunk_tokens:
+                raise ValueError("overlap must be smaller than chunk_tokens")
+            toks = (text or "").split()
+            if not toks:
+                return
+            step = chunk_tokens - overlap
+            n = len(toks)
+            n_chunks = max(1, -(-(n - chunk_tokens) // step) + 1) if n > 0 else 0
+            for i in range(n_chunks):
+                win = toks[i * step : i * step + chunk_tokens]
+                yield i, " ".join(win), len(win)
+
+    return ChunkDoc
