@@ -77,7 +77,12 @@ def main() -> None:
     from trading_dashboard_spark.queries import QUERY_REGISTRY
     from trading_dashboard_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Console progress bars interleave with stdout: a driver that captures
+    # only the output tail can find the result JSON truncated by progress
+    # redraws (BENCH_r03.json shipped "parsed": null for exactly this).
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     # Warmup: JVM/codegen, parquet footer+listing caches for every table the
     # headline queries touch, and the Arrow/pandas worker pool — session
     # bootstrap costs, not query execution, so they aren't billed to the
@@ -156,7 +161,20 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") != "0":
         out["scale_sweep"] = _scale_sweep(spark, QUERY_REGISTRY)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Sidecar copy the driver can read whole even if its console capture
+    # truncates; written BEFORE the stdout line so it exists regardless.
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        )
+        with open(sidecar, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    # The result JSON is the FINAL stdout line, flushed, nothing after it.
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 def _time_duckdb(registry, sf_dir: str) -> dict[str, float]:

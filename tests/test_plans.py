@@ -243,9 +243,45 @@ def test_cohort_retention_two_exchanges(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_ohlc_two_windows_share_one_exchange(spark, sf_dir):
-    """Both opposed row_number windows and the final aggregate run on a
-    single (event_type, hour)-compatible exchange — resampling costs one
-    shuffle at any grain."""
+def test_ohlc_is_pure_hash_aggregate(spark, sf_dir):
+    """OHLC resampling is ONE exchange feeding partial+final
+    HashAggregate with ZERO Sort/Window operators: open/close come from
+    min_by/max_by on a packed BIGINT ordering key, so the aggregation
+    buffer stays primitive (a struct key demotes to SortAggregate; the
+    old two opposed row_number windows cost two full sorts)."""
     plan = _plan(spark, sf_dir, "hourly_ohlc_candles")
     assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+    assert "SortAggregate" not in plan
+    assert "Sort " not in plan
+    assert " Window" not in plan
+
+
+def test_chunk_boilerplate_build_side_filtered(spark, sf_dir):
+    """The chunk-repeat join-back must (a) cache the exploded chunk
+    relation once for both consumers (2 InMemoryTableScan refs), and
+    (b) pre-filter the repeat-count side to nd > 1 BEFORE the join, so
+    the build side carries only repeated fingerprints (broadcastable at
+    realistic dup rates) instead of the full chunk vocabulary."""
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.text.analysis import chunk_boilerplate
+
+    docs = load_table(spark, "documents", sf_dir)
+    df = chunk_boilerplate(docs, persist=True, scope_cache=False)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") == 2
+        assert re.search(r"Filter.*\(nd#\d+L? > 1\)", plan)
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_tfidf_single_token_exchange(spark, sf_dir):
+    """TF-IDF's token pipeline runs off doc-level exchanges only: the
+    corpus-bytes doc repartition (×2 consumers) + the vocabulary-sized
+    df aggregate = 3 hash exchanges, none of them token-level; the
+    per-doc top-3 prunes via WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -765,24 +765,39 @@ def user_retention_cohorts(spark, sf_dir):
 def hourly_ohlc_candles(spark, sf_dir):
     """OHLC resampling — the candle-building operator every trading stack
     needs (the reference stores daily bars pre-built; here the engine
-    derives them from raw events at any grain). First/last per bucket via
-    two opposed row_number windows over ONE (event_type, hour) exchange,
-    then a single aggregate: deterministic open/close through the
-    (ts, event_id) tiebreak, scale = one shuffle regardless of grain."""
+    derives them from raw events at any grain). Open/close via
+    ``min_by``/``max_by`` inside the ONE (event_type, hour) aggregate —
+    the same idiom as the streaming form (streaming/windows.hourly_ohlc)
+    — with zero window sorts: the previous two opposed row_number
+    windows cost two full sorts over the same exchange. The ordering key
+    is (µs-offset-within-bucket << 31) + event_id, a single BIGINT so
+    the aggregation buffer stays primitive and the plan is Exchange →
+    HashAggregate with map-side partials and NO Sort operator anywhere
+    (a struct ordering key is exact too but demotes the aggregate to
+    SortAggregate — measured 0.31 s vs 0.20 s at ×10). The bucket
+    offset is structurally < 2^32 µs for any ts sign; the packing is
+    order-preserving iff 0 ≤ event_id < 2^31, which is enforced LOUDLY
+    per row (raise, not silent mis-ordering) — at a wider id domain,
+    swap for the struct-key form. Oracle keeps the row_number
+    formulation (DuckDB's arg_min rejects struct ordering keys) — both
+    select the value at the (ts, event_id) extremes."""
     ev = _t(spark, sf_dir, "events")
     b = ev.withColumn("h", F.date_trunc("hour", F.col("ts")))
-    wa = W.partitionBy("event_type", "h").orderBy("ts", "event_id")
-    wd = W.partitionBy("event_type", "h").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    off = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("h"))
+    packed = F.shiftleft(off, 31) + F.col("event_id")
+    key = F.when(
+        (F.col("event_id") >= 0) & (F.col("event_id") < F.lit(2**31)), packed
+    ).otherwise(
+        F.raise_error(
+            F.lit("hourly_ohlc_candles: event_id outside [0, 2^31) breaks "
+                  "the packed ordering key; use a struct key for this domain")
+        ).cast("long")
     )
-    m = b.withColumn("rna", F.row_number().over(wa)).withColumn(
-        "rnd", F.row_number().over(wd)
-    )
-    return m.groupBy("event_type", "h").agg(
-        pround(F.max(F.when(F.col("rna") == 1, F.col("value"))), 2).alias("open"),
+    return b.groupBy("event_type", "h").agg(
+        pround(F.min_by("value", key), 2).alias("open"),
         pround(F.max("value"), 2).alias("high"),
         pround(F.min("value"), 2).alias("low"),
-        pround(F.max(F.when(F.col("rnd") == 1, F.col("value"))), 2).alias("close"),
+        pround(F.max_by("value", key), 2).alias("close"),
         F.count(F.lit(1)).alias("n_events"),
         pround(F.sum("value"), 2).alias("total_value"),
     ).select(

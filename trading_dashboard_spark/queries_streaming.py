@@ -307,11 +307,13 @@ def streaming_nation_enrichment(spark, sf_dir):
 def streaming_hourly_ohlc(spark, sf_dir):
     """Streaming OHLC resampling (streaming/windows.hourly_ohlc): the
     candle builder as an INCREMENTAL operator — min_by/max_by on a
-    sortable epoch|id key give deterministic open/close inside a
-    watermarked tumbling window, so state per (window, type) is six
-    scalars and late data folds in until the watermark passes. The
-    oracle replays the same declarative aggregation in batch SQL
-    (arg_min/arg_max on the identical key); the batch twin
+    (ts, event_id) struct ordering key give deterministic open/close
+    inside a watermarked tumbling window, so state per (window, type) is
+    six scalars and late data folds in until the watermark passes. The
+    oracle replays the same declarative aggregation in batch SQL with a
+    zero-padded epoch|id string key (DuckDB arg_min/arg_max cannot order
+    by struct; the string form orders identically on the testdata's
+    non-negative ts / sub-10^12 id domain); the batch twin
     hourly_ohlc_candles cross-checks the candle values themselves."""
     from .streaming.ingest import run_stream_to_table, stream_events
     from .streaming.windows import hourly_ohlc

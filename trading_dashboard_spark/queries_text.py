@@ -490,24 +490,53 @@ def repetition_signals_q(spark, sf_dir):
 def tfidf_top_terms(spark, sf_dir):
     """Distributed TF-IDF, top-3 terms per document — the canonical
     explode → (doc,term) aggregate → document-frequency join → rank
-    pipeline (sklearn-style smooth idf: ln((1+N)/(1+df)) + 1). The
-    doc-frequency side aggregates to vocabulary size before the join, and
-    the per-doc rank prunes via WindowGroupLimit — ties broken by term so
+    pipeline (sklearn-style smooth idf: ln((1+N)/(1+df)) + 1), planned
+    for ONE token-level shuffle WRITE:
+
+    - DOCUMENTS are repartitioned by doc_id BEFORE the explode: the one
+      corpus-level exchange carries ~600-byte doc rows, not token rows,
+      and hash(doc_id) propagates through the explode to satisfy the
+      clustering requirement of the (doc_id, w) groupBy, the doc-length
+      window, and the per-doc rank window, so the whole token pipeline
+      runs off that single exchange. The partition count is pinned
+      (column-only repartition is AQE-coalescible; N-ary is not) because
+      the relation is small in BYTES but fans out ~100× in the explode —
+      size-based coalescing would serialize the token work.
+    - the (doc,term) relation feeds two consumers (tf chain + the
+      document-frequency aggregate), each re-running the doc exchange +
+      in-partition explode/aggregate. A persist of the (doc,term)
+      relation was measured strictly SLOWER at ×10 (0.93 s vs 0.72 s):
+      the cache write/read of the full token-level relation costs more
+      than repeating the cheap doc-level shuffle (corpus bytes, not
+      token rows) and its in-partition fan-out.
+    - the df relation aggregates to vocabulary size before its join and
+      carries no join hint: AQE sizes it at runtime and converts to
+      broadcast whenever the vocabulary is small — the scale-safe
+      default when a corpus' vocabulary outgrows broadcast.
+    - lower-then-tokenize keeps the projection in whole-stage codegen
+      (the transform(_, lower) HOF form evaluates an interpreted lambda
+      per token); identical tokens for whitespace splitting.
+
+    Per-doc rank prunes via WindowGroupLimit — ties broken by term so
     both engines pick identical rows."""
     from .text.analysis import tokenize
 
     docs = _t(spark, sf_dir, "documents")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    words = docs.select(
-        "doc_id",
-        F.explode(F.transform(tokenize(F.col("text")), lambda x: F.lower(x))).alias("w"),
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    words = (
+        docs.select("doc_id", "text")
+        .repartition(n_shuffle, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(tokenize(F.lower(F.col("text")))).alias("w"),
+        )
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dl = W.partitionBy("doc_id")
-    tf = tf.withColumn("dl", F.sum("tf").over(dl))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(dfreq, "w")
+        tf.withColumn("dl", F.sum("tf").over(W.partitionBy("doc_id")))
+        .join(dfreq, "w")
         .crossJoin(F.broadcast(total))
         .withColumn(
             "tfidf",
@@ -721,29 +750,25 @@ def doc_pii_redaction(spark, sf_dir):
     tags=("text", "X2", "dedup"),
 )
 def chunk_boilerplate_ratio(spark, sf_dir):
-    """Segment-level corpus dedup signal (text/analysis.chunk_fingerprints):
+    """Segment-level corpus dedup signal (text/analysis.chunk_boilerplate):
     documents split into non-overlapping 8-token chunks, chunks
     fingerprinted, and each doc scored by the fraction of its chunks that
     recur in OTHER docs — the CCNet/RefinedWeb-style boilerplate-removal
     stage, which whole-document dedup cannot see. The shuffle carries
-    16-byte chunk fingerprints, never text: groupBy(fp) for corpus-wide
-    repeat counts, one fp-keyed join back, one per-doc aggregate —
-    scales as the corpus' chunk count regardless of doc sizes."""
-    from .text.analysis import chunk_fingerprints
+    16-byte chunk fingerprints, never text; the chunk relation is cached
+    across its two consumers and the repeat-count side is pre-filtered to
+    nd > 1 so the join-back builds against only the repeated
+    fingerprints (broadcastable at realistic dup rates) — scales as the
+    corpus' chunk count regardless of doc sizes."""
+    from .text.analysis import chunk_boilerplate
 
     docs = _t(spark, sf_dir, "documents")
-    fps = chunk_fingerprints(docs, chunk_tokens=8)
-    rep = fps.groupBy("chunk_fp").agg(F.countDistinct("doc_id").alias("nd"))
-    return (
-        fps.join(rep, "chunk_fp")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_repeated"),
-            pround(F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)), 4).alias(
-                "boilerplate_ratio"
-            ),
-        )
+    out = chunk_boilerplate(docs, chunk_tokens=8)
+    return out.select(
+        "doc_id",
+        "n_chunks",
+        "n_repeated",
+        pround("repeated_ratio", 4).alias("boilerplate_ratio"),
     )
 
 

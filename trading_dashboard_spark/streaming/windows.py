@@ -89,13 +89,16 @@ def hourly_ohlc(
 ) -> DataFrame:
     """Streaming OHLC candles: tumbling event-time window per event_type
     with deterministic open/close via ``min_by``/``max_by`` on a
-    zero-padded ``epoch_us|event_id`` ordering key — a scalar key
-    because streaming aggregation (and the SQL oracle's arg_min/arg_max)
-    needs declarative aggregates, not window functions. The batch
-    ``hourly_ohlc_candles`` computes the same candles with two opposed
-    row_number windows; this is the incremental form with
-    watermark-bounded state."""
-    key = F.format_string("%020d|%012d", F.unix_micros("ts"), F.col("event_id"))
+    (ts, event_id) struct ordering key — declarative aggregates (not
+    window functions) so the state per (window, type) is six scalars and
+    late data folds in until the watermark passes. The struct key orders
+    correctly for ANY ts/event_id domain (the earlier zero-padded
+    ``epoch_us|event_id`` string key silently mis-ordered negative
+    timestamps or ids ≥ 10^12); SQL oracles that can't order by struct
+    (DuckDB arg_min) keep the string form, whose domain is guaranteed by
+    the testdata. The batch ``hourly_ohlc_candles`` computes the same
+    candles with the same idiom over a batch aggregate."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")

@@ -275,6 +275,67 @@ def chunk_fingerprints(
     )
 
 
+def chunk_boilerplate(
+    df: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist: bool = True,
+    scope_cache: bool = True,
+) -> DataFrame:
+    """Per-document boilerplate score from chunk-level repetition — the
+    CCNet/RefinedWeb segment-dedup signal composed end-to-end: chunk
+    fingerprints (:func:`chunk_fingerprints`) → corpus-wide repeat counts
+    → fraction of each doc's chunks that recur in OTHER docs.
+
+    Scale shape (the properties the plan test pins):
+
+    - the repeat-count relation is filtered to ``nd > 1`` BEFORE the
+      join-back, so the join's build side is only the *repeated*
+      fingerprints — a small fraction of all fingerprints at realistic
+      dup rates — instead of the full corpus vocabulary; at that size
+      AQE can broadcast it, turning the second fp shuffle into a
+      map-side join. Non-repeated chunks fall out of the left join as
+      NULL and count as unique.
+    - ``persist=True`` caches the exploded (doc, chunk_fp) relation,
+      which both consumers (repeat-count aggregate + join-back) need;
+      without it the tokenize/chunk subtree executes twice. With the
+      default ``scope_cache=True`` the per-doc result (corpus-doc-count
+      rows, tiny) is eagerly materialized via ``localCheckpoint`` and
+      the chunk cache released — call-scoped, no session residue (the
+      text/dedup.minhash_near_dup_pairs convention). Pass
+      ``scope_cache=False`` in plan tests to inspect the live plan;
+      the CALLER then owns the cache lifetime.
+
+    Returns (id_col, n_chunks, n_repeated, repeated_ratio) with
+    repeated_ratio unrounded (query tier applies presentation rounding).
+    """
+    fps = chunk_fingerprints(
+        df, chunk_tokens=chunk_tokens, text_col=text_col, id_col=id_col
+    ).select(id_col, "chunk_fp")
+    if persist:
+        fps = fps.persist()
+    rep = (
+        fps.groupBy("chunk_fp")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+    )
+    is_rep = F.col("nd").isNotNull()
+    out = (
+        fps.join(rep, "chunk_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(is_rep.cast("int")).cast("long").alias("n_repeated"),
+            F.avg(F.when(is_rep, 1.0).otherwise(0.0)).alias("repeated_ratio"),
+        )
+    )
+    if persist and scope_cache:
+        out = out.localCheckpoint(eager=True)
+        fps.unpersist()
+    return out
+
+
 def chunk_udtf():
     """The document-chunking operator as a Spark 4 Python UDTF — the
     SQL-surface form of :func:`chunk_documents`, registered so plain SQL
