@@ -254,6 +254,67 @@ def test_sentiment_caps_but_qm_rules_and_oracle_parity():
         assert abs(round(vader_score(t), 6) - got[i]) < 1e-9, t
 
 
+def test_vader_dropin_lexicon_loader(tmp_path, monkeypatch):
+    """$VADER_LEXICON_PATH overrides the builtin set: real-file rows load,
+    non-scorable rows (emoticons, multiword, mixed-case) are filtered,
+    and an unparseable file falls back to builtin instead of raising."""
+    from trading_dashboard_spark.text import vader_lexicon as vl
+
+    good = tmp_path / "vader_lexicon.txt"
+    # published file shape: token \t mean \t stddev \t ratings-list
+    good.write_text(
+        "happy\t2.7\t0.7\t[3, 3, 2]\n"
+        ":)\t2.0\t1.0\t[2]\n"            # emoticon — not scorer-reachable
+        "kind of\t-0.3\t0.5\t[0]\n"      # multiword — filtered
+        "Good\t1.9\t0.9\t[2]\n"          # mixed case — filtered (scorer lowers)
+        "can't\t-1.0\t0.5\t[-1]\n"       # apostrophe — kept
+    )
+    monkeypatch.setenv("VADER_LEXICON_PATH", str(good))
+    lex = vl._load_dropin()
+    assert lex == {"happy": 2.7, "can't": -1.0}
+
+    bad = tmp_path / "bad.txt"
+    bad.write_bytes(b"happy\tnot-a-number\n")
+    monkeypatch.setenv("VADER_LEXICON_PATH", str(bad))
+    assert vl._load_dropin() is None  # builtin wins
+
+
+def test_vader_nltk_parity():
+    """Compound-score parity with real NLTK VADER on reference-style
+    headlines (fetch_transform_news.py:171-175 semantics). Runs wherever
+    nltk + its vader_lexicon data are installed; in this offline
+    container it SKIPS — the builtin lexicon is a curated subset, so
+    exact parity is only claimable against the real data file, which
+    _load_dropin activates automatically when present."""
+    import pytest
+
+    nltk = pytest.importorskip("nltk")
+    try:
+        from nltk.sentiment import SentimentIntensityAnalyzer
+
+        sia = SentimentIntensityAnalyzer()
+    except Exception:
+        pytest.skip("nltk installed but vader_lexicon data missing")
+    from trading_dashboard_spark.text import vader_lexicon as vl
+    from trading_dashboard_spark.text.sentiment import vader_score
+
+    if vl.LEXICON is vl._BUILTIN_LEXICON:
+        pytest.skip("real vader_lexicon.txt not loaded — parity undefined")
+    headlines = [
+        "Stocks rally as earnings beat expectations",
+        "Company files for bankruptcy after fraud scandal",
+        "Shares plunge on terrible guidance",
+        "CEO says growth is VERY strong!!",
+        "Results were good but outlook is grim",
+        "Nothing notable happened today",
+    ]
+    for h in headlines:
+        expected = sia.polarity_scores(h)["compound"]
+        # idioms/bigram rules are the documented divergence; tolerance
+        # covers them on plain headlines
+        assert abs(vader_score(h) - expected) < 0.05, h
+
+
 def test_chunk_udtf_matches_expression_operator(spark):
     """The Python UDTF chunker must emit exactly the rows the JVM
     expression operator produces (same windows, tails, empty-doc

@@ -26,10 +26,13 @@ valenced token:
 
 Omitted VADER rules (documented divergence): special idioms/bigrams
 ("kind of", "the bomb", ...) and the "never so/this" extended-negation
-patterns. The lexicon is the curated ~400-entry subset in
-``vader_lexicon.py`` — the full ~7.5k NLTK file cannot be vendored from
-this offline container without fabricating empirical valences; its
-format is drop-in compatible (see that module's docstring).
+patterns. The lexicon is the curated ~1,400-entry set in
+``vader_lexicon.py`` (base + inflected/general expansion) — the full
+~7.5k NLTK file cannot be vendored from this offline container without
+fabricating empirical valences, but a real local copy is picked up
+automatically when present (``vader_lexicon._load_dropin``; see that
+module's docstring), and ``tests/test_text.py`` carries an NLTK-parity
+test that activates wherever nltk is installed.
 
 Every rule is elementary arithmetic over a token window, so the scorer is
 SQL-replicable: ``vader_oracle_sql()`` renders the *same* lexicon and
