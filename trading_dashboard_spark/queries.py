@@ -1,6 +1,12 @@
 """Aggregated query registry — importing this module registers every
 query/oracle pair from all tiers (driver contract entry point)."""
 
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+
 from .query_registry import QUERY_REGISTRY, QuerySpec, register  # noqa: F401
 from . import queries_relational  # noqa: F401
 from . import queries_windows  # noqa: F401
@@ -59,17 +65,208 @@ _R02_VERIFIED = (
     "stock_history_range", "market_trends_latest",
 )
 
-_VERIFIED = _R01_VERIFIED + _R02_VERIFIED
-
-#: Bump once per build round. Rotates which previously-green queries fill
-#: the re-verification reserve of the driver's ~50-query window, so every
-#: proven query cycles back through external verification over time
-#: instead of being permanently excluded (regression insurance).
-_ROUND = 3
+#: Queries with a driver row in CORRECTNESS_r03.json (round 3; includes the
+#: three rows-only-by-design entries — a row is a row for rotation purposes).
+_R03_VERIFIED = (
+    "promo_revenue_by_month", "large_quantity_orders", "dormant_rich_customers",
+    "customer_order_counts", "extendedprice_decile_stats",
+    "nation_revenue_share_of_region", "stochastic_oscillator",
+    "on_balance_volume", "rolling_zscore_anomalies", "max_drawdown_per_user",
+    "calendar_week_range_avg", "window_value_positions", "user_market_beta",
+    "asof_click_tolerance_30m", "click_next_purchase_forward_asof",
+    "gap_filled_daily_close", "doc_pii_redaction", "chunk_boilerplate_ratio",
+    "quality_gate_summary", "cluster_survivor_selection",
+    "vocabulary_growth_by_source", "label_centroids",
+    "embedding_covariance_top_pairs", "knn_multi_probe_top3",
+    "media_audio_rms_windows", "doc_chunks", "doc_char_entropy",
+    "reservoir_sample_per_lang", "source_mixture_plan", "curation_funnel",
+    "streaming_hourly_ohlc", "daily_bars_unpivot", "user_value_quartiles",
+    "scd2_price_history", "user_retention_cohorts", "hourly_ohlc_candles",
+    "orders_snapshot_diff", "conversion_latency_quantiles",
+    "repeat_status_customers_intersect", "daily_new_vs_returning",
+    "lsh_ann_top3", "corpus_sketch_profile", "ml_next_day_prediction",
+    "range_join_opening_window", "multi_resolution_rollup", "macd_indicator",
+    "exact_dedup_docs", "token_stats_by_lang", "doc_quality_features",
+    "language_id_counts",
+)
 
 #: How many window slots to spend re-verifying previously-green queries.
 #: The rest of the window goes to never-verified / new entries.
 _REVERIFY_RESERVE = 12
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_PKG_DIR)
+_PKG_NAME = os.path.basename(_PKG_DIR)
+
+
+def _verified_rounds() -> dict[str, int]:
+    """name -> latest driver round with a row for it."""
+    out: dict[str, int] = {}
+    for rnd, names in ((1, _R01_VERIFIED), (2, _R02_VERIFIED), (3, _R03_VERIFIED)):
+        for n in names:
+            out[n] = rnd
+    return out
+
+
+def _current_round() -> int:
+    """Derive the build round from the driver's artifacts instead of a
+    hand-bumped constant (the round-3 verdict's ask: forgetting the bump
+    silently re-ran the same reserve slice)."""
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(_REPO_ROOT)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    return max(rounds) + 1 if rounds else 1
+
+
+def _round_boundaries() -> dict[int, str]:
+    """round -> commit hash of the driver's ``round N: ...`` artifact
+    commit (the snapshot the round-N verification row attests to)."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H\t%s"],
+        cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr.strip() or "git log failed")
+    bounds: dict[int, str] = {}
+    for line in out.stdout.splitlines():
+        sha, _, subject = line.partition("\t")
+        m = re.match(r"round (\d+):", subject)
+        if m:
+            bounds.setdefault(int(m.group(1)), sha)  # newest wins per round
+    return bounds
+
+
+def _changed_since(commit: str) -> set[str]:
+    """Repo-relative paths changed between ``commit`` and the WORKING TREE
+    (so uncommitted edits in the current session count as changes)."""
+    out = subprocess.run(
+        ["git", "diff", "--name-only", commit],
+        cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(out.stderr.strip() or "git diff failed")
+    return {p for p in out.stdout.splitlines() if p}
+
+
+def _module_dep_closure() -> dict[str, set[str]]:
+    """module file -> transitive set of package files it depends on.
+
+    Edges come from a static scan for intra-package imports
+    (``from .x import``, ``from ..x.y import``, ``from trading_….x
+    import``) anywhere in the source — query functions import their
+    operators inside the function body, which a module-level regex still
+    catches. Granularity is the module: a change to text/analysis.py
+    marks every query in modules that (transitively) import it."""
+    files: dict[str, str] = {}  # repo-relative path -> source
+    for root, _dirs, names in os.walk(_PKG_DIR):
+        for name in names:
+            if name.endswith(".py"):
+                path = os.path.join(root, name)
+                rel = os.path.relpath(path, _REPO_ROOT)
+                try:
+                    with open(path, encoding="utf-8") as fh:
+                        files[rel] = fh.read()
+                except OSError:
+                    files[rel] = ""
+
+    def resolve(rel_from: str, dots: str, modpath: str) -> str | None:
+        """Resolve a relative/absolute intra-package import to a file."""
+        if dots:
+            base = os.path.dirname(rel_from)
+            for _ in range(len(dots) - 1):
+                base = os.path.dirname(base)
+        else:
+            base = _PKG_NAME
+        parts = [p for p in modpath.split(".") if p]
+        cand = os.path.join(base, *parts) if parts else base
+        for c in (cand + ".py", os.path.join(cand, "__init__.py")):
+            if c in files:
+                return c
+        return None
+
+    imp_re = re.compile(
+        rf"^\s*from\s+(\.+|{re.escape(_PKG_NAME)}\.?)([\w.]*)\s+import",
+        re.M,
+    )
+    edges: dict[str, set[str]] = {}
+    for rel, src in files.items():
+        deps: set[str] = set()
+        for m in imp_re.finditer(src):
+            head, modpath = m.group(1), m.group(2)
+            dots = head if head.startswith(".") else ""
+            target = resolve(rel, dots, modpath)
+            if target:
+                deps.add(target)
+        edges[rel] = deps
+
+    closure: dict[str, set[str]] = {}
+
+    def walk(rel: str) -> set[str]:
+        if rel in closure:
+            return closure[rel]
+        closure[rel] = {rel}  # cycle guard: self while in progress
+        acc = {rel}
+        for dep in edges.get(rel, ()):
+            acc |= walk(dep)
+        closure[rel] = acc
+        return acc
+
+    for rel in files:
+        walk(rel)
+    return closure
+
+
+def _stale_verified(verified_round: dict[str, int]) -> dict[str, int]:
+    """Queries whose implementing source (module dep-closure) changed
+    since the round that last verified them — these jump the rotation
+    queue so the driver re-checks changed code the same round it ships,
+    instead of up to ~8 blind-stride rounds later.
+
+    Returns name -> priority (lower = verify sooner):
+
+    0. own defining module changed THIS round (since the latest round
+       boundary) — the code the driver is about to attest shipped with
+       fresh edits;
+    1. a transitive dependency changed this round;
+    2. own module changed since the query's last green round (older
+       rounds' churn that blind-stride rotation never re-covered);
+    3. dependency-only staleness since the last green round.
+
+    An edit to shared plumbing (query_registry/session) marks everything
+    stale at dependency rank; the priority keeps directly-edited query
+    modules ahead of that blast radius in the driver's bounded window."""
+    bounds = _round_boundaries()
+    closure = _module_dep_closure()
+    changed_by_round: dict[int, set[str]] = {}
+
+    def changed(rnd: int) -> set[str]:
+        if rnd not in changed_by_round:
+            changed_by_round[rnd] = _changed_since(bounds[rnd])
+        return changed_by_round[rnd]
+
+    latest = max(bounds) if bounds else None
+    stale: dict[str, int] = {}
+    for name, rnd in verified_round.items():
+        spec = QUERY_REGISTRY.get(name)
+        if spec is None:
+            continue
+        mod = getattr(spec.fn, "__module__", "") or ""
+        rel = os.path.join(*mod.split(".")) + ".py"
+        deps = closure.get(rel, {rel})
+        if latest is not None:
+            hit_now = deps & changed(latest)
+            if hit_now:
+                stale[name] = 0 if rel in hit_now else 1
+                continue
+        if rnd not in bounds:
+            stale[name] = 0  # unknown snapshot — re-verify, don't assume
+            continue
+        hit = deps & changed(rnd)
+        if hit:
+            stale[name] = 2 if rel in hit else 3
+    return stale
 
 
 def _front_unverified() -> None:
@@ -78,15 +275,18 @@ def _front_unverified() -> None:
 
     1. never-driver-verified entries with value oracles (fresh, oracle),
     2. never-driver-verified rows-only entries,
-    3. a rotating slice of previously-green queries (re-verification
-       reserve — regressions in proven queries get re-caught over time),
-    4. the remaining proven queries, rotated so the reserve slice
-       changes every round.
+    3. CHANGE-AWARE re-verification: previously-green queries whose
+       implementing source (module dependency closure, git-diffed
+       against the round boundary that last verified them) has changed
+       — ordered oldest-verification-first,
+    4. the remaining proven queries, stride-rotated by the round number
+       (derived from the CORRECTNESS_r*.json artifacts, not hand-bumped)
+       so the reserve slice still walks the whole proven set over time.
 
-    Registration order is preserved within groups 1–2; groups 3–4 rotate
-    deterministically by ``_ROUND`` so the subset re-verified each round
-    walks the whole proven set."""
-    verified = set(_VERIFIED)
+    Git/artifact failures degrade to the round-3 behavior (blind stride
+    rotation) — ordering must never take down the registry import."""
+    verified_round = _verified_rounds()
+    verified = set(verified_round)
     fresh_oracle = {
         n: s for n, s in QUERY_REGISTRY.items()
         if n not in verified and s.oracle is not None
@@ -100,12 +300,30 @@ def _front_unverified() -> None:
     if unknown:  # a typo here would silently front the wrong set
         raise ValueError(
             f"ordering tuples name unregistered queries: {sorted(unknown)}")
-    # Rotate the proven list so a different reserve-sized slice leads
-    # each round; stride by the reserve so consecutive rounds don't overlap.
-    if proven_names:
-        off = (_ROUND * _REVERIFY_RESERVE) % len(proven_names)
-        proven_names = proven_names[off:] + proven_names[:off]
-    proven = {n: QUERY_REGISTRY[n] for n in proven_names}
+
+    try:
+        rnd = _current_round()
+    except Exception:
+        rnd = 4
+    try:
+        stale = _stale_verified(verified_round)
+    except Exception:
+        stale = {}
+
+    # Directly-edited modules first, then dependency-only staleness;
+    # oldest last-green round first within each rank.
+    stale_first = sorted(
+        (n for n in proven_names if n in stale),
+        key=lambda n: (stale[n], verified_round[n], proven_names.index(n)),
+    )
+    rest = [n for n in proven_names if n not in stale]
+    # Rotate the unchanged-proven list so a different reserve-sized slice
+    # follows the stale block each round; stride by the reserve so
+    # consecutive rounds don't overlap.
+    if rest:
+        off = (rnd * _REVERIFY_RESERVE) % len(rest)
+        rest = rest[off:] + rest[:off]
+    proven = {n: QUERY_REGISTRY[n] for n in stale_first + rest}
     QUERY_REGISTRY.clear()
     QUERY_REGISTRY.update(fresh_oracle)
     QUERY_REGISTRY.update(fresh_rows_only)

@@ -61,6 +61,10 @@ def _with_confs(fn):
 
     inner.__doc__ = fn.__doc__
     inner.__name__ = getattr(fn, "__name__", "query")
+    # the defining module, not this one — the change-aware verification
+    # rotation (queries._stale_verified) maps queries to source files
+    # through __module__
+    inner.__module__ = getattr(fn, "__module__", inner.__module__)
     return inner
 
 
