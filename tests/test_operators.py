@@ -282,3 +282,18 @@ def test_portable_round_is_division_safe():
 
     sql = portable_round_sql("SELECT 50.0 / round(25.0, 4) AS r")
     assert duckdb.sql(sql).fetchone()[0] == 2.0
+
+
+def test_decile_query_releases_rank_checkpoint(spark, sf_dir):
+    """The registered exact=False decile query must leave at most its
+    own tiny result checkpoint behind: the two-stage path's full-size
+    stamped checkpoint is released via ranks.release_rank_cache after
+    the 10-row aggregate materializes (ADVICE: exact=False residue)."""
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    rows = QUERY_REGISTRY["extendedprice_decile_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the 10-row result checkpoint remains

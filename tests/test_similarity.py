@@ -168,3 +168,46 @@ def test_int8_quantization_roundtrip(spark):
         scale = max(abs(x) for x in vec) / 127.0
         assert m[i]["max_abs_err"] <= scale / 2 + 1e-9
     assert m[99]["recon_cosine"] is None
+
+
+def test_knn_batch_probes_external_probe_set(spark):
+    """The batch-probe operator accepts a caller-supplied probe
+    DataFrame (not a corpus slice): scores match numpy per probe, rnk
+    is deterministic, and the plan keeps the serving shape — probe side
+    broadcast, no vector shuffle (no SortMergeJoin), WindowGroupLimit
+    pruning before any full sort."""
+    import numpy as np
+
+    from trading_dashboard_spark.similarity.knn import knn_batch_probes
+
+    rng = np.random.RandomState(11)
+    corpus_rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)]
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+    probe_rows = [(100 + i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(3)]
+    probes = spark.createDataFrame(probe_rows, ["qid", "qv"])
+
+    out = knn_batch_probes(
+        corpus, probes, k=5,
+        probe_id_col="qid", probe_vec_col="qv", exclude_self=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+    got = out.collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    assert set(by_probe) == {100, 101, 102}
+    cm = np.array([v for _, v in corpus_rows])
+    for pid, pv in probe_rows:
+        pv = np.array(pv)
+        cos = cm @ pv / (np.linalg.norm(cm, axis=1) * np.linalg.norm(pv))
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # operator's half-up rounding
+        order = sorted(zip(cos, [i for i, _ in corpus_rows]),
+                       key=lambda t: (-t[0], t[1]))[:5]
+        rows = sorted(by_probe[pid], key=lambda r: r["rnk"])
+        assert [r["neighbor_id"] for r in rows] == [i for _, i in order]
+        for r, (c, _) in zip(rows, order):
+            assert abs(r["cosine"] - c) < 1e-9

@@ -125,3 +125,33 @@ def test_ts_generation_sniff_all_generations(spark, tmp_path):
     assert _ts_is_int64(str(tmp_path / "int64.parquet")) is True
     assert _ts_is_int64(str(tmp_path / "nanos.parquet")) is True
     assert _ts_is_int64(str(tmp_path / "micros.parquet")) is False
+
+
+def test_ts_generation_sniff_rejects_mixed_directory(tmp_path):
+    """A directory mixing nanos-era and micros-era files must FAIL
+    loudly at stream definition (one wrong-schema generation would read
+    garbage or kill batches); uniform directories sniff fine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from trading_dashboard_spark.streaming.ingest import _ts_is_int64
+
+    base = {"event_id": [1], "user_id": [2], "event_type": ["click"],
+            "value": [1.0], "props": ["{}"]}
+    ns = pa.array([1_700_000_000_000_000_000], type=pa.int64())
+    us = pa.array([1_700_000_000_000_000], type=pa.timestamp("us"))
+
+    uniform = tmp_path / "uniform"
+    uniform.mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({**base, "ts": ns}),
+                       str(uniform / f"p{i}.parquet"))
+    assert _ts_is_int64(str(uniform)) is True
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    pq.write_table(pa.table({**base, "ts": ns}), str(mixed / "a.parquet"))
+    pq.write_table(pa.table({**base, "ts": us}), str(mixed / "b.parquet"))
+    with pytest.raises(ValueError, match="mixed parquet timestamp generations"):
+        _ts_is_int64(str(mixed))

@@ -97,6 +97,40 @@ def _with_global_rank(
     return ranked, acc
 
 
+def release_rank_cache(df: DataFrame) -> bool:
+    """Free the eager localCheckpoint blocks backing a two-stage rank
+    result (``exact=False`` paths checkpoint the full stamped relation
+    to pin one physical partitioning — see _with_global_rank).
+
+    The checkpoint's lineage is CUT: call this only after every derived
+    output has been materialized (collected, written, or itself
+    checkpointed) — the ranked relation is not recomputable afterwards.
+    Long-lived sessions that skip this accumulate checkpointed RDD
+    blocks in executor storage, one per exact=False call (the same
+    residue class text/dedup's scope_cache releases). The registered
+    decile/quartile queries aggregate to tiny outputs, eagerly
+    materialize those, then release here — callers with full-size
+    outputs own the lifetime instead.
+
+    Best-effort by design (walks the JVM logical plan for LogicalRDD
+    nodes): returns True when at least one cached RDD was released."""
+    try:
+        def walk(node) -> bool:
+            found = False
+            if node.getClass().getSimpleName() == "LogicalRDD":
+                node.rdd().unpersist(False)
+                found = True
+            ch = node.children()
+            for i in range(ch.size()):
+                if walk(ch.apply(i)):
+                    found = True
+            return found
+
+        return walk(df._jdf.queryExecution().logical())
+    except Exception:
+        return False
+
+
 def ntile_buckets(
     df: DataFrame,
     n: int,
@@ -109,7 +143,12 @@ def ntile_buckets(
     two-stage scale-safe form (``exact=False``) deriving the bucket from
     the global row number with SQL ntile's uneven-split rule (the first
     ``N mod n`` buckets get the extra row). ``sort_cols`` must be a
-    unique total order for the two paths to agree on ties."""
+    unique total order for the two paths to agree on ties.
+
+    ``exact=False`` eagerly checkpoints the stamped relation (see
+    _with_global_rank) — the CALLER owns that cache's lifetime: after
+    materializing every derived output, call :func:`release_rank_cache`
+    on the returned DataFrame, or the blocks persist for the session."""
     if exact:
         return df.withColumn(bucket_col, F.ntile(n).over(W.orderBy(*sort_cols)))
     ranked, total = _with_global_rank(df, sort_cols, "__grank", partitions)
@@ -137,7 +176,9 @@ def distribution_ranks(
     window form, or the two-stage form (``exact=False``):
     ``(rank-1)/(N-1)`` and ``rank/N`` from the global row number, which
     equal the window functions whenever ``sort_cols`` is a unique total
-    order (no ties, which callers guarantee by tie-breaking on a key)."""
+    order (no ties, which callers guarantee by tie-breaking on a key).
+    ``exact=False`` checkpoint lifetime is caller-owned — see
+    :func:`release_rank_cache` / ntile_buckets docstring."""
     if exact:
         w = W.orderBy(*sort_cols)
         return df.withColumn(pct_col, F.percent_rank().over(w)).withColumn(

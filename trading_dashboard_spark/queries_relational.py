@@ -827,8 +827,13 @@ def extendedprice_decile_stats(spark, sf_dir):
     SQL ntile: the driver hash-match is therefore end-to-end evidence
     that the scale path computes the exact window semantics (the unit
     suite proves equality; this proves it on the external gate). Unique
-    total order via the (price, orderkey, linenumber) tiebreak."""
-    from .operators.ranks import ntile_buckets
+    total order via the (price, orderkey, linenumber) tiebreak.
+
+    Cache lifetime is call-scoped: the 10-row aggregate is eagerly
+    materialized, then the two-stage path's checkpointed stamped
+    relation is released (ranks.release_rank_cache) so repeated calls
+    in a long-lived session leave no executor-storage residue."""
+    from .operators.ranks import ntile_buckets, release_rank_cache
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -838,12 +843,14 @@ def extendedprice_decile_stats(spark, sf_dir):
         [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
         "decile", exact=False,
     )
-    return tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+    out = tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_items"),
         pround(F.min("l_extendedprice"), 2).alias("min_price"),
         pround(F.max("l_extendedprice"), 2).alias("max_price"),
         pround(F.sum("l_extendedprice"), 2).alias("decile_revenue"),
-    )
+    ).localCheckpoint(eager=True)
+    release_rank_cache(tiled)
+    return out
 
 
 @register(

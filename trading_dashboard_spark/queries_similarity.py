@@ -525,39 +525,15 @@ def embedding_covariance_top_pairs(spark, sf_dir):
     tags=("similarity", "X3", "serving"),
 )
 def knn_multi_probe_top3(spark, sf_dir):
-    """X3 serving shape — BATCHED probe search: top-3 neighbors for a
-    set of query vectors in ONE corpus scan (the nearest-neighbor
-    request batch every retrieval service actually issues; per-probe
-    scans would multiply the scan cost by batch size). The probe set
-    broadcasts (batch x dim is kilobytes); scoring fans each corpus row
-    out to its probe pairs map-side; WindowGroupLimit prunes to the
-    per-probe top-3 before any full sort. Corpus vectors never shuffle
-    — only (probe_id, neighbor_id, score) triples do."""
-    from pyspark.sql import Window as W
-
-    from .similarity.knn import _as_double, cosine_sim_arrow
+    """X3 serving shape (similarity/knn.knn_batch_probes): top-3
+    neighbors for a probe batch in ONE corpus scan. This registered
+    query is one BINDING of the operator — probes = the vec_id < 10
+    corpus slice; the operator takes any caller-supplied probe
+    DataFrame (external query vectors, request-id lookups). See the
+    operator docstring for the plan shape (probe broadcast, Arrow batch
+    scoring kernel, WindowGroupLimit pruning, corpus vectors never
+    shuffled)."""
+    from .similarity.knn import knn_batch_probes
 
     emb = _t(spark, sf_dir, "embeddings")
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
-    )
-    probes = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("probe_id"), _as_double(F.col("embedding")).alias("pv")
-    )
-    # Arrow batch kernel, not interpreted lambda folds: every corpus row
-    # is scored batch-size times here, the exact shape the kernel's ~10x
-    # per-vector CPU win was measured on (see knn_probe_top10)
-    scored = (
-        corpus.crossJoin(F.broadcast(probes))
-        .filter(F.col("neighbor_id") != F.col("probe_id"))
-        .select(
-            "probe_id", "neighbor_id",
-            cosine_sim_arrow(F.col("v"), F.col("pv")).alias("cosine"),
-        )
-    )
-    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .withColumn("rnk", F.col("rnk").cast("int"))
-    )
+    return knn_batch_probes(emb, emb.filter(F.col("vec_id") < 10), k=3)

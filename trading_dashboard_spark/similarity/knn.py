@@ -132,6 +132,60 @@ def knn_to_probe(
     )
 
 
+def knn_batch_probes(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "vec_id",
+    probe_vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """X3 serving shape — BATCHED probe search: top-k neighbors for a
+    caller-supplied set of query vectors in ONE corpus scan (the
+    nearest-neighbor request batch a retrieval service actually issues;
+    per-probe scans would multiply the scan cost by batch size).
+
+    ``probes`` is any DataFrame of (probe_id, vector) — a filtered slice
+    of the corpus, a lookup of request ids, or externally supplied query
+    vectors. It must be KB-scale (batch × dim): the plan broadcasts it
+    and fans each corpus row out to its probe pairs map-side, scoring
+    with the Arrow batch kernel (cosine_sim_arrow — one BLAS pass per
+    Arrow batch, ~10× the interpreted HOF fold). WindowGroupLimit prunes
+    to the per-probe top-k before any full sort; corpus vectors never
+    shuffle — only (probe_id, neighbor_id, score) triples do.
+
+    ``exclude_self`` drops rows where neighbor_id == probe_id (the
+    corpus-member-as-probe case).
+
+    Returns (probe_id, neighbor_id, cosine, rnk), rnk 1..k per probe
+    with (cosine DESC, neighbor_id) deterministic ordering.
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        _as_double(F.col(probe_vec_col)).alias("pv"),
+    )
+    scored = c.crossJoin(F.broadcast(p))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("probe_id"))
+    scored = scored.select(
+        "probe_id", "neighbor_id",
+        cosine_sim_arrow(F.col("v"), F.col("pv")).alias("cosine"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -97,7 +97,15 @@ class QuoteRestReader(DataSourceReader):
                     self.endpoint.format(symbol=sym), timeout=30
                 ) as resp:
                     q = json.load(resp)
-                q = {"symbol": sym, "date": self.date, **q}
+                # injected keys LAST: remote JSON must not be able to
+                # override the partition's symbol/date identity
+                q = {**q, "symbol": sym, "date": self.date}
+                missing = [c for c in cols if c not in q]
+                if missing:
+                    raise ValueError(
+                        f"rest_quotes: response for {sym!r} missing required "
+                        f"fields {missing} (would become silent NULLs)"
+                    )
             yield tuple(q.get(c) for c in cols)
 
 

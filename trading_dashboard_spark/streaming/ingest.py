@@ -20,28 +20,53 @@ from ..schemas import EVENTS
 from ..session import apply_runtime_confs
 
 
+#: Footer-sniff budget for generation detection. A directory is one
+#: GENERATION (all nanos-era or all micros-era) by contract; mixing
+#: would make the stream read one generation with the wrong schema
+#: (garbage timestamps or failed batches), so sniffing FAILS LOUDLY on a
+#: detected mix instead of trusting file #1. Sniffing every footer of a
+#: 100 TB directory at stream definition would be a driver-side listing
+#: storm, so detection samples up to this many footers spread across the
+#: sorted listing (always including first and last, where a generation
+#: rollover lands) — bounded cost, catches any contiguous-era mix.
+_SNIFF_BUDGET = 32
+
+
 def _ts_is_int64(path: str) -> bool:
     """True when Spark will read the ts column as a raw long under
     ``nanosAsLong``: either TIMESTAMP(NANOS) parquet (pyarrow reports it
     as ``timestamp[ns]``) or an already-long int64 column (fixtures
     written as raw epoch-nanos). False for the TIMESTAMP(MICROS)
-    generation, which reads directly as a timestamp. One footer read of
-    one file at stream-definition time — not a per-batch cost."""
+    generation, which reads directly as a timestamp. Bounded footer
+    sample at stream-definition time — not a per-batch cost; raises on
+    a mixed-generation directory (see _SNIFF_BUDGET)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
-    f = path
+    files = [path]
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
         if not files:
             return False
-        f = files[0]
-    t = pq.read_schema(f).field("ts").type
-    return str(t) in ("int64", "timestamp[ns]")
+    if len(files) > _SNIFF_BUDGET:
+        step = (len(files) - 1) / (_SNIFF_BUDGET - 1)
+        files = [files[round(i * step)] for i in range(_SNIFF_BUDGET)]
+    kinds = {
+        str(pq.read_schema(f).field("ts").type) in ("int64", "timestamp[ns]")
+        for f in files
+    }
+    if len(kinds) > 1:
+        raise ValueError(
+            f"{path}: mixed parquet timestamp generations in one stream "
+            "directory (nanos-era int64/timestamp[ns] alongside micros-era) "
+            "— one generation per directory; split the drops or migrate the "
+            "old files"
+        )
+    return kinds.pop()
 
 
 def _events_read_schema(ts_int64: bool) -> T.StructType:
