@@ -358,3 +358,104 @@ def test_versioned_merge_concurrent_writers_10x(spark, sf_dir, tmp_path):
     # versions advanced once per successful commit: bootstrap + 2 writers
     # x n_batches (retries never consume committed versions)
     assert current_version(path) == 1 + 2 * n_batches
+
+
+def test_multi_table_commit_concurrent_writers(spark, sf_dir, tmp_path):
+    """Cross-table transactions under contention: two writers each run
+    merge transactions spanning BOTH tables through the optimistic retry
+    loop while a reader polls both. Invariants: (a) every poll of either
+    table sees a complete committed snapshot; (b) the claim-all-before-
+    repoint-any protocol means a transaction is never half-claimed into
+    the version sequence — per table, versions advance by exactly one
+    per successful transaction; (c) no transaction is lost: final state
+    of BOTH tables reflects every writer's last successful batch (CAS
+    prevents silently dropped updates); (d) a losing committer leaves no
+    residue directories behind (rollback removes its claimed dirs)."""
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.io.versioned import (
+        ConcurrentCommitError,
+        commit_merge_multi,
+        current_version,
+        read_versioned,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    base = ev.localCheckpoint(eager=True)
+    n_rows = base.count()
+    pa_, pb_ = str(tmp_path / "ta"), str(tmp_path / "tb")
+    commit_merge_multi(
+        spark, {pa_: (base, ["event_id"]), pb_: (base, ["event_id"])}
+    )
+
+    n_batches, errors, committed = 3, [], []
+
+    def writer(wid: int) -> None:
+        try:
+            for b in range(n_batches):
+                stamp = float(wid * 100 + b)
+                upd = base.filter(F.col("event_id") % 2 == wid).withColumn(
+                    "value", F.lit(stamp)
+                )
+                for _ in range(80):
+                    try:
+                        commit_merge_multi(
+                            spark,
+                            {pa_: (upd, ["event_id"]), pb_: (upd, ["event_id"])},
+                        )
+                        committed.append((wid, b))
+                        break
+                    except ConcurrentCommitError:
+                        time.sleep(0.1)
+                else:
+                    raise AssertionError(f"writer {wid} starved at batch {b}")
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(e)
+
+    stop = threading.Event()
+
+    def reader() -> None:
+        try:
+            while not stop.is_set():
+                for p in (pa_, pb_):
+                    got = read_versioned(spark, p).count()
+                    assert got == n_rows, f"partial snapshot in {p}: {got}"
+                time.sleep(0.05)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    rt = threading.Thread(target=reader)
+    rt.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    rt.join()
+    assert errors == []
+    assert len(committed) == 2 * n_batches
+    # versions advance once per successful txn (bootstrap + 6 merges)
+    assert current_version(pa_) == 1 + 2 * n_batches
+    assert current_version(pb_) == 1 + 2 * n_batches
+    # last committed batch per writer is fully visible in BOTH tables
+    for p in (pa_, pb_):
+        final = read_versioned(spark, p)
+        for wid in (0, 1):
+            last_b = max(b for w, b in committed if w == wid)
+            stamp = float(wid * 100 + last_b)
+            n_half = final.filter(F.col("event_id") % 2 == wid).count()
+            n_stamped = final.filter(
+                (F.col("event_id") % 2 == wid) & (F.col("value") == stamp)
+            ).count()
+            assert n_stamped == n_half, (p, wid)
+    # no residue dirs beyond committed versions + pointer/claims
+    import os
+    for p in (pa_, pb_):
+        dirs = [n for n in os.listdir(p)
+                if n.startswith("v=") and not n.endswith(".claim")]
+        assert len(dirs) == 1 + 2 * n_batches

@@ -135,6 +135,117 @@ def commit_merge(
     )
 
 
+def commit_multi(parts: list[tuple[DataFrame, str, int | None]]) -> dict[str, int]:
+    """Commit full snapshots to SEVERAL versioned tables in one guarded
+    sequence — the multi-table form of :func:`commit_snapshot`.
+
+    ``parts`` is ``[(df, path, expect_version), ...]``. Protocol:
+
+    1. CLAIM the next version of every table (deterministic path order)
+       before writing anything — any claim or expect-version failure
+       releases this transaction's own claims and raises, so a losing
+       committer aborts before a single byte of data lands;
+    2. write every snapshot directory;
+    3. re-check every pointer, then repoint all tables. A write failure
+       or a lost pointer race rolls back this transaction's directories
+       and claims (safe: we hold the claims) and raises
+       :class:`ConcurrentCommitError`.
+
+    Guarantee (and its honest limit): per table, readers still never
+    observe a partial snapshot, and no concurrent committer can
+    interleave versions inside the sequence — all claims are held before
+    any pointer flips. Cross-table atomicity against a CRASH mid-step-3
+    is NOT provided: a committer dying between repoints leaves tables at
+    different transaction results (each still internally consistent).
+    Closing that window needs a shared commit log / catalog — exactly
+    what Delta/Iceberg add over bare parquet; swap this module for one
+    of them when the deployment has the jars (module docstring).
+
+    Returns {path: new_version}.
+    """
+    ordered = sorted(parts, key=lambda p: p[1])
+    seen = [p for _, p, _ in ordered]
+    if len(set(seen)) != len(seen):
+        raise ValueError(f"duplicate table paths in one transaction: {seen}")
+    claimed: list[tuple[str, int]] = []
+    written: list[tuple[str, int]] = []
+
+    def _abort() -> None:
+        import shutil
+
+        for path, v in written:
+            shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+        for path, v in claimed:
+            try:
+                os.remove(_claim_path(path, v))
+            except OSError:
+                pass
+
+    new_versions: dict[str, int] = {}
+    try:
+        for _df, path, expect in ordered:
+            os.makedirs(path, exist_ok=True)
+            base = current_version(path)
+            if expect is not None and base != expect:
+                raise ConcurrentCommitError(
+                    f"{path} is at v={base}, commit prepared against "
+                    f"v={expect} — re-read and retry"
+                )
+            v = base + 1
+            try:
+                os.close(os.open(
+                    _claim_path(path, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                ))
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {v} of {path} already claimed"
+                ) from None
+            claimed.append((path, v))
+            new_versions[path] = v
+        for df, path, _expect in ordered:
+            v = new_versions[path]
+            df.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+            written.append((path, v))
+        for _df, path, _expect in ordered:
+            if current_version(path) != new_versions[path] - 1:
+                raise ConcurrentCommitError(
+                    f"pointer of {path} moved during multi-table commit — "
+                    f"transaction rolled back, retry"
+                )
+    except BaseException:
+        _abort()
+        raise
+    for _df, path, _expect in ordered:
+        v = new_versions[path]
+        tmp = _pointer_path(path) + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, _pointer_path(path))
+    return new_versions
+
+
+def commit_merge_multi(
+    spark: SparkSession, updates: dict[str, tuple[DataFrame, list[str]]]
+) -> dict[str, int]:
+    """Transactional S14 upsert across several tables in one guarded
+    sequence: ``updates`` maps table path -> (updates_df, merge keys).
+    Each table's merge is computed against its current snapshot and the
+    whole set commits through :func:`commit_multi` with per-table
+    compare-and-swap — any concurrent commit on ANY involved table
+    aborts the whole transaction before visibility (retryable)."""
+    from .writers import dedup_by_key
+
+    parts: list[tuple[DataFrame, str, int | None]] = []
+    for path, (upd, keys) in updates.items():
+        base = current_version(path)
+        if base == 0:
+            parts.append((dedup_by_key(upd, keys), path, 0))
+        else:
+            target = read_versioned(spark, path, version=base)
+            parts.append((merge_upsert(target, upd, keys), path, base))
+    return commit_multi(parts)
+
+
 def vacuum(path: str, keep: int = 1, grace_sec: float = 3600.0) -> list[int]:
     """Drop all but the newest ``keep`` versions, and clear claim markers
     that are committed (claim ≤ pointer) or abandoned (claimed but never
