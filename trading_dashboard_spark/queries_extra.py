@@ -1036,3 +1036,45 @@ def daily_new_vs_returning(spark, sf_dir):
         F.col("n_returning").cast("long").alias("n_returning"),
         F.sum("n_new").over(wcum).cast("long").alias("cumulative_unique_users"),
     )
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) // 25)
+                AS BIGINT) AS n_k_bands,
+           CAST(sum(CASE WHEN json_extract(props, '$.q') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_q
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("functions", "json", "variant", "spark4"),
+)
+def variant_props_stats(spark, sf_dir):
+    """Spark 4 VARIANT lane: the semi-structured payload is parsed ONCE
+    into the engine-native binary-encoded VARIANT type, then every typed
+    access (`variant_get`) reads the binary tree — versus
+    props_json_value_buckets' get_json_object, which re-parses the JSON
+    string per path. At 100 TB with multi-field payloads that is the
+    difference between one parse + N cheap binary reads and N string
+    parses per row; VARIANT is also what Spark's shredded parquet
+    writing keys on. `try_variant_get` probes an absent path as NULL
+    (no exception) — counted per group as the missing-field audit the
+    ingestion tier wants. Oracle replays the same typed extractions
+    with DuckDB's JSON reads."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    ev = ev.select("event_type", v.alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    q = F.try_variant_get(F.col("v"), "$.q", "string")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        pround(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.countDistinct(F.floor(k / 25)).alias("n_k_bands"),
+        F.sum(F.when(q.isNull(), 1).otherwise(0)).cast("long").alias("n_missing_q"),
+    )

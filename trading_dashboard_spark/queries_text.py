@@ -559,6 +559,78 @@ def tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "bigram_logprob_score",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS b1
+      FROM toks_t
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    pre AS (SELECT b1, count(*) AS cp FROM bg GROUP BY b1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(c.c / CAST(p.cp AS DOUBLE))) / count(*), 4)
+             AS avg_bigram_logprob
+    FROM bg g JOIN cnt c USING (b) JOIN pre p USING (b1)
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "X4", "quality", "lm"),
+)
+def bigram_logprob_score(spark, sf_dir):
+    """Bigram language-model scoring — the order-2 upgrade of
+    unigram_logprob_score: each document's mean conditional token
+    log-probability ln(C(w1,w2)/C(w1·)) under corpus bigram MLE counts,
+    the stronger fluency/quality signal (word-salad text scores low even
+    when its unigrams are common). Bigrams come from a map-side indexed
+    array transform over the token array — no window, no self-join; the
+    denominator C(w1·) is the bigram-PREFIX count (derived from the
+    bigram relation itself, so numerator and denominator see the same
+    event space). Documents repartition by doc_id before the explode
+    (the tfidf_top_terms shuffle shape: corpus bytes, not token rows),
+    so the count aggregates shuffle bounded bigram-vocabulary partials
+    and the per-doc mean runs off the doc exchange; both count
+    relations are AQE-sized into broadcast joins when small. Docs with
+    fewer than two tokens have no bigrams and produce no row (both
+    engines)."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokenize(F.lower(F.col("text")))
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("b1"), F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b")
+        ),
+    )
+    bg = (
+        docs.select("doc_id", "text")
+        .repartition(n_shuffle, "doc_id")
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b").alias("b"))
+    )
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    pre = bg.groupBy("b1").agg(F.count(F.lit(1)).alias("cp"))
+    return (
+        bg.join(cnt, "b")
+        .join(pre, "b1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            pround(
+                F.sum(F.log(F.col("c") / F.col("cp").cast("double")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bigram_logprob"),
+        )
+    )
+
+
+@register(
     "unigram_logprob_score",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS ws FROM documents),

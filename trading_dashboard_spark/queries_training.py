@@ -12,7 +12,7 @@ prefix is an order-preserving threshold on it (lowercase hex compares
 lexicographically in numeric order on both engines).
 """
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from .query_registry import _t, pround, register
 
@@ -586,6 +586,58 @@ def _hash_frac_sql(col: str) -> str:
 
 def _mixture_rate_sql() -> str:
     return f"least(1.0, ({_MIX_BUDGET} / (SELECT count(*) FROM counts)) / n_docs)"
+
+
+@register(
+    "weighted_sample_per_source",
+    f"""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln(greatest({_hash_frac_sql('doc_id')}, 1e-12))
+               / (n_chars + 1) AS ekey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY ekey, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("training", "sampling", "weighted"),
+)
+def weighted_sample_per_source(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, top-5 docs per source with
+    inclusion probability proportional to length — the
+    Efraimidis-Spirakis exponential-key scheme (key = -ln(u)/w, keep the
+    k smallest; equivalent to u^(1/w) max-keys), the curation primitive
+    for 'sample N docs per source, longer docs proportionally more
+    likely' without a sequential pass. u is the deterministic md5
+    fraction (same convention as the mixture/reservoir samplers), so
+    the draw replays byte-for-byte on both engines and across reruns —
+    auditable sampling, not RNG state. Weight = n_chars + 1 (zero-length
+    docs keep a positive weight). One scan, per-source top-k via
+    WindowGroupLimit rank pruning; no shuffle carries text. The ekey
+    column itself is excluded from the output: both engines order by the
+    same IEEE doubles but ulp-level ln/pow differences are possible, so
+    selection (which rounds through rank) is the contract, floats are
+    not."""
+    docs = _t(spark, sf_dir, "documents")
+    u = F.greatest(_hash_frac(F.col("doc_id")), F.lit(1e-12))
+    ekey = -F.log(u) / (F.col("n_chars") + 1)
+    w = W.partitionBy("source").orderBy(F.col("ekey"), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", ekey.alias("ekey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source", "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
 
 
 @register(

@@ -1104,3 +1104,47 @@ def gap_filled_daily_close(spark, sf_dir):
         pround(F.last("close", ignorenulls=True).over(w), 2).alias("close_filled"),
         F.col("close").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "rolling_median_value",
+    """
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) AS med7
+    FROM events
+    """,
+    tags=("window", "median", "robust"),
+)
+def rolling_median_value(spark, sf_dir):
+    """Rolling 7-row median per user — the robust-smoothing window
+    (outlier-resistant where the rolling mean is not) that Spark has no
+    native window function for. Exact construction: sort_array over a
+    frame-bounded collect_list, middle element (odd count) or mean of
+    the middle two (even count — SQL median interpolation, which covers
+    the first six warm-up rows of each series). The frame holds at most
+    7 values, so per-row state is O(7) — the same single
+    (user_id)-exchange sort any lag/lead window pays, nothing global.
+    Deterministic via the (ts, event_id) tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (F.element_at(arr, (n / 2).cast("int"))
+         + F.element_at(arr, (n / 2).cast("int") + 1)) / 2.0
+    )
+    return ev.select(
+        "user_id", "event_id",
+        pround("value", 2).alias("value"),
+        pround(med, 4).alias("med7"),
+    )
