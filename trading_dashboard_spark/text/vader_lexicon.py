@@ -7,9 +7,9 @@ boosters, punctuation emphasis), normalized to [-1, 1] by
 ``s / sqrt(s*s + 15)`` (Hutto & Gilbert, ICWSM 2014; MIT-licensed).
 
 This container cannot install nltk/vaderSentiment or reach the network,
-so the engine vendors a curated ~1,400-entry set with valences on the
-same [-4, 4] scale — the base financial/news vocabulary plus an
-inflected-form/general-sentiment expansion tier — NOT a verbatim copy of
+so the engine vendors a curated ~3,400-entry set with valences on the
+same [-4, 4] scale — the base financial/news vocabulary plus two
+inflected-form/general-sentiment expansion tiers — NOT a verbatim copy of
 the published 7.5k file (typing 7,500 empirical decimals from memory
 would fabricate data). The ``LEXICON_DATA`` format is exactly
 ``vader_lexicon.txt``'s first two columns (token<TAB>valence), and
@@ -1438,12 +1438,2002 @@ wrongdoing\t-2.2
 yearn\t-0.5
 """
 
+#: Second expansion tier (r4): remaining inflections of the tagged
+#: base stems (past/gerund/3sg for verbs, -ly adverbs with irregular
+#: overrides, noun plurals — each carrying its stem's valence, the
+#: published lexicon's own convention) plus a new-vocabulary tier of
+#: curated entries on the same [-4, 4] scale. Same curated-estimate
+#: status as the blocks above; a real vader_lexicon.txt drop-in still
+#: wins (see _load_dropin).
+LEXICON_DATA_EXTENSION2 = """\
+abandoning	-1.9
+abusing	-3.2
+abusively	-3.2
+abysmal	-3
+accepting	1.1
+accepts	1.1
+accidentally	-1.2
+accolade	2.1
+accolades	2.1
+accomplishes	1.8
+accomplishing	1.8
+accomplishments	1.9
+accusations	-1.7
+accuses	-1.8
+accusing	-1.8
+achievements	2
+achieves	1.8
+achieving	1.8
+adept	1.6
+admiration	2
+admires	2.2
+admiring	2.2
+adopted	0.7
+adopting	0.7
+adopts	0.7
+adorably	2.4
+adores	2.9
+adoring	2.9
+advantages	1.7
+adventures	1.6
+adversaries	-1.2
+adversely	-1.5
+affluent	1.9
+aggressively	-0.6
+aghast	-2
+agile	1.3
+agreeably	1.7
+agreeed	1.5
+agreeing	1.5
+agreements	1.4
+ailing	-1.8
+alarmingly	-1.8
+alarms	-1.4
+allegation	-1.3
+allegations	-1.3
+allies	1.2
+ally	1.2
+amazingly	2.8
+ambitions	1.3
+ample	1.2
+amuses	1.7
+angrily	-2.3
+animosities	-1.9
+annihilate	-2.9
+annihilated	-2.9
+annoys	-1.9
+anxiously	-1.9
+apologies	0.2
+apologized	0.4
+apologizes	0.4
+apologizing	0.4
+appallingly	-2.7
+appealed	1.3
+appealing	1.3
+appeals	1.3
+applauded	2
+applauding	2
+applauds	2
+appreciates	1.9
+appreciating	1.9
+apprehension	-1.5
+approving	1.8
+ardent	1.6
+argued	-1.4
+argues	-1.4
+arguing	-1.4
+arrested	-1.4
+arresting	-1.4
+arrests	-1.4
+arrogance	-1.9
+arrogant	-1.9
+arson	-2.6
+assassinate	-3.1
+assassination	-3.1
+assaulted	-2.6
+assaulting	-2.6
+assaults	-2.6
+asset	1.3
+assets	1.3
+assures	1.2
+assuring	1.2
+astoundingly	2.3
+atrociously	-3
+atrocities	-3.1
+attacking	-2.1
+attracted	1.7
+attracting	1.7
+attractively	1.9
+attracts	1.7
+audacious	0.9
+austerity	-1.4
+avalanche	-1.6
+averted	-0.4
+averting	-0.4
+averts	-0.4
+avoided	-1.2
+avoiding	-1.2
+avoids	-1.2
+awarding	2.5
+awe	1.8
+awfully	-2.9
+backfire	-1.8
+backfired	-1.8
+backlash	-1.8
+badly	-2.5
+baffle	-1.2
+baffled	-1.2
+bailouts	-1.1
+bamboozle	-1.5
+banish	-1.9
+banished	-1.9
+bankruptcies	-2.6
+bankrupted	-2.6
+bankrupting	-2.6
+bankrupts	-2.6
+banning	-1.8
+bargains	1.5
+barriers	-1.1
+bearable	0.6
+bearably	0.6
+beating	1.1
+beats	1.1
+beautifully	2.9
+beautify	1.8
+belittle	-1.9
+belittled	-1.9
+bellwether	0.6
+benevolent	2.2
+betraying	-3
+betrays	-3
+bitterly	-1.8
+blames	-2.2
+blaming	-2.2
+bleakly	-1.9
+blesses	1.8
+blessings	2.6
+blindside	-1.7
+blindsided	-1.7
+blissful	2.9
+blockbuster	2.1
+blocking	-1.3
+bloodshed	-3
+blossom	1.8
+blossoming	1.8
+blundered	-1.7
+blundering	-1.7
+blunders	-1.7
+boastful	-1.1
+bogus	-1.9
+boldly	1.3
+bolster	1.4
+bolstered	1.4
+bombard	-1.6
+bombarded	-1.6
+bonanza	2
+boon	1.8
+boosting	1.7
+bores	-1.1
+boringly	-1.3
+botch	-1.9
+botched	-1.9
+bothered	-1.3
+bothering	-1.3
+bothers	-1.3
+bottlenecks	-1.2
+bounced	0.8
+bounces	0.8
+bouncing	0.8
+boycotted	-1.5
+boycotting	-1.5
+boycotts	-1.5
+bravado	-0.4
+bravely	2.3
+bravery	2.3
+breached	-1.9
+breaches	-1.9
+breaching	-1.9
+breakthrough	2.2
+breakthroughs	2.2
+bribe	-2.2
+bribed	-2.2
+bribery	-2.3
+brighten	1.6
+brightened	1.6
+brightly	1.9
+brilliantly	2.8
+brink	-1
+brisk	0.8
+broken	-1.6
+brutally	-3
+bubbles	-0.8
+bungle	-1.8
+bungled	-1.8
+buoyant	1.6
+burdening	-1.5
+burdens	-1.5
+burglar	-1.9
+burglary	-2.1
+burning	-1.5
+burnout	-1.9
+burns	-1.5
+busted	-1.8
+busting	-1.8
+busts	-1.8
+calamities	-2.6
+calmly	1.3
+calmness	1.4
+calms	1.3
+canceled	-1.3
+canceling	-1.3
+cancellations	-1.4
+cancels	-1.3
+candid	1.2
+capably	1.6
+capitulate	-1.4
+capitulation	-1.4
+captivated	1.9
+captivates	1.9
+captivating	1.9
+carefully	1.3
+carelessly	-1.5
+carnage	-3.1
+casualties	-2.4
+catalyst	0.9
+catastrophes	-3.4
+catastrophically	-3.5
+celebrates	2.7
+celebrating	2.7
+celebrations	2.7
+celebratory	2.1
+challenged	-0.4
+challenges	-0.4
+champions	2.4
+chances	0.8
+chaotic	-1.9
+charities	1.8
+charmed	1.9
+charmingly	2.2
+charms	1.9
+cheating	-2.4
+cheats	-2.4
+cheered	2.3
+cheerfully	2.5
+cheering	2.3
+cheery	1.9
+cherished	2.3
+cherishes	2.3
+cherishing	2.3
+choke	-1.7
+choked	-1.7
+clashed	-1.7
+clashes	-1.7
+clashing	-1.7
+classily	1.8
+cleanly	1.7
+cleverly	2
+clumsy	-1.2
+coerce	-1.7
+coerced	-1.7
+coercion	-1.8
+cohesive	1.1
+collapsing	-2.2
+collateral	-0.4
+collided	-1.4
+collides	-1.4
+colliding	-1.4
+comfortably	1.7
+comforted	1.9
+comforts	1.9
+commendable	2
+commending	2
+commends	2
+compassionately	2.2
+competently	1.5
+competitively	0.8
+complacent	-1
+complaining	-1.6
+complains	-1.6
+complimented	1.9
+complimenting	1.9
+compliments	1.9
+comprehensive	0.9
+compromise	0.3
+compromised	-1.4
+conceded	-0.6
+concedes	-0.6
+conceding	-0.6
+conciliatory	0.9
+condemning	-2.2
+condemns	-2.2
+condone	-0.8
+confess	-0.9
+confession	-0.9
+confidently	2.2
+conflicts	-1.8
+confused	-1.2
+confuses	-1.2
+confusing	-1.2
+congenial	1.7
+congratulated	2.5
+congratulates	2.5
+congratulating	2.5
+connive	-1.8
+conniving	-1.8
+conquered	1.4
+conquering	1.4
+conquers	1.4
+conscientious	1.6
+consolation	0.6
+console	0.9
+consoled	0.9
+conspiracies	-2.1
+constrained	-1.1
+constraining	-1.1
+constrains	-1.1
+constraints	-1.1
+constructive	1.4
+contagion	-1.8
+contaminated	-2.1
+contaminates	-2.1
+contaminating	-2.1
+contention	-1
+contentious	-1.3
+contentment	1.9
+contracts	0.2
+contradictions	-1.1
+controversies	-1.5
+convenient	1.2
+conveniently	1.2
+convicting	-2.2
+convicts	-2.2
+convivial	1.7
+cordial	1.6
+counterfeit	-1.9
+courageously	2.3
+courteously	1.8
+courtesy	1.5
+coveted	1.4
+cowards	-2
+cozily	1.9
+crackdown	-1.3
+crafty	-0.3
+crashing	-1.6
+craved	0.6
+created	1.4
+creates	1.4
+creating	1.4
+creatively	1.9
+credibility	1.3
+credibly	1.5
+crestfallen	-2
+cries	-1.9
+crimes	-2.5
+criminals	-2.5
+cripples	-2.4
+crippling	-2.4
+crisises	-3.1
+criticizes	-1.7
+criticizing	-1.7
+critics	-1.1
+cruelly	-2.8
+crumble	-1.7
+crumbled	-1.7
+crumbling	-1.7
+crushes	-1.5
+crushing	-1.5
+crying	-1.9
+culpable	-1.5
+culprit	-1.5
+cumbersome	-1.1
+curtail	-1
+curtailed	-1
+cynically	-1.6
+dampened	-1
+dampening	-1
+dampens	-1
+dangerously	-2.3
+dangers	-2.4
+darkly	-1.4
+dashing	1.6
+dazzle	1.9
+dazzled	1.9
+dazzling	2.1
+deals	0.6
+dearly	1.7
+debacles	-2.4
+debilitating	-2.2
+debts	-1.6
+decadent	-0.7
+deceit	-2
+deceitful	-2.1
+deceives	-2.4
+deceiving	-2.4
+decimate	-2.5
+decimated	-2.5
+declined	-1.4
+declines	-1.4
+declining	-1.4
+defamation	-2
+defame	-2
+defaulted	-1.4
+defaulting	-1.4
+defaults	-1.4
+defeating	-1.8
+defeats	-1.8
+defects	-1.8
+defended	0.6
+defending	0.6
+defends	0.6
+defiant	-0.9
+deficits	-1.6
+defrauded	-2.5
+defrauding	-2.5
+defrauds	-2.5
+deft	1.3
+defunct	-1.4
+degraded	-1.9
+degrades	-1.9
+degrading	-1.9
+delaying	-1.2
+deliciously	2.3
+delightfully	2.7
+delinquency	-1.7
+delinquent	-1.7
+deluge	-1.2
+demanded	0.2
+demanding	0.2
+demands	0.2
+demean	-1.8
+demeaning	-1.8
+demolished	-1.9
+demolishes	-1.9
+demolishing	-1.9
+demote	-1.5
+demoted	-1.5
+denounce	-1.8
+denounced	-1.8
+denying	-1.4
+deplete	-1.4
+depleted	-1.4
+deplorable	-2.4
+deplore	-2
+deport	-1.5
+deported	-1.5
+depresses	-2.2
+depressing	-2.2
+derailed	-1.6
+derailing	-1.6
+derails	-1.6
+derelict	-1.5
+deride	-1.7
+derided	-1.7
+desecrate	-2.2
+desolate	-2
+desperately	-2
+despised	-2.6
+despises	-2.6
+despising	-2.6
+destitute	-2.3
+destroying	-2.6
+destroys	-2.6
+destructively	-2.6
+deteriorated	-2
+deteriorates	-2
+deteriorating	-2
+devastates	-3.1
+devastatingly	-3.1
+devout	1.2
+dexterous	1.3
+died	-2.9
+dies	-2.9
+dilemmas	-1.2
+diligence	1.5
+diligently	1.6
+diminish	-1.1
+diminished	-1.1
+din	-0.6
+direly	-2.1
+dirtily	-1.8
+disadvantages	-1.6
+disagreeed	-1.4
+disagreeing	-1.4
+disagrees	-1.4
+disappoints	-2.2
+disapproved	-1.9
+disapproves	-1.9
+disapproving	-1.9
+disarray	-1.6
+disasters	-3.1
+discord	-1.6
+discounted	0.8
+discounting	0.8
+discounts	0.8
+discouraged	-1.8
+discourages	-1.8
+discouraging	-1.8
+discriminated	-2.2
+discriminates	-2.2
+discriminating	-2.2
+disdain	-1.8
+disenchanted	-1.5
+disgraced	-2.4
+disgraces	-2.4
+disgracing	-2.4
+disgruntled	-1.7
+disgusted	-2.6
+disgusts	-2.6
+dishearten	-1.8
+disheartened	-1.8
+disheartening	-1.8
+dishonestly	-2.4
+dishonesty	-2.1
+disillusioned	-1.5
+disingenuous	-1.6
+disliked	-1.7
+dislikes	-1.7
+disliking	-1.7
+dismally	-2.1
+dismay	-1.7
+dismayed	-1.7
+dismisses	-1.2
+dismissing	-1.2
+disparage	-1.8
+disparaging	-1.8
+disputed	-1.6
+disputes	-1.6
+disputing	-1.6
+disqualified	-1.7
+disqualifies	-1.7
+disqualifying	-1.7
+disregarded	-1.5
+disregarding	-1.5
+disregards	-1.5
+disrupted	-1.5
+disrupting	-1.5
+disrupts	-1.5
+dissent	-0.9
+distorted	-1.5
+distorting	-1.5
+distorts	-1.5
+distractions	-1.1
+distraught	-2.1
+distressed	-2.4
+distresses	-2.4
+distressing	-2.4
+distrusted	-2.1
+distrusting	-2.1
+distrusts	-2.1
+divine	2.3
+dodgy	-1.4
+dominated	0.4
+dominates	0.4
+dominating	0.4
+donated	1.8
+donates	1.8
+donating	1.8
+donations	1.9
+dooming	-2.7
+dooms	-2.7
+dormant	-0.4
+doubted	-1.4
+doubting	-1.4
+downbeat	-1.3
+downcast	-1.7
+downgrades	-1.6
+downtrodden	-1.8
+downturns	-1.9
+drab	-1
+draconian	-1.8
+dragged	-1.1
+dragging	-1.1
+drags	-1.1
+dreaded	-2.2
+dreadfully	-2.7
+dreading	-2.2
+dreads	-2.2
+dreamed	1.4
+dreaming	1.4
+dreams	1.4
+dreary	-1.4
+dropped	-1.1
+dropping	-1.1
+drops	-1.1
+droughts	-1.9
+drowned	-2.4
+drowning	-2.4
+drowns	-2.4
+dubious	-1.4
+dully	-1.6
+dumped	-1.4
+dumping	-1.4
+dumps	-1.4
+dwindle	-1.3
+dwindled	-1.3
+dwindling	-1.3
+dynamically	1.2
+dysfunctional	-1.8
+eagerly	1.7
+earned	1.7
+earnestly	1.4
+earning	1.7
+earns	1.7
+eased	1.3
+eases	1.3
+easily	1.9
+easing	1.3
+ebullient	2
+eclipse	-0.3
+ecstatically	3.1
+edify	1.4
+effectively	1.6
+effervescent	1.7
+efficiently	1.9
+elation	2.6
+elegantly	2.1
+eloquent	1.7
+elude	-0.8
+emancipate	1.6
+embargo	-1.2
+embarrasses	-1.9
+embezzle	-2.3
+embezzled	-2.3
+embezzlement	-2.4
+embraced	1.5
+embraces	1.5
+embracing	1.5
+emergencies	-2.2
+eminently	1.1
+empowered	1.9
+empowering	1.9
+empowers	1.9
+enamored	2
+encouraged	2.1
+encourages	2.1
+encouraging	2.1
+endangered	-2.2
+endangering	-2.2
+endangers	-2.2
+endearing	1.9
+endeavor	0.9
+endorses	1.6
+endorsing	1.6
+endured	-0.3
+endures	-0.3
+enduring	-0.3
+energetically	1.8
+enhances	1.5
+enhancing	1.5
+enlightened	1.9
+enlightening	1.9
+enlightens	1.9
+enliven	1.5
+enmity	-2
+ennui	-1.2
+enraged	-2.6
+enrages	-2.6
+enraging	-2.6
+enriched	1.9
+enriches	1.9
+enriching	1.9
+enthrall	1.8
+enthralled	1.8
+enthusiastically	2.4
+entice	1
+enticing	1.2
+envied	-0.6
+epidemic	-2.2
+equitable	1.3
+eroded	-1.5
+erodes	-1.5
+eroding	-1.5
+erratic	-1.3
+erudite	1.4
+escalated	-1.3
+escalates	-1.3
+escalating	-1.3
+escaped	-0.4
+escapes	-0.4
+escaping	-0.4
+evacuated	-1.8
+evacuates	-1.8
+evacuating	-1.8
+evaded	-1.4
+evades	-1.4
+evading	-1.4
+evilly	-3.3
+eviscerate	-2.3
+exacerbate	-1.5
+exacerbated	-1.5
+exaggerated	-1.1
+exaggerates	-1.1
+exaggerating	-1.1
+exalt	1.9
+exalted	1.9
+exasperate	-1.7
+exasperated	-1.7
+exceeded	1.6
+exceeding	1.6
+exceeds	1.6
+excelled	2
+excellently	2.7
+excelling	2
+excels	2
+exceptionally	2.4
+excites	2.4
+excitingly	2.4
+excused	-0.4
+excuses	-0.4
+excusing	-0.4
+exemplary	2.2
+exhilarating	2.4
+exodus	-1.1
+exonerated	1.2
+exonerates	1.2
+exonerating	1.2
+expanded	1.2
+expanding	1.2
+expands	1.2
+expelled	-1.9
+expelling	-1.9
+expels	-1.9
+expensively	-1
+expertise	1.5
+expired	-1
+expires	-1
+expiring	-1
+exploited	-1.7
+exploiting	-1.7
+exploits	-1.7
+explosions	-2
+exposed	-0.9
+exposes	-0.9
+exposing	-0.9
+exquisite	2.5
+extol	1.8
+extorted	-2.5
+extorting	-2.5
+extortion	-2.4
+extorts	-2.5
+extraordinarily	2.3
+exuberant	2.2
+fabulously	2.6
+failed	-2.3
+failures	-2.5
+fairly	1.6
+faithfully	2.1
+fakely	-1.9
+falsely	-1.6
+fanciful	0.7
+fantastically	2.6
+farce	-1.5
+fatalities	-2.9
+fatality	-2.9
+fatally	-2.8
+faults	-1.8
+favored	1.7
+favoring	1.7
+favors	1.7
+feared	-2.2
+fearfully	-2.1
+fearing	-2.2
+fearless	1.5
+feebly	-1.5
+felony	-2.4
+fertile	1
+fervent	1.3
+fester	-1.6
+festive	1.9
+fiery	-0.4
+fights	-1.6
+filth	-2
+filthy	-1.9
+finely	0.8
+fining	0.8
+flabbergasted	-0.5
+flatter	1
+flattering	1.3
+flaws	-1.8
+fled	-1.7
+fleeing	-1.7
+flees	-1.7
+flimsy	-1.2
+flooded	-1.8
+flooding	-1.8
+floods	-1.8
+flop	-1.7
+flopped	-1.7
+flourished	2.2
+flourishes	2.2
+fluke	-0.5
+foolishly	-1.8
+forbade	-1.5
+forbidding	-1.5
+forbids	-1.5
+foreclose	-1.9
+foreclosure	-2
+forfeited	-1.5
+forfeiting	-1.5
+forfeits	-1.5
+forgives	1.6
+forgiving	1.6
+forlorn	-1.9
+formidable	0.9
+forsake	-1.8
+forsaken	-1.9
+fortunately	2.1
+fortunes	2.2
+fought	-1.6
+foully	-2.1
+fractious	-1.3
+fragilely	-1.3
+frantic	-1.4
+frauds	-2.8
+fraudulently	-2.7
+fraught	-1.4
+freely	2.3
+frenzied	-1.1
+frenzy	-0.9
+freshly	1.3
+fret	-1.3
+fretting	-1.3
+frightened	-2.2
+frightening	-2.2
+frightens	-2.2
+frivolous	-1
+frugal	0.6
+frustrates	-2.1
+fulfilling	1.6
+fulfills	1.6
+fumbled	-1.3
+fumbles	-1.3
+fumbling	-1.3
+furiously	-2.7
+furor	-1.4
+futilely	-1.7
+gaining	1.6
+galvanize	1.2
+gem	1.8
+generously	2.3
+gently	1.9
+genuine	1.6
+genuinely	1.6
+gladly	2
+glee	2.3
+gleeful	2.3
+glitch	-1.3
+glitches	-1.3
+glitter	1.2
+gloat	-1.1
+gloomily	-1.9
+gloriously	2.6
+glum	-1.7
+gouge	-1.8
+gracefully	2
+graciously	2.2
+grandly	2.2
+granting	1.2
+grants	1.2
+gratefully	2.4
+gratifying	1.9
+gravely	-1.9
+greedily	-2.2
+gridlock	-1.4
+grievance	-1.5
+grievances	-1.5
+grieve	-2.2
+grieving	-2.2
+grimly	-2
+grit	1
+grossly	-1.9
+grudge	-1.6
+gruesome	-2.8
+guaranteeed	1.3
+guaranteeing	1.3
+guarantees	1.3
+gutsy	1.1
+hail	1.2
+hailed	1.4
+halted	-1
+halting	-1
+halts	-1
+hampered	-1.3
+hampering	-1.3
+hampers	-1.3
+hapless	-1.4
+harass	-2.2
+harassed	-2.2
+harassment	-2.3
+hardy	1
+harmfully	-2.3
+harming	-2.4
+harmonious	1.9
+harms	-2.4
+harshly	-1.9
+haunted	-1.9
+haunting	-1.9
+haunts	-1.9
+hazardously	-2.2
+hazards	-2
+headwind	-1.1
+headwinds	-1.1
+heals	1.8
+healthily	2.1
+heartened	1.7
+heartening	1.8
+heartless	-2.2
+heartwarming	2.4
+heist	-1.7
+helpfully	1.8
+helping	1.7
+helplessly	-2
+heroic	2.3
+heroism	2.4
+heros	2.6
+hesitantly	-1
+hiccup	-0.8
+highlights	1.2
+hilariously	2.3
+hindered	-1.5
+hindering	-1.5
+hinders	-1.5
+hoard	-1
+hoax	-1.7
+hollowly	-1.1
+homicide	-3.1
+hone	0.9
+honestly	2.3
+honorable	2
+honoring	2.4
+honors	2.4
+hooray	2.3
+hoped	1.9
+hopefully	1.9
+hopelessly	-2.6
+hoping	1.9
+horrendously	-2.9
+horribly	-2.7
+horrifically	-3
+hostilely	-2.3
+hubris	-1.3
+humanitarian	1.8
+humbly	1.1
+humiliated	-2.5
+humiliates	-2.5
+humiliating	-2.5
+hurdle	-0.9
+hurdles	-0.9
+hurricane	-1.9
+hyped	-0.3
+hypes	-0.3
+hyping	-0.3
+ideally	2.2
+ignorantly	-1.9
+ignores	-1.4
+ignoring	-1.4
+illegally	-2.6
+illicit	-1.8
+illustrious	1.9
+immaculate	2.2
+imminent	-0.6
+immorally	-2.3
+impaired	-1.6
+impairing	-1.6
+impairs	-1.6
+impasse	-1.3
+impatiently	-1.2
+impeach	-1.8
+impeachment	-1.8
+impeccably	2.3
+impeded	-1.3
+impedes	-1.3
+impeding	-1.3
+impending	-0.8
+imperfectly	-1.2
+imperil	-1.9
+importantly	1.2
+impossibly	-1.6
+impoverished	-2.1
+impresses	1.9
+impressing	1.9
+impressively	2.2
+imprisoned	-2.1
+imprisoning	-2.1
+imprisons	-2.1
+improvements	1.8
+inadequately	-1.7
+incentives	1.2
+incidents	-1.1
+inclement	-1.1
+incompetently	-2.2
+increases	0.8
+increasing	0.8
+incriminate	-1.9
+indebted	-0.9
+indicting	-1.9
+indicts	-1.9
+indignant	-1.4
+indomitable	1.5
+inefficiently	-1.5
+ineptly	-1.8
+infamous	-1.8
+infected	-1.9
+infecting	-1.9
+infects	-1.9
+inferiorly	-1.8
+infestation	-2
+infringe	-1.4
+infringement	-1.5
+ingenious	2
+ingenuity	1.9
+inhumane	-2.4
+injures	-2
+injuring	-2
+innocently	1.4
+insecurely	-1.6
+insidious	-1.9
+insolvencies	-2.3
+inspires	2.3
+insulting	-2.2
+insults	-2.2
+insurgency	-1.9
+intact	0.8
+intelligently	2.3
+intimidated	-2.1
+intimidates	-2.1
+intimidating	-2.1
+intrepid	1.4
+intrigue	0.5
+intriguing	1
+inundate	-1.2
+invalidly	-1.4
+invaluably	2.1
+invested	0.8
+investing	0.8
+invests	0.8
+invigorate	1.7
+invigorating	1.8
+irate	-2
+ire	-1.8
+irk	-1.3
+irked	-1.3
+irrationally	-1.5
+irresponsibly	-1.9
+irritated	-1.9
+irritates	-1.9
+irritating	-1.9
+jackpot	2.2
+jaded	-1.2
+jeopardized	-2
+jeopardizes	-2
+jeopardizing	-2
+jitters	-1.3
+jittery	-1.3
+jokes	0.9
+jovial	2
+jubilation	2.6
+keenly	1.5
+kidnaped	-2.6
+kidnaping	-2.6
+kidnaps	-2.6
+killing	-3.4
+kills	-3.4
+kindly	2.4
+kudos	2.1
+lacked	-1.3
+lacking	-1.3
+lackluster	-1.4
+lacks	-1.3
+lagged	-1
+lagging	-1
+lags	-1
+lament	-1.7
+lamented	-1.7
+landslide	-0.9
+languish	-1.6
+languishing	-1.6
+larceny	-2.2
+laud	1.8
+lauded	1.8
+laughed	2.2
+laughs	2.2
+laundered	-2.1
+laundering	-2.1
+launders	-2.1
+lavish	1
+lax	-0.9
+lazily	-1.7
+leaked	-1.2
+leaking	-1.2
+leaks	-1.2
+legendarily	2.2
+lethally	-2.5
+lethargic	-1.3
+liabilities	-1.2
+liability	-1.2
+liars	-2.6
+liberated	1.6
+liberates	1.6
+liberating	1.6
+lied	-2.4
+lies	-2.4
+limbo	-1
+limiting	-0.8
+limits	-0.8
+lionize	1.4
+loathe	-2.4
+loathing	-2.4
+looming	-1
+loot	-1.8
+looted	-1.8
+looting	-1.9
+loses	-2
+lovingly	2.4
+loyally	2.1
+luckily	2.4
+lucratively	2
+lull	-0.5
+luminous	1.6
+lurch	-1.1
+lure	-0.3
+lurking	-1.2
+luxuriously	1.9
+lying	-2.4
+magnificently	2.9
+majestic	2.2
+malaise	-1.6
+malfeasance	-2.1
+malfunction	-1.7
+maliciously	-2.6
+malpractice	-2.1
+mangle	-1.9
+mangled	-1.9
+manipulated	-1.7
+manipulates	-1.7
+manipulating	-1.7
+manslaughter	-2.8
+mar	-1.3
+marred	-1.4
+marvel	1.8
+marvelous	2.6
+massacre	-3.3
+masterpieces	2.7
+mastery	1.7
+maturely	1.4
+maul	-2.2
+mayhem	-2.2
+meager	-1.1
+meddle	-1.2
+mediocrely	-1.1
+memorably	1.7
+menaced	-2.2
+menaces	-2.2
+menacing	-2.2
+mend	1.1
+mending	1.1
+mercifully	1.8
+merciless	-2.2
+merry	2
+mesmerize	1.6
+mesmerizing	1.7
+messes	-1.6
+mightily	1.6
+milestone	1.4
+milestones	1.4
+miracles	2.8
+miserably	-2.7
+mishap	-1.4
+mishaps	-1.4
+misleaded	-1.9
+misleads	-1.9
+misses	-1
+misstep	-1.3
+missteps	-1.3
+mistreat	-2
+mistreated	-2
+mistreatment	-2.1
+moan	-1.2
+mocked	-1.8
+mocking	-1.8
+mocks	-1.8
+momentous	1.6
+morale	0.8
+moratorium	-0.9
+morbid	-1.9
+moribund	-1.7
+motivates	1.9
+motivating	1.9
+mourned	-2.2
+mourning	-2.2
+mourns	-2.2
+muddle	-1.1
+muddled	-1.1
+mundane	-0.7
+murdered	-3.4
+murdering	-3.4
+murders	-3.4
+murkily	-1.2
+mutiny	-1.8
+nag	-1.3
+nagging	-1.3
+nastily	-2.5
+neatly	1.7
+nefarious	-2.1
+negatively	-1.6
+neglecting	-1.9
+neglects	-1.9
+nemesis	-1.4
+nervously	-1.7
+nicely	1.8
+nightmares	-2.7
+nimble	1.1
+nobly	2.1
+nosedive	-2
+nostalgic	0.6
+notoriously	-1.7
+nourish	1.5
+nourishing	1.5
+nuisances	-1.5
+nurtured	1.7
+nurtures	1.7
+nurturing	1.7
+obliterate	-2.6
+obliterated	-2.6
+obsoletely	-1.3
+obstacles	-1.4
+obstinate	-1.2
+obstructed	-1.7
+obstructing	-1.7
+obstructs	-1.7
+odious	-2.2
+offence	-1.5
+offending	-2
+offends	-2
+offense	-1.3
+offensively	-2.2
+ominous	-1.8
+onerous	-1.4
+onslaught	-1.8
+opportune	1.2
+opposed	-1.2
+opposes	-1.2
+opposing	-1.2
+oppressed	-2.3
+oppresses	-2.3
+oppressing	-2.3
+optimistically	2
+ordeal	-1.8
+ornate	0.9
+orphan	-1.4
+orphaned	-1.5
+ostracize	-1.9
+ousted	-1.6
+ousting	-1.6
+ousts	-1.6
+outages	-1.5
+outbreaks	-2.1
+outcry	-1.5
+outlaw	-1.3
+outlawed	-1.3
+outperformed	1.8
+outperforming	1.8
+outperforms	1.8
+outstandingly	2.7
+overcame	1.6
+overcomes	1.6
+overcoming	1.6
+overdue	-1
+overjoyed	2.8
+overloaded	-1.3
+overloading	-1.3
+overloads	-1.3
+overlooked	-1
+overlooking	-1
+overlooks	-1
+overrun	-1.2
+oversupply	-0.9
+overturn	-0.6
+overturned	-0.6
+overwhelming	-1.4
+overwhelms	-1.4
+painfully	-2.4
+paltry	-1.2
+pampered	0.8
+pandemonium	-2
+panicked	-2.5
+panicking	-2.5
+panics	-2.5
+paragon	1.8
+paralyzed	-2.2
+paralyzes	-2.2
+paralyzing	-2.2
+paramount	1
+pariah	-1.9
+parole	-0.7
+passionately	2.1
+patiently	1.2
+peacefully	2.2
+penalized	-1.8
+penalizes	-1.8
+penalizing	-1.8
+peppy	1.5
+perfectly	2.7
+perilously	-2.2
+perished	-2.3
+perishes	-2.3
+perishing	-2.3
+perjury	-2.2
+perk	1.1
+perks	1.1
+pernicious	-2
+perpetrator	-1.8
+persecuted	-2.4
+persecutes	-2.4
+persecuting	-2.4
+persevered	1.6
+perseveres	1.6
+persevering	1.6
+perturbed	-1.3
+pessimistically	-1.8
+pessimists	-1.2
+petrified	-2.2
+picturesque	1.9
+pinnacle	1.7
+pitfall	-1.3
+pitfalls	-1.3
+pity	-1.2
+plagued	-2.4
+plagues	-2.4
+plaguing	-2.4
+pleasantly	2
+pleases	1.3
+pleasing	1.3
+pleasures	2.4
+plight	-1.6
+ploy	-1.1
+plucky	1.2
+plummeted	-2.1
+plummeting	-2.1
+plummets	-2.1
+plunges	-1.5
+plunging	-1.5
+poignant	0.6
+poised	0.9
+poisoned	-2.6
+poisoning	-2.6
+poisons	-2.6
+polluted	-2.1
+pollutes	-2.1
+polluting	-2.1
+pompous	-1.5
+poorly	-2.1
+popularly	2.1
+positively	2.1
+powerfully	1.8
+powerhouse	1.6
+powerlessly	-1.8
+praised	2.4
+praises	2.4
+praising	2.4
+precarious	-1.5
+preciously	2.2
+predicament	-1.4
+premier	1.4
+prettily	2
+prevailed	1.5
+prevailing	1.5
+prevails	1.5
+pristine	2
+prizes	2.1
+problems	-1.7
+productively	1.8
+proficient	1.5
+profitably	2
+profound	1.1
+prohibited	-1.5
+prohibiting	-1.5
+prohibits	-1.5
+prolific	1.4
+prominently	1.4
+promised	1.5
+promises	1.5
+promisingly	1.9
+promotes	1.7
+promoting	1.7
+prosecuted	-1.9
+prosecutes	-1.9
+prosecuting	-1.9
+prospered	2.4
+prospering	2.4
+prosperously	2.3
+prospers	2.4
+protecting	1.4
+protects	1.4
+protested	-1.4
+protesting	-1.4
+prowess	1.6
+prudence	1.3
+prudently	1.5
+pummel	-1.9
+pummeled	-1.9
+punishes	-2.1
+punishing	-2.1
+purge	-1.4
+quagmire	-1.6
+qualm	-1
+qualms	-1
+quarreled	-1.8
+quarreling	-1.8
+quarrels	-1.8
+quell	-0.6
+quintessential	1
+quits	-1.2
+quitting	-1.2
+radiantly	2.2
+raided	-1.9
+raiding	-1.9
+raids	-1.9
+rallies	1.3
+rallying	1.3
+rampage	-2.3
+rampant	-1.3
+ransack	-2
+ransom	-1.8
+rapture	2.4
+rattle	-1.1
+rattled	-1.2
+ravage	-2.2
+ravaged	-2.2
+rave	1.7
+ravishing	2.1
+rebounding	1.3
+rebounds	1.3
+rebuilded	1.1
+rebuilding	1.1
+rebuilds	1.1
+rebuke	-1.6
+rebuked	-1.6
+recalling	-1
+recalls	-1
+recessions	-2.2
+recklessly	-1.9
+recoup	1
+recoveries	1.8
+recovering	1.4
+recovers	1.4
+rectify	1
+redeem	1.3
+redeemed	1.4
+refreshing	1.7
+refunded	0.9
+refunding	0.9
+refunds	0.9
+refuses	-1.4
+refusing	-1.4
+regal	1.4
+regretted	-2
+regretting	-2
+reinvigorate	1.7
+rejecting	-1.8
+rejects	-1.8
+rejoiced	2.5
+rejoices	2.5
+rejoicing	2.5
+rejuvenate	1.8
+rejuvenated	1.8
+relentlessly	-0.9
+reliably	2
+relish	1.5
+remarkably	2.2
+remorse	-1.4
+renege	-1.6
+repaired	0.8
+repairing	0.8
+repairs	0.8
+reprehensible	-2.4
+reprieve	1
+reprimand	-1.6
+reprisal	-1.8
+rescued	1.9
+rescues	1.9
+rescuing	1.9
+resented	-1.9
+resenting	-1.9
+resents	-1.9
+resigned	-1.2
+resigning	-1.2
+resigns	-1.2
+resiliently	1.7
+resolves	1.4
+resolving	1.4
+resounding	1.3
+resourceful	1.6
+respecting	2
+respects	2
+restores	1.5
+restoring	1.5
+restricted	-1.2
+restricting	-1.2
+restricts	-1.2
+resurgence	1.4
+resurgent	1.4
+retaliate	-1.6
+retaliation	-1.7
+retreated	-1.1
+retreating	-1.1
+retreats	-1.1
+revel	1.5
+revere	1.9
+revered	1.9
+revile	-2.1
+reviled	-2.1
+revived	1.3
+revives	1.3
+reviving	1.3
+revoked	-1.6
+revokes	-1.6
+revoking	-1.6
+revolt	-1.5
+rewards	2.2
+richly	2.1
+ridicule	-1.8
+ridiculed	-1.8
+rift	-1.2
+rigged	-1.8
+rigorous	0.8
+rioted	-2.4
+rioting	-2.4
+riots	-2.4
+rises	1
+rising	1
+risked	-1.1
+riskily	-1.4
+risking	-1.1
+robbed	-2.5
+robbing	-2.5
+robs	-2.5
+robustly	1.6
+romantically	2.1
+rose	1
+rosy	1.4
+rottenly	-2.3
+rout	-1.6
+routed	-1.6
+ruckus	-1.2
+rudely	-2.2
+ruining	-2.6
+ruins	-2.6
+rumors	-0.8
+ruthless	-2
+sabotaged	-2.5
+sabotages	-2.5
+sabotaging	-2.5
+sadly	-2.1
+safely	1.9
+salvage	0.7
+salvaged	0.8
+sanction	-1.1
+sanctions	-1.2
+satisfies	1.9
+satisfying	1.9
+saved	2.2
+saves	2.2
+saving	2.2
+savvy	1.4
+scammed	-2.6
+scamming	-2.6
+scams	-2.6
+scandalously	-2.3
+scandals	-2.3
+scares	-2.2
+scaring	-2.2
+scathing	-1.9
+scorn	-1.8
+scorned	-1.8
+scourge	-2.1
+scramble	-0.8
+scrupulous	1.3
+seamless	1.4
+securely	1.7
+seethe	-1.7
+seething	-1.7
+seized	-1.2
+seizes	-1.2
+seizing	-1.2
+selfishly	-2.1
+sensationally	2.1
+serenely	2
+serenity	2
+setbacks	-1.7
+settled	0.6
+settlements	0.7
+settles	0.6
+settling	0.6
+severely	-1.9
+shackle	-1.5
+shadily	-1.8
+shakily	-1.2
+shambles	-1.8
+shimmering	1.3
+shined	1.8
+shines	1.8
+shipwreck	-1.9
+shocked	-1.8
+shocking	-1.8
+shocks	-1.8
+shoddy	-1.6
+shortages	-1.6
+shortchange	-1.5
+shortfalls	-1.6
+showdown	-0.6
+shrank	-1
+shrewd	0.9
+shrinking	-1
+shrinks	-1
+shun	-1.5
+shunned	-1.5
+signals	0.1
+sincerely	2
+skeptically	-1.3
+skirmish	-1.3
+skyrocket	1.6
+skyrocketed	1.6
+slain	-2.5
+slandered	-2.3
+slandering	-2.3
+slanders	-2.3
+slashes	-1.4
+slashing	-1.4
+slay	-2.2
+sleek	1.3
+slided	-0.8
+slides	-0.8
+sliding	-0.8
+slowly	-1
+sluggishly	-1.4
+slumped	-1.6
+slumping	-1.6
+slumps	-1.6
+smartly	2
+smear	-1.7
+smeared	-1.7
+smiled	2.2
+smiles	2.2
+smoothly	1.4
+smuggle	-1.7
+smuggling	-1.8
+snag	-1
+snags	-1
+soars	1.8
+solace	0.9
+solidly	1.3
+solved	1.5
+solves	1.5
+solving	1.5
+somber	-1.4
+sophisticatedly	1.6
+spat	-1.1
+spearhead	1
+spectacularly	2.5
+spite	-1.7
+spiteful	-2
+splendidly	2.5
+sprightly	1.5
+spur	0.8
+spurred	0.9
+squabble	-1.2
+squander	-1.7
+squandered	-1.7
+squeezed	-1.1
+squeezes	-1.1
+squeezing	-1.1
+stabilized	1.2
+stabilizes	1.2
+stabilizing	1.2
+stably	1.3
+stagnation	-1.5
+stalemate	-1.2
+stalwart	1.3
+stampede	-1.4
+standout	1.5
+starved	-2.5
+starves	-2.5
+starving	-2.5
+staunch	0.9
+steadfast	1.4
+steadily	1.1
+stealing	-2.4
+steals	-2.4
+stellarly	2.3
+sterling	1.6
+stifle	-1.4
+stifled	-1.4
+stigma	-1.6
+stimulated	1.4
+stimulates	1.4
+stimulating	1.4
+stoic	0.5
+strand	-1.2
+stranded	-1.5
+strengthening	1.6
+strengthens	1.6
+strengths	1.9
+stressed	-1.9
+stresses	-1.9
+stressing	-1.9
+striked	-1.2
+strikes	-1.2
+stringent	-0.7
+struggled	-1.9
+struggles	-1.9
+struggling	-1.9
+stumbled	-1.3
+stumbles	-1.3
+stumbling	-1.3
+stupidly	-2.4
+sturdily	1.3
+subdue	-0.8
+subdued	-0.9
+sublime	2.1
+subpoena	-1.2
+subsidies	0.6
+subsidy	0.6
+succeeding	2.2
+succeeds	2.2
+sucked	-2.1
+sucking	-2.1
+sucks	-2.1
+suffered	-2.4
+sullen	-1.5
+sumptuous	1.7
+superbly	2.7
+superiorly	2.1
+superly	2.9
+supporting	1.7
+surging	1.4
+surpassed	1.6
+surpasses	1.6
+surpassing	1.6
+surpluses	1.4
+surrendered	-1.4
+surrendering	-1.4
+surrenders	-1.4
+survives	1
+surviving	1
+suspected	-1.4
+suspecting	-1.4
+suspects	-1.4
+suspending	-1.4
+suspends	-1.4
+suspiciously	-1.7
+sweetly	2
+swindle	-2
+swindled	-2
+tailspin	-1.9
+taint	-1.6
+tainted	-1.7
+tantalizing	1.2
+tariffs	-0.9
+tarnish	-1.6
+tarnished	-1.6
+tearful	-1.6
+tedious	-1.2
+teetering	-1.3
+tenacious	1.2
+tenacity	1.4
+tensions	-1.5
+tepid	-0.8
+terribly	-2.1
+terrifically	2.7
+terrorize	-2.8
+terrorized	-2.8
+thanked	1.9
+thanking	1.9
+thanks	1.9
+thoughtful	1.8
+threatening	-2.1
+threatens	-2.1
+thrift	0.7
+thrifty	0.8
+thrived	2.3
+thrives	2.3
+thug	-1.9
+thwart	-1.1
+thwarted	-1.2
+timid	-0.9
+tirade	-1.6
+toil	-0.8
+topple	-1.4
+toppled	-1.4
+tormented	-2.5
+tormenting	-2.5
+torments	-2.5
+torrid	-0.6
+tortured	-3
+tortures	-3
+torturing	-3
+tout	0.8
+touted	0.9
+tragedies	-3
+tragically	-2.7
+traitor	-2.2
+tranquilly	1.9
+transparently	1.3
+treacherous	-2.1
+treachery	-2.2
+treasured	2.2
+treasures	2.2
+treasuring	2.2
+tremendously	2.3
+trepidation	-1.5
+tributes	1.7
+trickery	-1.7
+triumphantly	2.2
+triumphed	2.7
+triumphing	2.7
+triumphs	2.7
+troubling	-2
+truant	-1.2
+truces	1.1
+trusting	2.1
+trusts	2.1
+tumbles	-1.5
+tumbling	-1.5
+tumult	-1.5
+tumultuous	-1.5
+turbulently	-1.6
+tyranny	-2.4
+unbearably	-2.4
+unblemished	1.6
+uncomfortably	-1.5
+undaunted	1.2
+underdog	-0.4
+undermined	-1.8
+undermines	-1.8
+undermining	-1.8
+underperform	-1.5
+underperformed	-1.5
+undue	-1
+unease	-1.3
+uneasily	-1.4
+unethically	-2.3
+unexpectedly	-0.4
+unfairly	-2.2
+unfazed	0.6
+unfit	-1.4
+unflappable	1.1
+unforgiving	-1.6
+unfortunately	-1.9
+unhappily	-2.2
+unified	1.4
+unifies	1.4
+unifying	1.4
+unjustly	-2.2
+unlawfully	-2.2
+unluckily	-1.6
+unpleasantly	-1.9
+unravel	-1.3
+unraveled	-1.3
+unrest	-1.6
+unrivaled	1.8
+unsafely	-1.9
+unscathed	0.9
+unscrupulous	-2
+unstably	-1.6
+unsuccessfully	-1.8
+untenable	-1.5
+uplifted	2.1
+uplifting	2.1
+uplifts	2.1
+uproarious	0.8
+upsets	-1.9
+upsetting	-1.9
+upstanding	1.5
+urgently	-1.1
+usefully	1.8
+uselessly	-1.9
+usurp	-1.5
+utopia	2
+valiantly	2.1
+valuably	1.9
+valued	1.4
+values	1.4
+valuing	1.4
+vandal	-1.8
+vanquish	-1
+vanquished	-1.1
+vendetta	-1.9
+venerable	1.5
+vengeance	-1.9
+venom	-2
+venomous	-2.1
+versatilely	1.4
+vex	-1.4
+vexed	-1.4
+vibrantly	1.9
+viciously	-2.7
+victories	2.6
+victoriously	2.5
+vigilantly	0.9
+vigorously	1.4
+vile	-2.6
+vilified	-2
+vilify	-2
+villain	-2
+vindicated	1.2
+vindicates	1.2
+vindicating	1.2
+vindictive	-1.9
+violated	-2.2
+violates	-2.2
+violating	-2.2
+violently	-2.9
+virtuoso	1.9
+visions	1.3
+vitally	1.2
+vivacious	1.8
+void	-1
+volatilely	-1.3
+voracious	-0.4
+vouch	1.1
+vow	0.5
+vulnerably	-1.5
+wane	-1
+waning	-1.1
+warns	-1.4
+wary	-1.1
+wasted	-1.8
+wastes	-1.8
+wasting	-1.8
+watchdog	0.2
+wayward	-1.2
+weakening	-1.5
+weakens	-1.5
+weakly	-1.9
+weaknesses	-1.7
+wearily	-1.4
+welcomes	1.9
+welcoming	1.9
+whined	-1.5
+whines	-1.5
+whining	-1.5
+wholesome	1.9
+wickedly	-2.4
+widened	-0.2
+widening	-0.2
+widens	-0.2
+wilt	-1.2
+wilted	-1.2
+windfall	1.9
+winsome	1.6
+wisely	2.1
+wistful	-0.5
+wittily	1.9
+woeful	-2
+wonderfully	2.9
+worthily	1.9
+worthlessly	-2.3
+worthwhilely	1.7
+wrath	-2.2
+wrecked	-2.1
+wrecking	-2.1
+wrecks	-2.1
+wretched	-2.3
+wrongly	-2.1
+yearned	-0.5
+yearning	-0.5
+yearns	-0.5
+zealous	0.9
+zest	1.7
+"""
+
 #: token -> valence on [-4, 4] (builtin curated set: base + extension).
 _BUILTIN_LEXICON: dict[str, float] = {
     tok: float(val)
     for tok, val in (
         line.split("\t")
-        for line in (LEXICON_DATA + LEXICON_DATA_EXTENSION).splitlines()
+        for line in (LEXICON_DATA + LEXICON_DATA_EXTENSION
+                     + LEXICON_DATA_EXTENSION2).splitlines()
         if line
     )
 }
