@@ -218,6 +218,73 @@ def _module_dep_closure() -> dict[str, set[str]]:
     return closure
 
 
+def _fn_segments(src: str) -> tuple[dict[str, str], str]:
+    """Split module source into {top-level function name: decorated
+    source segment} plus the blank-line-stripped module-level remainder.
+    A segment runs from the first decorator line (the @register call
+    carries the oracle SQL) to the function's last line. Unparseable
+    source degrades to everything-is-remainder (always compares
+    changed)."""
+    import ast
+
+    lines = src.splitlines()
+    fns: dict[str, str] = {}
+    covered: set[int] = set()
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return {}, src
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            start = min(
+                [d.lineno for d in node.decorator_list] + [node.lineno]
+            )
+            end = node.end_lineno or node.lineno
+            fns[node.name] = "\n".join(lines[start - 1:end])
+            covered.update(range(start, end + 1))
+    rest = "\n".join(
+        ln for i, ln in enumerate(lines, 1)
+        if i not in covered and ln.strip()
+    )
+    return fns, rest
+
+
+def _fn_changes(rel: str, commit: str) -> tuple[set[str], bool]:
+    """Function-granular diff of module ``rel`` between ``commit`` and the
+    working tree: (top-level function names whose decorated source
+    segment differs or is new, module-level-code-changed flag).
+
+    Module granularity alone floods the driver's bounded verification
+    window: appending ONE query to a 30-query module marked all 30 stale
+    rank 0, pushing genuinely-changed queries (e.g. a dependency edit to
+    the sentiment lexicon) past the window. A segment spans from the
+    first decorator line (the @register call carries the oracle SQL) to
+    the function's last line, so oracle edits count as function changes.
+    The remainder (module-level constants, shared SQL fragments) is
+    compared blank-line-insensitively; if IT changed, every query in the
+    module is conservatively stale. Unreadable old versions (new file)
+    report everything changed."""
+    segments = _fn_segments
+    try:
+        with open(os.path.join(_REPO_ROOT, rel), encoding="utf-8") as fh:
+            new_src = fh.read()
+    except OSError:
+        return set(), True
+    out = subprocess.run(
+        ["git", "show", f"{commit}:{rel}"],
+        cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:  # file didn't exist at the boundary
+        new_fns, _ = segments(new_src)
+        return set(new_fns), True
+    old_fns, old_rest = segments(out.stdout)
+    new_fns, new_rest = segments(new_src)
+    changed = {
+        name for name, seg in new_fns.items() if old_fns.get(name) != seg
+    }
+    return changed, old_rest != new_rest
+
+
 def _stale_verified(verified_round: dict[str, int]) -> dict[str, int]:
     """Queries whose implementing source (module dep-closure) changed
     since the round that last verified them — these jump the rotation
@@ -226,25 +293,56 @@ def _stale_verified(verified_round: dict[str, int]) -> dict[str, int]:
 
     Returns name -> priority (lower = verify sooner):
 
-    0. own defining module changed THIS round (since the latest round
-       boundary) — the code the driver is about to attest shipped with
-       fresh edits;
-    1. a transitive dependency changed this round;
-    2. own module changed since the query's last green round (older
-       rounds' churn that blind-stride rotation never re-covered);
-    3. dependency-only staleness since the last green round.
+    0. the query's OWN FUNCTION (or its module's shared module-level
+       code) changed THIS round (since the latest round boundary) — the
+       code the driver is about to attest shipped with fresh edits;
+    1. a SPECIFIC transitive dependency (an operator/function module)
+       changed this round;
+    2. only shared plumbing (query_registry/session — imported by every
+       query module) changed this round;
+    3. own function/module-level code changed since the query's last
+       green round (older churn blind-stride rotation never re-covered);
+    4. specific-dependency staleness since the last green round;
+    5. plumbing-only staleness since the last green round.
 
-    An edit to shared plumbing (query_registry/session) marks everything
-    stale at dependency rank; the priority keeps directly-edited query
-    modules ahead of that blast radius in the driver's bounded window."""
+    Own-module staleness is FUNCTION-granular (_fn_changes): appending a
+    new query to a module does not mark its 30 siblings stale. Plumbing
+    edits still mark everything stale — but BELOW queries whose actual
+    operator chain changed, so a one-line registry tweak cannot crowd a
+    lexicon rewrite out of the driver's bounded window."""
     bounds = _round_boundaries()
     closure = _module_dep_closure()
     changed_by_round: dict[int, set[str]] = {}
+    fn_changes_cache: dict[tuple[str, str], tuple[set[str], bool]] = {}
+    plumbing = {
+        os.path.join(_PKG_NAME, "query_registry.py"),
+        os.path.join(_PKG_NAME, "session.py"),
+        os.path.join(_PKG_NAME, "queries.py"),
+    }
 
     def changed(rnd: int) -> set[str]:
         if rnd not in changed_by_round:
             changed_by_round[rnd] = _changed_since(bounds[rnd])
         return changed_by_round[rnd]
+
+    def own_changed(rel: str, fn_name: str, rnd: int) -> bool:
+        key = (rel, bounds[rnd])
+        if key not in fn_changes_cache:
+            fn_changes_cache[key] = _fn_changes(rel, bounds[rnd])
+        fns, module_level = fn_changes_cache[key]
+        return module_level or fn_name in fns
+
+    def rank_at(rel, fn_name, deps, rnd, base):
+        """0/1/2 staleness class at boundary ``rnd``, offset by ``base``;
+        None when nothing relevant changed."""
+        hit = deps & changed(rnd)
+        if rel in hit and own_changed(rel, fn_name, rnd):
+            return base
+        if hit - {rel} - plumbing:
+            return base + 1
+        if hit - {rel}:
+            return base + 2
+        return None
 
     latest = max(bounds) if bounds else None
     stale: dict[str, int] = {}
@@ -253,20 +351,58 @@ def _stale_verified(verified_round: dict[str, int]) -> dict[str, int]:
         if spec is None:
             continue
         mod = getattr(spec.fn, "__module__", "") or ""
+        fn_name = getattr(spec.fn, "__name__", name)
         rel = os.path.join(*mod.split(".")) + ".py"
         deps = closure.get(rel, {rel})
         if latest is not None:
-            hit_now = deps & changed(latest)
-            if hit_now:
-                stale[name] = 0 if rel in hit_now else 1
+            r = rank_at(rel, fn_name, deps, latest, 0)
+            if r is not None:
+                stale[name] = r
                 continue
         if rnd not in bounds:
             stale[name] = 0  # unknown snapshot — re-verify, don't assume
             continue
-        hit = deps & changed(rnd)
-        if hit:
-            stale[name] = 2 if rel in hit else 3
+        r = rank_at(rel, fn_name, deps, rnd, 3)
+        if r is not None:
+            stale[name] = r
     return stale
+
+
+def _stale_delta(stale_names: set[str]) -> dict[str, int]:
+    """name -> total changed-line count (git numstat vs the latest round
+    boundary) across the query's changed non-plumbing dependencies —
+    the within-rank ordering signal for the stale block."""
+    bounds = _round_boundaries()
+    if not bounds:
+        return {}
+    boundary = bounds[max(bounds)]
+    out = subprocess.run(
+        ["git", "diff", "--numstat", boundary],
+        cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:
+        return {}
+    lines_changed: dict[str, int] = {}
+    for line in out.stdout.splitlines():
+        parts = line.split("\t")
+        if len(parts) == 3 and parts[0].isdigit() and parts[1].isdigit():
+            lines_changed[parts[2]] = int(parts[0]) + int(parts[1])
+    closure = _module_dep_closure()
+    plumbing = {
+        os.path.join(_PKG_NAME, "query_registry.py"),
+        os.path.join(_PKG_NAME, "session.py"),
+        os.path.join(_PKG_NAME, "queries.py"),
+    }
+    delta: dict[str, int] = {}
+    for name in stale_names:
+        spec = QUERY_REGISTRY.get(name)
+        if spec is None:
+            continue
+        mod = getattr(spec.fn, "__module__", "") or ""
+        rel = os.path.join(*mod.split(".")) + ".py"
+        deps = (closure.get(rel, {rel}) - plumbing) | {rel}
+        delta[name] = sum(lines_changed.get(d, 0) for d in deps)
+    return delta
 
 
 def _front_unverified() -> None:
@@ -309,12 +445,21 @@ def _front_unverified() -> None:
         stale = _stale_verified(verified_round)
     except Exception:
         stale = {}
+    try:
+        delta = _stale_delta(set(stale))
+    except Exception:
+        delta = {}
 
-    # Directly-edited modules first, then dependency-only staleness;
-    # oldest last-green round first within each rank.
+    # Directly-edited functions first, then dependency staleness ordered
+    # by the SIZE of the dependency diff (a 2,000-line lexicon rewrite
+    # outranks a one-line operator tweak for the driver's bounded
+    # window), oldest last-green round as the tiebreak.
     stale_first = sorted(
         (n for n in proven_names if n in stale),
-        key=lambda n: (stale[n], verified_round[n], proven_names.index(n)),
+        key=lambda n: (
+            stale[n], -delta.get(n, 0), verified_round[n],
+            proven_names.index(n),
+        ),
     )
     rest = [n for n in proven_names if n not in stale]
     # Rotate the unchanged-proven list so a different reserve-sized slice

@@ -901,3 +901,116 @@ def nation_revenue_share_of_region(spark, sf_dir):
             pround("revenue", 4) / pround(F.sum("revenue").over(w), 4) * 100, 4
         ).alias("pct_of_region"),
     )
+
+
+@register(
+    "daily_demand_full_outer",
+    """
+    WITH o AS (
+      SELECT strftime(o_orderdate, '%m-%d') AS md,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_orderdate >= DATE '1997-01-01' GROUP BY 1
+    ),
+    e AS (
+      SELECT strftime(CAST(ts AS DATE), '%m-%d') AS md,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT coalesce(o.md, e.md) AS month_day,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_events, 0) AS n_events,
+           CASE WHEN o.md IS NULL THEN 'events_only'
+                WHEN e.md IS NULL THEN 'orders_only'
+                ELSE 'both' END AS presence
+    FROM o FULL OUTER JOIN e ON o.md = e.md
+    """,
+    tags=("join", "full-outer", "§2.7"),
+)
+def daily_demand_full_outer(spark, sf_dir):
+    """FULL OUTER join of two calendars that only partly overlap —
+    order volume (1997+) vs event volume by month-day. The outer-join
+    surface the coverage table lacked: unmatched sides survive with
+    NULLs, COALESCE rebuilds the key and zero-fills the counts, and a
+    presence tag records which side(s) produced each row. Both inputs
+    pre-aggregate to <=366 rows BEFORE the join, so the full-outer
+    shuffle moves calendar-sized relations, never fact rows."""
+    orders = _t(spark, sf_dir, "orders")
+    events = _t(spark, sf_dir, "events")
+    o = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        .groupBy(F.date_format("o_orderdate", "MM-dd").alias("md"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = events.groupBy(
+        F.date_format(F.to_date("ts"), "MM-dd").alias("md")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    joined = o.withColumnRenamed("md", "o_md").join(
+        e.withColumnRenamed("md", "e_md"),
+        F.col("o_md") == F.col("e_md"),
+        "full_outer",
+    )
+    presence = (
+        F.when(F.col("o_md").isNull(), "events_only")
+        .when(F.col("e_md").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return joined.select(
+        F.coalesce("o_md", "e_md").alias("month_day"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        presence.alias("presence"),
+    )
+
+
+@register(
+    "nation_top_customers_listagg",
+    """
+    WITH ranked AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_name) AS rk
+      FROM customer
+    )
+    SELECT n.n_name AS nation,
+           string_agg(r.c_name, ',' ORDER BY r.rk) AS top3_customers,
+           round(sum(r.c_acctbal), 2) AS top3_balance
+    FROM ranked r JOIN nation n ON r.c_nationkey = n.n_nationkey
+    WHERE r.rk <= 3
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "string-agg", "§2.6"),
+)
+def nation_top_customers_listagg(spark, sf_dir):
+    """Ordered string aggregation — the LISTAGG/STRING_AGG surface: top-3
+    customers per nation by balance, concatenated in rank order. Spark
+    has no ordered string_agg, so the deterministic construction is
+    collect_list of (rk, name) structs -> array_sort -> transform ->
+    array_join, all JVM higher-order functions riding the groupBy
+    exchange. Rank prunes via WindowGroupLimit before the dim join;
+    the 25-row nation dim broadcasts."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_name"
+    )
+    ranked = cust.select(
+        "c_nationkey", "c_name", "c_acctbal",
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 3)
+    joined = ranked.join(
+        F.broadcast(nation),
+        ranked.c_nationkey == nation.n_nationkey,
+    )
+    agg = joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rk", "c_name"))
+                ),
+                lambda s: s["c_name"],
+            ),
+            ",",
+        ).alias("top3_customers"),
+        pround(F.sum("c_acctbal"), 2).alias("top3_balance"),
+    )
+    return agg

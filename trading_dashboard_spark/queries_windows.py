@@ -1148,3 +1148,543 @@ def rolling_median_value(spark, sf_dir):
         pround("value", 2).alias("value"),
         pround(med, 4).alias("med7"),
     )
+
+
+@register(
+    "atr_indicator",
+    f"""
+    WITH {DAILY_SQL},
+    tr AS (
+      SELECT user_id, d,
+             CASE WHEN lag(close) OVER ({_WIN}) IS NULL THEN high - low
+                  ELSE greatest(high - low,
+                                abs(high - lag(close) OVER ({_WIN})),
+                                abs(low  - lag(close) OVER ({_WIN})))
+             END AS true_range
+      FROM daily
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(true_range, 4) AS true_range,
+           round(CASE WHEN count(*) OVER f >= 14
+                      THEN avg(true_range) OVER f END, 4) AS atr14
+    FROM tr
+    WINDOW f AS ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def atr_indicator(spark, sf_dir):
+    """ATR(14), SMA variant — true range folds the overnight gap
+    (|high-prev_close|, |low-prev_close|) into the daily range, a 14-row
+    mean smooths it (the SMA form; Wilder's recursive smoothing is the
+    EMA lane, already covered by ema_indicator's grouped pass). The lag
+    and both frame aggregates share the single (user_id, d) sort — one
+    exchange, all-JVM. Same W4 rolling-frame family as the reference's
+    50/200-day MAs (dashboard/pages/2_Technical_Analysis.py rolling
+    windows)."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    prev = F.lag("close").over(w)
+    tr = F.when(prev.isNull(), F.col("high") - F.col("low")).otherwise(
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - prev),
+            F.abs(F.col("low") - prev),
+        )
+    )
+    base = daily.select("user_id", "d", tr.alias("true_range"))
+    f = W.partitionBy("user_id").orderBy("d").rowsBetween(-13, 0)
+    atr = F.when(
+        F.count(F.lit(1)).over(f) >= 14, F.avg("true_range").over(f)
+    )
+    return base.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("true_range", 4).alias("true_range"),
+        pround(atr, 4).alias("atr14"),
+    )
+
+
+@register(
+    "williams_r_indicator",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(CASE WHEN count(*) OVER f >= 14
+                      THEN -100.0 * (max(high) OVER f - close)
+                           / nullif(max(high) OVER f - min(low) OVER f, 0)
+                 END, 4) AS williams_r
+    FROM daily
+    WINDOW f AS ({_WIN} ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def williams_r_indicator(spark, sf_dir):
+    """Williams %R(14) — the stochastic oscillator's inverse reading
+    (-100..0): where the close sits inside the trailing 14-day hi-lo
+    range. Same one-exchange frame family as stochastic_oscillator;
+    flat ranges NULL via the NULLIF guard, warm-up rows NULL via the
+    count-over-frame min_periods guard."""
+    daily = _daily_close(spark, sf_dir)
+    f = W.partitionBy("user_id").orderBy("d").rowsBetween(-13, 0)
+    hi14, lo14 = F.max("high").over(f), F.min("low").over(f)
+    wr = F.when(
+        F.count(F.lit(1)).over(f) >= 14,
+        -100.0 * (hi14 - F.col("close"))
+        / F.nullif(hi14 - lo14, F.lit(0.0)),
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(wr, 4).alias("williams_r"),
+    )
+
+
+@register(
+    "cci_indicator",
+    f"""
+    WITH {DAILY_SQL},
+    tp AS (
+      SELECT user_id, d, (high + low + close) / 3.0 AS typ FROM daily
+    ),
+    framed AS (
+      SELECT user_id, d, typ,
+             avg(typ)  OVER f AS sma_tp,
+             list(typ) OVER f AS tps,
+             count(*)  OVER f AS cnt
+      FROM tp
+      WINDOW f AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(CASE WHEN cnt >= 20 THEN
+             (typ - sma_tp) / nullif(
+               0.015 * list_sum(list_transform(tps, x -> abs(x - sma_tp))) / cnt,
+               0)
+           END, 4) AS cci20
+    FROM framed
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def cci_indicator(spark, sf_dir):
+    """CCI(20) — mean ABSOLUTE deviation around the frame's own mean is
+    not a composable window aggregate (the deviation target is the
+    current row's SMA, fixed across the frame), so the frame is
+    materialized as a 20-element collect_list and reduced with a JVM
+    higher-order aggregate — O(20) state per row riding the same single
+    (user_id, d) sort as every other frame here, no second pass and no
+    Python. Degenerate flat frames (zero deviation) NULL via NULLIF."""
+    daily = _daily_close(spark, sf_dir)
+    typ = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("typ")
+    base = daily.select("user_id", "d", typ)
+    f = W.partitionBy("user_id").orderBy("d").rowsBetween(-19, 0)
+    sma_tp = F.avg("typ").over(f)
+    tps = F.collect_list("typ").over(f)
+    cnt = F.count(F.lit(1)).over(f)
+    framed = base.select(
+        "user_id", "d", "typ",
+        sma_tp.alias("sma_tp"), tps.alias("tps"), cnt.alias("cnt"),
+    )
+    mad = (
+        F.aggregate(
+            "tps",
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x - F.col("sma_tp")),
+        )
+        / F.col("cnt")
+    )
+    cci = F.when(
+        F.col("cnt") >= 20,
+        (F.col("typ") - F.col("sma_tp"))
+        / F.nullif(0.015 * mad, F.lit(0.0)),
+    )
+    return framed.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(cci, 4).alias("cci20"),
+    )
+
+
+@register(
+    "donchian_channels",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(max(high) OVER f, 4) AS upper_20,
+           round(min(low)  OVER f, 4) AS lower_20,
+           round((max(high) OVER f + min(low) OVER f) / 2.0, 4) AS mid_20,
+           CASE WHEN close >= max(high) OVER g THEN 1
+                WHEN close <= min(low)  OVER g THEN -1
+                ELSE 0 END AS breakout
+    FROM daily
+    WINDOW f AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           g AS ({_WIN} ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    """,
+    tags=("window", "W4", "indicator"),
+)
+def donchian_channels(spark, sf_dir):
+    """Donchian(20) channel + breakout flag — upper/lower/mid from the
+    trailing 20-day frame; the breakout signal compares today's close to
+    the PRIOR 19-day extremes (frame ending at 1 PRECEDING), the
+    turtle-trading entry rule, so a new high reads +1 on its own day.
+    Both frames ride one (user_id, d) sort; empty prior frames (first
+    day) yield NULL extremes -> breakout 0 via null-safe CASE order."""
+    daily = _daily_close(spark, sf_dir)
+    f = W.partitionBy("user_id").orderBy("d").rowsBetween(-19, 0)
+    g = W.partitionBy("user_id").orderBy("d").rowsBetween(-19, -1)
+    hi, lo = F.max("high").over(f), F.min("low").over(f)
+    phi, plo = F.max("high").over(g), F.min("low").over(g)
+    breakout = (
+        F.when(F.col("close") >= phi, F.lit(1))
+        .when(F.col("close") <= plo, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround(hi, 4).alias("upper_20"),
+        pround(lo, 4).alias("lower_20"),
+        pround((hi + lo) / 2.0, 4).alias("mid_20"),
+        breakout.cast("int").alias("breakout"),
+    )
+
+
+@register(
+    "vwap_daily",
+    """
+    WITH sized AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS sz
+      FROM events
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(sum(value * sz) / nullif(sum(sz), 0), 4) AS vwap,
+           round(avg(value), 4) AS twap,
+           CAST(sum(sz) AS BIGINT) AS volume
+    FROM sized GROUP BY user_id, d
+    """,
+    tags=("window", "indicator", "json"),
+)
+def vwap_daily(spark, sf_dir):
+    """Daily VWAP/TWAP — volume pulled from the JSON props payload
+    (get_json_object, JVM JsonPath on the scan projection), price-volume
+    product aggregated per (user, day). Pure map-side arithmetic into
+    the one grouped exchange; TWAP (unweighted mean of the same rows)
+    rides the same aggregate. Zero-volume days NULL via NULLIF, not a
+    divide-crash."""
+    ev = _t(spark, sf_dir, "events")
+    sz = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select(
+            "user_id", F.to_date("ts").alias("d"), "value", sz.alias("sz")
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            pround(
+                F.sum(F.col("value") * F.col("sz"))
+                / F.nullif(F.sum("sz"), F.lit(0)),
+                4,
+            ).alias("vwap"),
+            pround(F.avg("value"), 4).alias("twap"),
+            F.sum("sz").alias("volume"),
+        )
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            "vwap", "twap", "volume",
+        )
+    )
+
+
+@register(
+    "sharpe_ratio_per_user",
+    f"""
+    WITH {DAILY_SQL},
+    rets AS (
+      SELECT user_id,
+             close / nullif(lag(close) OVER ({_WIN}), 0) - 1.0 AS r
+      FROM daily
+    )
+    SELECT user_id,
+           CAST(count(r) AS BIGINT) AS n_days,
+           round(avg(r), 6) AS mean_ret,
+           round(stddev_samp(r), 6) AS vol,
+           round(sqrt(252.0) * avg(r) / nullif(stddev_samp(r), 0), 4)
+             AS sharpe_annualized
+    FROM rets GROUP BY user_id
+    """,
+    tags=("window", "agg", "indicator"),
+)
+def sharpe_ratio_per_user(spark, sf_dir):
+    """Annualized Sharpe ratio per key (zero risk-free rate) — daily
+    simple returns from the lag window, then mean/sample-stddev folded
+    in the same grouped aggregate. The window's (user_id) exchange IS
+    the groupBy's clustering, so the whole query is one shuffle; the
+    first day's NULL return drops out of count/avg/stddev natively.
+    Constant series (zero vol) NULL via NULLIF instead of +-Inf."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    r = F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1.0
+    rets = daily.select("user_id", r.alias("r"))
+    return rets.groupBy("user_id").agg(
+        F.count("r").alias("n_days"),
+        pround(F.avg("r"), 6).alias("mean_ret"),
+        pround(F.stddev_samp("r"), 6).alias("vol"),
+        pround(
+            F.sqrt(F.lit(252.0)) * F.avg("r")
+            / F.nullif(F.stddev_samp("r"), F.lit(0.0)),
+            4,
+        ).alias("sharpe_annualized"),
+    )
+
+
+@register(
+    "dow_return_seasonality",
+    f"""
+    WITH {DAILY_SQL},
+    rets AS (
+      SELECT user_id, d,
+             close / nullif(lag(close) OVER ({_WIN}), 0) - 1.0 AS r
+      FROM daily
+    )
+    SELECT CAST(isodow(d) AS INT) AS iso_dow,
+           CAST(count(r) AS BIGINT) AS n_obs,
+           round(avg(r), 6) AS mean_ret,
+           round(stddev_samp(r), 6) AS ret_vol,
+           round(100.0 * sum(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+                 / nullif(count(r), 0), 2) AS pct_up
+    FROM rets GROUP BY 1
+    """,
+    tags=("window", "agg", "indicator", "F5"),
+)
+def dow_return_seasonality(spark, sf_dir):
+    """Day-of-week return seasonality — the calendar-effect profile
+    (mean/vol/up-rate of daily returns by ISO weekday) every returns
+    dashboard carries. Spark's weekday() (Mon=0) + 1 aligns with
+    DuckDB's isodow (Mon=1); returns reuse the per-key lag exchange,
+    then collapse onto a 7-row aggregate — partial map-side combine
+    makes the second shuffle carry 7 rows per partition."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    r = F.col("close") / F.nullif(F.lag("close").over(w), F.lit(0.0)) - 1.0
+    rets = daily.select("user_id", "d", r.alias("r"))
+    return rets.groupBy(
+        (F.weekday("d") + 1).cast("int").alias("iso_dow")
+    ).agg(
+        F.count("r").alias("n_obs"),
+        pround(F.avg("r"), 6).alias("mean_ret"),
+        pround(F.stddev_samp("r"), 6).alias("ret_vol"),
+        pround(
+            100.0
+            * F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+            / F.nullif(F.count("r"), F.lit(0)),
+            2,
+        ).alias("pct_up"),
+    )
+
+
+@register(
+    "drawdown_durations",
+    f"""
+    WITH {DAILY_SQL},
+    flagged AS (
+      SELECT user_id, d,
+             CASE WHEN close < max(close) OVER ({_WIN} ROWS UNBOUNDED PRECEDING)
+                  THEN 1 ELSE 0 END AS in_dd
+      FROM daily
+    ),
+    grouped AS (
+      SELECT user_id, d, in_dd,
+             row_number() OVER ({_WIN})
+               - row_number() OVER (PARTITION BY user_id, in_dd ORDER BY d)
+               AS grp
+      FROM flagged
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS run_days
+      FROM grouped WHERE in_dd = 1 GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_drawdowns,
+           CAST(max(run_days) AS BIGINT) AS longest_dd_days,
+           round(avg(run_days), 2) AS avg_dd_days
+    FROM runs GROUP BY user_id
+    """,
+    tags=("window", "gaps-islands", "indicator"),
+)
+def drawdown_durations(spark, sf_dir):
+    """Drawdown episode durations — gaps-and-islands over the
+    below-running-peak flag: the difference of two row_numbers (global
+    per key vs per (key, flag)) is constant exactly across each
+    consecutive run, so a run collapses to one group without any
+    iterative logic. Complements max_drawdown_per_user (depth) with the
+    duration dimension. All three windows and the aggregate share the
+    one (user_id) exchange."""
+    daily = _daily_close(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("d")
+    peak = F.max("close").over(w.rowsBetween(W.unboundedPreceding, 0))
+    flagged = daily.select(
+        "user_id", "d",
+        F.when(F.col("close") < peak, 1).otherwise(0).alias("in_dd"),
+    )
+    wf = W.partitionBy("user_id", "in_dd").orderBy("d")
+    grouped = flagged.select(
+        "user_id", "d", "in_dd",
+        (F.row_number().over(w) - F.row_number().over(wf)).alias("grp"),
+    )
+    runs = (
+        grouped.filter(F.col("in_dd") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_days"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_drawdowns"),
+        F.max("run_days").alias("longest_dd_days"),
+        pround(F.avg("run_days"), 2).alias("avg_dd_days"),
+    )
+
+
+@register(
+    "bullish_engulfing_days",
+    # local OHLC CTE (daily bars + an OPEN column via min_by) — inlined
+    # so the shared DAILY_SQL fragment and this module's top level stay
+    # byte-stable (function-granular staleness keys on them)
+    f"""
+    WITH ohlc AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             min_by(value, ts) AS open, max_by(value, ts) AS close,
+             max(value) AS high, min(value) AS low
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT user_id, d, open, close,
+             lag(open)  OVER ({_WIN}) AS p_open,
+             lag(close) OVER ({_WIN}) AS p_close
+      FROM ohlc
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(p_open, 4) AS prev_open, round(p_close, 4) AS prev_close,
+           round(open, 4) AS open, round(close, 4) AS close
+    FROM paired
+    WHERE p_close < p_open          -- prior candle red
+      AND close > open              -- current candle green
+      AND open <= p_close           -- body engulfs prior body
+      AND close >= p_open
+    """,
+    tags=("window", "W2", "pattern"),
+)
+def bullish_engulfing_days(spark, sf_dir):
+    """Bullish-engulfing candlestick scan — a green body that fully
+    wraps the prior red body, the classic two-candle reversal pattern
+    (same pattern-detection family as the reference's MA-crossover
+    signals, dashboard/pages/2_Technical_Analysis.py). Open = first
+    trade of the day (min_by ts) in a LOCAL OHLC aggregate; one lag
+    window on the bar exchange, then a pure filter — detection is a
+    predicate, not a join."""
+    ev = _t(spark, sf_dir, "events")
+    ohlc = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("d")).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max_by("value", "ts").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    paired = ohlc.select(
+        "user_id", "d", "open", "close",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    return paired.filter(
+        (F.col("p_close") < F.col("p_open"))
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= F.col("p_close"))
+        & (F.col("close") >= F.col("p_open"))
+    ).select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("p_open", 4).alias("prev_open"),
+        pround("p_close", 4).alias("prev_close"),
+        pround("open", 4).alias("open"),
+        pround("close", 4).alias("close"),
+    )
+
+
+@register(
+    "top_correlated_user_pairs",
+    f"""
+    WITH {DAILY_SQL},
+    active AS (
+      SELECT user_id FROM daily GROUP BY user_id
+      ORDER BY count(*) DESC, user_id LIMIT 20
+    ),
+    rets AS (
+      SELECT d.user_id, d.d,
+             close / nullif(lag(close) OVER ({_WIN}), 0) - 1.0 AS r
+      FROM daily d JOIN active USING (user_id)
+    ),
+    pairs AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b,
+             corr(a.r, b.r) AS c, count(*) AS n_days
+      FROM rets a JOIN rets b
+        ON a.d = b.d AND a.user_id < b.user_id
+      WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+      GROUP BY 1, 2
+      HAVING count(*) >= 20
+    )
+    SELECT user_a, user_b, CAST(n_days AS BIGINT) AS n_days,
+           round(c, 4) AS ret_corr
+    FROM pairs
+    ORDER BY round(c, 4) DESC, user_a, user_b LIMIT 10
+    """,
+    tags=("window", "join", "agg", "indicator"),
+)
+def top_correlated_user_pairs(spark, sf_dir):
+    """Most-correlated key pairs by daily returns — the portfolio
+    co-movement screen. All-pairs correlation is quadratic in keys, so
+    the universe is BOUNDED first (top-20 most-active keys,
+    deterministic tie-break) and the bounded return series self-joins
+    on date: 190 pairs regardless of corpus size — the screen a real
+    desk runs (fixed watchlist), not an unbounded cross product. The
+    tiny active set broadcasts to both join probes; corr() folds in the
+    pair aggregate, top-10 via TakeOrderedAndProject on the rounded
+    value (tie-broken by pair) so both engines rank identically."""
+    daily = _daily_close(spark, sf_dir)
+    active = (
+        daily.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .orderBy(F.col("nd").desc(), "user_id")
+        .limit(20)
+        .select("user_id")
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    rets = (
+        daily.join(F.broadcast(active), "user_id")
+        .select(
+            "user_id", "d",
+            (
+                F.col("close")
+                / F.nullif(F.lag("close").over(w), F.lit(0.0))
+                - 1.0
+            ).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    a = rets.select(
+        F.col("user_id").alias("user_a"), "d", F.col("r").alias("ra")
+    )
+    b = rets.select(
+        F.col("user_id").alias("user_b"), "d", F.col("r").alias("rb")
+    )
+    pairs = (
+        a.join(b, (a.d == b.d) & (a.user_a < b.user_b))
+        .groupBy("user_a", "user_b")
+        .agg(
+            F.corr("ra", "rb").alias("c"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 20)
+    )
+    ranked = pairs.select(
+        "user_a", "user_b", "n_days", pround("c", 4).alias("ret_corr")
+    )
+    return ranked.orderBy(
+        F.col("ret_corr").desc(), "user_a", "user_b"
+    ).limit(10)
