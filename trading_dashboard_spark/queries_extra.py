@@ -1078,3 +1078,112 @@ def variant_props_stats(spark, sf_dir):
         F.countDistinct(F.floor(k / 25)).alias("n_k_bands"),
         F.sum(F.when(q.isNull(), 1).otherwise(0)).cast("long").alias("n_missing_q"),
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Chained-CTE DuckDB oracle for fixed-iteration PageRank over the
+    bidirectional customer-supplier trade graph (damping 0.85, uniform
+    init, ranks rounded to 12dp per iteration so float summation-order
+    drift never compounds across engines)."""
+    ctes = ["""
+    e0 AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+      SELECT 'C' || c AS src, 'S' || s AS dst FROM e0
+      UNION ALL
+      SELECT 'S' || s AS src, 'C' || c AS dst FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+    r0 AS (SELECT node, round(1.0 / nn.n_nodes, 12) AS r
+           FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    r{i} AS (
+      SELECT nodes.node,
+             round(0.15 / nn.n_nodes
+                   + 0.85 * coalesce(contrib.csum, 0.0), 12) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / d.d) AS csum
+        FROM edges e
+          JOIN r{i - 1} p ON e.src = p.node
+          JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) contrib USING (node)
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT node, round(r, 8) AS pagerank
+    FROM r{iters}
+    ORDER BY round(r, 8) DESC, node LIMIT 20
+    """
+
+
+@register(
+    "pagerank_trade_graph",
+    _pagerank_oracle(),
+    tags=("graph", "iterative", "join"),
+)
+def pagerank_trade_graph(spark, sf_dir):
+    """Fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    bidirectional customer-supplier trade graph (edges = distinct
+    (custkey, suppkey) pairs appearing on the same order, both
+    directions, so no dangling nodes and rank mass is conserved) —
+    the iterative GRAPH tier with a value oracle, same chained-plan
+    discipline as kmeans_embedding_clusters: the driver loop only
+    composes DataFrames, no collect between rounds, ranks rounded to
+    12dp per round so both engines iterate on identical doubles.
+
+    Scale shape: the per-round work is one shuffle join of the rank
+    relation (|nodes| rows) into the edge list on src + a dst-keyed
+    aggregate — textbook distributed PageRank. No broadcast hint: at
+    test SF AQE broadcasts the KB-scale rank side on its runtime size;
+    at 100 TB both sides hash-partition on the join key, which is the
+    plan you want there. Top-20 via TakeOrderedAndProject."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    e0 = (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    fwd = e0.select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    )
+    edges = fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", pround(F.lit(1.0) / F.col("n_nodes"), 12).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("csum"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                pround(
+                    0.15 / F.col("n_nodes")
+                    + 0.85 * F.coalesce("csum", F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+        )
+    out = ranks.select("node", pround("r", 8).alias("pagerank"))
+    return out.orderBy(F.col("pagerank").desc(), "node").limit(20)

@@ -537,3 +537,114 @@ def knn_multi_probe_top3(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_batch_probes(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Generate the chained-CTE DuckDB oracle for deterministic Lloyd's
+    k-means: init = the k lowest vec_ids, each iteration = argmin
+    assignment (ties to the lowest cid) + per-dimension mean with
+    centroids rounded to 6dp (the cross-engine determinism anchor: both
+    engines feed the NEXT iteration bit-identical centroid doubles, so
+    float summation-order drift never compounds across iterations)."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+    a{i} AS (
+      SELECT x.vec_id, c.cid,
+             list_sum(list_transform(range(1, {dim + 1}),
+                      j -> (x.v[j] - c.c[j]) * (x.v[j] - c.c[j]))) AS dist
+      FROM v x CROSS JOIN c{i - 1} c
+      QUALIFY row_number() OVER (PARTITION BY x.vec_id
+                                 ORDER BY dist, c.cid) = 1
+    )""")
+        if i < iters:
+            ctes.append(f"""
+    c{i} AS (
+      SELECT cid, list(round(m, 6) ORDER BY pos) AS c
+      FROM (
+        SELECT a.cid, t.j AS pos, avg(x.v[t.j]) AS m
+        FROM a{i} a JOIN v x USING (vec_id)
+             CROSS JOIN range(1, {dim + 1}) t(j)
+        GROUP BY a.cid, t.j)
+      GROUP BY cid
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(dist), 6) AS avg_sq_dist,
+           round(min(dist), 6) AS min_sq_dist,
+           round(max(dist), 6) AS max_sq_dist
+    FROM a{iters} GROUP BY cid
+    """
+
+
+@register(
+    "kmeans_embedding_clusters",
+    _kmeans_oracle(),
+    tags=("similarity", "X3", "iterative", "ml"),
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 3 iterations) over the
+    embedding corpus — the iterative-algorithm tier with a VALUE oracle:
+    init is the k lowest vec_ids (no RNG), assignment ties break to the
+    lowest cid, and centroids round to 6dp each update so both engines
+    feed bit-identical doubles into the next iteration.
+
+    Scale shape per iteration: the centroid relation is k x dim
+    (KB-scale regardless of corpus size) and BROADCASTS into a map-side
+    assignment pass — squared-L2 via zip_with/aggregate (JVM fold,
+    identical order to DuckDB's list_sum) — then WindowGroupLimit prunes
+    the argmin and a (cid, pos) aggregate rebuilds centroids: corpus
+    vectors are scanned once per iteration and NEVER shuffled (the
+    shuffle carries k*dim partial sums per partition). The driver loop
+    only composes the plan; no collect between iterations."""
+    k, iters = 8, 3
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    from pyspark.sql import Window as W
+
+    assigned = None
+    for it in range(1, iters + 1):
+        d = emb.crossJoin(F.broadcast(cents))
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rk = F.row_number().over(
+            W.partitionBy("vec_id").orderBy("dist", "cid")
+        )
+        assigned = (
+            d.select("vec_id", "cid", dist.alias("dist"))
+            .withColumn("rk", rk)
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        if it < iters:
+            dims = (
+                assigned.join(emb, "vec_id")
+                .select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(pround(F.avg("val"), 6).alias("m"))
+            )
+            cents = dims.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+    return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(F.avg("dist"), 6).alias("avg_sq_dist"),
+        pround(F.min("dist"), 6).alias("min_sq_dist"),
+        pround(F.max("dist"), 6).alias("max_sq_dist"),
+    )
