@@ -16,6 +16,7 @@ from . import queries_multimodal  # noqa: F401
 from . import queries_training  # noqa: F401
 from . import queries_streaming  # noqa: F401
 from . import queries_extra  # noqa: F401
+from . import queries_analytics  # noqa: F401
 from . import queries_dashboard  # noqa: F401
 
 #: Queries with a green row in CORRECTNESS_r01.json (driver round 1).

@@ -1,0 +1,543 @@
+"""Analytics shapes tier — decision-support join patterns the reference's
+dashboard family implies but round 1-3 had not yet exercised (correlated
+per-group averages, arg-min join-backs, global-scalar HAVING), plus
+sequence/market-basket analytics over the event stream and a key-skew
+diagnosis operator for the 100 TB layout work.
+
+Every query is a (Spark DataFrame program, DuckDB oracle SQL) pair under
+the driver's differential gate; see query_registry for the output
+discipline (aliasing, rounding, date rendering, tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    WITH avgq AS (
+      SELECT l_partkey, avg(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.2 * a.aq
+    """,
+    tags=("join", "agg", "correlated-subquery", "J6", "A1"),
+)
+def small_quantity_part_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue of small-quantity line items, where
+    "small" is correlated to the part's OWN average quantity — the
+    correlated scalar subquery decorrelated into an aggregate + equi-join
+    (exactly what Catalyst's DecorrelateInnerQuery would produce; written
+    explicitly so the plan is the scale shape by construction). The
+    per-part average aggregates lineitem down to #parts rows before the
+    join, and the brand filter reduces the part side to ~4% — AQE sizes
+    both and broadcasts the dim sides at realistic SF. One lineitem scan
+    feeds the average build, a second the probe: at 100 TB the probe
+    side's brand filter would be pushed into the scan via a runtime
+    (bloom/DPP) filter from the part dim.
+
+    Reference parity: the dashboard's per-symbol "today vs its own
+    trailing average" comparisons (SURVEY.md §2 J5/J6 family) are the
+    same correlated-aggregate shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    small = (
+        li.join(pa.select("p_partkey"), li.l_partkey == pa.p_partkey)
+        .join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    mn AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey,
+           CAST(min(c.l_suppkey) AS BIGINT) AS cheapest_suppkey,
+           round(min(c.unit_cost), 4) AS min_unit_cost
+    FROM cost c JOIN mn m
+      ON c.l_partkey = m.l_partkey AND c.unit_cost = m.min_cost
+    GROUP BY c.l_partkey
+    ORDER BY p_partkey LIMIT 100
+    """,
+    tags=("join", "arg-min", "J4", "J5"),
+)
+def cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape: the supplier achieving each part's minimum unit
+    cost — a correlated MIN subquery expressed as aggregate + join-back
+    on the min value. Both engines derive unit_cost from the same IEEE
+    division of identical doubles and min() is exact selection (no
+    accumulation), so the equality join on the double is
+    deterministic; ties on the minimum collapse to min(suppkey), making
+    the arg-min fully deterministic where min_by/arg_min tie-breaks are
+    not. The cost relation aggregates lineitem down to (part, supp)
+    pairs before any join — at 100 TB the two-level aggregate is two
+    shuffles of shrinking size and the min relation joins back keyed on
+    the same l_partkey clustering (reused exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    ).alias("c")
+    mn = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+        .alias("m")
+    )
+    return (
+        cost.join(
+            mn,
+            (F.col("c.l_partkey") == F.col("m.m_partkey"))
+            & (F.col("c.unit_cost") == F.col("m.min_cost")),
+        )
+        .groupBy(F.col("c.l_partkey").alias("p_partkey"))
+        .agg(
+            F.min("l_suppkey").cast("bigint").alias("cheapest_suppkey"),
+            pround(F.min("unit_cost"), 4).alias("min_unit_cost"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "important_nation_value_share",
+    """
+    WITH supp_val AS (
+      SELECT s.s_nationkey, sum(l.l_extendedprice) AS val
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey
+    ),
+    tot AS (SELECT sum(val) AS t FROM supp_val)
+    SELECT n.n_name AS nation,
+           round(v.val, 2) AS nation_value,
+           round(v.val / t.t, 6) AS share
+    FROM supp_val v
+    JOIN nation n ON n.n_nationkey = v.s_nationkey
+    CROSS JOIN tot t
+    WHERE v.val > 0.02 * t.t
+    ORDER BY nation_value DESC, nation
+    """,
+    tags=("agg", "scalar-subquery", "J6", "A4"),
+)
+def important_nation_value_share(spark, sf_dir):
+    """TPC-H Q11 shape: groups whose aggregate exceeds a fraction of the
+    GLOBAL total — the HAVING-vs-uncorrelated-scalar-subquery pattern.
+    The supplier-value relation aggregates the fact table down to ≤25
+    nation rows; the global total re-aggregates THOSE 25 rows (not the
+    fact table — one fact scan total) and broadcasts as a single-row
+    cross join into the filter. Share-of-total is emitted alongside so
+    the result doubles as a ratio-to-report readout. At 100 TB: one
+    lineitem shuffle on s_suppkey-joined nationkey partials; everything
+    after is KB-scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    supp_val = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    tot = supp_val.agg(F.sum("val").alias("t"))
+    return (
+        supp_val.join(F.broadcast(na), supp_val.s_nationkey == na.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > 0.02 * F.col("t"))
+        .select(
+            F.col("n_name").alias("nation"),
+            pround("val", 2).alias("nation_value"),
+            pround(F.col("val") / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.col("nation_value").desc(), "nation")
+    )
+
+
+@register(
+    "modal_event_type_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           min(c.event_type) AS modal_type,
+           CAST(m.mx AS BIGINT) AS n_events
+    FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mx
+    GROUP BY c.user_id, m.mx
+    """,
+    tags=("agg", "mode", "A1", "J4"),
+)
+def modal_event_type_per_user(spark, sf_dir):
+    """Deterministic MODE per key: each user's most frequent event type,
+    ties resolved to the lexicographically smallest type. Native mode()
+    aggregates tie-break arbitrarily in BOTH engines, so the engine path
+    computes it as count-aggregate → per-key max join-back → min(type),
+    which is reproducible everywhere. The count relation is bounded by
+    (#users × #types); the join-back is on that aggregate, not the fact
+    table — the greatest-n-per-group family (J4) applied to a frequency
+    relation."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).alias("c")
+    m = (
+        c.groupBy("user_id")
+        .agg(F.max("n").alias("mx"))
+        .withColumnRenamed("user_id", "m_user_id")
+        .alias("m")
+    )
+    return (
+        c.join(
+            m,
+            (F.col("c.user_id") == F.col("m.m_user_id"))
+            & (F.col("c.n") == F.col("m.mx")),
+        )
+        .groupBy(F.col("c.user_id"), F.col("mx"))
+        .agg(F.min("event_type").alias("modal_type"))
+        .select(
+            "user_id",
+            "modal_type",
+            F.col("mx").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "value_histogram_20bins",
+    """
+    WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    h AS (
+      SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0)) AS INT), 19)
+               AS bin,
+             value, lo, hi
+      FROM events, b
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(lo) + bin * ((min(hi) - min(lo)) / 20.0), 4)
+             AS bin_low
+    FROM h GROUP BY bin
+    """,
+    tags=("agg", "histogram", "A4", "two-pass"),
+)
+def value_histogram_20bins(spark, sf_dir):
+    """Equal-width 20-bin histogram with data-derived bounds — the
+    two-pass profile shape (pass 1: global min/max, a single-row
+    broadcast; pass 2: map-only bucket assignment + count aggregate).
+    The bucket arithmetic ((v-lo)/width, floor, clamp) runs on identical
+    IEEE doubles in both engines so bin assignment is exactly
+    reproducible; the max value clamps into the last bin (LEAST(...,19))
+    in both. At 100 TB both passes are single scans with KB-size
+    exchanges — the canonical cheap data-profiling operator."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(19)
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(binc.alias("bin"), "lo", "hi")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(
+                F.min("lo") + F.col("bin") * ((F.min("hi") - F.min("lo")) / 20.0),
+                4,
+            ).alias("bin_low"),
+        )
+    )
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    )
+    SELECT prev, next, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6)
+             AS p
+    FROM cnt
+    """,
+    tags=("window", "sequence", "W1", "markov"),
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lag(1) within (user ORDER BY ts, event_id) pairs each
+    event with its predecessor; transition counts row-normalize into
+    probabilities via a window sum over the #types² count relation. The
+    only data-scale exchange is the per-user window sort (one shuffle);
+    the normalization window runs on ≤ #types² rows. The classic
+    user-journey / process-mining readout, and the input to sequence
+    simulation."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    cnt = seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cnt.select(
+        "prev",
+        "next",
+        F.col("n").cast("bigint").alias("n"),
+        pround(
+            F.col("n") / F.sum("n").over(W.partitionBy("prev")).cast("double"),
+            6,
+        ).alias("p"),
+    )
+
+
+@register(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p2 || '>' || p1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+    tags=("window", "sequence", "W2", "top-k"),
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top event-type paths: sliding 3-step journeys per user (lag chain
+    — the three_day_trends W2 shape applied to categorical sequences),
+    counted corpus-wide. Both lags share one window sort; the path
+    aggregate's key space is ≤ #types³ so partial aggregation collapses
+    it map-side, and TakeOrderedAndProject caps the result with a
+    deterministic (n, path) tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    path = F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+    return (
+        seq.groupBy(path)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "event_pair_lift",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ),
+    nb AS (SELECT count(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events)),
+    items AS (SELECT event_type, count(*) AS n_item FROM baskets
+              GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS x, b.event_type AS y, count(*) AS n_pair
+      FROM baskets a
+      JOIN baskets b ON a.user_id = b.user_id AND a.d = b.d
+                    AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.x, p.y, CAST(p.n_pair AS BIGINT) AS n_pair,
+           round(p.n_pair / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+           round(p.n_pair / CAST(ix.n_item AS DOUBLE), 6) AS confidence,
+           round(p.n_pair * CAST(nb.n_baskets AS DOUBLE)
+                 / (ix.n_item * CAST(iy.n_item AS DOUBLE)), 6) AS lift
+    FROM pairs p
+    JOIN items ix ON ix.event_type = p.x
+    JOIN items iy ON iy.event_type = p.y
+    CROSS JOIN nb
+    """,
+    tags=("join", "basket", "J3", "association-rules"),
+)
+def event_pair_lift(spark, sf_dir):
+    """Market-basket association rules over (user, day) event-type
+    baskets: support / confidence / lift for every co-occurring type
+    pair. The basket relation is the DISTINCT (user, day, type)
+    projection; the pair join is a self equi-join on the basket key with
+    `x < y` — fan-out bounded by (types-per-basket)², i.e. per-basket
+    quadratic with a small constant, never corpus-quadratic (the blocked
+    Jaccard discipline applied to baskets). Item counts and the basket
+    total are KB-scale relations that AQE broadcasts into the final
+    scoring join."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    nb = baskets.select("user_id", "d").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    items = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("x"), F.col("b.event_type").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ix = items.select(F.col("event_type").alias("x"), F.col("n_item").alias("nx"))
+    iy = items.select(F.col("event_type").alias("y"), F.col("n_item").alias("ny"))
+    return (
+        pairs.join(F.broadcast(ix), "x")
+        .join(F.broadcast(iy), "y")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            pround(
+                F.col("n_pair") / F.col("n_baskets").cast("double"), 6
+            ).alias("support"),
+            pround(F.col("n_pair") / F.col("nx").cast("double"), 6).alias(
+                "confidence"
+            ),
+            pround(
+                F.col("n_pair")
+                * F.col("n_baskets").cast("double")
+                / (F.col("nx") * F.col("ny").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "rolling_corr_user_vs_market",
+    f"""
+    WITH {DAILY_SQL},
+    mkt AS (SELECT d, avg(close) AS mclose FROM daily GROUP BY d)
+    SELECT daily.user_id, strftime(daily.d, '%Y-%m-%d') AS trade_date,
+           round(corr(close, mclose) OVER (
+             PARTITION BY user_id ORDER BY daily.d
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 5) AS rolling_corr
+    FROM daily JOIN mkt ON mkt.d = daily.d
+    """,
+    tags=("window", "corr", "W4", "A1"),
+)
+def rolling_corr_user_vs_market(spark, sf_dir):
+    """30-day ROLLING correlation of each user's daily close against the
+    market-average close — the moving-beta upgrade of the static
+    `user_market_beta`: corr() as a frame-bounded window aggregate.
+    The market relation aggregates daily down to #days rows and AQE
+    broadcasts it into the join; the window runs on the per-user daily
+    bars (one exchange, shared with nothing else). Rounded to 5dp: both
+    engines fold the same ≤30 IEEE doubles in frame order and differ only
+    in the last ulp of the accumulation. Single-point frames yield NULL
+    in both engines."""
+    daily = _daily_close(spark, sf_dir)
+    mkt = daily.groupBy("d").agg(F.avg("close").alias("mclose"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(-29, W.currentRow)
+    )
+    return (
+        daily.join(F.broadcast(mkt), "d")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround(F.corr("close", "mclose").over(w), 5).alias("rolling_corr"),
+        )
+    )
+
+
+@register(
+    "event_key_skew_profile",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    r AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n, user_id) AS rk,
+             count(*) OVER () AS k,
+             sum(n) OVER () AS tot
+      FROM c
+    )
+    SELECT CAST(max(k) AS BIGINT) AS n_keys,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(max(n) / CAST(max(tot) AS DOUBLE), 6) AS top_key_share,
+           round(sum((2.0 * rk - k - 1) * n)
+                 / (max(k) * CAST(max(tot) AS DOUBLE)), 6) AS gini
+    FROM r
+    """,
+    tags=("agg", "window", "skew", "scale-path"),
+)
+def event_key_skew_profile(spark, sf_dir):
+    """Partition-key skew diagnosis — the operator you run BEFORE picking
+    a 100 TB join/agg key: per-key row counts reduced to a skew profile
+    (key count, max-key share, Gini concentration coefficient
+    Σ(2i−k−1)·xᵢ / (k·Σx) over ascending counts). Everything global
+    happens on the per-key AGGREGATE (#keys rows, orders of magnitude
+    smaller than the fact table), the same bounded-global-window
+    justification as `user_value_distribution_ranks`; the rank tiebreak
+    (n, user_id) makes the Gini sum deterministic. Output is one row —
+    feed it to the salting/AQE-skew decision (`operators/scale.py`)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wg = W.orderBy("n", "user_id")
+    r = c.select(
+        "n",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("k"),
+        F.sum("n").over(W.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.max("k").cast("bigint").alias("n_keys"),
+        F.max("tot").cast("bigint").alias("n_rows"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        pround(F.max("n") / F.max("tot").cast("double"), 6).alias(
+            "top_key_share"
+        ),
+        pround(
+            F.sum((2.0 * F.col("rk") - F.col("k") - 1) * F.col("n"))
+            / (F.max("k") * F.max("tot").cast("double")),
+            6,
+        ).alias("gini"),
+    )
