@@ -138,3 +138,52 @@ def test_quadratic_guard_raises_unblocked_oversized(spark):
     knn_all_pairs(vecs.withColumn("blk", F.lit(1)), block_col="blk")
     # explicit override is accepted
     ngram_jaccard_pairs(docs, allow_quadratic=True)
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    """The Bloom-prefiltered semi-join is row-identical to the plain
+    semi-join (false positives removed by the exact join; false negatives
+    impossible by construction)."""
+    from trading_dashboard_spark.functions.bloom import bloom_semi_join
+
+    orders = load_table(spark, "orders", sf_dir)
+    rich = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") > 9000)
+    got = bloom_semi_join(orders, rich, "o_custkey", "c_custkey")
+    want = orders.join(
+        rich.select("c_custkey"), orders.o_custkey == rich.c_custkey, "left_semi"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_filter_no_false_negatives_and_low_fp(spark):
+    """Every inserted key passes the probe; non-member false-positive rate
+    stays near the designed ~1-2% at the default sizing."""
+    from trading_dashboard_spark.functions.bloom import (
+        bloom_bitset,
+        bloom_probe_col,
+    )
+
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    others = spark.range(100000, 110000).withColumnRenamed("id", "k")
+    bits = bloom_bitset(members, F.col("k"))
+    assert members.filter(~bloom_probe_col(F.col("k"), bits)).count() == 0
+    fp = others.filter(bloom_probe_col(F.col("k"), bits)).count()
+    assert fp / 10000.0 < 0.05, f"false-positive rate too high: {fp}/10000"
+
+
+def test_bloom_probe_runs_in_scan_stage(spark, sf_dir):
+    """The probe predicate is a plain Filter over the probe scan — no
+    exchange between the parquet scan and the Bloom test (the map-side
+    pruning that makes the pattern pay at 100 TB)."""
+    from trading_dashboard_spark.functions.bloom import (
+        bloom_bitset,
+        bloom_probe_col,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    rich = load_table(spark, "customer", sf_dir).filter(F.col("c_acctbal") > 9000)
+    bits = bloom_bitset(rich, F.col("c_custkey"))
+    pre = orders.filter(bloom_probe_col(F.col("o_custkey"), bits))
+    plan = _plan(pre)
+    assert "Exchange" not in plan, plan

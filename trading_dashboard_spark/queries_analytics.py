@@ -489,6 +489,42 @@ def rolling_corr_user_vs_market(spark, sf_dir):
 
 
 @register(
+    "bloom_prefiltered_order_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi-join", "bloom", "J7", "scale-path"),
+)
+def bloom_prefiltered_order_revenue(spark, sf_dir):
+    """Semi-join through the BLOOM-PREFILTERED path
+    (functions/bloom.bloom_semi_join): the rich-customer key set folds
+    into a 2^16-bit deterministic Bloom filter whose probe expression
+    runs INSIDE the orders scan stage — non-matching orders are
+    discarded map-side before the join's exchange, the manual form of
+    the runtime filter Spark's cost model injects only when statistics
+    cooperate. The oracle is the PLAIN semi-join SQL: the driver
+    hash-match is end-to-end proof the prefilter is transparent (Bloom
+    false positives removed by the exact join, false negatives
+    impossible). At 100 TB this is the difference between shuffling the
+    full fact table and shuffling ~the matching fraction."""
+    from .functions.bloom import bloom_semi_join
+
+    o = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    matched = bloom_semi_join(o, rich, "o_custkey", "c_custkey")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
     "event_key_skew_profile",
     """
     WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
