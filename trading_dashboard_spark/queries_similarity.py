@@ -648,3 +648,119 @@ def kmeans_embedding_clusters(spark, sf_dir):
         pround(F.min("dist"), 6).alias("min_sq_dist"),
         pround(F.max("dist"), 6).alias("max_sq_dist"),
     )
+
+
+def _power_iteration_oracle(dim: int = 64, iters: int = 3) -> str:
+    """Chained-CTE DuckDB oracle for deterministic power iteration on the
+    embedding covariance matrix: cov rounded to 10dp, the iterate
+    re-normalized and rounded to 8dp per step — the same cross-engine
+    anchors as the k-means oracle (both engines feed bit-identical
+    doubles into each next iteration, so summation-order drift cannot
+    compound)."""
+    r = f"range(1, {dim + 1})"
+    ctes = [
+        "v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings)",
+        f"mu AS (SELECT t.j AS j, avg(v.v[t.j]) AS mu FROM v CROSS JOIN {r} t(j) GROUP BY t.j)",
+        f"""m2 AS (
+      SELECT a.j AS i, b.j AS j, avg(v.v[a.j] * v.v[b.j]) AS m2
+      FROM v CROSS JOIN {r} a(j) CROSS JOIN {r} b(j)
+      GROUP BY a.j, b.j
+    )""",
+        """cov AS (
+      SELECT m2.i, m2.j, round(m2.m2 - ma.mu * mb.mu, 10) AS c
+      FROM m2 JOIN mu ma ON ma.j = m2.i JOIN mu mb ON mb.j = m2.j
+    )""",
+        f"w0 AS (SELECT t.j AS pos, 1.0 / sqrt({dim}) AS val FROM {r} t(j))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""y{i} AS (
+      SELECT c.i AS pos, sum(c.c * w.val) AS y
+      FROM cov c JOIN w{i - 1} w ON w.pos = c.j GROUP BY c.i
+    )"""
+        )
+        ctes.append(f"n{i} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{i})")
+        ctes.append(
+            f"""w{i} AS (
+      SELECT pos, round(y / nrm, 8) AS val, nrm FROM y{i} CROSS JOIN n{i}
+    )"""
+        )
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT CAST(pos AS INT) AS pos,
+           round(val, 6) AS loading,
+           round(nrm, 4) AS eigval
+    FROM w{iters}
+    """
+
+
+@register(
+    "pca_top_component_power_iteration",
+    _power_iteration_oracle(),
+    tags=("similarity", "X3", "iterative", "ml"),
+)
+def pca_top_component_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding corpus via fixed-point
+    POWER ITERATION — the second entry in the iterative-algorithm tier
+    (with k-means and PageRank), again with a full VALUE oracle.
+
+    Big-data-small-model split: ONE corpus-scale pass builds the 64×64
+    covariance relation (two chained map-side posexplodes → a
+    dim²-keyed partial aggregate; vectors are scanned, never shuffled —
+    the shuffle carries ≤ dim² partial sums per partition, the
+    embedding_covariance_top_pairs shape completed to the full matrix),
+    then three mat-vec iterations run entirely on KB-scale relations
+    (4096-row matrix ⋈ 64-row iterate, AQE-broadcast). Determinism
+    anchors: covariance rounded to 10dp, iterate rounded to 8dp after
+    each L2 re-normalization — both engines feed identical doubles into
+    every next step, the k-means discipline. Uniform 1/√dim init (no
+    RNG). Output: the 64 loadings + the eigenvalue estimate (the final
+    pre-normalization norm — converged to ~the top eigenvalue of C)."""
+    dim, iters = 64, 3
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    mu = (
+        emb.select(F.posexplode("v").alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.avg("x").alias("mu"))
+        .select((F.col("pos0") + 1).alias("j"), "mu")
+    )
+    m2 = (
+        emb.select("v", F.posexplode("v").alias("i0", "vi"))
+        .select("i0", "vi", F.posexplode("v").alias("j0", "vj"))
+        .groupBy("i0", "j0")
+        .agg(F.avg(F.col("vi") * F.col("vj")).alias("m2"))
+        .select((F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j"), "m2")
+    )
+    ma = mu.select(F.col("j").alias("i"), F.col("mu").alias("mu_i"))
+    mb = mu.select("j", F.col("mu").alias("mu_j"))
+    cov = (
+        m2.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", pround(F.col("m2") - F.col("mu_i") * F.col("mu_j"), 10).alias("c"))
+    )
+    w = spark.range(1, dim + 1).select(
+        F.col("id").alias("pos"), F.lit(1.0 / dim**0.5).alias("val")
+    )
+    nrm_row = None
+    for _ in range(iters):
+        y = (
+            cov.join(F.broadcast(w), cov.j == w.pos)
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("val")).alias("y"))
+        )
+        nrm_row = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        w = (
+            y.crossJoin(F.broadcast(nrm_row))
+            .select(
+                F.col("i").alias("pos"),
+                pround(F.col("y") / F.col("nrm"), 8).alias("val"),
+                "nrm",
+            )
+        )
+    return w.select(
+        F.col("pos").cast("int").alias("pos"),
+        pround("val", 6).alias("loading"),
+        pround("nrm", 4).alias("eigval"),
+    )

@@ -1027,3 +1027,123 @@ def vocabulary_growth_by_source(spark, sf_dir):
             "type_token_ratio"
         ),
     )
+
+
+@register(
+    "bm25_keyword_search",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks_t),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, w FROM
+        (SELECT doc_id, unnest(toks) AS w FROM toks_t)
+      WHERE w IN ('join', 'filter', 'vector')
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+    SELECT t.doc_id,
+           CAST(count(*) AS INT) AS n_terms_hit,
+           round(sum(
+             ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf t
+    JOIN df d USING (w)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY bm25 DESC, t.doc_id LIMIT 20
+    """,
+    tags=("text", "X4", "retrieval", "bm25", "top-k"),
+)
+def bm25_keyword_search(spark, sf_dir):
+    """BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed
+    query term set — the lexical half of a retrieval stack next to the
+    kNN/ANN dense half (X3). The plan prunes FIRST: tokens filter to the
+    query vocabulary map-side before any aggregation, so the (doc, term)
+    relation is |hits|, not |tokens| — at 100 TB the token explode
+    never reaches an exchange (partial aggregation sees only matching
+    terms). Document length comes from a map-only size(tokenize())
+    projection (no explode); df (≤ |query| rows) and the corpus stats
+    single-row broadcast into the scoring join; top-20 via
+    TakeOrderedAndProject with a doc_id tiebreak."""
+    from .text.analysis import tokenize
+
+    terms = ("join", "filter", "vector")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
+    )
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = toks.select(
+        "doc_id", F.explode("toks").alias("w")
+    ).filter(F.col("w").isin(*terms))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_term = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_rel), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            pround(F.sum(score_term), 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "levenshtein_name_near_dups",
+    """
+    SELECT a.p_brand,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    GROUP BY a.p_brand, dist
+    """,
+    tags=("text", "X2", "near-dup", "edit-distance", "blocked"),
+)
+def levenshtein_name_near_dups(spark, sf_dir):
+    """Edit-distance near-duplicate detection over short strings (part
+    names) — the entity-resolution complement to the token-level X2
+    family (MinHash/Jaccard need tokens; catalog titles and entity
+    names need character-level distance). Pair space is BLOCKED by
+    brand (the blocked-Jaccard discipline): the self-join is an
+    equi-join on the block key with `a < b`, per-block-quadratic with a
+    bounded constant, never corpus-quadratic. Both engines run the
+    classic Wagner-Fischer DP so the integer distances agree exactly;
+    dist 0 (identical names) is excluded — that is exact dedup's job
+    (X1). Output: pair counts per (brand, distance) band."""
+    pa = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = pa.alias("a")
+    b = pa.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(F.col("a.p_brand").alias("p_brand"), dist.alias("dist"))
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= 4))
+        .groupBy("p_brand", F.col("dist").cast("int").alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
