@@ -7,7 +7,7 @@ boosters, punctuation emphasis), normalized to [-1, 1] by
 ``s / sqrt(s*s + 15)`` (Hutto & Gilbert, ICWSM 2014; MIT-licensed).
 
 This container cannot install nltk/vaderSentiment or reach the network,
-so the engine vendors a curated ~3,400-entry set with valences on the
+so the engine vendors a curated ~3,900-entry set with valences on the
 same [-4, 4] scale — the base financial/news vocabulary plus two
 inflected-form/general-sentiment expansion tiers — NOT a verbatim copy of
 the published 7.5k file (typing 7,500 empirical decimals from memory
@@ -3427,13 +3427,565 @@ zealous	0.9
 zest	1.7
 """
 
+#: Third expansion tier (r4, session 2): internet slang/interjections
+#: (lol/wtf/ugh family — headline-adjacent informal English the [A-Za-z\']+ 
+#: tokenizer CAN see; emoticons are deliberately excluded because the
+#: tokenizer cannot match them), plus broad everyday sentiment vocabulary:
+#: emotions, evaluation, news/finance verbs (plummet/rebound/downgrade),
+#: morality, and weather/atmosphere terms. Same curated-approximation
+#: basis as the earlier tiers (see module docstring) — the drop-in loader
+#: still wins wherever a real vader_lexicon.txt exists.
+LEXICON_DATA_EXTENSION3 = """\
+abandonment	-2.0
+abhorred	-2.5
+abominable	-2.6
+abundant	1.6
+acceptance	1.6
+acclaim	2.1
+acclaimed	2.2
+ache	-1.5
+aching	-1.6
+acquisition	0.5
+agonized	-2.6
+altruistic	2.1
+amusement	1.7
+angel	2.1
+angelic	2.3
+anguished	-2.6
+argh	-1.5
+astonishing	2.1
+astounded	1.7
+authentic	1.8
+awesomely	3.0
+backstabbing	-2.5
+bah	-1.1
+barbaric	-2.4
+barren	-1.2
+beauty	2.6
+bizarre	-1.0
+boo	-1.5
+booming	2.0
+booyah	2.0
+boredom	-1.3
+bothersome	-1.6
+bountiful	1.9
+bravo	2.6
+breathtaking	2.6
+breezy	0.9
+brighter	1.9
+brightest	2.2
+brilliance	2.2
+brittle	-0.9
+bungling	-1.8
+buyout	0.6
+callous	-2.0
+carelessness	-1.7
+censure	-1.7
+charitable	2.1
+chastise	-1.6
+chastised	-1.6
+cheap	0.5
+cheaper	0.8
+cheapest	0.9
+cheater	-2.4
+chipper	1.8
+chivalrous	1.7
+cleaner	1.4
+cleanest	1.8
+climb	1.1
+climbed	1.1
+climbing	1.0
+climbs	1.0
+cloudy	-0.5
+cold	-0.9
+coldly	-1.2
+concerning	-1.4
+considerate	2.0
+content	1.6
+contented	1.9
+cooler	0.9
+coolest	1.9
+cowardice	-1.9
+cowardly	-2.0
+cranky	-1.5
+crap	-2.0
+crater	-1.6
+cratered	-1.7
+crazier	-1.3
+craziest	-1.4
+crazy	-1.2
+creep	-1.6
+creepy	-1.9
+crises	-2.4
+crude	-1.5
+crummy	-1.8
+cure	2.0
+cured	1.9
+cures	1.8
+curiosity	1.2
+curious	1.3
+curse	-2.0
+cursed	-2.1
+curses	-1.9
+damned	-2.2
+dang	-1.4
+darker	-1.1
+darkest	-1.6
+darkness	-1.2
+darn	-1.3
+deaths	-2.8
+decayed	-1.6
+decrease	-1.1
+decreased	-1.2
+decreasing	-1.2
+decrepit	-1.8
+defamed	-2.1
+degenerate	-1.8
+delights	2.2
+delirious	-0.4
+demeaned	-1.8
+demon	-2.1
+demonic	-2.4
+demoralized	-2.0
+demoralizing	-2.1
+dependable	1.9
+despairing	-2.6
+despondent	-2.5
+determination	1.7
+detest	-2.6
+detested	-2.5
+devil	-2.1
+difficulties	-1.5
+difficulty	-1.5
+dilapidated	-1.7
+dim	-0.6
+dingy	-1.3
+dirtier	-1.7
+disagreed	-1.3
+disagreement	-1.4
+disapproval	-1.8
+disastrous	-2.9
+disease	-2.1
+diseases	-2.0
+disintegrate	-1.8
+disintegrated	-1.8
+disloyal	-1.9
+dismissive	-1.5
+disorderly	-1.4
+disorganized	-1.4
+disparaged	-1.8
+disreputable	-1.9
+dissatisfaction	-1.8
+dissatisfied	-1.8
+disturb	-1.5
+disturbed	-1.7
+disturbs	-1.4
+dividend	1.0
+dividends	1.0
+downgraded	-1.8
+downsizing	-1.4
+duh	-1.0
+dumb	-2.2
+duplicitous	-2.1
+dystopia	-2.1
+easier	1.6
+easiest	1.8
+eerie	-1.2
+effectiveness	1.5
+efficiency	1.6
+ego	-0.8
+egotistical	-1.9
+embarrassment	-1.7
+empathetic	1.9
+enchanting	2.4
+encouragement	2.0
+enjoyable	2.2
+enjoyment	2.0
+euphoric	3.0
+eww	-2.0
+exhausting	-1.6
+exhaustion	-1.6
+faked	-1.8
+falter	-1.5
+faltered	-1.6
+faltering	-1.6
+fascinated	2.0
+fascination	1.8
+faster	1.4
+fastest	1.6
+ffs	-2.3
+flounder	-1.5
+floundered	-1.5
+foggy	-0.5
+fool	-1.9
+fools	-1.9
+forgiveness	1.9
+frail	-1.2
+freak	-1.6
+freaky	-1.3
+freed	1.8
+freefall	-1.9
+friend	2.2
+friends	2.1
+frightful	-2.1
+frown	-1.4
+frowning	-1.5
+funnier	2.0
+funniest	2.2
+gallant	1.9
+gaudy	-1.1
+geez	-0.9
+ghastly	-2.4
+giddy	1.6
+gift	1.9
+gifts	1.8
+gladness	2.1
+gleam	1.3
+gleaming	1.5
+glittering	1.4
+glorified	1.6
+glorify	1.9
+glowing	2.0
+goofy	0.6
+gratified	2.0
+greater	1.5
+greatest	3.2
+greatly	1.4
+grimy	-1.5
+grin	1.8
+grinning	1.8
+groundbreaking	2.1
+grumpy	-1.6
+haha	2.0
+handsome	2.1
+hard	-0.4
+harder	-0.8
+hardest	-1.0
+harmless	0.9
+hassle	-1.5
+health	1.1
+heartbroken	-3.0
+heavenly	2.6
+hehe	1.6
+hellish	-2.5
+heroes	2.4
+hideous	-2.5
+holy	1.4
+honesty	2.6
+horrid	-2.5
+horrified	-2.9
+horrifying	-2.8
+hot	0.8
+hottest	1.0
+hug	2.1
+hugged	1.9
+hugs	2.0
+humility	1.6
+humorous	1.7
+hurrah	2.6
+icky	-1.6
+idiot	-2.3
+idiotic	-2.4
+imperfection	-1.2
+implode	-2.0
+imploded	-2.0
+impolite	-1.8
+inconsiderate	-1.9
+inconsolable	-2.6
+inconvenience	-1.6
+inconvenient	-1.5
+incredible	2.6
+incredibly	2.3
+indecent	-1.8
+ineffective	-1.4
+insane	-1.7
+insanity	-1.8
+insecurity	-1.5
+insensitive	-1.8
+inspirational	2.4
+intelligence	1.8
+interested	1.6
+interesting	1.7
+inventive	1.9
+investigation	-0.8
+irritable	-1.7
+jealous	-1.8
+jealousy	-1.8
+jeez	-0.9
+jolly	2.2
+joyfully	2.7
+joys	2.4
+jump	0.8
+jumped	0.9
+jumping	0.7
+jumps	0.8
+junky	-1.6
+just	0.3
+kiss	1.9
+kissed	1.8
+kisses	1.8
+languished	-1.6
+laughter	2.2
+legal	0.9
+lewd	-1.7
+livid	-2.8
+lmao	2.0
+loathed	-2.6
+lol	1.6
+loneliness	-1.9
+loser	-2.0
+losers	-1.9
+lousy	-2.1
+loyalty	2.1
+luck	1.8
+lunatic	-2.0
+lush	1.6
+madness	-1.8
+magnanimous	2.0
+malevolent	-2.4
+maniac	-2.0
+manipulative	-2.1
+masterful	2.4
+meh	-0.9
+mellow	1.3
+merger	0.4
+merrily	2.2
+messy	-1.3
+miffed	-1.3
+modest	1.3
+modesty	1.4
+morose	-2.1
+mournful	-2.2
+murderer	-3.0
+nah	-0.6
+narcissist	-2.0
+narcissistic	-2.0
+nastier	-2.2
+nauseating	-2.4
+nervousness	-1.5
+nicer	1.9
+nicest	2.2
+nope	-0.9
+nosedived	-2.0
+obscene	-2.2
+odd	-0.5
+oddly	-0.6
+omg	1.3
+oops	-1.0
+orderly	1.1
+organized	1.4
+ouch	-1.6
+overvalued	-1.2
+painless	1.2
+pains	-1.9
+parties	1.3
+party	1.7
+patriot	1.6
+patriotic	1.5
+peeved	-1.4
+pest	-1.5
+pfft	-1.1
+phenomenal	2.9
+phew	0.9
+philanthropic	2.0
+placid	1.4
+playful	1.9
+playfully	1.8
+plentiful	1.6
+pointless	-1.7
+polite	1.9
+politely	1.7
+politeness	1.9
+poorer	-1.9
+poorest	-2.2
+power	1.2
+powered	0.7
+prettier	1.9
+prettiest	2.2
+pride	1.4
+principled	1.8
+prison	-2.2
+probe	-0.7
+problematic	-1.8
+profane	-1.9
+protection	1.4
+psycho	-2.2
+putrid	-2.4
+quick	1.2
+quickly	1.1
+rainy	-0.6
+ramshackle	-1.4
+recommendation	1.3
+recommends	1.5
+refined	1.7
+relaxing	1.9
+reliability	1.7
+reprimanded	-1.6
+repulsive	-2.7
+resentment	-2.0
+respectful	1.9
+restructuring	-0.5
+revolting	-2.6
+revolutionary	1.9
+richer	1.8
+richest	2.0
+risen	1.1
+rofl	2.2
+rough	-1.3
+roughly	-0.5
+rudeness	-2.0
+rundown	-1.5
+sacred	1.6
+saddened	-2.0
+sadder	-2.1
+saddest	-2.5
+sadistic	-2.8
+safety	1.4
+savage	-2.1
+savings	1.4
+scarce	-1.0
+scarred	-1.8
+scary	-2.2
+scheming	-1.7
+scold	-1.5
+scolded	-1.6
+security	1.1
+selfishness	-2.1
+selfless	2.1
+selflessness	2.1
+sensitive	0.9
+shadow	-0.6
+shadowy	-0.9
+shameful	-2.2
+shiny	1.3
+silly	-0.2
+sin	-1.9
+sinful	-2.0
+sinister	-2.2
+skillful	2.1
+skittish	-1.0
+sleazy	-2.0
+sloppy	-1.5
+slower	-1.2
+slowest	-1.4
+smarter	1.8
+smartest	2.1
+smh	-1.4
+sob	-1.8
+sobbing	-1.9
+soft	0.9
+soothe	1.7
+soothed	1.6
+sorrowful	-2.3
+sparkle	1.8
+sparkling	1.8
+sparse	-0.7
+spiral	-0.9
+spiraled	-1.1
+spirited	1.6
+spooky	-1.0
+squalid	-2.1
+stale	-1.2
+stingy	-1.5
+storm	-1.1
+stormy	-1.1
+strange	-0.5
+strangely	-0.7
+stressful	-1.9
+stronger	2.0
+strongest	2.3
+stuck	-1.3
+stunning	2.4
+stupidity	-2.4
+subpar	-1.7
+successes	2.5
+sunny	1.9
+sunshine	2.0
+surprised	1.0
+surprising	0.9
+tacky	-1.5
+tailwinds	1.1
+takeover	0.2
+tank	-1.5
+taunt	-1.8
+taunted	-1.8
+tears	-1.2
+tender	1.8
+tenderness	1.9
+testy	-1.3
+thief	-2.2
+thoughtfully	1.9
+thoughtless	-1.8
+thunder	-0.6
+tidy	1.3
+topnotch	2.3
+trashy	-1.9
+traumatized	-2.7
+treason	-2.6
+true	1.8
+truthful	2.0
+turbulence	-1.4
+ugh	-1.7
+uglier	-2.1
+ugliest	-2.6
+unattractive	-1.7
+unbelievably	1.1
+uncaring	-1.9
+uncertainty	-1.4
+unhappiness	-2.0
+unhealthy	-1.8
+unkind	-1.8
+unworthy	-1.8
+upgraded	1.7
+useable	1.1
+vain	-1.4
+vanity	-1.3
+villains	-2.1
+violence	-2.9
+vulgar	-2.0
+warfare	-2.5
+warm	1.6
+warmly	1.8
+wars	-2.7
+wasteland	-1.6
+weaker	-1.7
+weakest	-2.0
+wealthy	1.7
+weep	-1.9
+weeping	-1.9
+weird	-0.7
+weirdo	-1.4
+well	1.1
+wept	-1.8
+whoa	0.9
+windfalling	1.4
+windfalls	1.9
+winners	2.6
+wonder	1.3
+wonders	1.4
+woohoo	2.8
+worsening	-1.9
+wound	-1.9
+wounds	-1.9
+wow	2.8
+wretchedness	-2.4
+wtf	-2.7
+yay	2.4
+yeah	1.2
+yep	1.2
+yikes	-1.1
+yucky	-1.9
+yup	1.1
+zesty	1.5
+"""
+
 #: token -> valence on [-4, 4] (builtin curated set: base + extension).
 _BUILTIN_LEXICON: dict[str, float] = {
     tok: float(val)
     for tok, val in (
         line.split("\t")
         for line in (LEXICON_DATA + LEXICON_DATA_EXTENSION
-                     + LEXICON_DATA_EXTENSION2).splitlines()
+                     + LEXICON_DATA_EXTENSION2 + LEXICON_DATA_EXTENSION3).splitlines()
         if line
     )
 }
