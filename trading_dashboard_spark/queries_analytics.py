@@ -577,3 +577,350 @@ def event_key_skew_profile(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "max_concurrent_events_per_day",
+    """
+    WITH pts AS (
+      SELECT CAST(ts AS DATE) AS d, ts AS t, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT CAST(ts AS DATE) AS d, ts + INTERVAL 300 SECOND AS t,
+             -1 AS delta, event_id
+      FROM events
+    ),
+    sweep AS (
+      SELECT d, sum(delta) OVER (PARTITION BY d
+                                 ORDER BY t, delta, event_id) AS load
+      FROM pts
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(max(load) AS BIGINT) AS max_concurrent
+    FROM sweep GROUP BY d
+    """,
+    tags=("window", "sweep-line", "interval", "W10"),
+)
+def max_concurrent_events_per_day(spark, sf_dir):
+    """Maximum concurrency via the SWEEP-LINE idiom: each event opens a
+    5-minute activity interval; +1/−1 boundary points sorted within the
+    day and running-summed give the instantaneous load, and the per-day
+    max is the answer. The classic interval-analytics operator that
+    does NOT need an interval self-join (contrast: bucketed_range_join)
+    — two map-side projections, one union, one per-day window sort.
+    Partitioning the sweep by calendar day bounds every window partition
+    (~events/day) — the 100 TB form; the day boundary cut is applied
+    identically in both engines (an interval crossing midnight counts
+    toward its opening day only). Tie order (t, delta, event_id) closes
+    an interval before opening a coincident one — deterministic and
+    conservative."""
+    ev = _t(spark, sf_dir, "events")
+    opens = ev.select(
+        F.to_date("ts").alias("d"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    closes = ev.select(
+        F.to_date("ts").alias("d"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    sweep = opens.unionAll(closes).select(
+        "d",
+        F.sum("delta")
+        .over(W.partitionBy("d").orderBy("t", "delta", "event_id"))
+        .alias("load"),
+    )
+    return sweep.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day")).agg(
+        F.max("load").cast("bigint").alias("max_concurrent")
+    )
+
+
+@register(
+    "rfm_customer_segments",
+    """
+    WITH ref AS (SELECT max(o_orderdate) AS mx FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT mx FROM ref))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("window", "ntile", "segmentation", "A1"),
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation — the marketing-analytics classic: per-customer
+    Recency (days since last order, vs the dataset's own horizon),
+    Frequency, Monetary, each quartile-scored (1 = best), segment cell
+    counts out. The three ntile windows run over the per-customer
+    AGGREGATE (#customers rows — the bounded-global-window
+    justification; for a key space that outgrows it, the two-stage
+    `operators/ranks.ntile_buckets` path computes identical values
+    distributed). Every ntile ordering carries the custkey tiebreak so
+    quartile assignment is a total order in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("mx"), F.to_date("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias("r"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(4)
+        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return scored.groupBy(
+        F.col("r").cast("int").alias("r"),
+        F.col("f").cast("int").alias("f"),
+        F.col("m").cast("int").alias("m"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "week_over_week_close_change",
+    f"""
+    WITH {DAILY_SQL}
+    SELECT a.user_id, strftime(a.d, '%Y-%m-%d') AS trade_date,
+           round(a.close, 4) AS close,
+           round(b.close, 4) AS close_last_week,
+           round((a.close - b.close) / nullif(b.close, 0) * 100, 4)
+             AS wow_pct
+    FROM daily a
+    JOIN daily b ON b.user_id = a.user_id AND b.d = a.d - 7
+    """,
+    tags=("join", "temporal", "W9", "seasonal-lag"),
+)
+def week_over_week_close_change(spark, sf_dir):
+    """Week-over-week change — the seasonal-lag comparison: each daily
+    close against the SAME user's close exactly 7 calendar days earlier
+    via a date-arithmetic self equi-join (NOT lag(7): row-offset lag is
+    wrong whenever days are missing — the sparse-calendar bug the
+    RANGE-frame family also guards against). The self-join keys on
+    (user, date) so both sides shuffle on the same clustering — one
+    exchange each over the per-user daily AGGREGATE; rows without a
+    prior-week observation drop (inner join) identically in both
+    engines."""
+    daily = _daily_close(spark, sf_dir)
+    a = daily.alias("a")
+    b = daily.alias("b")
+    return a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.d") == F.date_sub(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.date_format("a.d", "yyyy-MM-dd").alias("trade_date"),
+        pround("a.close", 4).alias("close"),
+        pround("b.close", 4).alias("close_last_week"),
+        pround(
+            (F.col("a.close") - F.col("b.close"))
+            / F.nullif(F.col("b.close"), F.lit(0))
+            * 100,
+            4,
+        ).alias("wow_pct"),
+    )
+
+
+@register(
+    "lineitem_column_profile",
+    """
+    WITH s AS (
+      SELECT count(*) AS n,
+        count(l_quantity) AS nn_qty, count(DISTINCT l_quantity) AS nd_qty,
+          min(l_quantity) AS mn_qty, max(l_quantity) AS mx_qty,
+        count(l_extendedprice) AS nn_px, count(DISTINCT l_extendedprice) AS nd_px,
+          min(l_extendedprice) AS mn_px, max(l_extendedprice) AS mx_px,
+        count(l_discount) AS nn_disc, count(DISTINCT l_discount) AS nd_disc,
+          min(l_discount) AS mn_disc, max(l_discount) AS mx_disc,
+        count(l_tax) AS nn_tax, count(DISTINCT l_tax) AS nd_tax,
+          min(l_tax) AS mn_tax, max(l_tax) AS mx_tax,
+        count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf,
+        count(l_linestatus) AS nn_ls, count(DISTINCT l_linestatus) AS nd_ls
+      FROM lineitem
+    )
+    SELECT col, CAST(n AS BIGINT) AS n_rows,
+           CAST(n - n_nonnull AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(mn, 4) AS min_val, round(mx, 4) AS max_val
+    FROM (
+      SELECT 'l_quantity' AS col, n, nn_qty AS n_nonnull, nd_qty AS n_distinct,
+             mn_qty AS mn, mx_qty AS mx FROM s
+      UNION ALL SELECT 'l_extendedprice', n, nn_px, nd_px, mn_px, mx_px FROM s
+      UNION ALL SELECT 'l_discount', n, nn_disc, nd_disc, mn_disc, mx_disc FROM s
+      UNION ALL SELECT 'l_tax', n, nn_tax, nd_tax, mn_tax, mx_tax FROM s
+      UNION ALL SELECT 'l_returnflag', n, nn_rf, nd_rf, NULL, NULL FROM s
+      UNION ALL SELECT 'l_linestatus', n, nn_ls, nd_ls, NULL, NULL FROM s
+    )
+    """,
+    tags=("agg", "profiling", "A4", "data-quality"),
+)
+def lineitem_column_profile(spark, sf_dir):
+    """One-pass column profiling (the Deequ/Great-Expectations readout):
+    row count, null count, exact distinct count, numeric min/max for
+    each profiled column, long-format output — ONE scan computing every
+    statistic (Spark plans the multi-column count-distincts via a
+    single Expand-based aggregate rather than per-column scans), then a
+    KB-scale unpivot of the single stats row. The data-engineering
+    operator you run before choosing join keys and partition layouts;
+    pairs with `event_key_skew_profile` and `orders_quality_expectations`."""
+    li = _t(spark, sf_dir, "lineitem")
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    str_cols = ["l_returnflag", "l_linestatus"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    s = li.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            s.select(
+                F.lit(c).alias("col"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                (F.col("n") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                pround(F.col(f"mn_{c}").cast("double"), 4).alias("min_val"),
+                pround(F.col(f"mx_{c}").cast("double"), 4).alias("max_val"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            s.select(
+                F.lit(c).alias("col"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                (F.col("n") - F.col(f"nn_{c}")).cast("bigint").alias("n_nulls"),
+                F.col(f"nd_{c}").cast("bigint").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "user_behavior_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (SELECT user_id, sum(n) AS t FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(count(*) AS INT) AS n_types,
+           round(-sum((n / CAST(t AS DOUBLE)) * ln(n / CAST(t AS DOUBLE))), 6)
+             AS type_entropy
+    FROM c JOIN tot ON tot.user_id = c.user_id
+    GROUP BY c.user_id
+    """,
+    tags=("agg", "entropy", "A1", "behavioral"),
+)
+def user_behavior_entropy(spark, sf_dir):
+    """Behavioral diversity score: Shannon entropy of each user's
+    event-type distribution (−Σ p ln p) — 0 for single-behavior users,
+    ln(#types) for uniform ones; the feature a personalization/anomaly
+    pipeline derives from any categorical activity stream (and the
+    per-key twin of the corpus-level `doc_char_entropy`). Two
+    aggregates sharing the user_id clustering + a KB-per-user join —
+    one fact shuffle total."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t").cast("double")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            pround(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+        )
+    )
+
+
+@register(
+    "benford_price_digits",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, count(*) AS n, sum(count(*)) OVER () AS tot
+      FROM digits GROUP BY digit
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / CAST(tot AS DOUBLE), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(pow(n / CAST(tot AS DOUBLE) - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit), 8) AS chi2_term
+    FROM obs
+    """,
+    tags=("agg", "data-quality", "A4", "benford"),
+)
+def benford_price_digits(spark, sf_dir):
+    """Benford's-law audit of order totals: leading-digit distribution
+    vs the log10(1+1/d) law, with per-digit χ² contribution — the
+    forensic data-quality screen for fabricated or truncated monetary
+    data. Map-only digit extraction (integer-floor → string head, no
+    float formatting ambiguity), a 9-row aggregate, and a window total
+    over those 9 rows. (The synthetic uniform-ish prices here should —
+    and do — FAIL Benford conspicuously; the operator is the point.)"""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tot", F.sum("n").over(W.partitionBy()))
+    )
+    op = F.col("n") / F.col("tot").cast("double")
+    bp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        pround(op, 6).alias("observed_p"),
+        pround(bp, 6).alias("benford_p"),
+        pround(F.pow(op - bp, 2) / bp, 8).alias("chi2_term"),
+    )
