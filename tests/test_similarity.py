@@ -211,3 +211,28 @@ def test_knn_batch_probes_external_probe_set(spark):
         assert [r["neighbor_id"] for r in rows] == [i for _, i in order]
         for r, (c, _) in zip(rows, order):
             assert abs(r["cosine"] - c) < 1e-9
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Partition-parallel Arrow Gram equals the single-matmul numpy
+    answer (associativity of the partial sums; symmetric by
+    construction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.similarity.gram import gram_matrix
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(500, 8)
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in X], "v array<double>"
+    ).repartition(6)
+    got = {
+        (r["i"], r["j"]): (r["sum_xy"], r["n"])
+        for r in gram_matrix(df, "v").collect()
+    }
+    want = X.T @ X
+    assert len(got) == 64
+    for (i, j), (s, n) in got.items():
+        assert n == 500
+        assert abs(s - want[i - 1, j - 1]) < 1e-9 * max(1.0, abs(want[i - 1, j - 1]))

@@ -705,11 +705,12 @@ def pca_top_component_power_iteration(spark, sf_dir):
     (with k-means and PageRank), again with a full VALUE oracle.
 
     Big-data-small-model split: ONE corpus-scale pass builds the 64×64
-    covariance relation (two chained map-side posexplodes → a
-    dim²-keyed partial aggregate; vectors are scanned, never shuffled —
-    the shuffle carries ≤ dim² partial sums per partition, the
-    embedding_covariance_top_pairs shape completed to the full matrix),
-    then three mat-vec iterations run entirely on KB-scale relations
+    second-moment matrix via the Arrow Gram kernel
+    (similarity/gram.gram_matrix — per-partition numpy X'X, one BLAS
+    matmul per Arrow batch, dim² partial rows per batch; vectors are
+    scanned, never shuffled, and per-row cost is ~dim× below the
+    posexplode² form the oracle replays), then three mat-vec
+    iterations run entirely on KB-scale relations
     (4096-row matrix ⋈ 64-row iterate, AQE-broadcast). Determinism
     anchors: covariance rounded to 10dp, iterate rounded to 8dp after
     each L2 re-normalization — both engines feed identical doubles into
@@ -726,12 +727,10 @@ def pca_top_component_power_iteration(spark, sf_dir):
         .agg(F.avg("x").alias("mu"))
         .select((F.col("pos0") + 1).alias("j"), "mu")
     )
-    m2 = (
-        emb.select("v", F.posexplode("v").alias("i0", "vi"))
-        .select("i0", "vi", F.posexplode("v").alias("j0", "vj"))
-        .groupBy("i0", "j0")
-        .agg(F.avg(F.col("vi") * F.col("vj")).alias("m2"))
-        .select((F.col("i0") + 1).alias("i"), (F.col("j0") + 1).alias("j"), "m2")
+    from .similarity.gram import gram_matrix
+
+    m2 = gram_matrix(emb, "v").select(
+        "i", "j", (F.col("sum_xy") / F.col("n")).alias("m2")
     )
     ma = mu.select(F.col("j").alias("i"), F.col("mu").alias("mu_i"))
     mb = mu.select("j", F.col("mu").alias("mu_j"))
