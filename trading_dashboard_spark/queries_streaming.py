@@ -331,3 +331,93 @@ def streaming_hourly_ohlc(spark, sf_dir):
         F.col("n_events").cast("long").alias("n_events"),
         pround("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "streaming_abandoned_clicks",
+    """
+    WITH mx AS (
+      SELECT least(
+        max(ts) FILTER (WHERE event_type = 'click'),
+        max(ts) FILTER (WHERE event_type = 'purchase')) AS m
+      FROM events
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           round(c.value, 2) AS click_value
+    FROM events c CROSS JOIN mx
+    WHERE c.event_type = 'click'
+      AND c.ts < mx.m - INTERVAL 190 MINUTE
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_abandoned_clicks(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the abandonment signal:
+    clicks with NO same-user purchase inside the following hour
+    (streaming/joins.interval_left_outer). The subtle Structured
+    Streaming semantics under test: an unmatched left row null-emits
+    only after the joint watermark proves no in-horizon match can
+    arrive, so end-of-stream leaves the youngest clicks undecided —
+    both lanes therefore apply the same MATURITY CUTOFF (clicks older
+    than horizon + watermark + margin vs the stream's max event time),
+    making streaming == the batch NOT EXISTS anti-join the oracle
+    runs. State is bounded by the watermark horizon on both sides —
+    the unbounded-stream-safe shape."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.joins import interval_left_outer
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    # maturity horizon from the static copy (single-row bounded read):
+    # the joint watermark is min over the two FILTERED streams' own max
+    # event times, so the cutoff must use the same least()
+    mx = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .collect()[0][0]
+    )
+    clicks = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id_l"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = interval_left_outer(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        horizon="1 HOUR", watermark="2 hours",
+    )
+    out = run_stream_to_table(
+        joined, "abandoned_clicks", output_mode="append"
+    )
+    return (
+        out.filter(F.col("purchase_id").isNull())
+        .filter(F.col("click_ts") < F.lit(mx) - F.expr("INTERVAL 190 MINUTE"))
+        .select(
+            "click_id",
+            F.col("user_id_l").alias("user_id"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            pround("click_value", 2).alias("click_value"),
+        )
+    )

@@ -41,3 +41,35 @@ def interval_attribution(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def interval_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every left row emits —
+    matched rows as they pair, UNMATCHED rows with null right columns
+    once the watermark proves no in-horizon match can still arrive
+    (Structured Streaming buffers the left row in state until
+    ``left_ts + horizon`` falls behind the joint watermark, then
+    null-emits in a no-data batch).
+
+    The consequence callers MUST handle: left rows younger than
+    ``horizon + watermark`` at end-of-stream are still awaiting their
+    verdict and are NOT emitted as unmatched — a completeness cutoff
+    (filter to mature rows) is required for batch-equivalent results;
+    see `streaming_abandoned_clicks` for the canonical binding.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key + "_l") == F.col(key + "_r"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "left_outer")
