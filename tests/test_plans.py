@@ -285,3 +285,49 @@ def test_tfidf_single_token_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tfidf_top_terms")
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q17_shape_broadcasts_dim_sides(spark, sf_dir):
+    """The decorrelated Q17 shape: the brand-filtered part dim and the
+    per-part average both join broadcast (AQE or static) — the fact
+    table is never on a shuffled build side, and the brand filter is
+    pushed to the part scan."""
+    plan = _plan(spark, sf_dir, "small_quantity_part_revenue")
+    assert "CartesianProduct" not in plan
+    assert any("Brand" in p for p in _pushed(plan))
+
+
+def test_nation_value_share_is_broadcast_only(spark, sf_dir):
+    """Q11 shape: supplier/nation dims and the single-row global total
+    all broadcast — zero SortMergeJoin; the only fact-scale exchange is
+    the nationkey aggregate."""
+    plan = _plan(spark, sf_dir, "important_nation_value_share")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_filters_tokens_before_any_exchange(spark, sf_dir):
+    """BM25 prunes to the query vocabulary map-side: the IN-set filter
+    sits between the token Generate (explode) and the first Exchange,
+    so only matching tokens ever shuffle."""
+    plan = _plan(spark, sf_dir, "bm25_keyword_search")
+    assert "Generate explode" in plan
+    # the vocabulary IN-filter is a narrow op applied directly to the
+    # exploded tokens (no exchange between Generate and Filter)
+    assert re.search(r"Filter \(w#\d+ IN \(join,filter,vector\)", plan), plan
+
+
+def test_sweep_line_windows_are_day_partitioned(spark, sf_dir):
+    """The concurrency sweep's running sum is partitioned by day — no
+    single-partition window anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "max_concurrent_events_per_day")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pca_covariance_is_arrow_gram(spark, sf_dir):
+    """PCA's corpus pass is the Arrow Gram kernel (mapInPandas), not a
+    dim2 row explode; iterations join broadcast."""
+    plan = _plan(spark, sf_dir, "pca_top_component_power_iteration")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
