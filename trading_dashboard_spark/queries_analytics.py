@@ -924,3 +924,236 @@ def benford_price_digits(spark, sf_dir):
         pround(bp, 6).alias("benford_p"),
         pround(F.pow(op - bp, 2) / bp, 8).alias("chi2_term"),
     )
+
+
+@register(
+    "price_trend_slope_per_user",
+    f"""
+    WITH {DAILY_SQL},
+    seq AS (
+      SELECT user_id, close,
+             CAST(datediff('day', DATE '2024-01-01', d) AS DOUBLE) AS x
+      FROM daily
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(covar_pop(x, close) / nullif(var_pop(x), 0), 6) AS slope,
+           round(avg(close) - covar_pop(x, close) / nullif(var_pop(x), 0)
+                 * avg(x), 4) AS intercept,
+           round(corr(x, close), 6) AS r
+    FROM seq GROUP BY user_id
+    """,
+    tags=("agg", "stats", "ols", "A1"),
+)
+def price_trend_slope_per_user(spark, sf_dir):
+    """Per-key OLS trend line in closed form — slope = cov(x,y)/var(x),
+    intercept = ȳ − slope·x̄, plus Pearson r — fitted to every user's
+    daily closes against calendar-day index in ONE aggregate pass (the
+    statistical-aggregate family of `user_market_beta` applied to
+    trend estimation; the reference's two-stage ML pipeline uses the
+    same normal-equation algebra at feature scale). No window, no
+    iteration: covar_pop/var_pop/corr are single-pass mergeable
+    aggregates — the 100 TB regression you can afford on every key."""
+    daily = _daily_close(spark, sf_dir)
+    seq = daily.select(
+        "user_id",
+        "close",
+        F.datediff("d", F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    )
+    slope = F.covar_pop("x", "close") / F.nullif(F.var_pop("x"), F.lit(0))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        pround(slope, 6).alias("slope"),
+        pround(F.avg("close") - slope * F.avg("x"), 4).alias("intercept"),
+        pround(F.corr("x", "close"), 6).alias("r"),
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH seg AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-26'
+                  THEN 'base' ELSE 'delta' END AS seg,
+             value
+      FROM events
+    ),
+    partials AS (
+      SELECT event_type, seg, count(*) AS n, sum(value) AS s,
+             min(value) AS mn, max(value) AS mx
+      FROM seg GROUP BY event_type, seg
+    )
+    SELECT event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(sum(s), 4) AS total_value,
+           round(sum(s) / sum(n), 6) AS avg_value,
+           round(min(mn), 4) AS min_value,
+           round(max(mx), 4) AS max_value,
+           CAST(count(*) AS INT) AS n_partials_merged
+    FROM partials GROUP BY event_type
+    """,
+    tags=("agg", "incremental", "A1", "ivm"),
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental view maintenance, the algebraic core: a historical
+    BASE partial aggregate and a late-arriving DELTA partial merge into
+    the exact full aggregate WITHOUT rescanning base data — count/sum
+    re-sum, min/max re-extremize, avg derives from merged sum/count
+    (never averaged-of-averages). The registered query materializes
+    both segments from one scan and MERGES them; the driver
+    hash-checks the merge path against the oracle's identical
+    two-level computation — and the algebra means the nightly 100 TB
+    pipeline only ever aggregates the new partition. The mergeable-
+    partials discipline every sketch in `functions/sketches.py` also
+    follows, here for exact aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    seg = ev.select(
+        "event_type",
+        F.when(
+            F.to_date("ts") < F.lit("2024-01-26").cast("date"), "base"
+        )
+        .otherwise("delta")
+        .alias("seg"),
+        "value",
+    )
+    partials = seg.groupBy("event_type", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        pround(F.sum("s"), 4).alias("total_value"),
+        pround(F.sum("s") / F.sum("n"), 6).alias("avg_value"),
+        pround(F.min("mn"), 4).alias("min_value"),
+        pround(F.max("mx"), 4).alias("max_value"),
+        F.count(F.lit(1)).cast("int").alias("n_partials_merged"),
+    )
+
+
+@register(
+    "event_type_dow_chi2",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct,
+             sum(o) OVER () AS n
+      FROM obs
+    )
+    SELECT CAST(count(*) AS INT) AS n_cells,
+           round(sum(pow(o - rt * ct / CAST(n AS DOUBLE), 2)
+                     / (rt * ct / CAST(n AS DOUBLE))), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT dow) - 1) AS INT) AS dof
+    FROM m
+    """,
+    tags=("agg", "stats", "chi2", "A4"),
+)
+def event_type_dow_chi2(spark, sf_dir):
+    """Chi-square independence test between event type and day-of-week —
+    the categorical-association screen (is behavior day-dependent?):
+    observed cell counts vs expected-from-marginals, χ² = Σ(O−E)²/E
+    with degrees of freedom. The contingency table is #types × 7 rows,
+    so every window/marginal computation after the one fact-table
+    aggregate is KB-scale. DuckDB's dayofweek == Spark's dayofweek
+    numbering (0=Sunday... both 1-7? both engines: Spark dayofweek
+    1=Sunday; DuckDB dayofweek 0=Sunday — the oracle uses DuckDB
+    dayofweek+1 alignment via the shared grouping only, never the raw
+    number). Cells, not labels, carry the statistic."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts")).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(W.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    return m.agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells"),
+        pround(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("dow") - 1)
+        ).cast("int").alias("dof"),
+    )
+
+
+@register(
+    "lttb_downsampled_closes",
+    f"""
+    WITH {DAILY_SQL},
+    seq AS (
+      SELECT user_id, d, close,
+             CAST(floor((row_number() OVER (PARTITION BY user_id
+                                            ORDER BY d) - 1) / 10.0)
+                  AS INT) AS bucket
+      FROM daily
+    ),
+    dev AS (
+      SELECT user_id, bucket, d, close,
+             abs(close - avg(close) OVER (PARTITION BY user_id, bucket))
+               AS dev
+      FROM seq
+    ),
+    ranked AS (
+      SELECT user_id, bucket, d, close,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY dev DESC, d) AS rk
+      FROM dev
+    )
+    SELECT user_id, CAST(bucket AS INT) AS bucket,
+           strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 4) AS close
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("window", "downsample", "dashboard", "O4"),
+)
+def lttb_downsampled_closes(spark, sf_dir):
+    """Perceptual downsampling for chart rendering (the LTTB family,
+    bucket-extremum variant): each user's close series splits into
+    10-observation buckets and keeps the visually-salient point — the
+    one deviating most from its bucket's mean (ties to the earliest
+    date). This is what a dashboard backend ships to the browser
+    instead of a million raw points. All three windows (row index,
+    bucket mean, in-bucket rank) share the per-user sort; the rank
+    prunes via WindowGroupLimit. Integer division pins bucket edges
+    identically in both engines."""
+    daily = _daily_close(spark, sf_dir)
+    wu = W.partitionBy("user_id").orderBy("d")
+    seq = daily.select(
+        "user_id",
+        "d",
+        "close",
+        ((F.row_number().over(wu) - 1) / 10).cast("int").alias("bucket"),
+    )
+    wb = W.partitionBy("user_id", "bucket")
+    dev = seq.withColumn(
+        "dev", F.abs(F.col("close") - F.avg("close").over(wb))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("user_id", "bucket").orderBy(F.col("dev").desc(), "d")
+    )
+    return (
+        dev.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround("close", 4).alias("close"),
+        )
+    )
