@@ -144,3 +144,29 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the base image
     pass
+
+
+def test_holt_linear_matches_reference_recurrence(spark):
+    """holt_linear equals the plain-python Holt recurrence (with the same
+    8dp step anchors) on a known series, including the l1=x1, b1=0
+    init."""
+    import math
+
+    from trading_dashboard_spark.operators.indicators import holt_linear
+
+    xs = [10.0, 12.0, 11.0, 15.0, 14.5, 16.25]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "key string, t int, x double"
+    )
+    out = {
+        r["t"]: (r["x_level"], r["x_trend"])
+        for r in holt_linear(df, "x", ["key"], ["t"]).collect()
+    }
+    f = 1e8
+    l, b = xs[0], 0.0
+    assert out[0] == (l, b)
+    for t in range(1, len(xs)):
+        l_new = math.floor((0.3 * xs[t] + 0.7 * (l + b)) * f + 0.5) / f
+        b = math.floor((0.1 * (l_new - l) + 0.9 * b) * f + 0.5) / f
+        l = l_new
+        assert out[t] == (l, b), t

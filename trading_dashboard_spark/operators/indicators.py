@@ -191,3 +191,82 @@ def with_indicators(
     if ema_span:
         out = ema(out, value_col, keys, order, span=ema_span)
     return out
+
+
+def holt_linear(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: list[str] | str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    anchor_dp: int = 8,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) — the recursive
+    time-series operator one step past EMA (W7): two coupled
+    recurrences, inherently sequential per key, run in the
+    grouped-sorted mapInPandas lane:
+
+        l_t = α·x_t + (1−α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t − l_{t-1}) + (1−β)·b_{t-1}
+
+    with l_1 = x_1, b_1 = 0. After every step, level and trend round to
+    ``anchor_dp`` decimals using the engine-wide portable rounding
+    (floor(x·10ⁿ+0.5)/10ⁿ — functions/numeric.pround's exact IEEE
+    recipe, replicated here with numpy): the cross-engine determinism
+    anchor that lets a recursive-CTE SQL oracle replay the identical
+    fixed-point trajectory (the k-means / power-iteration discipline
+    applied to a per-key recurrence).
+
+    Adds ``{value}_level``, ``{value}_trend``, ``{value}_forecast``
+    (one-step-ahead = level + trend).
+    """
+    from .grouped import grouped_sorted_map
+
+    keys = [keys] if isinstance(keys, str) else keys
+    order = [order] if isinstance(order, str) else order
+    f = float(10**anchor_dp)
+    schema_parts = [
+        f"{fld.name} {fld.dataType.simpleString()}" for fld in df.schema.fields
+    ]
+    out_schema = ", ".join(
+        schema_parts
+        + [
+            f"{value_col}_level double",
+            f"{value_col}_trend double",
+            f"{value_col}_forecast double",
+        ]
+    )
+
+    def fn(pdf):
+        import numpy as np
+
+        pdf = pdf.copy()
+
+        def one(s):
+            x = s.to_numpy(dtype=np.float64)
+            lv = np.empty_like(x)
+            tr = np.empty_like(x)
+            l_prev, b_prev = x[0], 0.0
+            lv[0], tr[0] = l_prev, b_prev
+            for t in range(1, len(x)):
+                l_t = np.floor((alpha * x[t] + (1.0 - alpha) * (l_prev + b_prev)) * f + 0.5) / f
+                b_t = np.floor((beta * (l_t - l_prev) + (1.0 - beta) * b_prev) * f + 0.5) / f
+                lv[t], tr[t] = l_t, b_t
+                l_prev, b_prev = l_t, b_t
+            return lv, tr
+
+        levels = np.empty(len(pdf))
+        trends = np.empty(len(pdf))
+        pos = 0
+        for _, g in pdf.groupby(keys, sort=False):
+            lv, tr = one(g[value_col])
+            levels[pos : pos + len(lv)] = lv
+            trends[pos : pos + len(tr)] = tr
+            pos += len(lv)
+        pdf[f"{value_col}_level"] = levels
+        pdf[f"{value_col}_trend"] = trends
+        pdf[f"{value_col}_forecast"] = levels + trends
+        return pdf
+
+    return grouped_sorted_map(df, keys, order, fn, out_schema)

@@ -1688,3 +1688,59 @@ def top_correlated_user_pairs(spark, sf_dir):
     return ranked.orderBy(
         F.col("ret_corr").desc(), "user_a", "user_b"
     ).limit(10)
+
+
+@register(
+    "holt_trend_smoothing",
+    f"""
+    WITH RECURSIVE {DAILY_SQL},
+    seq AS (
+      SELECT user_id, d, close,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS rn
+      FROM daily
+    ),
+    holt AS (
+      SELECT user_id, rn, d, close,
+             CAST(close AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.d, s.close,
+             round(0.3 * s.close + 0.7 * (h.l + h.b), 8) AS l,
+             round(0.1 * (round(0.3 * s.close + 0.7 * (h.l + h.b), 8) - h.l)
+                   + 0.9 * h.b, 8) AS b
+      FROM holt h
+      JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 4) AS close,
+           round(l, 6) AS level,
+           round(b, 6) AS trend,
+           round(l + b, 6) AS forecast
+    FROM holt
+    """,
+    tags=("window", "W7", "indicator", "iterative", "recursive"),
+)
+def holt_trend_smoothing(spark, sf_dir):
+    """Holt double-exponential smoothing (α=0.3, β=0.1) over the daily
+    bars — level + trend recurrences with a one-step-ahead forecast
+    (operators/indicators.holt_linear). The recursion runs in the
+    grouped-sorted Arrow lane (one shuffle + one sort, the EMA/MACD
+    lane), with every step's level/trend rounded to 8dp by the portable
+    floor-rounding — and the ORACLE IS A RECURSIVE CTE replaying the
+    exact same trajectory step-for-step (the working table advances all
+    users in lockstep on rn). The first registry entry whose oracle
+    exercises SQL recursion: a value-checked sequential algorithm, not
+    just a window approximation."""
+    from .operators.indicators import holt_linear
+
+    daily = _daily_close(spark, sf_dir)
+    out = holt_linear(daily, "close", ["user_id"], ["d"])
+    return out.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 4).alias("close"),
+        pround("close_level", 6).alias("level"),
+        pround("close_trend", 6).alias("trend"),
+        pround("close_forecast", 6).alias("forecast"),
+    )
