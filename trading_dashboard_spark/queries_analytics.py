@@ -1157,3 +1157,63 @@ def lttb_downsampled_closes(spark, sf_dir):
             pround("close", 4).alias("close"),
         )
     )
+
+
+@register(
+    "floored_running_balance",
+    """
+    WITH deltas AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN value
+                  ELSE -0.1 * value END AS delta
+      FROM events
+    ),
+    prefix AS (
+      SELECT user_id, ts, event_id,
+             sum(delta) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS s
+      FROM deltas
+    ),
+    sums AS (
+      SELECT user_id, ts, event_id, s,
+             min(s) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS run_min
+      FROM prefix
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(event_id AS BIGINT) AS event_id,
+           round(s - least(0.0, run_min), 4) AS balance
+    FROM sums
+    """,
+    tags=("window", "W10", "reflection", "running-balance"),
+)
+def floored_running_balance(spark, sf_dir):
+    """Zero-floored running balance — b_t = max(0, b_{t-1} + δ_t), the
+    clamped account-balance / inventory recurrence that LOOKS like it
+    needs row-by-row recursion but has a closed WINDOW form by the
+    reflection identity: b_t = S_t − min(0, min_{k≤t} S_k) (prefix sum
+    minus its most-negative excursion — valid precisely because the
+    clamp is a one-sided floor at 0). Purchases credit the balance,
+    everything else debits a 10% carrying cost. Both nested windows
+    share ONE per-user sort exchange — compare holt_trend_smoothing,
+    where the coupling genuinely forces the sequential Arrow lane; the
+    engine picks the window form whenever the algebra allows."""
+    ev = _t(spark, sf_dir, "events")
+    delta = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(-0.1 * F.col("value"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sums = (
+        ev.select("user_id", "ts", "event_id", delta.alias("delta"))
+        .select("user_id", "ts", "event_id", F.sum("delta").over(w).alias("s"))
+        .select("user_id", "ts", "event_id", "s", F.min("s").over(w).alias("run_min"))
+    )
+    return sums.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("event_id").cast("bigint").alias("event_id"),
+        pround(F.col("s") - F.least(F.lit(0.0), F.col("run_min")), 4).alias(
+            "balance"
+        ),
+    )

@@ -1147,3 +1147,94 @@ def levenshtein_name_near_dups(spark, sf_dir):
         .groupBy("p_brand", F.col("dist").cast("int").alias("dist"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "bigram_collocations_pmi",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c FROM
+        (SELECT unnest(toks) AS w FROM toks_t) GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    bg AS (
+      SELECT w1, w2, count(*) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+        FROM toks_t
+      ) GROUP BY w1, w2
+    )
+    SELECT b.w1, b.w2, CAST(b.c AS BIGINT) AS n_pair,
+           round(ln((b.c / t.n) / ((u1.c / t.n) * (u2.c / t.n))), 6) AS pmi
+    FROM bg b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    WHERE b.c >= 5
+    ORDER BY pmi DESC, b.w1, b.w2 LIMIT 20
+    """,
+    tags=("text", "X4", "collocation", "pmi", "top-k"),
+)
+def bigram_collocations_pmi(spark, sf_dir):
+    """Collocation mining: top adjacent-token pairs by pointwise mutual
+    information ln(P(w1w2)/(P(w1)P(w2))) with a min-count support floor
+    — the lexicographic phrase detector (vocabulary induction for
+    tokenizers, multi-word-entity discovery). Bigrams come from the
+    map-side indexed array transform (the bigram_logprob_score shape);
+    unigram counts, the corpus total, and the support-filtered bigram
+    relation are all vocabulary-bounded, so both scoring joins AQE-
+    broadcast. The support floor (c ≥ 5) is applied BEFORE the joins —
+    the relation that ranks is a small fraction of the bigram
+    vocabulary. Deterministic (pmi, w1, w2) top-20."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
+    ).repartition(n_shuffle, "doc_id")
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("n"))
+    idx = F.sequence(F.lit(0), F.size("toks") - 2)
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i + 1).alias("w1"),
+                        F.element_at("toks", i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("c") / F.col("n"))
+        / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+    )
+    return (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("n_pair"),
+            pround(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
