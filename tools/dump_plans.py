@@ -93,6 +93,43 @@ COMMENTARY = {
         "fingerprints (explode is map-side); text never moves between "
         "executors."
     ),
+    "bloom_prefiltered_order_revenue": (
+        "Bloom join pruning: the probe predicate (element_at over the "
+        "bitset literal + bit tests) sits in a Filter directly over the "
+        "orders scan — non-matching rows die map-side, before the "
+        "semi-join's exchange. The manual form of Spark's runtime filter, "
+        "guaranteed rather than cost-model-dependent."
+    ),
+    "bm25_keyword_search": (
+        "Lexical retrieval: the query-vocabulary IN-filter is applied to "
+        "the exploded tokens as a narrow op (no exchange between Generate "
+        "and Filter), so the (doc,term) relation entering aggregation is "
+        "|hits|-sized; df and corpus stats broadcast; top-20 is "
+        "TakeOrderedAndProject."
+    ),
+    "pca_top_component_power_iteration": (
+        "Iterative tier: the corpus pass is MapInPandas (Arrow Gram "
+        "kernel, one BLAS matmul per batch) feeding a dim^2-bounded "
+        "aggregate; all three mat-vec iterations join KB relations via "
+        "broadcast. Vectors are scanned, never shuffled."
+    ),
+    "max_concurrent_events_per_day": (
+        "Sweep-line: both windows partition by calendar day — no "
+        "Exchange SinglePartition anywhere; the union of +1/-1 boundary "
+        "points is map-side."
+    ),
+    "holt_trend_smoothing": (
+        "Recursive lane: one repartition + sortWithinPartitions feeds the "
+        "grouped-sorted MapInPandas (the EMA/MACD lane); the coupled "
+        "level/trend recurrence is the genuinely-sequential case the "
+        "reflection identity cannot rewrite."
+    ),
+    "floored_running_balance": (
+        "The contrast to holt: a clamped recurrence with a closed window "
+        "form — two Window operators over ONE per-user exchange (plan "
+        "shows a single Exchange hashpartitioning(user_id)), no Python "
+        "lane at all."
+    ),
 }
 
 
