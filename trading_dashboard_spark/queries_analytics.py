@@ -1217,3 +1217,174 @@ def floored_running_balance(spark, sf_dir):
             "balance"
         ),
     )
+
+
+@register(
+    "funnel_step_waterfall",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+        list_min(list(ts) FILTER (WHERE event_type = 'signup')) AS t1,
+        list(ts) FILTER (WHERE event_type = 'view') AS views,
+        list(ts) FILTER (WHERE event_type = 'click') AS clicks,
+        list(ts) FILTER (WHERE event_type = 'purchase') AS purchases
+      FROM events GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id, t1,
+        list_min(list_filter(views, x -> x > t1)) AS t2,
+        list_min(list_filter(clicks, x ->
+          x > list_min(list_filter(views, y -> y > t1)))) AS t3,
+        list_min(list_filter(purchases, x ->
+          x > list_min(list_filter(clicks, y ->
+            y > list_min(list_filter(views, z -> z > t1)))))) AS t4
+      FROM per_user
+    ),
+    counts AS (
+      SELECT count(*) AS n_total,
+             count(t1) AS s1, count(t2) AS s2,
+             count(t3) AS s3, count(t4) AS s4
+      FROM steps
+    )
+    SELECT step, CAST(n_users AS BIGINT) AS n_users,
+           round(n_users / CAST(prev AS DOUBLE), 6) AS conv_from_prev,
+           round(n_users / CAST(s1 AS DOUBLE), 6) AS conv_from_start
+    FROM (
+      SELECT 1 AS ord, 'signup' AS step, s1 AS n_users, s1 AS prev, s1 FROM counts
+      UNION ALL SELECT 2, 'view', s2, s1, s1 FROM counts
+      UNION ALL SELECT 3, 'click', s3, s2, s1 FROM counts
+      UNION ALL SELECT 4, 'purchase', s4, s3, s1 FROM counts
+    )
+    """,
+    tags=("agg", "funnel", "sequence", "A1"),
+)
+def funnel_step_waterfall(spark, sf_dir):
+    """Four-step ordered funnel waterfall (signup → view → click →
+    purchase): each step's timestamp is the FIRST occurrence strictly
+    after the previous step's, computed per user from type-filtered
+    sorted timestamp arrays with JVM higher-order filter/min — ONE
+    fact-table shuffle, zero self-joins (the CEP chain that would
+    otherwise be 3 correlated subqueries or 4 window passes). The
+    waterfall (users reached, step-over-step and from-start conversion)
+    then unpivots a single counts row. Per-user state is the user's own
+    event timestamps — bounded by activity, the applyInPandasWithState
+    sessionizer's bound, here in batch."""
+    ev = _t(spark, sf_dir, "events")
+    tlist = lambda t: F.sort_array(
+        F.collect_list(F.when(F.col("event_type") == t, F.col("ts")))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        tlist("signup").alias("signups"),
+        tlist("view").alias("views"),
+        tlist("click").alias("clicks"),
+        tlist("purchase").alias("purchases"),
+    )
+    nxt = lambda arr, after: F.array_min(
+        F.filter(arr, lambda x: x > after)
+    )
+    steps = (
+        per_user.withColumn("t1", F.array_min("signups"))
+        .withColumn("t2", nxt(F.col("views"), F.col("t1")))
+        .withColumn("t3", nxt(F.col("clicks"), F.col("t2")))
+        .withColumn("t4", nxt(F.col("purchases"), F.col("t3")))
+    )
+    counts = steps.agg(
+        F.count("t1").alias("s1"),
+        F.count("t2").alias("s2"),
+        F.count("t3").alias("s3"),
+        F.count("t4").alias("s4"),
+    )
+    rows = []
+    for ord_, step, cur, prev in (
+        (1, "signup", "s1", "s1"),
+        (2, "view", "s2", "s1"),
+        (3, "click", "s3", "s2"),
+        (4, "purchase", "s4", "s3"),
+    ):
+        rows.append(
+            counts.select(
+                F.lit(step).alias("step"),
+                F.col(cur).cast("bigint").alias("n_users"),
+                pround(F.col(cur) / F.col(prev).cast("double"), 6).alias(
+                    "conv_from_prev"
+                ),
+                pround(F.col(cur) / F.col("s1").cast("double"), 6).alias(
+                    "conv_from_start"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT fk, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_orphans AS BIGINT) AS n_orphans
+    FROM (
+      SELECT 'orders.o_custkey->customer' AS fk, count(*) AS n_rows,
+             count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders', count(*),
+             count(*) FILTER (WHERE ok.o_orderkey IS NULL)
+      FROM lineitem l LEFT JOIN orders ok ON ok.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', count(*),
+             count(*) FILTER (WHERE p.p_partkey IS NULL)
+      FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', count(*),
+             count(*) FILTER (WHERE s.s_suppkey IS NULL)
+      FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation', count(*),
+             count(*) FILTER (WHERE n.n_nationkey IS NULL)
+      FROM supplier s LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', count(*),
+             count(*) FILTER (WHERE n.n_nationkey IS NULL)
+      FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      UNION ALL
+      SELECT 'nation.n_regionkey->region', count(*),
+             count(*) FILTER (WHERE r.r_regionkey IS NULL)
+      FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    """,
+    tags=("join", "data-quality", "audit", "J7"),
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the whole star schema: orphan
+    counts for all seven FK relationships in one result — the
+    data-contract check a warehouse runs after every load (the
+    `orders_quality_expectations` rule gate's cross-TABLE sibling).
+    Each FK is a left join against the (distinct) key side counting
+    null-extended probes; dimension key sides broadcast, and AQE plans
+    each branch independently. At 100 TB the fact branches share their
+    scans via the unioned plan's scan reuse."""
+    defs = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for fk, child, ck, parent, pk in defs:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("__ck"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__pk")).distinct()
+        j = c.join(p, c.__ck == p.__pk, "left")
+        row = j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col("__pk").isNull(), 1)).cast("bigint").alias(
+                "n_orphans"
+            ),
+        ).select("fk", "n_rows", "n_orphans")
+        out = row if out is None else out.unionAll(row)
+    return out
