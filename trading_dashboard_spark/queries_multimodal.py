@@ -177,3 +177,60 @@ def media_audio_rms_windows(spark, sf_dir):
         pround("rms", 6).alias("rms"),
         F.col("peak").cast("int").alias("peak"),
     )
+
+
+@register(
+    "media_vit_patch_plan",
+    """
+    WITH imgs AS (
+      SELECT doc_id AS media_id,
+             CAST(n_chars % 640 + 16 AS INT) AS width,
+             CAST(n_chars % 480 + 16 AS INT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    grid AS (
+      SELECT media_id, width, height,
+             CAST(ceil(width / 16.0) AS INT) AS n_x,
+             CAST(ceil(height / 16.0) AS INT) AS n_y
+      FROM imgs
+    )
+    SELECT media_id, width, height, n_x, n_y,
+           CAST(n_x * n_y AS INT) AS n_patches,
+           CAST(n_x * n_y + 1 AS INT) AS n_vit_tokens,
+           CAST(CASE WHEN n_x * n_y > 1024 THEN 1 ELSE 0 END AS INT)
+             AS needs_tiling
+    FROM grid
+    """,
+    tags=("multimodal", "X5", "vit", "plumbing"),
+)
+def media_vit_patch_plan(spark, sf_dir):
+    """ViT preprocessing plan for the image corpus: 16×16 patch-grid
+    dimensions, patch count, transformer token count (+1 CLS), and a
+    tiling flag for images over a 1024-patch context — the budgeting
+    pass a multimodal training pipeline runs BEFORE any pixel decode
+    (batch shaping and packing need token counts; decoding to get them
+    would be a full corpus read). Pure metadata arithmetic over the
+    typed media columns (X5 discipline: payload stays opaque), map-only
+    on the image slice."""
+    from .multimodal.columns import media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    imgs = media.filter(F.col("media_type") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    n_x = F.ceil(F.col("width") / 16.0).cast("int")
+    n_y = F.ceil(F.col("height") / 16.0).cast("int")
+    grid = imgs.select("media_id", "width", "height", n_x.alias("n_x"), n_y.alias("n_y"))
+    np_ = (F.col("n_x") * F.col("n_y")).cast("int")
+    return grid.select(
+        "media_id",
+        "width",
+        "height",
+        "n_x",
+        "n_y",
+        np_.alias("n_patches"),
+        (np_ + 1).cast("int").alias("n_vit_tokens"),
+        F.when(np_ > 1024, 1).otherwise(0).cast("int").alias("needs_tiling"),
+    )
