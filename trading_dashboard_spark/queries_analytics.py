@@ -1388,3 +1388,116 @@ def referential_integrity_audit(spark, sf_dir):
         ).select("fk", "n_rows", "n_orphans")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def _logreg_oracle(iters: int = 3, lr: float = 0.5) -> str:
+    """Chained-CTE gradient-descent oracle for the logistic model. The
+    8dp weight anchor after each step bounds cross-engine drift: libm vs
+    JVM exp() differ by ≤1 ulp per row, gradients average those over the
+    corpus (abs error ~1e-13), and the anchor grid is 1e-8."""
+    ctes = [
+        """f AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             value / 100.0 AS x1,
+             hour(ts) / 24.0 AS x2
+      FROM events
+    )""",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2)))"
+        ctes.append(
+            f"""g{i} AS (
+      SELECT avg(({p}) - f.y) AS ga,
+             avg((({p}) - f.y) * f.x1) AS gb,
+             avg((({p}) - f.y) * f.x2) AS gc
+      FROM f CROSS JOIN w{i - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+      SELECT round(w.a - {lr} * g.ga, 8) AS a,
+             round(w.b - {lr} * g.gb, 8) AS b,
+             round(w.c - {lr} * g.gc, 8) AS c
+      FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    p = "1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2)))"
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT round(w.a, 6) AS w_bias,
+           round(w.b, 6) AS w_value,
+           round(w.c, 6) AS w_hour,
+           round(avg(-f.y * ln({p}) - (1.0 - f.y) * ln(1.0 - ({p}))), 6)
+             AS log_loss,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM f CROSS JOIN w{iters} w
+    GROUP BY w.a, w.b, w.c
+    """
+
+
+@register(
+    "logistic_purchase_model",
+    _logreg_oracle(),
+    tags=("ml", "iterative", "gradient-descent", "A4"),
+)
+def logistic_purchase_model(spark, sf_dir):
+    """Logistic regression by FIXED-STEP full-batch gradient descent
+    (3 iterations, lr=0.5) predicting purchase events from (value,
+    hour-of-day) — the fifth value-checked member of the iterative tier
+    (k-means, PageRank, PCA, Holt). Each iteration is one corpus scan
+    computing the 3-component mean gradient (a single partial
+    aggregate; the weight vector is a broadcast single row — the
+    big-data-small-model split again), then an 8dp weight-rounding
+    anchor: libm-vs-JVM exp() divergence is ≤1 ulp per row and averages
+    to ~1e-13, far under the 1e-8 grid, so both engines replay the
+    identical weight trajectory. Output: weights + training log-loss."""
+    iters, lr = 3, 0.5
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"), F.lit(0.0).alias("c")
+    )
+    for _ in range(iters):
+        p = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2"))))
+        g = (
+            f.crossJoin(F.broadcast(w))
+            .agg(
+                F.avg(p - F.col("y")).alias("ga"),
+                F.avg((p - F.col("y")) * F.col("x1")).alias("gb"),
+                F.avg((p - F.col("y")) * F.col("x2")).alias("gc"),
+            )
+        )
+        w = (
+            w.crossJoin(F.broadcast(g))
+            .select(
+                pround(F.col("a") - lr * F.col("ga"), 8).alias("a"),
+                pround(F.col("b") - lr * F.col("gb"), 8).alias("b"),
+                pround(F.col("c") - lr * F.col("gc"), 8).alias("c"),
+            )
+        )
+    p = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2"))))
+    return (
+        f.crossJoin(F.broadcast(w))
+        .groupBy("a", "b", "c")
+        .agg(
+            pround(
+                F.avg(
+                    -F.col("y") * F.log(p) - (1.0 - F.col("y")) * F.log(1.0 - p)
+                ),
+                6,
+            ).alias("log_loss"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            pround("a", 6).alias("w_bias"),
+            pround("b", 6).alias("w_value"),
+            pround("c", 6).alias("w_hour"),
+            "log_loss",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )
