@@ -1501,3 +1501,137 @@ def logistic_purchase_model(spark, sf_dir):
             F.col("n_rows").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@register(
+    "mad_robust_outliers",
+    f"""
+    WITH {DAILY_SQL},
+    med AS (
+      SELECT user_id, median(close) AS med FROM daily GROUP BY user_id
+    ),
+    mad AS (
+      SELECT d.user_id, max(m.med) AS med,
+             median(abs(d.close - m.med)) AS mad
+      FROM daily d JOIN med m ON m.user_id = d.user_id
+      GROUP BY d.user_id
+    )
+    SELECT d.user_id, strftime(d.d, '%Y-%m-%d') AS trade_date,
+           round(d.close, 4) AS close,
+           round((d.close - a.med) / nullif(1.4826 * a.mad, 0), 4)
+             AS robust_z
+    FROM daily d JOIN mad a ON a.user_id = d.user_id
+    WHERE abs((d.close - a.med) / nullif(1.4826 * a.mad, 0)) > 3.5
+    """,
+    tags=("agg", "stats", "robust", "anomaly", "A1"),
+)
+def mad_robust_outliers(spark, sf_dir):
+    """Robust outlier detection via median/MAD z-scores — the
+    breakdown-resistant complement to `rolling_zscore_anomalies`
+    (mean/σ are themselves dragged by the outliers they hunt; the
+    median absolute deviation is not). Two exact-percentile aggregates
+    per user (median, then MAD of residuals vs the joined median) share
+    the user_id clustering; 1.4826·MAD rescales to σ-equivalent units
+    and |z| > 3.5 flags. Spark's `percentile(0.5)` and DuckDB's
+    `median` share (n−1)·q interpolation, so the gate is exact."""
+    daily = _daily_close(spark, sf_dir)
+    med = daily.groupBy("user_id").agg(F.percentile("close", 0.5).alias("med"))
+    mad = (
+        daily.join(med, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("med").alias("med"),
+            F.percentile(F.abs(F.col("close") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    z = (F.col("close") - F.col("med")) / F.nullif(
+        1.4826 * F.col("mad"), F.lit(0)
+    )
+    return (
+        daily.join(mad, "user_id")
+        .withColumn("robust_z", z)
+        .filter(F.abs(F.col("robust_z")) > 3.5)
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+            pround("close", 4).alias("close"),
+            pround("robust_z", 4).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "keyset_paginated_events",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 2) AS value
+    FROM events
+    WHERE (ts, event_id) > (TIMESTAMP '2024-01-15 12:00:00', 5000)
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+    tags=("sort", "pagination", "O3", "scale-path"),
+)
+def keyset_paginated_events(spark, sf_dir):
+    """KEYSET pagination — the scalable cursor idiom: resume from the
+    last-seen (ts, event_id) tuple with a sargable range predicate +
+    top-100, instead of OFFSET (which forces every page to re-sort and
+    discard all preceding rows — O(page·depth) and unstable under
+    concurrent writes). The tuple comparison decomposes to
+    ts > c OR (ts = c AND id > cursor_id); the sort is
+    TakeOrderedAndProject (never a global sort), and at rest the
+    engine's date-partitioned layout prunes every partition before the
+    cursor date. The API-backend pattern for paging a 100 TB event
+    log."""
+    ev = _t(spark, sf_dir, "events")
+    c_ts = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    cursor = (F.col("ts") > c_ts) | (
+        (F.col("ts") == c_ts) & (F.col("event_id") > 5000)
+    )
+    return (
+        ev.filter(cursor)
+        .orderBy("ts", "event_id")
+        .limit(100)
+        .select(
+            F.col("event_id").cast("bigint").alias("event_id"),
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            pround("value", 2).alias("value"),
+        )
+    )
+
+
+@register(
+    "value_mean_families_by_type",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS arith_mean,
+           round(exp(avg(ln(value))), 6) AS geo_mean,
+           round(count(*) / sum(1.0 / value), 6) AS harm_mean,
+           round(median(value), 6) AS median_value
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+    tags=("agg", "stats", "A1"),
+)
+def value_mean_families_by_type(spark, sf_dir):
+    """The four mean families per event type in one pass — arithmetic,
+    geometric (exp∘avg∘ln — THE mean for multiplicative quantities like
+    returns; log-space summation also never overflows where a naive
+    product would), harmonic (rates), and the exact median. All are
+    single partial-aggregate computations; the positive-value guard is
+    pushed to the scan. Ordering sensitivity of the ln/1/x sums is
+    absorbed by the 6dp grid exactly as for plain sums."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg("value"), 6).alias("arith_mean"),
+        pround(F.exp(F.avg(F.log("value"))), 6).alias("geo_mean"),
+        pround(F.count(F.lit(1)) / F.sum(1.0 / F.col("value")), 6).alias(
+            "harm_mean"
+        ),
+        pround(F.percentile("value", 0.5), 6).alias("median_value"),
+    )
