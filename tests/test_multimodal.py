@@ -308,3 +308,101 @@ def test_encode_wav_roundtrip_and_rms_windows(spark):
         win = s[w * 100 : (w + 1) * 100].astype(np.float64)
         assert abs(r["rms"] - float(np.sqrt(np.mean(win * win)))) < 1e-9
         assert r["peak"] == int(np.max(np.abs(win)))
+
+
+class TestJpegBaselineCodec:
+    """Full baseline JPEG roundtrip — the r4 completion of the codec tier
+    (r3 shipped header-parse only)."""
+
+    def _gradient(self, h, w):
+        import numpy as np
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        return (128 + 60 * np.sin(xx / 17.0) + 50 * np.cos(yy / 11.0)).clip(
+            0, 255
+        ).astype(np.uint8)
+
+    def test_grayscale_roundtrip(self):
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+            jpeg_header,
+        )
+
+        img = self._gradient(120, 200)
+        enc = encode_jpeg(img)
+        hdr = jpeg_header(enc)
+        assert (hdr["width"], hdr["height"], hdr["n_channels"]) == (200, 120, 1)
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(float) - img).mean() < 3.0  # q50 error
+
+    def test_rgb_roundtrip(self):
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        g = self._gradient(64, 72)
+        rgb = np.stack([g, np.roll(g, 7, 1), 255 - g], axis=-1)
+        dec = decode_jpeg(encode_jpeg(rgb))
+        assert dec.shape == rgb.shape
+        assert np.abs(dec.astype(float) - rgb).mean() < 4.0
+
+    def test_non_multiple_of_8_dims(self):
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = self._gradient(13, 21)  # forces edge padding + crop
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (13, 21)
+        assert np.abs(dec.astype(float) - img).mean() < 4.0
+
+    def test_flat_image_is_near_exact(self):
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((32, 32), 137, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert np.abs(dec.astype(float) - 137).max() <= 2
+
+    def test_media_features_reports_real_jpeg_pixel_stats(self):
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            encode_jpeg,
+            media_features,
+        )
+
+        img = self._gradient(48, 64)
+        feats = media_features(encode_jpeg(img))
+        w, h, ch, mean, std, mn, mx, npx = feats
+        assert (w, h, ch, npx) == (64.0, 48.0, 1.0, 64.0 * 48.0)
+        assert abs(mean - img.mean()) < 3.0
+        assert std > 10.0  # real statistics, not the old zero slots
+
+    def test_progressive_raises_not_implemented(self):
+        import pytest
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        enc = bytearray(encode_jpeg(self._gradient(16, 16)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 1] = 0xC2  # rewrite frame marker to progressive
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(enc))

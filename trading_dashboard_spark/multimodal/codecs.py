@@ -1,15 +1,20 @@
-"""Dependency-free media codecs — real PNG and WAV decoding from bytes.
+"""Dependency-free media codecs — real PNG, WAV, and baseline JPEG
+encode/decode from bytes.
 
-The container has no PIL/ffmpeg/torchaudio, but PNG and WAV need none of
-them: PNG is zlib (stdlib) + per-scanline unfiltering, WAV is RIFF chunk
-parsing + PCM struct reads. These are complete decoders — actual pixel
+The container has no PIL/ffmpeg/torchaudio, but these formats need none
+of them: PNG is zlib (stdlib) + per-scanline unfiltering, WAV is RIFF
+chunk parsing + PCM struct reads, and baseline JPEG is implemented in
+full below (Annex-K Huffman entropy coding + 8×8 DCT via numpy matrix
+products, both directions). These are complete codecs — actual pixel
 arrays and sample arrays, not just header sniffs — which makes
-``decode_media_batch(fake=False)`` real for both formats.
+``decode_media_batch(fake=False)`` real for all three formats.
 
 Scope: PNG non-interlaced, 8-bit, grayscale/RGB/RGBA/gray+alpha (color
 types 0/2/4/6 — the overwhelming majority of real PNGs); WAV integer PCM
-8/16/32-bit. Anything else raises a precise NotImplementedError naming
-the unsupported feature, never a wrong answer.
+8/16/32-bit; JPEG sequential baseline, 8-bit, grayscale or 4:4:4 color.
+Anything else (Adam7, progressive JPEG, subsampled chroma, non-PCM WAV)
+raises a precise NotImplementedError naming the unsupported feature,
+never a wrong answer.
 """
 
 from __future__ import annotations
@@ -231,9 +236,11 @@ def media_features(payload: bytes | None, dim: int = 8) -> list[float]:
 
     PNG  → [width, height, channels, mean, std, min, max, n_pixels]
     WAV  → [duration_ms, sample_rate, channels, rms, mean, min, max, n_frames]
-    JPEG → [width, height, channels, bit_depth, progressive, 0, 0, n_pixels]
-           (header-parse only — pixel statistics require entropy decoding,
-           which needs an external library; zeros mark the absent slots)
+    JPEG → [width, height, channels, mean, std, min, max, n_pixels]
+           via the full baseline decoder below (Huffman + IDCT);
+           progressive/subsampled frames fall back to
+           [w, h, ch, bit_depth, progressive, 0, 0, n_pixels] with zeros
+           marking the absent pixel-statistic slots.
     """
     if payload is None:
         return [0.0] * dim
@@ -260,15 +267,27 @@ def media_features(payload: bytes | None, dim: int = 8) -> list[float]:
         ]
     if is_jpeg(payload):
         hdr = jpeg_header(payload)
-        return [
-            float(hdr["width"]), float(hdr["height"]),
-            float(hdr["n_channels"]), float(hdr["bit_depth"]),
-            float(hdr["progressive"]), 0.0, 0.0,
-            float(hdr["width"] * hdr["height"]),
-        ]
+        try:
+            px = decode_jpeg(payload).astype(np.float64)
+            return [
+                float(hdr["width"]), float(hdr["height"]),
+                float(hdr["n_channels"]),
+                float(px.mean()), float(px.std()),
+                float(px.min()), float(px.max()),
+                float(hdr["width"] * hdr["height"]),
+            ]
+        except (NotImplementedError, ValueError):
+            # progressive / subsampled / scanless-or-corrupt stream:
+            # header-only, zeros mark the absent pixel-statistic slots
+            return [
+                float(hdr["width"]), float(hdr["height"]),
+                float(hdr["n_channels"]), float(hdr["bit_depth"]),
+                float(hdr["progressive"]), 0.0, 0.0,
+                float(hdr["width"] * hdr["height"]),
+            ]
     raise NotImplementedError(
         f"unsupported media format (magic {payload[:4]!r}); real decoders "
-        f"exist for PNG and WAV (JPEG: header-level), other codecs need "
+        f"exist for PNG, WAV, and baseline JPEG, other codecs need "
         f"external libraries"
     )
 
@@ -325,3 +344,451 @@ def jpeg_header(payload: bytes) -> dict:
             }
         i += 2 + length
     raise ValueError("no SOF frame header found")
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG codec — full pixel path, dependency-free (numpy only).
+#
+# Closes the one deliberate gap in the round-3 codec tier: JPEG was
+# header-only. This implements the ITU T.81 BASELINE profile end to end:
+# encoder (level shift → 8×8 DCT-II via matrix product → Annex-K quality-50
+# quantization → zigzag → DC prediction → Annex-K Huffman entropy coding
+# with 0xFF byte stuffing) and decoder (DQT/SOF0/DHT/SOS/DRI parse →
+# canonical-Huffman MCU decode with restart-marker handling → dequantize →
+# IDCT → level unshift → YCbCr→RGB). Scope is precise, as everywhere in
+# this module: sequential baseline, 8-bit, grayscale or 4:4:4 color
+# (the encoder's own output); progressive frames and subsampled chroma
+# raise NotImplementedError naming the feature, never a wrong pixel.
+# --------------------------------------------------------------------------
+
+#: zigzag scan order (spec Figure 5)
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K quality-50 quantization tables (luma, chroma)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+#: Annex K Huffman table specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis matrix C: dct = C @ B @ C.T."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    C[0, :] = 1.0
+    C *= np.sqrt(np.where(k == 0, 1.0, 2.0) / 8.0)[:, None]
+    return C
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per the spec: value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[vi]] = (code, length)
+            code += 1
+            vi += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude-code) per the spec's signed magnitude coding."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """Encode uint8 pixels — (H, W) grayscale or (H, W, 3) RGB — as a
+    sequential baseline JFIF JPEG (quality-50 Annex-K quantization,
+    Annex-K Huffman tables, 4:4:4 — no chroma subsampling)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg needs uint8 pixels, got {px.dtype}")
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(f"encode_jpeg needs (H,W) or (H,W,3), got {px.shape}")
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for comp in comps:
+        p = np.pad(comp, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        padded.append(p)
+
+    writer = _BitWriter()
+    dc_prev = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, comp in enumerate(padded):
+                qt = _QT_LUMA if ci == 0 else _QT_CHROMA
+                dc_t = dc_l if ci == 0 else dc_c
+                ac_t = ac_l if ci == 0 else ac_c
+                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ block @ _DCT_C.T
+                q = np.round(coef / qt).astype(np.int64)
+                zz = q.ravel()[_ZZ]
+                # DC
+                diff = int(zz[0]) - dc_prev[ci]
+                dc_prev[ci] = int(zz[0])
+                s, amp = _magnitude(diff)
+                code, ln = dc_t[s]
+                writer.put(code, ln)
+                if s:
+                    writer.put(amp, s)
+                # AC with run-length + EOB/ZRL
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_t[0xF0]
+                        writer.put(code, ln)
+                        run -= 16
+                    s, amp = _magnitude(v)
+                    code, ln = ac_t[run * 16 + s]
+                    writer.put(code, ln)
+                    writer.put(amp, s)
+                    run = 0
+                if run:
+                    code, ln = ac_t[0x00]
+                    writer.put(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(_QT_LUMA.ravel()[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, b"\x01" + bytes(_QT_CHROMA.ravel()[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xC0, sof)
+    for tclass, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if gray and tid == 1:
+            continue
+        out += seg(0xC4, bytes([tclass * 16 + tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing and restart-marker
+    awareness (`marker` holds a pending RSTn/EOI when hit)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("unexpected end of JPEG entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                b = 0  # feed zero bits once a marker is pending
+                self.pos += 0 if nxt else 1
+                self.acc = (self.acc << 8) | 0
+                self.n += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def align_after_marker(self) -> None:
+        """Consume a pending RST marker and realign to the byte stream."""
+        self.acc = 0
+        self.n = 0
+        self.pos += 2  # skip FF Dn
+        self.marker = None
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(min_code, max_code, val_index) arrays for canonical decode."""
+    codes = _huff_codes(bits, vals)
+    by_len: dict[int, dict[int, int]] = {}
+    for val, (code, ln) in codes.items():
+        by_len.setdefault(ln, {})[code] = val
+    return by_len
+
+
+def _read_huff(reader: _BitReader, by_len: dict[int, dict[int, int]]) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | reader.bits(1)
+        tab = by_len.get(ln)
+        if tab is not None and code in tab:
+            return tab[code]
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a sequential baseline JPEG to uint8 pixels — (H, W) for
+    grayscale, (H, W, 3) RGB otherwise. Progressive frames and
+    subsampled chroma raise NotImplementedError naming the feature."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG: bad SOI marker")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    comps: list[dict] = []
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        (length,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + length]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZZ] = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                qts[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(body[j + 17 : j + 17 + cnt])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                j += 17 + cnt
+        elif marker in _JPEG_SOF:
+            if marker == 0xC2:
+                raise NotImplementedError("progressive JPEG decode not supported")
+            if marker != 0xC0 and marker != 0xC1:
+                raise NotImplementedError(f"JPEG SOF{marker - 0xC0} profile not supported")
+            depth, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(f"JPEG bit depth {depth} not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled chroma (sampling factors != 1x1) not supported"
+                    )
+                comps.append({"id": cid, "tq": tq})
+            frame = (fh, fw, nc)
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            sel = {}
+            for ci in range(ns):
+                cid, tabs = body[1 + ci * 2], body[2 + ci * 2]
+                sel[cid] = (tabs >> 4, tabs & 0x0F)
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, nc = frame
+            bh, bw = (fh + 7) // 8, (fw + 7) // 8
+            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+            reader = _BitReader(payload, i + 2 + length)
+            dc_prev = [0] * nc
+            mcu = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        # byte-align and consume the RST marker
+                        while reader.marker is None:
+                            reader.bits(1)
+                        if not (0xD0 <= reader.marker <= 0xD7):
+                            raise ValueError("expected JPEG restart marker")
+                        reader.align_after_marker()
+                        dc_prev = [0] * nc
+                    for ci in range(nc):
+                        cd = comps[ci]
+                        dct, act = sel[cd["id"]]
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _read_huff(reader, dc_tabs[dct])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        dc_prev[ci] += diff
+                        zz[0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_huff(reader, ac_tabs[act])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZZ] = zz
+                        block = coef.reshape(8, 8) * qts[cd["tq"]]
+                        px = _DCT_C.T @ block @ _DCT_C + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                    mcu += 1
+            planes = [p[:fh, :fw] for p in planes]
+            if nc == 1:
+                return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack([r, g, b], axis=-1)
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        i += 2 + length
+    raise ValueError("no JPEG scan (SOS) found")

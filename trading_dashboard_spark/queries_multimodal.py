@@ -234,3 +234,66 @@ def media_vit_patch_plan(spark, sf_dir):
         (np_ + 1).cast("int").alias("n_vit_tokens"),
         F.when(np_ > 1024, 1).otherwise(0).cast("int").alias("needs_tiling"),
     )
+
+
+@register(
+    "media_jpeg_roundtrip",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 24 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    tags=("multimodal", "X5", "jpeg", "codec"),
+)
+def media_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline-JPEG encode→decode roundtrip under the external
+    gate (the audio-RMS pattern applied to the r4 JPEG codec): each
+    image doc gets a deterministic doc_id-seeded gradient of
+    doc_id-derived dimensions, runs through `codecs.encode_jpeg` then
+    `codecs.decode_jpeg` inside one Arrow mapInPandas pass, and emits
+    the DECODED array's dimensions — which the oracle recomputes from
+    doc_id arithmetic. Rows where the roundtrip mean-absolute-error
+    reaches 4.0 (far above the ~1-2 a q50 codec produces) are DROPPED,
+    so a codec regression surfaces as a driver row-count mismatch: the
+    lossy pixel path is externally verified without SQL having to
+    replay a DCT."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .multimodal.codecs import decode_jpeg, encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + int(doc_id) % 24
+                h = 8 + int(doc_id) % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = (
+                    128.0
+                    + 60.0 * np.sin((xx + int(doc_id) % 31) / 7.0)
+                    + 50.0 * np.cos((yy + int(doc_id) % 17) / 5.0)
+                ).clip(0, 255).astype(np.uint8)
+                dec = decode_jpeg(encode_jpeg(img))
+                mae = float(np.abs(dec.astype(float) - img).mean())
+                if mae < 4.0:
+                    rows.append(
+                        (int(doc_id), int(dec.shape[1]), int(dec.shape[0]))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height"]
+            )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return docs.select("doc_id").mapInPandas(run, schema)
