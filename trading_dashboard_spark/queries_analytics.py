@@ -1635,3 +1635,191 @@ def value_mean_families_by_type(spark, sf_dir):
         ),
         pround(F.percentile("value", 0.5), 6).alias("median_value"),
     )
+
+
+def _logreg_w3_ctes(lr: float = 0.5, iters: int = 3) -> str:
+    """The w0..w{iters} gradient-descent CTE chain (shared with
+    `_logreg_oracle`) ending with weight relation w{iters}."""
+    ctes = [
+        """f AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+             value / 100.0 AS x1,
+             hour(ts) / 24.0 AS x2
+      FROM events
+    )""",
+        "w0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c)",
+    ]
+    for i in range(1, iters + 1):
+        p = "1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2)))"
+        ctes.append(
+            f"""g{i} AS (
+      SELECT avg(({p}) - f.y) AS ga,
+             avg((({p}) - f.y) * f.x1) AS gb,
+             avg((({p}) - f.y) * f.x2) AS gc
+      FROM f CROSS JOIN w{i - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+      SELECT round(w.a - {lr} * g.ga, 8) AS a,
+             round(w.b - {lr} * g.gb, 8) AS b,
+             round(w.c - {lr} * g.gc, 8) AS c
+      FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    return ",".join(ctes)
+
+
+@register(
+    "logistic_calibration_deciles",
+    f"""
+    WITH {_logreg_w3_ctes()},
+    scored AS (
+      SELECT f.y,
+             round(1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2))), 8)
+               AS p
+      FROM f CROSS JOIN w3 w
+    )
+    SELECT LEAST(CAST(floor(p * 10.0) AS INT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS mean_predicted,
+           round(avg(y), 6) AS observed_rate
+    FROM scored GROUP BY bucket
+    """,
+    tags=("ml", "iterative", "calibration", "A1"),
+)
+def logistic_calibration_deciles(spark, sf_dir):
+    """Calibration (reliability) table for the gradient-descent logistic
+    model: replay the identical 3-step weight trajectory
+    (`logistic_purchase_model`'s anchors), score every event, bucket
+    predicted probability into deciles, and compare mean prediction to
+    the observed purchase rate per bucket — the ML-eval readout that
+    tells you whether scores are usable AS probabilities. Scores round
+    to 8dp before bucketing so boundary assignment is identical in both
+    engines; bucketing + both rates are one aggregate over the scored
+    scan."""
+    iters, lr = 3, 0.5
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias("y"),
+        (F.col("value") / 100.0).alias("x1"),
+        (F.hour("ts") / 24.0).alias("x2"),
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"), F.lit(0.0).alias("c")
+    )
+    for _ in range(iters):
+        p = 1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2"))))
+        g = f.crossJoin(F.broadcast(w)).agg(
+            F.avg(p - F.col("y")).alias("ga"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("gb"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("gc"),
+        )
+        w = w.crossJoin(F.broadcast(g)).select(
+            pround(F.col("a") - lr * F.col("ga"), 8).alias("a"),
+            pround(F.col("b") - lr * F.col("gb"), 8).alias("b"),
+            pround(F.col("c") - lr * F.col("gc"), 8).alias("c"),
+        )
+    p = pround(
+        1.0 / (1.0 + F.exp(-(F.col("a") + F.col("b") * F.col("x1") + F.col("c") * F.col("x2")))),
+        8,
+    )
+    scored = f.crossJoin(F.broadcast(w)).select("y", p.alias("p"))
+    bucket = F.least(F.floor(F.col("p") * 10.0).cast("int"), F.lit(9))
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg("p"), 6).alias("mean_predicted"),
+        pround(F.avg("y"), 6).alias("observed_rate"),
+    )
+
+
+@register(
+    "twap_daily",
+    """
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value,
+             CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                          ORDER BY ts, event_id)
+                           - ts) AS DOUBLE) / 1e6 AS dt
+      FROM events
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           CAST(count(dt) AS BIGINT) AS n_intervals,
+           round(sum(value * dt) / sum(dt), 6) AS twap
+    FROM seq WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id, d
+    """,
+    tags=("window", "twap", "W3", "temporal"),
+)
+def twap_daily(spark, sf_dir):
+    """Time-weighted average price over IRREGULAR observations — each
+    value weighted by how long it remained current (interval to the
+    next same-day observation via lead), the correct average when
+    sampling is uneven (a plain avg over-weights burst periods; the
+    time-weighted complement to the volume-weighted `vwap_daily`). One
+    window sort shared with nothing; zero-length intervals (same-μs
+    ties) drop identically in both engines; the final aggregate groups
+    on the window's own partition keys — exchange reused."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    w = W.partitionBy("user_id", d.alias("d")).orderBy("ts", "event_id")
+    dt = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ).cast("double") / 1e6
+    seq = ev.select(
+        "user_id", d.alias("d"), "value", dt.alias("dt")
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seq.groupBy(
+        "user_id", F.date_format("d", "yyyy-MM-dd").alias("trade_date")
+    ).agg(
+        F.count("dt").alias("n_intervals"),
+        pround(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias(
+            "twap"
+        ),
+    )
+
+
+@register(
+    "recency_weighted_user_value",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    wgt AS (
+      SELECT user_id, value,
+             exp(-0.05 * (CAST(epoch_us(mx.m - ts) AS DOUBLE) / 86400e6))
+               AS w
+      FROM events CROSS JOIN mx
+      WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value * w), 4) AS recency_weighted_value,
+           round(sum(value), 4) AS raw_value
+    FROM wgt GROUP BY user_id
+    """,
+    tags=("agg", "recency", "scoring", "A1"),
+)
+def recency_weighted_user_value(spark, sf_dir):
+    """Exponential recency-decay scoring: each purchase discounted by
+    exp(−λ·age_days) against the dataset horizon (λ=0.05 ≈ 14-day
+    half-life) — the engagement/LTV signal that a plain sum cannot
+    express and a window cannot either (the weight depends on global
+    NOW, not on neighbors). Single-row horizon broadcast + map-only
+    weighting + one aggregate; age computed in exact microseconds on
+    both engines before the one transcendental."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    age_days = (
+        F.unix_micros(F.col("m")) - F.unix_micros(F.col("ts"))
+    ).cast("double") / 86400e6
+    wgt = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .select("user_id", "value", F.exp(-0.05 * age_days).alias("w"))
+    )
+    return wgt.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        pround(F.sum(F.col("value") * F.col("w")), 4).alias(
+            "recency_weighted_value"
+        ),
+        pround(F.sum("value"), 4).alias("raw_value"),
+    )
