@@ -155,3 +155,64 @@ def test_ts_generation_sniff_rejects_mixed_directory(tmp_path):
     pq.write_table(pa.table({**base, "ts": us}), str(mixed / "b.parquet"))
     with pytest.raises(ValueError, match="mixed parquet timestamp generations"):
         _ts_is_int64(str(mixed))
+
+
+def test_welford_anomalies_fold_across_batches(spark, sf_dir, tmp_path):
+    """The order-sensitive Welford state folds correctly across
+    micro-batches when the source delivers files in event-time order
+    (repartitionByRange on ts → part files are time slices; FileStreamSource
+    processes by modification time, so the test stamps mtimes in slice
+    order). The streamed anomaly set must equal the batch
+    expanding-window z-score oracle."""
+    import glob
+    import os
+
+    from trading_dashboard_spark.streaming.stateful import streaming_anomalies
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    (
+        ev.withColumn("ts", F.unix_micros("ts") * 1000)
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "ev_sorted"))
+    )
+    # event-time order == path order after range partitioning; make the
+    # source's modification-time order agree
+    base = 1_700_000_000
+    for k, f in enumerate(sorted(glob.glob(str(tmp_path / "ev_sorted" / "part-*")))):
+        os.utime(f, (base + 10 * k, base + 10 * k))
+    stream = stream_events(spark, str(tmp_path / "ev_sorted")).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    got = (
+        run_stream_to_table(
+            streaming_anomalies(stream), "t_welford", output_mode="append"
+        )
+        .select("event_id")
+        .toPandas()["event_id"]
+        .tolist()
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    want = (
+        ev.select(
+            "user_id", "event_id", "value",
+            F.avg("value").over(w).alias("mu"),
+            F.stddev_samp("value").over(w).alias("sd"),
+            F.count(F.lit(1)).over(w).alias("n_prior"),
+        )
+        .filter(
+            (F.col("n_prior") >= 10)
+            & (F.col("sd") > 0)
+            & (F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3)
+        )
+        .select("event_id")
+        .toPandas()["event_id"]
+        .tolist()
+    )
+    assert sorted(got) == sorted(want)

@@ -421,3 +421,54 @@ def streaming_abandoned_clicks(spark, sf_dir):
             pround("click_value", 2).alias("click_value"),
         )
     )
+
+
+@register(
+    "streaming_welford_anomalies",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_prior
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(value, 2) AS value,
+           round((value - mu) / sd, 3) AS z
+    FROM seq
+    WHERE n_prior >= 10 AND sd > 0 AND abs((value - mu) / sd) > 3
+    """,
+    tags=("streaming", "stateful", "anomaly"),
+)
+def streaming_welford_anomalies(spark, sf_dir):
+    """Second custom stateful operator (streaming/stateful.
+    streaming_anomalies): every event z-scored against the EXPANDING
+    history of its key — Welford (n, mean, M2) state folded across
+    micro-batches, |z| > 3 with ≥10 points of history emitted. The
+    oracle is the batch expanding-window z-score (cumulative frame to 1
+    PRECEDING): the hash match checks the cross-batch state fold AND
+    the event-time fold order (in-chunk sort) at once. Welford and the
+    window aggregate accumulate in different float orders; the 3dp
+    z-rounding absorbs the ulp divergence, the same discipline as every
+    distributed sum in the registry."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.stateful import streaming_anomalies
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = stream_events(spark, path).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = run_stream_to_table(
+        streaming_anomalies(stream), "welford_anomalies", output_mode="append"
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        pround("value", 2).alias("value"),
+        pround("z", 3).alias("z"),
+    )

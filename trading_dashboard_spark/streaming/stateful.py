@@ -108,3 +108,85 @@ def latest_state(updates: DataFrame, key: str = "user_id", monotone: str = "n_ev
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+ANOMALY_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+    ]
+)
+
+#: Welford running-statistics state: (n, mean, M2)
+ANOMALY_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+    ]
+)
+
+
+def _update_anomalies(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    min_history: int = 10,
+    threshold: float = 3.0,
+) -> Iterator[pd.DataFrame]:
+    """Score each event against the Welford running mean/stddev of all
+    PRIOR events of its key, emit |z| > threshold rows, fold the event
+    into state. In-chunk rows sort by (ts, event_id) so the fold order is
+    the event-time order regardless of Arrow chunk layout — the
+    order-sensitivity rule from the module docstring, satisfied by
+    sorting rather than by assuming source order."""
+    import math
+
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    out_rows = []
+    # a key's batch rows can span several Arrow chunks: buffer the whole
+    # batch for this key, then ONE event-time sort over all of it (state
+    # is per key per batch — bounded by the key's batch volume)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        ts_us = pd.to_datetime(pdf["ts"]).values.astype("datetime64[us]").astype("int64")
+        for eid, t_us, x in zip(pdf["event_id"], ts_us, pdf["value"]):
+            x = float(x)
+            if n >= min_history:
+                sd = math.sqrt(m2 / (n - 1)) if n > 1 else 0.0
+                if sd > 0:
+                    z = (x - mean) / sd
+                    if abs(z) > threshold:
+                        out_rows.append(
+                            (int(key[0]), int(eid), int(t_us), x, z)
+                        )
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+    state.update((n, mean, m2))
+    yield pd.DataFrame(
+        out_rows, columns=["user_id", "event_id", "ts_us", "value", "z"]
+    )
+
+
+def streaming_anomalies(stream: DataFrame, ) -> DataFrame:
+    """Per-key streaming anomaly detector: each event z-scored against
+    the expanding history of its OWN key, maintained as Welford (n,
+    mean, M2) state across micro-batches — constant state per key, one
+    state-partition shuffle per batch. The batch-SQL equivalent is the
+    expanding-window z-score (cumulative frame ending at 1 PRECEDING),
+    which is exactly what the oracle runs."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update_anomalies,
+        outputStructType=ANOMALY_OUTPUT,
+        stateStructType=ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
