@@ -153,3 +153,71 @@ def test_asof_join_matches_pandas_random_battery(spark):
                 want = None if pd.isna(row["v"]) else row["v"]
                 assert got[(row["k"], row["t"])] == want, (
                     direction, tol, row["k"], row["t"])
+
+
+def test_floored_balance_reflection_identity_property():
+    """Property (hypothesis): the reflection identity
+    b_t = S_t − min(0, min_{k≤t} S_k) equals the clamped recurrence
+    b_t = max(0, b_{t−1} + δ_t) for arbitrary real delta sequences —
+    the algebra `floored_running_balance` relies on to stay a pure
+    window program instead of a sequential lane."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(deltas):
+        b = 0.0
+        s = 0.0
+        run_min = 0.0
+        for d in deltas:
+            b = max(0.0, b + d)
+            s += d
+            run_min = min(run_min, s)
+            via_window = s - min(0.0, run_min)
+            assert abs(b - via_window) < 1e-6 * max(1.0, abs(b))
+
+    check()
+
+
+def test_welford_equals_two_pass_property():
+    """Property (hypothesis): the Welford fold used by the streaming
+    anomaly state produces the same mean and sample variance as the
+    two-pass definition, for arbitrary sequences — the state's
+    correctness independent of Spark plumbing."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e4, max_value=1e4,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=2,
+            max_size=80,
+        )
+    )
+    def check(xs):
+        n, mean, m2 = 0, 0.0, 0.0
+        for x in xs:
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+        assert abs(mean - mu) < 1e-7 * max(1.0, abs(mu))
+        assert abs(m2 / (n - 1) - var) <= 1e-6 * max(1.0, var)
+
+    check()
