@@ -246,23 +246,87 @@ def ivf_ann_probe_top5(spark, sf_dir):
     return ivf_search(emb, _IVF_CENTS, _IVF_PROBE, k=5, nprobe=3)
 
 
-@register("lsh_ann_top3", None, tags=("similarity", "X3", "approx"))
+def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
+                n_tables: int = 2, seed: int = 42) -> str:
+    """Generated DuckDB oracle for the random-hyperplane LSH pipeline.
+
+    The hyperplanes are PLAN LITERALS (the IVF discipline): components
+    round to 6dp at generation, the projection rounds to 9dp before its
+    sign test in BOTH engines, so bucket assignment is exact decimal
+    arithmetic and the whole approximate pipeline — bucketing, candidate
+    expansion, cosine scoring, ranking — is hash-checkable end to end.
+    """
+    from .similarity.lsh import lsh_plane_literals
+
+    rows = ",\n      ".join(
+        f"({t}, {b}, {vals}::DOUBLE[])"
+        for t, b, vals in lsh_plane_literals(dim, n_planes, seed, n_tables)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(tbl, plane, pvec) AS (VALUES
+      {rows}
+    ),
+    proj AS (
+      SELECT v.vec_id, p.tbl, p.plane,
+             CASE WHEN round(list_dot_product(v.v, p.pvec), 9) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM v CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+             sum(bit * (CAST(1 AS BIGINT) << plane)) AS bucket
+      FROM proj GROUP BY vec_id, tbl
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id, b.vec_id AS neighbor_id
+      FROM buckets a
+      JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                    AND a.vec_id <> b.vec_id
+    ),
+    scored AS (
+      SELECT c.id, c.neighbor_id,
+             round(list_dot_product(x.v, y.v)
+                   / nullif(sqrt(list_dot_product(x.v, x.v))
+                            * sqrt(list_dot_product(y.v, y.v)), 0), 6)
+               AS cosine
+      FROM cands c
+      JOIN v x ON x.vec_id = c.id
+      JOIN v y ON y.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
+@register("lsh_ann_top3", _lsh_oracle(), tags=("similarity", "X3", "approx"))
 def lsh_ann_top3(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH approximate top-3 neighbors
-    (similarity/lsh.lsh_knn; 6 planes x 2 tables, seed 42). Rows-only
-    check: the bucketing uses driver-generated hyperplanes (deterministic
-    but not SQL-replicable); recall vs `knn_per_vector_top3` is asserted
-    in tests/.
+    (similarity/lsh.lsh_knn; 6 planes x 2 tables, seed 42) — VALUE-
+    ORACLE-CHECKED as of r4: plane components are 6dp literals shared
+    with the generated SQL, projections round to 9dp before the sign
+    test in both lanes, so DuckDB replays bucket membership, the
+    bucket-aggregation candidate expansion, exact cosine scoring, and
+    the (cosine DESC, neighbor) ranking bit-for-bit. ANN pipelines are
+    almost never externally checkable — this closes the last rows-only
+    entry in the similarity tier. Recall vs `knn_per_vector_top3` is
+    additionally asserted in tests/.
 
     Single-shot execution, so ``persist`` stays off: the eager
     materialize-then-release cache scoping in lsh_knn pays a full extra
     materialization that only amortizes when the result is reused —
-    benched ~2× slower for this one-pass registry call (BENCH_r02).
+    benched ~2x slower for this one-pass registry call (BENCH_r02).
 
     Parameter choice is recall-driven, measured at sf0.1 (2000 uniform
     64-dim vectors — the LSH-adversarial case): (6 planes, 2 tables)
-    gives recall@3 0.117 at ~4 s wall; (8, 3) runs 2× faster at 0.069;
-    (9, 3) 2.5× faster at 0.045. Halving an ANN query's recall to save
+    gives recall@3 0.117 at ~4 s wall; (8, 3) runs 2x faster at 0.069;
+    (9, 3) 2.5x faster at 0.045. Halving an ANN query's recall to save
     wall-clock inverts its purpose, so the slowest-but-most-accurate
     setting stays; clustered real-world embeddings shift the whole
     frontier up without changing the ordering."""

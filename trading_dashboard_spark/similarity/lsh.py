@@ -29,8 +29,25 @@ from .knn import _as_double, dot, knn_all_pairs
 
 
 def _planes(dim: int, n_planes: int, seed: int, table: int = 0) -> np.ndarray:
+    """Seeded Gaussian hyperplanes, components ROUNDED to 6dp — the
+    rounding makes the planes exact decimal literals, so an oracle can
+    embed the identical constants (the IVF `plan literals` discipline)
+    and replay bucket assignment bit-for-bit."""
     rng = np.random.RandomState(seed + 7919 * table)
-    return rng.normal(size=(n_planes, dim))
+    return np.round(rng.normal(size=(n_planes, dim)), 6)
+
+
+def lsh_plane_literals(
+    dim: int, n_planes: int, seed: int, n_tables: int
+) -> list[tuple[int, int, list[float]]]:
+    """(table, plane_idx, components) rows for oracle-SQL generation —
+    the exact constants `lsh_knn` projects with."""
+    out = []
+    for t in range(n_tables):
+        p = _planes(dim, n_planes, seed, t)
+        for b in range(n_planes):
+            out.append((t, b, [float(x) for x in p[b]]))
+    return out
 
 
 def random_hyperplane_buckets(
@@ -124,12 +141,16 @@ def lsh_knn(
     @pandas_udf("array<long>")
     def _all_buckets(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        bits = (m @ planes_t >= 0).astype(np.int64)
+        # bucket bits from the RAW vector (sign(<v,p>) == sign(<u,p>)),
+        # projection rounded to 9dp before the sign test: with 6dp plane
+        # literals this makes bucket assignment an exact decimal
+        # computation any SQL engine replays bit-for-bit
+        bits = (np.round(m @ planes_t, 9) >= 0).astype(np.int64)
         vals = bits.reshape(len(m), n_tables, n_planes) @ weights  # B × tables
         return pd.Series(list(vals))
 
-    banded = withn.select(
-        "id", F.posexplode(_all_buckets(F.col("u"))).alias("tbl", "bucket")
+    banded = base.select(
+        "id", F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket")
     )
     buckets = (
         banded.groupBy("tbl", "bucket")
