@@ -1823,3 +1823,98 @@ def recency_weighted_user_value(spark, sf_dir):
         ),
         pround(F.sum("value"), 4).alias("raw_value"),
     )
+
+
+@register(
+    "surplus_click_days_except_all",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE event_type = 'purchase'
+    ),
+    surplus AS (
+      SELECT user_id, d FROM clicks
+      EXCEPT ALL
+      SELECT user_id, d FROM purchases
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS surplus_clicks,
+           CAST(count(DISTINCT d) AS BIGINT) AS n_days
+    FROM surplus GROUP BY user_id
+    """,
+    tags=("set-op", "except-all", "multiset"),
+)
+def surplus_click_days_except_all(spark, sf_dir):
+    """EXCEPT ALL — MULTISET difference (the §2.7 set-op family's bag
+    semantics completion): per (user, day), click occurrences surviving
+    after cancelling one-for-one against purchase occurrences — "clicks
+    beyond your purchase count", which plain EXCEPT (set semantics)
+    cannot express (it would erase days with ANY purchase). Spark's
+    `exceptAll` and DuckDB's EXCEPT ALL share the count-difference
+    semantics; both plan it as a counted aggregate + generate, one
+    shuffle per side."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    surplus = clicks.exceptAll(purchases)
+    return surplus.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("surplus_clicks"),
+        F.countDistinct("d").alias("n_days"),
+    )
+
+
+@register(
+    "null_ordering_price_ranks",
+    """
+    WITH sample AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS px
+      FROM orders WHERE o_orderkey <= 500
+    )
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(px, 2) AS px,
+           CAST(row_number() OVER (ORDER BY px ASC NULLS FIRST, o_orderkey)
+                AS INT) AS rn_nulls_first,
+           CAST(row_number() OVER (ORDER BY px DESC NULLS LAST, o_orderkey)
+                AS INT) AS rn_desc_nulls_last
+    FROM sample
+    """,
+    tags=("sort", "null-ordering", "O1"),
+)
+def null_ordering_price_ranks(spark, sf_dir):
+    """Explicit NULLS FIRST / NULLS LAST ordering — the cross-engine trap
+    made safe: Spark's DEFAULT is nulls-first-on-ASC while DuckDB's is
+    nulls-LAST, so any ORDER BY over a nullable key silently ranks
+    differently unless the placement is pinned. Every ranked query in
+    this registry either orders non-nullable keys or pins placement;
+    this query is the discipline made visible — both polarities ranked
+    over an injected-null price sample, hash-checked. Bounded input
+    (≤500 keys) keeps the global windows trivially small."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    sample = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("px"),
+    )
+    return sample.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        pround("px", 2).alias("px"),
+        F.row_number()
+        .over(W.orderBy(F.col("px").asc_nulls_first(), "o_orderkey"))
+        .cast("int")
+        .alias("rn_nulls_first"),
+        F.row_number()
+        .over(W.orderBy(F.col("px").desc_nulls_last(), "o_orderkey"))
+        .cast("int")
+        .alias("rn_desc_nulls_last"),
+    )
