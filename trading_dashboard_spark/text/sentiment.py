@@ -26,7 +26,7 @@ valenced token:
 
 Omitted VADER rules (documented divergence): special idioms/bigrams
 ("kind of", "the bomb", ...) and the "never so/this" extended-negation
-patterns. The lexicon is the curated ~3,900-entry set in
+patterns. The lexicon is the curated ~4,100-entry set in
 ``vader_lexicon.py`` (base + inflected/general expansion) — the full
 ~7.5k NLTK file cannot be vendored from this offline container without
 fabricating empirical valences, but a real local copy is picked up

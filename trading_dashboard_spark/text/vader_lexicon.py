@@ -7,7 +7,7 @@ boosters, punctuation emphasis), normalized to [-1, 1] by
 ``s / sqrt(s*s + 15)`` (Hutto & Gilbert, ICWSM 2014; MIT-licensed).
 
 This container cannot install nltk/vaderSentiment or reach the network,
-so the engine vendors a curated ~3,900-entry set with valences on the
+so the engine vendors a curated ~4,100-entry set with valences on the
 same [-4, 4] scale — the base financial/news vocabulary plus two
 inflected-form/general-sentiment expansion tiers — NOT a verbatim copy of
 the published 7.5k file (typing 7,500 empirical decimals from memory
@@ -3979,13 +3979,189 @@ yup	1.1
 zesty	1.5
 """
 
+#: Fifth expansion tier (r4): sensory/taste, relationships, work and
+#: macroeconomy vocabulary, disaster/conflict news terms, British
+#: spelling variants of included stems, and the slang spellings the
+#: published lexicon is known for (luv/gr8/sux family). Same curated
+#: basis as earlier tiers.
+LEXICON_DATA_EXTENSION4 = """\
+abrasive	-1.5
+aced	2.2
+affluence	1.6
+amateur	-0.6
+appetizing	1.9
+aromatic	1.3
+bland	-1.0
+blizzard	-1.3
+breakup	-1.9
+bullied	-2.3
+cautious	0.4
+colour	0.0
+crisp	1.2
+cuddle	2.0
+cuddly	1.9
+darling	2.4
+deadline	-0.7
+deflation	-1.1
+delectable	2.4
+democracy	1.5
+democratic	1.2
+demotion	-1.8
+derogatory	-1.9
+destabilize	-1.6
+destabilized	-1.6
+dictator	-2.1
+dictatorship	-2.3
+diploma	1.5
+distasteful	-1.7
+divorced	-1.7
+earthquake	-2.0
+emancipation	1.9
+enslave	-2.6
+enslaved	-2.6
+estranged	-1.6
+evicted	-2.1
+eviction	-2.1
+expert	1.6
+extravagant	-0.4
+extremism	-2.2
+extremist	-2.1
+fascism	-2.6
+fascist	-2.5
+favourite	2.0
+fearlessness	1.8
+firing	-1.9
+flavorful	1.9
+flirt	1.1
+flunk	-1.9
+flunked	-2.0
+fml	-2.3
+foreclosures	-2.1
+fragrant	1.5
+ftw	2.0
+genocide	-3.3
+gr8	2.1
+graduate	1.7
+graduated	1.8
+graduation	1.9
+heatwave	-1.3
+helplessness	-2.1
+hired	1.6
+hiring	1.2
+honour	2.2
+honourable	2.2
+hopefulness	1.8
+hopelessness	-2.5
+humour	1.7
+humourous	1.7
+imho	0.3
+immune	1.0
+immunity	1.2
+imprudent	-1.5
+inedible	-2.1
+inoffensive	0.8
+insufferable	-2.1
+intimacy	1.6
+intimate	1.2
+intolerable	-2.1
+juicy	1.3
+labour	-0.4
+laudable	2.0
+liberation	2.0
+luv	2.4
+manageable	1.0
+marvellous	2.9
+mastered	1.9
+meritless	-1.6
+meritorious	1.9
+mouthwatering	2.2
+neglectful	-1.9
+neighbour	0.9
+noob	-1.2
+novice	-0.3
+objectionable	-1.7
+obnoxious	-2.1
+oppression	-2.4
+oppressive	-2.3
+opulent	1.4
+overworked	-1.7
+pls	0.3
+plz	0.3
+praiseworthy	2.2
+professional	1.4
+promotion	1.9
+quarantine	-1.4
+radicalized	-1.8
+rebuilt	1.4
+recklessness	-1.8
+reek	-1.8
+refresh	1.5
+refreshed	1.7
+refugee	-1.2
+refugees	-1.3
+renew	1.4
+renewal	1.5
+renewed	1.5
+repugnant	-2.4
+restoration	1.4
+revival	1.5
+rigour	0.8
+romance	2.2
+savory	1.6
+scholarship	1.9
+scrumptious	2.5
+slavery	-2.9
+smelly	-1.6
+solvent	1.1
+soulmate	2.5
+sour	-1.1
+splendour	2.5
+stability	1.4
+stagflation	-1.9
+stalker	-2.4
+stalking	-2.2
+stench	-2.0
+stimulus	0.9
+stink	-1.8
+stinky	-1.8
+sux	-1.9
+sweeter	1.7
+sweetest	2.1
+sweetheart	2.6
+tasteless	-1.5
+tasty	1.9
+terrorist	-3.0
+terrorists	-2.9
+thx	1.4
+tolerable	0.6
+tsunami	-2.2
+tyrant	-2.4
+unappetizing	-1.7
+unemployed	-1.9
+unfaithful	-2.2
+unmanageable	-1.5
+unproductive	-1.5
+unprofessional	-1.9
+vaccinated	0.9
+vaccine	0.9
+vigour	1.5
+warcrime	-3.0
+wasteful	-1.7
+widowed	-1.5
+xoxo	2.5
+yummy	2.4
+zzz	-0.7
+"""
+
+
 #: token -> valence on [-4, 4] (builtin curated set: base + extension).
 _BUILTIN_LEXICON: dict[str, float] = {
     tok: float(val)
     for tok, val in (
         line.split("\t")
         for line in (LEXICON_DATA + LEXICON_DATA_EXTENSION
-                     + LEXICON_DATA_EXTENSION2 + LEXICON_DATA_EXTENSION3).splitlines()
+                     + LEXICON_DATA_EXTENSION2 + LEXICON_DATA_EXTENSION3
+                     + LEXICON_DATA_EXTENSION4).splitlines()
         if line
     )
 }
