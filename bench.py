@@ -209,6 +209,9 @@ SWEEP_QUERIES = [
     "exact_dedup_docs", "minhash_near_dup_pairs", "doc_sentiment",
     "doc_quality_features", "macd_indicator", "event_sessionization",
     "tfidf_top_terms", "chunk_boilerplate_ratio", "hourly_ohlc_candles",
+    # round-4 additions (events/documents/embeddings-only, oracle-anchored)
+    "bm25_keyword_search", "pca_top_component_power_iteration",
+    "markov_event_transitions", "max_concurrent_events_per_day",
 ]
 
 

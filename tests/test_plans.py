@@ -307,15 +307,14 @@ def test_nation_value_share_is_broadcast_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_bm25_filters_tokens_before_any_exchange(spark, sf_dir):
-    """BM25 prunes to the query vocabulary map-side: the IN-set filter
-    sits between the token Generate (explode) and the first Exchange,
-    so only matching tokens ever shuffle."""
+def test_bm25_has_no_token_explode(spark, sf_dir):
+    """BM25 over a fixed query vocabulary never materializes token rows:
+    per-term tf is a map-only array fold (zero Generate operators), the
+    only aggregates are the single-row corpus stats, and the result is
+    a TakeOrderedAndProject."""
     plan = _plan(spark, sf_dir, "bm25_keyword_search")
-    assert "Generate explode" in plan
-    # the vocabulary IN-filter is a narrow op applied directly to the
-    # exploded tokens (no exchange between Generate and Filter)
-    assert re.search(r"Filter \(w#\d+ IN \(join,filter,vector\)", plan), plan
+    assert "Generate" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_sweep_line_windows_are_day_partitioned(spark, sf_dir):
