@@ -1918,3 +1918,34 @@ def null_ordering_price_ranks(spark, sf_dir):
         .cast("int")
         .alias("rn_desc_nulls_last"),
     )
+
+
+@register(
+    "decimal_exact_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                         AS DECIMAL(28, 2))) AS VARCHAR) AS exact_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "decimal", "A1", "exactness"),
+)
+def decimal_exact_revenue(spark, sf_dir):
+    """EXACT decimal aggregation — the financial-ledger lane: totals as
+    DECIMAL(18,2) summed in integer arithmetic, so the result is exact
+    to the cent with NO rounding grid anywhere (every double-typed sum
+    in this registry needs the portable-round discipline; fixed-point
+    doesn't). The output is the decimal's canonical string, pinning the
+    representation across engines. At 100 TB the decimal aggregate is
+    the same partial-combine shuffle as a double sum — Tungsten stores
+    small-precision decimals as longs — at exactness a float lane can
+    never guarantee."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .cast("string")
+        .alias("exact_revenue"),
+    )
