@@ -78,7 +78,10 @@ def bloom_bitset(
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     pos = F.explode(F.array(*bloom_positions(key, k, m_bits))).alias("pos")
     words = (
-        df.select(pos)
+        # NULL keys can never satisfy the downstream equi-join, and
+        # md5(NULL) would inject NULL positions into the bitset build
+        df.where(key.isNotNull())
+        .select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
             _bit_mask(F.pmod(F.col("pos"), F.lit(64))).alias("mask"),
@@ -125,5 +128,5 @@ def bloom_semi_join(
     join's exchange."""
     bits = bloom_bitset(build, F.col(build_key), m_bits=m_bits, k=k)
     pre = probe.filter(bloom_probe_col(F.col(probe_key), bits, k=k))
-    cond = pre[probe_key] == build[build_key]
-    return pre.join(build.select(build_key).distinct(), cond, "left_semi")
+    keys = build.select(build_key).distinct()
+    return pre.join(keys, pre[probe_key] == keys[build_key], "left_semi")
