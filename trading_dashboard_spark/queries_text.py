@@ -1263,3 +1263,58 @@ def bigram_collocations_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@register(
+    "phrase_search_hash_join",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len(list_filter(range(1, len(toks)),
+                             i -> toks[i] = 'hash' AND toks[i+1] = 'join'))
+               AS n_occurrences,
+             len(toks) AS dl
+      FROM toks_t
+    )
+    SELECT doc_id, CAST(n_occurrences AS INT) AS n_occurrences,
+           CAST(dl AS INT) AS dl
+    FROM hits WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id
+    """,
+    tags=("text", "X4", "retrieval", "phrase-search"),
+)
+def phrase_search_hash_join(spark, sf_dir):
+    """Exact PHRASE search — the positional complement to BM25's
+    bag-of-words scoring: documents containing the adjacent-token
+    phrase "hash join", with occurrence counts. Position adjacency is
+    an indexed array fold over the token array (the bigram-transform
+    machinery), entirely map-side: no positional inverted index needs
+    materializing when the phrase is known at plan time — the corpus is
+    scanned once with a codegen'd projection and only matching docs
+    survive to the (tiny) ordered output. (The ad-hoc-phrase case at
+    100 TB builds the positional index once — `doc_chunks`' layout —
+    and joins positions; this is the planned-query fast path.)"""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0)))
+    n_occ = F.size(
+        F.filter(
+            idx,
+            lambda i: (F.element_at("toks", i) == "hash")
+            & (F.element_at("toks", i + 1) == "join"),
+        )
+    )
+    return (
+        toks.select(
+            "doc_id",
+            n_occ.cast("int").alias("n_occurrences"),
+            F.size("toks").cast("int").alias("dl"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .orderBy(F.col("n_occurrences").desc(), "doc_id")
+    )
