@@ -19,8 +19,8 @@ def test_registry_shape():
     assert len(qs) >= 45
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented non-SQL-expressible ones
+    # (lsh_ann_top3 left this set in r4: plane-literal oracle)
     assert set(qs) - set(oracles) == {
-        "lsh_ann_top3",
         "ml_next_day_prediction",
         "corpus_sketch_profile",
     }

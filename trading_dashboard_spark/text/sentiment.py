@@ -129,6 +129,13 @@ def vader_score(text: str | None) -> float:
         if but_idx is not None and i != but_idx:
             val *= BUT_BEFORE if i < but_idx else BUT_AFTER
         s += val
+    # anchor the token sum at 8dp (portable floor-rounding) BEFORE the
+    # emphasis branch: a sentence whose valences cancel exactly sums to
+    # ±1ulp depending on accumulation order, and branching emphasis on
+    # that raw sign made the two lanes pick opposite branches (found by
+    # the randomized cross-engine battery) — the same anchor discipline
+    # as every iterative-tier fixed point
+    s = math.floor(s * 1e8 + 0.5) / 1e8
     n_excl = min(raw.count("!"), EP_CAP)
     n_qm = raw.count("?")
     qm_amp = 0.0 if n_qm <= 1 else (n_qm * QM_AMPLIFY if n_qm <= 3 else QM_MAX)
@@ -255,7 +262,11 @@ def vader_oracle_sql(table: str = "documents", id_col: str = "doc_id",
         FROM flat JOIN lex l ON flat.tok = l.tok
       ) f
     ),
-    agg AS (SELECT doc_id, sum(val) AS s FROM scored GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id,
+             floor(sum(val) * 100000000 + 0.5) / 100000000 AS s
+      FROM scored GROUP BY doc_id
+    ),
     emph AS (
       SELECT d.doc_id,
              CASE WHEN coalesce(a.s, 0.0) > 0
