@@ -201,3 +201,46 @@ def test_rest_quotes_python_datasource(spark):
     with pytest.raises(Exception, match="endpoint"):
         (spark.read.format("rest_quotes")
          .option("symbols", "A").option("transport", "http").load().collect())
+
+
+def test_webhook_alert_sink_commit_protocol(spark, tmp_path):
+    """Writer-side Python DataSource: per-partition JSON-lines batches
+    ride back through WriterCommitMessage and the DRIVER materializes
+    them atomically at commit() — exactly-once for the capture
+    transport (task retries never reach the file), with a commit marker
+    carrying the total row count."""
+    import json
+
+    from trading_dashboard_spark.sources.datasource import (
+        AlertWebhookDataSource,
+    )
+
+    spark.dataSource.register(AlertWebhookDataSource)
+    df = spark.range(0, 250).selectExpr("id", "id * 2 AS v")
+    path = str(tmp_path / "alerts.jsonl")
+    (
+        df.repartition(3)
+        .write.format("webhook_alerts")
+        .option("transport", "capture")
+        .option("path", path)
+        .option("batch_size", "40")
+        .mode("append")
+        .save()
+    )
+    lines = open(path).read().strip().splitlines()
+    rows = [json.loads(l) for l in lines if "__commit__" not in l]
+    commits = [json.loads(l) for l in lines if "__commit__" in l]
+    assert sorted(r["id"] for r in rows) == list(range(250))
+    assert all(r["v"] == 2 * r["id"] for r in rows)
+    assert commits == [{"__commit__": 250}]
+
+
+def test_webhook_alert_sink_validates_options(spark):
+    import pytest as _pytest
+
+    from trading_dashboard_spark.sources.datasource import AlertSinkWriter
+
+    with _pytest.raises(ValueError, match="path"):
+        AlertSinkWriter({"transport": "capture"})
+    with _pytest.raises(ValueError, match="endpoint"):
+        AlertSinkWriter({"transport": "http"})

@@ -121,3 +121,111 @@ class QuoteRestDataSource(DataSource):
 
     def reader(self, schema) -> QuoteRestReader:
         return QuoteRestReader(self.options)
+
+
+# --------------------------------------------------------------------------
+# Writer side — the Spark 4 Python DataSource COMMIT PROTOCOL, demonstrated
+# on the engine's outbound shape (pushing alert/result rows to an external
+# service — the reference's "export results" leg, S7/S11-adjacent).
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _SinkBatchResult(WriterCommitMessage):
+    """Per-task commit message: what this partition sent (or, for the
+    ``capture`` transport, the payloads themselves — carried to the
+    driver through the commit protocol so the test transport is
+    EXACTLY-once: nothing externally visible happens until commit())."""
+
+    n_rows: int
+    n_batches: int
+    payloads: list  # list[str]; empty for fire-and-forget transports
+
+
+class AlertSinkWriter(DataSourceWriter):
+    """Batched outbound sink. Executors serialize rows into JSON-lines
+    payloads of ``batch_size``; the transport option decides delivery:
+
+    - ``capture``: payloads ride back in the commit message and the
+      DRIVER writes them to ``path`` at commit() — atomic all-or-nothing
+      (task retries cannot double-send because only committed task
+      outputs reach commit()). The test/offline transport.
+    - ``http``: each batch POSTs to ``endpoint`` from the executor at
+      write() time — at-least-once under task retries, the usual webhook
+      contract (document idempotency keys on the receiving side).
+      Import-free until used; never exercised in tests.
+
+    The split mirrors the engine's exactly-once versioned-parquet sink
+    (io/versioned.py): external visibility happens at the commit point
+    or not at all.
+    """
+
+    def __init__(self, options: dict):
+        self.transport = (options.get("transport") or "capture").lower()
+        self.path = options.get("path")
+        self.endpoint = options.get("endpoint")
+        self.batch_size = int(options.get("batch_size") or 100)
+        if self.transport == "capture" and not self.path:
+            raise ValueError("capture transport needs a 'path' option")
+        if self.transport == "http" and not self.endpoint:
+            raise ValueError("http transport needs an 'endpoint' option")
+
+    def write(self, iterator) -> _SinkBatchResult:
+        import json
+
+        payloads, batch, n = [], [], 0
+        for row in iterator:
+            batch.append(json.dumps(row.asDict(), default=str, sort_keys=True))
+            n += 1
+            if len(batch) >= self.batch_size:
+                payloads.append("\n".join(batch))
+                batch = []
+        if batch:
+            payloads.append("\n".join(batch))
+        if self.transport == "http":
+            from urllib.request import Request, urlopen
+
+            for p in payloads:
+                req = Request(
+                    self.endpoint,
+                    data=p.encode(),
+                    headers={"Content-Type": "application/x-ndjson"},
+                )
+                urlopen(req, timeout=30).read()
+            return _SinkBatchResult(n_rows=n, n_batches=len(payloads), payloads=[])
+        return _SinkBatchResult(n_rows=n, n_batches=len(payloads), payloads=payloads)
+
+    def commit(self, messages) -> None:
+        if self.transport != "capture":
+            return
+        import os
+        import tempfile
+
+        total = sum(m.n_rows for m in messages if m)
+        lines = []
+        for m in messages:
+            if m:
+                lines.extend(m.payloads)
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".alert_sink_")
+        with os.fdopen(fd, "w") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+            fh.write(f'{{"__commit__": {total}}}\n')
+        os.replace(tmp, self.path)  # atomic single-file commit
+
+    def abort(self, messages) -> None:  # nothing external to clean up
+        return
+
+
+class AlertWebhookDataSource(DataSource):
+    """`df.write.format("webhook_alerts")` — outbound DataSource."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webhook_alerts"
+
+    def writer(self, schema, overwrite: bool) -> AlertSinkWriter:
+        return AlertSinkWriter(self.options)
