@@ -1318,3 +1318,98 @@ def phrase_search_hash_join(spark, sf_dir):
         .filter(F.col("n_occurrences") > 0)
         .orderBy(F.col("n_occurrences").desc(), "doc_id")
     )
+
+
+@register(
+    "verbatim_overlap_pairs",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id, w_fp FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 6),
+                 i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                    toks[i+3], toks[i+4], toks[i+5],
+                                    toks[i+6], toks[i+7])))) AS w_fp
+        FROM toks_t WHERE len(toks) >= 8
+      )
+    ),
+    grp AS (
+      SELECT w_fp, list_sort(list(doc_id)) AS ids
+      FROM wins GROUP BY w_fp
+      HAVING count(*) BETWEEN 2 AND 10
+    ),
+    pairs AS (
+      SELECT a AS id_a, b AS id_b, count(*) AS n_shared_windows
+      FROM (
+        SELECT unnest(ids) AS a, ids FROM grp
+      ) g, LATERAL (SELECT unnest(list_filter(ids, x -> x > a)) AS b) t
+      GROUP BY a, b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(n_shared_windows AS BIGINT) AS n_shared_windows
+    FROM pairs WHERE n_shared_windows >= 3
+    ORDER BY n_shared_windows DESC, id_a, id_b LIMIT 50
+    """,
+    tags=("text", "X2", "dedup", "verbatim", "sliding-window"),
+)
+def verbatim_overlap_pairs(spark, sf_dir):
+    """ANY-ALIGNMENT verbatim overlap detection — the sliding-window
+    form of substring dedup (the suffix-array "exact substring"
+    operator of LLM data curation, expressed shuffle-bounded): every
+    8-token window fingerprints to 16 bytes, windows shared by 2-10
+    docs expand to doc pairs, pairs with ≥3 shared windows rank.
+    Contrast `chunk_boilerplate_ratio` (disjoint chunks — cheap, but
+    misses overlaps that straddle chunk edges): sliding windows catch
+    every alignment at ~chunk_size× the fingerprint volume, the
+    documented cost of the stronger guarantee. Discipline as always:
+    the shuffle carries 16-byte fingerprints, never text; the pair
+    expansion is bounded per fingerprint (the 2-10 band — windows
+    shared by MORE docs are boilerplate, `chunk_boilerplate_ratio`'s
+    business, and would blow the pair space quadratically)."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .repartition(n_shuffle, "doc_id")
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 7)
+    win = F.md5(
+        F.concat_ws(
+            " ",
+            *[F.element_at("toks", F.col("i") + k) for k in range(8)],
+        )
+    )
+    wins = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", win.alias("w_fp"))
+        .distinct()
+    )
+    grp = (
+        wins.groupBy("w_fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 10))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.id_a").cast("bigint").alias("id_a"),
+            F.col("p.id_b").cast("bigint").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= 3)
+        .orderBy(F.col("n_shared_windows").desc(), "id_a", "id_b")
+        .limit(50)
+    )
