@@ -1949,3 +1949,162 @@ def decimal_exact_revenue(spark, sf_dir):
         .cast("string")
         .alias("exact_revenue"),
     )
+
+
+@register(
+    "cusum_mean_shift_alerts",
+    f"""
+    WITH {DAILY_SQL},
+    stats AS (
+      SELECT user_id, avg(close) AS mu, stddev_samp(close) AS sd
+      FROM daily GROUP BY user_id
+    ),
+    d AS (
+      SELECT daily.user_id, daily.d, close, mu, sd,
+             close - mu - 0.5 * sd AS dup,
+             -(close - mu) - 0.5 * sd AS ddn
+      FROM daily JOIN stats ON stats.user_id = daily.user_id
+      WHERE sd > 0
+    ),
+    pre AS (
+      SELECT user_id, d, close, sd,
+             sum(dup) OVER w AS sup, sum(ddn) OVER w AS sdn
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ),
+    ref AS (
+      SELECT user_id, d, close, sd,
+             sup - least(0.0, min(sup) OVER w) AS cusum_up,
+             sdn - least(0.0, min(sdn) OVER w) AS cusum_dn
+      FROM pre
+      WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
+           round(close, 4) AS close,
+           round(cusum_up / sd, 4) AS cusum_up_sigma,
+           round(cusum_dn / sd, 4) AS cusum_dn_sigma
+    FROM ref
+    WHERE cusum_up > 4 * sd OR cusum_dn > 4 * sd
+    """,
+    tags=("window", "cusum", "changepoint", "W10", "reflection"),
+)
+def cusum_mean_shift_alerts(spark, sf_dir):
+    """CUSUM change-point detection — persistent MEAN SHIFTS, which
+    outlier detectors (z-score, MAD) miss by construction: the
+    one-sided cumulative sums S_t = max(0, S_{t-1} + (x_t − μ − k))
+    with slack k = 0.5σ, alerting past 4σ. The clamped recurrence
+    rewrites to pure windows by the SAME reflection identity as
+    `floored_running_balance` (S_t = prefix − min(0, running-min)) —
+    both directions, both windows, and the per-user μ/σ aggregate all
+    share or broadcast against the one per-user exchange. The control-
+    chart operator a monitoring pipeline runs over every metric."""
+    daily = _daily_close(spark, sf_dir)
+    stats = daily.groupBy("user_id").agg(
+        F.avg("close").alias("mu"), F.stddev_samp("close").alias("sd")
+    )
+    d = (
+        daily.join(stats, "user_id")
+        .filter(F.col("sd") > 0)
+        .select(
+            "user_id",
+            "d",
+            "close",
+            "sd",
+            (F.col("close") - F.col("mu") - 0.5 * F.col("sd")).alias("dup"),
+            (-(F.col("close") - F.col("mu")) - 0.5 * F.col("sd")).alias("ddn"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("d")
+    pre = d.select(
+        "user_id", "d", "close", "sd",
+        F.sum("dup").over(w).alias("sup"),
+        F.sum("ddn").over(w).alias("sdn"),
+    )
+    ref = pre.select(
+        "user_id", "d", "close", "sd",
+        (F.col("sup") - F.least(F.lit(0.0), F.min("sup").over(w))).alias("cusum_up"),
+        (F.col("sdn") - F.least(F.lit(0.0), F.min("sdn").over(w))).alias("cusum_dn"),
+    )
+    return ref.filter(
+        (F.col("cusum_up") > 4 * F.col("sd"))
+        | (F.col("cusum_dn") > 4 * F.col("sd"))
+    ).select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
+        pround("close", 4).alias("close"),
+        pround(F.col("cusum_up") / F.col("sd"), 4).alias("cusum_up_sigma"),
+        pround(F.col("cusum_dn") / F.col("sd"), 4).alias("cusum_dn_sigma"),
+    )
+
+
+@register(
+    "coactivity_triangle_count",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ),
+    copresent AS (
+      SELECT a.user_id AS u, b.user_id AS v, count(*) AS n_shared
+      FROM baskets a
+      JOIN baskets b ON a.d = b.d AND a.event_type = b.event_type
+                    AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT u, v FROM copresent WHERE n_shared >= 25),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    tags=("graph", "join", "triangles", "J3"),
+)
+def coactivity_triangle_count(spark, sf_dir):
+    """Triangle counting — the graph-tier completion (components,
+    PageRank, now clustering structure): users are tied when they share
+    ≥25 (day, type) activity baskets, and triangles are enumerated by
+    the textbook two-join on the ORIENTED edge list (u < v everywhere,
+    so each triangle materializes exactly once, no division by 6).
+    Edge building is the basket self-join with per-basket-bounded
+    fanout (the event_pair_lift discipline); the triangle joins run on
+    the thresholded edge relation — orders of magnitude smaller than
+    the fact table, the standard densest-first reality of co-presence
+    graphs. Output: edge + triangle counts (the graph's clustering
+    summary)."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    copresent = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    edges = copresent.filter(F.col("n_shared") >= 25).select("u", "v")
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+    )
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    return ne.crossJoin(F.broadcast(nt))
