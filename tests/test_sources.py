@@ -244,3 +244,21 @@ def test_webhook_alert_sink_validates_options(spark):
         AlertSinkWriter({"transport": "capture"})
     with _pytest.raises(ValueError, match="endpoint"):
         AlertSinkWriter({"transport": "http"})
+
+
+def test_export_dataset_orc_roundtrip(spark, tmp_path):
+    """ORC export (the third columnar interchange format Spark ships
+    natively) roundtrips schema + values."""
+    import os
+
+    from trading_dashboard_spark.io.export import export_dataset
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id * 1.5 AS DOUBLE) AS v", "CAST(id % 3 AS STRING) AS g"
+    )
+    path = str(tmp_path / "out_orc")
+    export_dataset(df, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert back.count() == 100
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert back.agg({"v": "sum"}).collect()[0][0] == df.agg({"v": "sum"}).collect()[0][0]
