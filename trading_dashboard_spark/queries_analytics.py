@@ -2108,3 +2108,299 @@ def coactivity_triangle_count(spark, sf_dir):
     ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     nt = tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     return ne.crossJoin(F.broadcast(nt))
+
+
+@register(
+    "ab_test_welch_t",
+    """
+    WITH armed AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT arm, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+      FROM armed GROUP BY arm
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.mu AS mu_a, a.v AS v_a,
+             b.n AS n_b, b.mu AS mu_b, b.v AS v_b
+      FROM s a JOIN s b ON a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(mu_a, 4) AS mean_a, round(mu_b, 4) AS mean_b,
+           round(mu_a - mu_b, 4) AS diff,
+           round((mu_a - mu_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1)
+                    + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS welch_df
+    FROM w
+    """,
+    tags=("stats", "ab-test", "A4"),
+)
+def ab_test_welch_t(spark, sf_dir):
+    """Welch's two-sample t-test — the experimentation-analytics
+    primitive: purchase values split into deterministic arms (user
+    parity stands in for the assignment hash), compared by the
+    unequal-variance t statistic with the Welch–Satterthwaite degrees
+    of freedom. One fact aggregate to two rows, then scalar algebra —
+    the entire test costs one scan at any data size, which is why
+    experiment platforms run thousands of these per day. (The
+    deterministic md5-bucket assignment the engine's splits use —
+    `train_test_split_stats` — is the production arm-assignment.)"""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    armed = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "value",
+    )
+    s = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mu").alias("mu_a"), F.col("v").alias("v_a")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mu").alias("mu_b"), F.col("v").alias("v_b")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        pround("mu_a", 4).alias("mean_a"),
+        pround("mu_b", 4).alias("mean_b"),
+        pround(F.col("mu_a") - F.col("mu_b"), 4).alias("diff"),
+        pround((F.col("mu_a") - F.col("mu_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        pround(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "ab_test_conversion_z",
+    """
+    WITH arms AS (
+      SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT arm, count(*) AS n, sum(converted) AS x FROM arms GROUP BY arm
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b,
+             (a.x + b.x) / CAST(a.n + b.n AS DOUBLE) AS p_pool
+      FROM s a JOIN s b ON a.arm = 'A' AND b.arm = 'B'
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(x_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           round(x_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           round((x_a / CAST(n_a AS DOUBLE) - x_b / CAST(n_b AS DOUBLE))
+                 / nullif(sqrt(p_pool * (1 - p_pool)
+                               * (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_stat
+    FROM w
+    """,
+    tags=("stats", "ab-test", "proportion", "A1"),
+)
+def ab_test_conversion_z(spark, sf_dir):
+    """Two-proportion z-test on USER-level conversion (did the user
+    purchase at all?) — the binary-outcome companion to the Welch test,
+    with the pooled-variance standard error. The unit of analysis is
+    the user, not the event (rate ratios computed on events are the
+    classic pseudo-replication bug), so the first aggregate collapses
+    events to per-user conversion flags on the user clustering, then
+    two rows of scalar algebra."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    s = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    a = s.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a")
+    )
+    b = s.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b")
+    )
+    w = a.crossJoin(F.broadcast(b)).withColumn(
+        "p_pool",
+        (F.col("x_a") + F.col("x_b"))
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
+    ra = F.col("x_a") / F.col("n_a").cast("double")
+    rb = F.col("x_b") / F.col("n_b").cast("double")
+    se = F.sqrt(
+        F.col("p_pool")
+        * (1 - F.col("p_pool"))
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return w.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        pround(ra, 6).alias("rate_a"),
+        pround(rb, 6).alias("rate_b"),
+        pround((ra - rb) / F.nullif(se, F.lit(0)), 4).alias("z_stat"),
+    )
+
+
+@register(
+    "winsorized_value_means",
+    """
+    WITH fences AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(e.value), 6) AS raw_mean,
+           round(avg(least(greatest(e.value, f.lo), f.hi)), 6)
+             AS winsorized_mean,
+           CAST(count(*) FILTER (WHERE e.value < f.lo OR e.value > f.hi)
+                AS BIGINT) AS n_clipped
+    FROM events e JOIN fences f ON f.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("stats", "robust", "winsorize", "A1"),
+)
+def winsorized_value_means(spark, sf_dir):
+    """Winsorized means — tail-robust averaging by CLIPPING at the
+    group's own p05/p95 (versus trimming, which drops; versus MAD,
+    which flags): the estimator of record wherever a handful of extreme
+    values would otherwise own the mean. Two passes sharing the
+    event_type clustering: exact interpolated fences per group (tiny
+    relation, AQE-broadcast back), then a map-side clip + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("lo"),
+        F.percentile("value", 0.95).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.avg("value"), 6).alias("raw_mean"),
+            pround(F.avg(clipped), 6).alias("winsorized_mean"),
+            F.count(
+                F.when(
+                    (F.col("value") < F.col("lo"))
+                    | (F.col("value") > F.col("hi")),
+                    1,
+                )
+            ).cast("bigint").alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "market_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT s.s_nationkey, sum(l.l_extendedprice) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev)
+    SELECT CAST(count(*) AS INT) AS n_nations,
+           round(sum(pow(r / t * 100, 2)), 2) AS hhi,
+           round(max(r / t), 6) AS top_share,
+           round(sum(pow(r / t, 2)), 6) AS simpson_index
+    FROM rev CROSS JOIN tot
+    """,
+    tags=("stats", "concentration", "hhi", "A4"),
+)
+def market_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman market concentration of supplier revenue by
+    nation — the antitrust/portfolio-concentration screen (HHI > 2500 =
+    highly concentrated), with the top share and the Simpson index (the
+    probability two random revenue dollars share a nation —
+    `event_key_skew_profile`'s Gini cousin, squared-share form). The
+    revenue relation aggregates the fact table to ≤25 rows; everything
+    after is scalar."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum("l_extendedprice").alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    share = F.col("r") / F.col("t")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_nations"),
+            pround(F.sum(F.pow(share * 100, 2)), 2).alias("hhi"),
+            pround(F.max(share), 6).alias("top_share"),
+            pround(F.sum(F.pow(share, 2)), 6).alias("simpson_index"),
+        )
+    )
+
+
+@register(
+    "price_elasticity_by_brand",
+    """
+    WITH obs AS (
+      SELECT p.p_brand,
+             ln(l.l_extendedprice / l.l_quantity) AS ln_price,
+             ln(l.l_quantity) AS ln_qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(covar_pop(ln_price, ln_qty) / nullif(var_pop(ln_price), 0), 4)
+             AS elasticity,
+           round(corr(ln_price, ln_qty), 4) AS r
+    FROM obs GROUP BY p_brand
+    """,
+    tags=("stats", "ols", "econometrics", "A1"),
+)
+def price_elasticity_by_brand(spark, sf_dir):
+    """Log-log price elasticity of demand per brand — the econometric
+    OLS: d ln(qty) / d ln(unit price) in closed covariance form (the
+    `price_trend_slope_per_user` estimator on log-transformed
+    variables, where the slope IS the elasticity). One broadcast dim
+    join + one mergeable-aggregate pass; the positivity guards are
+    pushed to the scan. (Synthetic TPC-H-ish quantities are
+    price-independent, so estimates hover near zero — the operator, not
+    the economics, is under test.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    obs = (
+        li.filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .select(
+            "p_brand",
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "ln_price"
+            ),
+            F.log("l_quantity").alias("ln_qty"),
+        )
+    )
+    return obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        pround(
+            F.covar_pop("ln_price", "ln_qty")
+            / F.nullif(F.var_pop("ln_price"), F.lit(0)),
+            4,
+        ).alias("elasticity"),
+        pround(F.corr("ln_price", "ln_qty"), 4).alias("r"),
+    )
