@@ -2404,3 +2404,305 @@ def price_elasticity_by_brand(spark, sf_dir):
         ).alias("elasticity"),
         pround(F.corr("ln_price", "ln_qty"), 4).alias("r"),
     )
+
+
+@register(
+    "kaplan_meier_signup_to_purchase",
+    """
+    WITH horizon AS (SELECT max(ts) AS h FROM events),
+    t0 AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    te AS (
+      SELECT t0.user_id,
+             min(e.ts) AS purchase_ts
+      FROM t0 JOIN events e ON e.user_id = t0.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t0.signup_ts
+      GROUP BY t0.user_id
+    ),
+    subj AS (
+      SELECT t0.user_id,
+             CASE WHEN te.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor(CAST(epoch_us(
+               coalesce(te.purchase_ts, h.h) - t0.signup_ts
+             ) AS DOUBLE) / 3600e6) AS BIGINT) AS dur_h
+      FROM t0 LEFT JOIN te ON te.user_id = t0.user_id
+      CROSS JOIN horizon h
+    ),
+    grp AS (
+      SELECT dur_h, count(*) AS m, sum(ev) AS d
+      FROM subj GROUP BY dur_h
+    ),
+    risk AS (
+      SELECT dur_h, m, d,
+             (SELECT count(*) FROM subj) AS n_total,
+             coalesce(sum(m) OVER (ORDER BY dur_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_m
+      FROM grp
+    ),
+    km AS (
+      SELECT dur_h, d, n_total - before_m AS n_risk,
+             CASE WHEN max(CASE WHEN d = n_total - before_m THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur_h) = 1
+                  THEN 0.0
+                  ELSE exp(sum(ln(CASE WHEN d = n_total - before_m THEN 1.0
+                                       ELSE 1.0 - d / CAST(n_total - before_m AS DOUBLE)
+                                  END)) OVER (ORDER BY dur_h))
+             END AS s
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur_h AS BIGINT) AS duration_hours,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           round(s, 6) AS survival
+    FROM km
+    """,
+    tags=("stats", "survival", "kaplan-meier", "window"),
+)
+def kaplan_meier_signup_to_purchase(spark, sf_dir):
+    """Kaplan-Meier product-limit survival — time from first signup to
+    first subsequent purchase with RIGHT-CENSORING at the data horizon
+    (users who never purchased contribute at-risk time, which a naive
+    'average time to purchase over converters' silently discards — the
+    survivorship bias this estimator exists to kill). Per-user
+    durations reduce to an hours-grouped (m, d) relation; the at-risk
+    count and the product limit (as exp of a running ln-sum — the
+    overflow-safe product idiom) are windows over that tiny relation.
+    Everything global happens on per-duration aggregates — bounded."""
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("h"))
+    t0 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    te = (
+        t0.join(ev.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    subj = (
+        t0.join(te, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                (
+                    F.unix_micros(F.coalesce("purchase_ts", "h"))
+                    - F.unix_micros("signup_ts")
+                ).cast("double")
+                / 3600e6
+            ).cast("bigint").alias("dur_h"),
+        )
+    )
+    grp = subj.groupBy("dur_h").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("ev").alias("d")
+    )
+    n_total = subj.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = W.orderBy("dur_h").rowsBetween(W.unboundedPreceding, -1)
+    w_run = W.orderBy("dur_h")
+    risk = (
+        grp.crossJoin(F.broadcast(n_total))
+        .withColumn("before_m", F.coalesce(F.sum("m").over(w_prev), F.lit(0)))
+        .withColumn("n_risk", F.col("n_total") - F.col("before_m"))
+        .filter(F.col("d") > 0)
+    )
+    # ln(0) guard: when an at-risk set fully converts, survival hits
+    # exactly 0 and stays there — flagged via a running max instead of
+    # ever evaluating ln(0) (DuckDB raises on it eagerly)
+    exhausted = F.max(
+        F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+    ).over(w_run)
+    safe_term = F.when(F.col("d") == F.col("n_risk"), 1.0).otherwise(
+        1.0 - F.col("d") / F.col("n_risk").cast("double")
+    )
+    km = risk.withColumn(
+        "s",
+        F.when(exhausted == 1, 0.0).otherwise(
+            F.exp(F.sum(F.log(safe_term)).over(w_run))
+        ),
+    )
+    return km.select(
+        F.col("dur_h").cast("bigint").alias("duration_hours"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("n_risk").cast("bigint").alias("n_at_risk"),
+        pround("s", 6).alias("survival"),
+    )
+
+
+@register(
+    "interarrival_burstiness_per_user",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))
+                  AS DOUBLE) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 4) AS mean_gap_s,
+           round(stddev_samp(gap_s), 4) AS sd_gap_s,
+           round((stddev_samp(gap_s) - avg(gap_s))
+                 / nullif(stddev_samp(gap_s) + avg(gap_s), 0), 6)
+             AS burstiness
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("stats", "temporal", "burstiness", "W1"),
+)
+def interarrival_burstiness_per_user(spark, sf_dir):
+    """Inter-arrival burstiness B = (σ−μ)/(σ+μ) of each user's event
+    gaps — the temporal-pattern classifier (B→−1 periodic, 0 Poisson,
+    →+1 bursty) behind rate limiting, bot detection, and session-gap
+    tuning (it is the principled way to pick `sessionize`'s gap
+    parameter). One lag window and one aggregate on the same user
+    clustering."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    b = (F.stddev_samp("gap_s") - F.avg("gap_s")) / F.nullif(
+        F.stddev_samp("gap_s") + F.avg("gap_s"), F.lit(0)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        pround(F.avg("gap_s"), 4).alias("mean_gap_s"),
+        pround(F.stddev_samp("gap_s"), 4).alias("sd_gap_s"),
+        pround(b, 6).alias("burstiness"),
+    )
+
+
+@register(
+    "pareto_revenue_coverage",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r,
+             row_number() OVER (ORDER BY r DESC, o_custkey) AS rk,
+             sum(r) OVER (ORDER BY r DESC, o_custkey) AS cum_r,
+             sum(r) OVER () AS tot,
+             count(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT CAST(min(rk) AS BIGINT) AS n_top_customers,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(min(rk) / CAST(max(n) AS DOUBLE), 6) AS customer_share,
+           round(min(cum_r / tot) FILTER (WHERE cum_r / tot >= 0.8), 6)
+             AS revenue_share_reached
+    FROM ranked WHERE cum_r / tot >= 0.8
+    """,
+    tags=("stats", "pareto", "concentration", "window"),
+)
+def pareto_revenue_coverage(spark, sf_dir):
+    """Pareto 80/20 coverage: the smallest top-revenue customer set
+    whose cumulative share reaches 80% — the account-prioritization
+    readout (and the practical face of `market_concentration_hhi`).
+    Descending cumulative share over the per-customer AGGREGATE
+    (bounded-global-window discipline, custkey tiebreak), then the
+    first crossing row."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    w = W.orderBy(F.col("r").desc(), "o_custkey")
+    ranked = per_cust.select(
+        "r",
+        F.row_number().over(w).alias("rk"),
+        F.sum("r").over(w).alias("cum_r"),
+        F.sum("r").over(W.partitionBy()).alias("tot"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    crossed = ranked.filter(F.col("cum_r") / F.col("tot") >= 0.8)
+    return crossed.agg(
+        F.min("rk").cast("bigint").alias("n_top_customers"),
+        F.max("n").cast("bigint").alias("n_customers"),
+        pround(F.min("rk") / F.max("n").cast("double"), 6).alias(
+            "customer_share"
+        ),
+        pround(
+            F.min(
+                F.when(
+                    F.col("cum_r") / F.col("tot") >= 0.8,
+                    F.col("cum_r") / F.col("tot"),
+                )
+            ),
+            6,
+        ).alias("revenue_share_reached"),
+    )
+
+
+@register(
+    "coactivity_degree_distribution",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      FROM events
+    ),
+    copresent AS (
+      SELECT a.user_id AS u, b.user_id AS v
+      FROM baskets a
+      JOIN baskets b ON a.d = b.d AND a.event_type = b.event_type
+                    AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+      HAVING count(*) >= 25
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM copresent
+        UNION ALL SELECT v FROM copresent
+      ) GROUP BY node
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "degree", "A1"),
+)
+def coactivity_degree_distribution(spark, sf_dir):
+    """Degree distribution of the co-activity graph (same edge law as
+    `coactivity_triangle_count`) — the first diagnostic of any graph
+    workload: a heavy-tailed degree histogram predicts skewed join keys
+    (hub nodes) and tells you whether PageRank/components need the
+    salting path. Undirected degrees from the oriented edge list via
+    the two-sided union; the histogram groups the per-node aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    baskets = ev.select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    copresent = (
+        a.join(
+            b,
+            (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 25)
+        .select("u", "v")
+    )
+    deg = (
+        copresent.select(F.col("u").alias("node"))
+        .unionAll(copresent.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
