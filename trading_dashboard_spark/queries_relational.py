@@ -1014,3 +1014,48 @@ def nation_top_customers_listagg(spark, sf_dir):
         pround(F.sum("c_acctbal"), 2).alias("top3_balance"),
     )
     return agg
+
+
+@register(
+    "fulfillment_lag_quantiles",
+    """
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(lag_days, 0.5), 2) AS p50_days,
+           round(quantile_cont(lag_days, 0.9), 2) AS p90_days,
+           round(quantile_cont(lag_days, 0.99), 2) AS p99_days,
+           CAST(max(lag_days) AS BIGINT) AS max_days
+    FROM lags GROUP BY o_orderpriority
+    """,
+    tags=("join", "temporal", "sla", "A1"),
+)
+def fulfillment_lag_quantiles(spark, sf_dir):
+    """Order-to-ship fulfillment lag percentiles per priority class —
+    the SLA report (the latency-quantile pattern of
+    `conversion_latency_quantiles` applied across TABLES: the lag spans
+    the order↔lineitem join). Orders is the smaller side and broadcasts
+    under AQE; exact interpolated quantiles per bounded group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lags = li.join(
+        F.broadcast(o.select("o_orderkey", "o_orderpriority", "o_orderdate")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    return lags.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        pround(F.percentile("lag_days", 0.5), 2).alias("p50_days"),
+        pround(F.percentile("lag_days", 0.9), 2).alias("p90_days"),
+        pround(F.percentile("lag_days", 0.99), 2).alias("p99_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+    )

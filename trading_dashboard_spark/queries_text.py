@@ -1413,3 +1413,42 @@ def verbatim_overlap_pairs(spark, sf_dir):
         .orderBy(F.col("n_shared_windows").desc(), "id_a", "id_b")
         .limit(50)
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    """
+    WITH clusters AS (
+      SELECT count(*) AS sz
+      FROM documents
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    )
+    SELECT CAST(sz AS INT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           CAST((sz - 1) * count(*) AS BIGINT) AS n_removable
+    FROM clusters GROUP BY sz
+    """,
+    tags=("text", "X1", "dedup", "histogram"),
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the curation planning
+    readout BEHIND `exact_dedup_docs`: how many exact-duplicate
+    clusters of each size exist, how many documents they hold, and how
+    many rows dedup would remove (the storage/compute saving estimate
+    you quote before running the pipeline). Two aggregation levels,
+    both on 16-byte fingerprints; the second groups ~tens of distinct
+    sizes."""
+    from .text.analysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = docs.groupBy(
+        fingerprint(F.col("text")).alias("fp")
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    return clusters.groupBy(F.col("sz").cast("int").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

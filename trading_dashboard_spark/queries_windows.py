@@ -1744,3 +1744,88 @@ def holt_trend_smoothing(spark, sf_dir):
         pround("close_trend", 6).alias("trend"),
         pround("close_forecast", 6).alias("forecast"),
     )
+
+
+@register(
+    "holt_forecast_accuracy",
+    f"""
+    WITH RECURSIVE {DAILY_SQL},
+    seq AS (
+      SELECT user_id, d, close,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS rn
+      FROM daily
+    ),
+    holt AS (
+      SELECT user_id, rn, d, close,
+             CAST(close AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.d, s.close,
+             round(0.3 * s.close + 0.7 * (h.l + h.b), 8) AS l,
+             round(0.1 * (round(0.3 * s.close + 0.7 * (h.l + h.b), 8) - h.l)
+                   + 0.9 * h.b, 8) AS b
+      FROM holt h
+      JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    ),
+    evald AS (
+      SELECT user_id, rn, close,
+             lag(l + b) OVER w AS fc,
+             lag(close) OVER w AS naive_fc
+      FROM holt
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+    )
+    SELECT user_id,
+           CAST(count(fc) AS BIGINT) AS n_forecasts,
+           round(avg(abs(close - fc)), 4) AS mae,
+           round(avg(2.0 * abs(close - fc)
+                     / nullif(abs(close) + abs(fc), 0)), 6) AS smape,
+           round(avg(abs(close - fc))
+                 / nullif(avg(abs(close - naive_fc)), 0), 4) AS mase
+    FROM evald WHERE fc IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("window", "W7", "forecast-eval", "recursive", "ml"),
+)
+def holt_forecast_accuracy(spark, sf_dir):
+    """Forecast-accuracy scorecard for the Holt model — each user's
+    one-step-ahead forecasts (yesterday's level+trend) scored against
+    realized closes with MAE, sMAPE, and MASE (error scaled by the
+    naive carry-forward forecast — MASE < 1 means the model beats
+    persistence, the honest baseline most dashboards skip). The engine
+    lane reruns `operators/indicators.holt_linear` (same 8dp anchors)
+    and evaluates with a lag window on the SAME per-user exchange; the
+    oracle extends the recursive CTE with the identical evaluation
+    layer. Model + backtest, both externally value-checked."""
+    from .operators.indicators import holt_linear
+
+    daily = _daily_close(spark, sf_dir)
+    out = holt_linear(daily, "close", ["user_id"], ["d"])
+    w = W.partitionBy("user_id").orderBy("d")
+    evald = out.select(
+        "user_id",
+        "close",
+        F.lag("close_forecast").over(w).alias("fc"),
+        F.lag("close").over(w).alias("naive_fc"),
+    ).filter(F.col("fc").isNotNull())
+    return evald.groupBy("user_id").agg(
+        F.count("fc").alias("n_forecasts"),
+        pround(F.avg(F.abs(F.col("close") - F.col("fc"))), 4).alias("mae"),
+        pround(
+            F.avg(
+                2.0
+                * F.abs(F.col("close") - F.col("fc"))
+                / F.nullif(
+                    F.abs(F.col("close")) + F.abs(F.col("fc")), F.lit(0)
+                )
+            ),
+            6,
+        ).alias("smape"),
+        pround(
+            F.avg(F.abs(F.col("close") - F.col("fc")))
+            / F.nullif(
+                F.avg(F.abs(F.col("close") - F.col("naive_fc"))), F.lit(0)
+            ),
+            4,
+        ).alias("mase"),
+    )
