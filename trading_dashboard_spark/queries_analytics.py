@@ -2706,3 +2706,150 @@ def coactivity_degree_distribution(spark, sf_dir):
     return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@register(
+    "value_psi_drift",
+    """
+    WITH med AS (SELECT median(epoch_us(ts)) AS mid FROM events),
+    b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    binned AS (
+      SELECT CASE WHEN epoch_us(ts) <= mid THEN 'ref' ELSE 'cur' END AS period,
+             LEAST(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+               AS bin
+      FROM events, med, b
+    ),
+    cnt AS (
+      SELECT bin,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS DOUBLE) AS t_ref,
+             CAST(sum(n_cur) AS DOUBLE) AS t_cur
+      FROM cnt
+    ),
+    p AS (
+      SELECT bin,
+             (n_ref + 0.5) / (t_ref + 5.0) AS p_ref,
+             (n_cur + 0.5) / (t_cur + 5.0) AS p_cur
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT bin,
+           round(p_ref, 6) AS p_ref,
+           round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 8) AS psi_term,
+           round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (), 6)
+             AS psi_total
+    FROM p
+    """,
+    tags=("stats", "drift", "psi", "monitoring"),
+)
+def value_psi_drift(spark, sf_dir):
+    """Population Stability Index — the model-monitoring drift metric
+    (PSI < 0.1 stable, > 0.25 retrain): the value distribution's first
+    time-half (reference) vs second (current) over a shared 10-bin
+    grid, Laplace-smoothed (+0.5/bin — a PSI on raw counts is undefined
+    the moment a bin empties, which is exactly when you need it) so the
+    metric is total and both engines agree bit-for-bit. The period
+    split keys on the exact median timestamp — a deterministic,
+    data-derived boundary. Per-bin terms plus the headline total."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.agg(F.percentile(F.unix_micros("ts"), 0.5).alias("mid"))
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 10.0
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(9)
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.unix_micros("ts") <= F.col("mid"), "ref").otherwise("cur").alias(
+                "period"
+            ),
+            binc.alias("bin"),
+        )
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = cnt.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p = cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return p.select(
+        "bin",
+        pround("p_ref", 6).alias("p_ref"),
+        pround("p_cur", 6).alias("p_cur"),
+        pround(term, 8).alias("psi_term"),
+        pround(F.sum(term).over(W.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "padding_waste_by_length_bucket",
+    """
+    WITH toks_t AS (
+      SELECT doc_id,
+             len(CASE WHEN len(trim(coalesce(text, ''))) = 0
+                      THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(text), '\\s+') END)
+               AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT CAST(floor(n_tok / 32.0) AS INT) AS bucket, n_tok FROM toks_t
+    )
+    SELECT bucket,
+           CAST((bucket + 1) * 32 AS INT) AS pad_to,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * (bucket + 1) * 32 AS BIGINT) AS padded_tokens,
+           round(1.0 - sum(n_tok)
+                 / CAST(count(*) * (bucket + 1) * 32 AS DOUBLE), 6)
+             AS waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("text", "X4", "training", "padding"),
+)
+def padding_waste_by_length_bucket(spark, sf_dir):
+    """Padding-waste estimator — the batching-cost readout an
+    inference/training scheduler derives BEFORE picking a bucketing
+    policy: documents grouped into 32-token length buckets, each padded
+    to its bucket ceiling, waste = padded − real tokens. Length
+    bucketing is exactly what this query's own buckets implement, so
+    the per-bucket waste ratios ARE the policy evaluation (compare
+    `fixed_window_packing`, which eliminates padding by packing
+    instead). Map-only token counts, one tiny aggregate."""
+    from .text.analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucketed = docs.select(
+        F.floor(n_tok / 32.0).cast("int").alias("bucket"),
+        n_tok.alias("n_tok"),
+    )
+    pad_to = (F.col("bucket") + 1) * 32
+    return bucketed.groupBy("bucket").agg(
+        F.max(pad_to).cast("int").alias("pad_to"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.max(pad_to)).cast("bigint").alias("padded_tokens"),
+        pround(
+            1.0
+            - F.sum("n_tok")
+            / (F.count(F.lit(1)) * F.max(pad_to)).cast("double"),
+            6,
+        ).alias("waste_ratio"),
+    )

@@ -827,3 +827,142 @@ def pca_top_component_power_iteration(spark, sf_dir):
         pround("val", 6).alias("loading"),
         pround("nrm", 4).alias("eigval"),
     )
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH toks_t AS (
+      SELECT doc_id,
+             (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                   ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                       t -> lower(t)) END) AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks_t),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM (
+        SELECT doc_id, unnest(toks) AS w FROM toks_t)
+      WHERE w IN ('join', 'filter', 'vector') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    bm25 AS (
+      SELECT t.doc_id,
+             sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) AS score
+      FROM tf t JOIN df d USING (w) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s GROUP BY t.doc_id
+    ),
+    lex_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      FROM bm25 QUALIFY r <= 50
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    probe AS (SELECT v FROM v WHERE vec_id = 0),
+    dense AS (
+      SELECT a.vec_id AS doc_id,
+             round(list_dot_product(a.v, p.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(p.v, p.v)), 0), 6) AS cos
+      FROM v a CROSS JOIN probe p WHERE a.vec_id <> 0
+    ),
+    dense_rank_t AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+      FROM dense QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+             round(coalesce(1.0 / (60 + l.r), 0.0)
+                   + coalesce(1.0 / (60 + d.r), 0.0), 8) AS rrf,
+             l.r AS lex_r, d.r AS dense_r
+      FROM lex_rank l FULL OUTER JOIN dense_rank_t d USING (doc_id)
+    )
+    SELECT doc_id, rrf,
+           CAST(lex_r AS INT) AS lex_rank,
+           CAST(dense_r AS INT) AS dense_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("similarity", "X3", "X4", "retrieval", "hybrid", "rrf"),
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """HYBRID retrieval — Reciprocal Rank Fusion of the lexical (BM25,
+    fixed query vocabulary) and dense (cosine to probe vector 0) ranked
+    lists: score = Σ 1/(60+rank), the fusion rule modern search stacks
+    use because it needs NO score calibration between heterogeneous
+    retrievers. Each branch prunes to its top-50 (WindowGroupLimit over
+    KB-scale scored relations) before the FULL OUTER rank join —
+    documents found by either branch fuse, single-branch hits keep
+    their one term. The corpus is scanned once per branch; everything
+    downstream of scoring is rank-sized."""
+    from .text.analysis import tokenize
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = ("join", "filter", "vector")
+    toks = docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfr = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfr), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score).alias("score"))
+    )
+    lex = (
+        bm25.withColumn(
+            "r",
+            F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id")),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("lex_r"))
+    )
+    from .similarity.knn import cosine_sim_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_v")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim_arrow(F.col("embedding"), F.col("probe_v")).alias("cos"),
+        )
+        .withColumn(
+            "r", F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id"))
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("dense_r"))
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        pround(
+            F.coalesce(1.0 / (60 + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("dense_r")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+        F.col("lex_r").cast("int").alias("lex_rank"),
+        F.col("dense_r").cast("int").alias("dense_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
