@@ -966,3 +966,197 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         F.col("dense_r").cast("int").alias("dense_rank"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@register(
+    "sq8_rerank_top5",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, v,
+             nullif(list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                    / 127.0, 0.0) AS scale
+      FROM v
+    ),
+    dq AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS vq
+      FROM q
+    ),
+    probe AS (SELECT v, vq FROM dq WHERE vec_id = 0),
+    coarse AS (
+      SELECT a.vec_id,
+             round(list_dot_product(a.vq, p.vq)
+                   / nullif(sqrt(list_dot_product(a.vq, a.vq))
+                            * sqrt(list_dot_product(p.vq, p.vq)), 0), 6)
+               AS coarse_cos
+      FROM dq a CROSS JOIN probe p WHERE a.vec_id <> 0
+    ),
+    cand AS (
+      SELECT vec_id, coarse_cos,
+             row_number() OVER (ORDER BY coarse_cos DESC, vec_id) AS cr
+      FROM coarse QUALIFY cr <= 50
+    ),
+    rerank AS (
+      SELECT c.vec_id, c.coarse_cos,
+             round(list_dot_product(a.v, p.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(p.v, p.v)), 0), 6)
+               AS exact_cos
+      FROM cand c JOIN dq a ON a.vec_id = c.vec_id CROSS JOIN probe p
+    )
+    SELECT vec_id, exact_cos, coarse_cos,
+           CAST(row_number() OVER (ORDER BY exact_cos DESC, vec_id) AS INT)
+             AS rnk
+    FROM rerank QUALIFY rnk <= 5
+    """,
+    tags=("similarity", "X3", "quantization", "rerank", "serving"),
+)
+def sq8_rerank_top5(spark, sf_dir):
+    """Quantized-first-pass RERANK — the production serving shape for
+    billion-vector search: stage 1 scores int8-dequantized vectors (the
+    `embedding_int8_quantization` lane — 4× less memory bandwidth, the
+    thing that actually bounds a vector scan) and keeps the top-50;
+    stage 2 reranks only those survivors at full precision. Both
+    scores are emitted so the recall cost of quantization is visible
+    per hit. The rerank join touches 50 rows; WindowGroupLimit prunes
+    both ranking stages; floor-form quantization is deterministic in
+    both engines (the int8 query's proof, composed)."""
+    from pyspark.sql import Window as W
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scale = F.nullif(
+        F.aggregate(
+            F.transform("v", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda a, x: F.greatest(a, x),
+        )
+        / 127.0,
+        F.lit(0.0),
+    )
+    dq = v.withColumn("scale", scale).withColumn(
+        "vq",
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + 0.5) * F.col("scale")
+        ),
+    )
+    probe = dq.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("pv"), F.col("vq").alias("pvq")
+    )
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(F.aggregate(F.zip_with(a, a, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+        nb = F.sqrt(F.aggregate(F.zip_with(b, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x))
+        return pround(dot / F.nullif(na * nb, F.lit(0)), 6)
+
+    coarse = (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            "pv",
+            _cos(F.col("vq"), F.col("pvq")).alias("coarse_cos"),
+        )
+    )
+    cand = (
+        coarse.withColumn(
+            "cr",
+            F.row_number().over(
+                W.orderBy(F.col("coarse_cos").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("cr") <= 50)
+    )
+    rerank = cand.select(
+        "vec_id", "coarse_cos", _cos(F.col("v"), F.col("pv")).alias("exact_cos")
+    )
+    return (
+        rerank.withColumn(
+            "rnk",
+            F.row_number().over(W.orderBy(F.col("exact_cos").desc(), "vec_id")),
+        )
+        .filter(F.col("rnk") <= 5)
+        .select("vec_id", "exact_cos", "coarse_cos", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "knn_label_agreement",
+    """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id, a.label AS lbl, b.label AS nlbl,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 0), 6)
+               AS cos,
+             b.vec_id AS nid
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    top5 AS (
+      SELECT id, lbl, nlbl,
+             row_number() OVER (PARTITION BY id
+                                ORDER BY cos DESC, nid) AS rnk
+      FROM pairs QUALIFY rnk <= 5
+    ),
+    agree AS (
+      SELECT id, lbl,
+             avg(CASE WHEN nlbl = lbl THEN 1.0 ELSE 0.0 END) AS agreement
+      FROM top5 GROUP BY id, lbl
+    )
+    SELECT lbl AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(agreement), 6) AS avg_agreement,
+           CAST(count(*) FILTER (WHERE agreement < 0.4) AS BIGINT)
+             AS n_suspect
+    FROM agree GROUP BY lbl
+    """,
+    tags=("similarity", "X3", "data-quality", "label-noise"),
+)
+def knn_label_agreement(spark, sf_dir):
+    """k-NN label agreement — label-NOISE detection for supervised
+    sets: each vector's top-5 exact neighbors vote on its label; low
+    agreement flags probable mislabels (the confident-learning signal,
+    computed geometrically). Per-label averages + suspect counts. Uses
+    the all-pairs exact path (knn_all_pairs' shape) — quadratic ground
+    truth appropriate at validation scale; the LSH/IVF candidate
+    generators bound it on full corpora (the operators are
+    interchangeable by construction)."""
+    from pyspark.sql import Window as W
+
+    from .similarity.knn import knn_all_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top5 = knn_all_pairs(emb, k=5)
+    lab = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("lbl"))
+    nlab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlbl")
+    )
+    agree = (
+        top5.join(F.broadcast(lab), "id")
+        .join(F.broadcast(nlab), "neighbor_id")
+        .groupBy("id", "lbl")
+        .agg(
+            F.avg(
+                F.when(F.col("nlbl") == F.col("lbl"), 1.0).otherwise(0.0)
+            ).alias("agreement")
+        )
+    )
+    return agree.groupBy(F.col("lbl").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        pround(F.avg("agreement"), 6).alias("avg_agreement"),
+        F.count(F.when(F.col("agreement") < 0.4, 1)).cast("bigint").alias(
+            "n_suspect"
+        ),
+    )
