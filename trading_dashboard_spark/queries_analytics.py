@@ -2853,3 +2853,103 @@ def padding_waste_by_length_bucket(spark, sf_dir):
             6,
         ).alias("waste_ratio"),
     )
+
+
+@register(
+    "transition_latency_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev, event_type AS next,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(CAST(epoch_us(ts - prev_ts) AS DOUBLE) / 60e6), 4)
+             AS avg_minutes,
+           round(quantile_cont(CAST(epoch_us(ts - prev_ts) AS DOUBLE) / 60e6,
+                               0.9), 4) AS p90_minutes
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, event_type
+    """,
+    tags=("window", "sequence", "process-mining", "W1"),
+)
+def transition_latency_matrix(spark, sf_dir):
+    """Directly-follows transition LATENCY — the process-mining
+    bottleneck detector `markov_event_transitions` (frequencies) cannot
+    see: mean and p90 wait per (prev → next) step type. A funnel can
+    convert at a healthy rate yet stall for hours on one edge; this is
+    the matrix that finds the edge. Same single window sort as the
+    Markov query; the latency aggregate groups ≤ #types² cells with
+    exact interpolated p90s."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev").isNotNull())
+    mins = (
+        F.unix_micros("ts") - F.unix_micros("prev_ts")
+    ).cast("double") / 60e6
+    return seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.avg(mins), 4).alias("avg_minutes"),
+        pround(F.percentile(mins, 0.9), 4).alias("p90_minutes"),
+    )
+
+
+@register(
+    "freshness_audit",
+    """
+    SELECT tbl,
+           strftime(mx, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+           CAST(days_behind AS INT) AS days_behind
+    FROM (
+      WITH mxs AS (
+        SELECT 'events' AS tbl, max(ts) AS mx FROM events
+        UNION ALL SELECT 'orders', max(CAST(o_orderdate AS TIMESTAMP)) FROM orders
+        UNION ALL SELECT 'lineitem', max(CAST(l_shipdate AS TIMESTAMP)) FROM lineitem
+      ),
+      g AS (SELECT max(mx) AS gmx FROM mxs)
+      SELECT tbl, mx,
+             date_diff('day', CAST(mx AS DATE), CAST(gmx AS DATE))
+               AS days_behind
+      FROM mxs CROSS JOIN g
+    )
+    """,
+    tags=("agg", "data-quality", "freshness", "A4"),
+)
+def freshness_audit(spark, sf_dir):
+    """Freshness audit — every temporal table's latest watermark and
+    its lag behind the freshest table: the first page of any data-ops
+    runbook (a pipeline that "succeeded" while one upstream stalled
+    shows up here, not in row counts). Three single-row max aggregates
+    + scalar comparison; at 100 TB each max reads only the newest
+    partitions under the date-partitioned layout."""
+    ev = _t(spark, sf_dir, "events").agg(
+        F.lit("events").alias("tbl"), F.max("ts").alias("mx")
+    )
+    o = _t(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("tbl"),
+        F.max(F.col("o_orderdate").cast("timestamp")).alias("mx"),
+    )
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("tbl"),
+        F.max(F.col("l_shipdate").cast("timestamp")).alias("mx"),
+    )
+    mxs = ev.unionAll(o).unionAll(li)
+    g = mxs.agg(F.max("mx").alias("gmx"))
+    return (
+        mxs.crossJoin(F.broadcast(g))
+        .select(
+            "tbl",
+            F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            F.datediff(F.to_date("gmx"), F.to_date("mx"))
+            .cast("int")
+            .alias("days_behind"),
+        )
+    )
