@@ -2953,3 +2953,188 @@ def freshness_audit(spark, sf_dir):
             .alias("days_behind"),
         )
     )
+
+
+@register(
+    "anova_eta_squared",
+    """
+    WITH g AS (
+      SELECT event_type, count(*) AS n, avg(value) AS mu,
+             sum(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT sum(n) AS n_t,
+             sum(n * mu) / sum(n) AS mu_t,
+             sum(ss) AS ss_t
+      FROM g
+    )
+    SELECT CAST(count(*) AS INT) AS n_groups,
+           CAST(max(n_t) AS BIGINT) AS n_rows,
+           round(sum(n * (mu - mu_t) * (mu - mu_t)), 4) AS ss_between,
+           round(max(ss_t) - max(n_t) * max(mu_t) * max(mu_t), 4) AS ss_total,
+           round(sum(n * (mu - mu_t) * (mu - mu_t))
+                 / nullif(max(ss_t) - max(n_t) * max(mu_t) * max(mu_t), 0), 6)
+             AS eta_squared,
+           round((sum(n * (mu - mu_t) * (mu - mu_t)) / (count(*) - 1))
+                 / nullif(((max(ss_t) - max(n_t) * max(mu_t) * max(mu_t))
+                           - sum(n * (mu - mu_t) * (mu - mu_t)))
+                          / (max(n_t) - count(*)), 0), 4) AS f_stat
+    FROM g CROSS JOIN tot
+    """,
+    tags=("stats", "anova", "A4"),
+)
+def anova_eta_squared(spark, sf_dir):
+    """One-way ANOVA effect size — η² (share of value variance explained
+    by event type) and the F statistic, completing the categorical-
+    association pair with `event_type_dow_chi2` (χ² asks "dependent?";
+    ANOVA asks "how much does the factor explain of a CONTINUOUS
+    outcome?"). Everything derives from per-group (n, mean, Σx²)
+    sufficient statistics — one mergeable aggregate pass, then scalar
+    algebra on ≤#types rows; SS_total from the Σx² identity rather than
+    a second centered pass."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_t"),
+        (F.sum(F.col("n") * F.col("mu")) / F.sum("n")).alias("mu_t"),
+        F.sum("ss").alias("ss_t"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    ssb = F.sum(
+        F.col("n") * (F.col("mu") - F.col("mu_t")) * (F.col("mu") - F.col("mu_t"))
+    )
+    sst = F.max("ss_t") - F.max("n_t") * F.max("mu_t") * F.max("mu_t")
+    k = F.count(F.lit(1))
+    return j.agg(
+        k.cast("int").alias("n_groups"),
+        F.max("n_t").cast("bigint").alias("n_rows"),
+        pround(ssb, 4).alias("ss_between"),
+        pround(sst, 4).alias("ss_total"),
+        pround(ssb / F.nullif(sst, F.lit(0)), 6).alias("eta_squared"),
+        pround(
+            (ssb / (k - 1))
+            / F.nullif((sst - ssb) / (F.max("n_t") - k), F.lit(0)),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "activity_coverage_gaps",
+    """
+    WITH cal AS (
+      SELECT unnest(generate_series(
+        (SELECT min(CAST(ts AS DATE)) FROM events),
+        (SELECT max(CAST(ts AS DATE)) FROM events),
+        INTERVAL 1 DAY))::DATE AS d
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT d, event_type FROM cal CROSS JOIN types),
+    present AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events
+    )
+    SELECT g.event_type,
+           CAST(count(*) AS BIGINT) AS n_days_expected,
+           CAST(count(p.d) AS BIGINT) AS n_days_present,
+           CAST(count(*) - count(p.d) AS BIGINT) AS n_days_missing,
+           strftime(min(CASE WHEN p.d IS NULL THEN g.d END), '%Y-%m-%d')
+             AS first_missing_day
+    FROM grid g
+    LEFT JOIN present p ON p.d = g.d AND p.event_type = g.event_type
+    GROUP BY g.event_type
+    """,
+    tags=("temporal", "coverage", "spine", "data-quality"),
+)
+def activity_coverage_gaps(spark, sf_dir):
+    """Calendar×dimension coverage audit: for every event type, how many
+    days inside the dataset's own date span have NO activity — the
+    completeness matrix that catches a silently-dead event source
+    (counts stay plausible; a cell goes dark). The expected grid is a
+    generated date spine (`gap_filled_daily_close`'s densification
+    idiom) crossed with the KB-scale type list; presence left-joins the
+    DISTINCT (day, type) projection. Everything after the one distinct
+    aggregate is spine-sized."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    present = ev.select(
+        F.to_date("ts").alias("pd"), F.col("event_type").alias("pt")
+    ).distinct()
+    j = grid.join(
+        present,
+        (F.col("pd") == F.col("d")) & (F.col("pt") == F.col("event_type")),
+        "left",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_expected"),
+        F.count("pd").alias("n_days_present"),
+        (F.count(F.lit(1)) - F.count("pd")).cast("bigint").alias(
+            "n_days_missing"
+        ),
+        F.date_format(
+            F.min(F.when(F.col("pd").isNull(), F.col("d"))), "yyyy-MM-dd"
+        ).alias("first_missing_day"),
+    )
+
+
+@register(
+    "lorenz_curve_deciles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS r FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT r, ntile(10) OVER (ORDER BY r, o_custkey) AS decile,
+             sum(r) OVER () AS tot
+      FROM per_cust
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(r / tot), 6) AS revenue_share,
+           round(sum(round(sum(r / tot), 6)) OVER (ORDER BY decile), 6)
+             AS cumulative_share
+    FROM tiled GROUP BY decile
+    """,
+    tags=("stats", "lorenz", "concentration", "window"),
+)
+def lorenz_curve_deciles(spark, sf_dir):
+    """Lorenz curve at population deciles — the plottable companion to
+    `event_key_skew_profile`'s Gini and `pareto_revenue_coverage`'s
+    crossing point: cumulative revenue share of each ascending customer
+    decile (the bowed-away-from-diagonal curve IS the inequality).
+    ntile over the per-customer aggregate (bounded global window,
+    custkey tiebreak), then a 10-row cumulative window over the decile
+    aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    tiled = per_cust.select(
+        "r",
+        F.ntile(10).over(W.orderBy("r", "o_custkey")).alias("decile"),
+        F.sum("r").over(W.partitionBy()).alias("tot"),
+    )
+    dec = tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        pround(F.sum(F.col("r") / F.col("tot")), 6).alias("revenue_share"),
+    )
+    return dec.select(
+        "decile",
+        "n_customers",
+        "revenue_share",
+        pround(
+            F.sum("revenue_share").over(
+                W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+            ),
+            6,
+        ).alias("cumulative_share"),
+    )
