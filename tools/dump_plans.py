@@ -130,6 +130,20 @@ COMMENTARY = {
         "shows a single Exchange hashpartitioning(user_id)), no Python "
         "lane at all."
     ),
+    "hybrid_rrf_retrieval": (
+        "Hybrid retrieval: each branch (BM25 lexical, dense cosine) "
+        "prunes to top-50 via WindowGroupLimit over its own scored "
+        "relation before the FULL OUTER rank fusion — the corpus is "
+        "scanned once per branch and everything after scoring is "
+        "rank-sized."
+    ),
+    "kaplan_meier_signup_to_purchase": (
+        "Survival analysis: per-user durations reduce to a per-duration "
+        "(m, d) relation before any global window — the at-risk count "
+        "and the exp-of-ln-sum product limit run on hundreds of rows "
+        "regardless of corpus size (the bounded-global-window "
+        "discipline)."
+    ),
 }
 
 
