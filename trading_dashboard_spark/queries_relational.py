@@ -1059,3 +1059,56 @@ def fulfillment_lag_quantiles(spark, sf_dir):
         pround(F.percentile("lag_days", 0.99), 2).alias("p99_days"),
         F.max("lag_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "price_rank_with_ties",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_name, p_retailprice,
+             rank() OVER w AS price_rank,
+             dense_rank() OVER w AS price_dense_rank,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey)
+               AS rn
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    )
+    SELECT p_brand, p_name,
+           round(p_retailprice, 2) AS p_retailprice,
+           CAST(price_rank AS INT) AS price_rank,
+           CAST(price_dense_rank AS INT) AS price_dense_rank
+    FROM ranked WHERE rn <= 5
+    """,
+    tags=("window", "rank", "ties", "O3"),
+)
+def price_rank_with_ties(spark, sf_dir):
+    """rank() vs dense_rank() — the tie-SEMANTICS demonstration
+    completing the ranking-function family (row_number, ntile,
+    percent_rank, cume_dist are all exercised elsewhere): equal prices
+    share a rank, rank() then skips (1,1,3...) where dense_rank()
+    doesn't (1,1,2...). Both tie-honoring ranks ride the same
+    (brand, price DESC) window sort; the top-5 cut uses the
+    DETERMINISTIC row_number (partkey tiebreak) so the emitted row set
+    is identical across engines even where ranks tie —
+    WindowGroupLimit prunes on it."""
+    pa = _t(spark, sf_dir, "part")
+    wt = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    wn = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), "p_partkey"
+    )
+    ranked = pa.select(
+        "p_brand",
+        "p_name",
+        "p_retailprice",
+        F.rank().over(wt).alias("price_rank"),
+        F.dense_rank().over(wt).alias("price_dense_rank"),
+        F.row_number().over(wn).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 5).select(
+        "p_brand",
+        "p_name",
+        pround("p_retailprice", 2).alias("p_retailprice"),
+        F.col("price_rank").cast("int").alias("price_rank"),
+        F.col("price_dense_rank").cast("int").alias("price_dense_rank"),
+    )
