@@ -3138,3 +3138,65 @@ def lorenz_curve_deciles(spark, sf_dir):
             6,
         ).alias("cumulative_share"),
     )
+
+
+@register(
+    "session_bounce_profile",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > CAST(1800 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) / 60e6 AS dur_min
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS bounce_rate,
+           round(quantile_cont(dur_min, 0.5), 4) AS p50_duration_min,
+           round(quantile_cont(dur_min, 0.9), 4) AS p90_duration_min,
+           round(avg(n_events), 4) AS avg_events
+    FROM per_sess
+    """,
+    tags=("temporal", "sessionize", "bounce", "A4"),
+)
+def session_bounce_profile(spark, sf_dir):
+    """Session engagement profile at a 30-minute gap — bounce rate
+    (single-event sessions: the canonical engagement failure metric)
+    plus duration percentiles, through the SAME `operators/temporal.
+    sessionize` operator `event_sessionization` uses at its 2-hour gap
+    (one operator, two policies — the gap is exactly what
+    `interarrival_burstiness_per_user` exists to tune). One window
+    exchange feeds marks, session ids, and the per-session rollup."""
+    from .operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60e6
+        ).alias("dur_min"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        pround(
+            F.avg(F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)), 6
+        ).alias("bounce_rate"),
+        pround(F.percentile("dur_min", 0.5), 4).alias("p50_duration_min"),
+        pround(F.percentile("dur_min", 0.9), 4).alias("p90_duration_min"),
+        pround(F.avg("n_events"), 4).alias("avg_events"),
+    )

@@ -1160,3 +1160,92 @@ def knn_label_agreement(spark, sf_dir):
             "n_suspect"
         ),
     )
+
+
+@register(
+    "lsh_recall_at_3",
+    _lsh_oracle().replace(
+        "SELECT id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk\n    FROM ranked WHERE rnk <= 3",
+        """, lsh_top AS (
+      SELECT id, neighbor_id FROM ranked WHERE rnk <= 3
+    ),
+    exact_pairs AS (
+      SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v)
+                   / nullif(sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v)), 0), 6)
+               AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    exact_top AS (
+      SELECT id, neighbor_id FROM (
+        SELECT id, neighbor_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM exact_pairs
+      ) WHERE rnk <= 3
+    ),
+    per_probe AS (
+      SELECT e.id,
+             sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               / 3.0 AS recall
+      FROM exact_top e
+      LEFT JOIN lsh_top l ON l.id = e.id AND l.neighbor_id = e.neighbor_id
+      GROUP BY e.id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(recall), 6) AS mean_recall_at_3,
+           CAST(count(*) FILTER (WHERE recall = 1.0) AS BIGINT) AS n_perfect,
+           CAST(count(*) FILTER (WHERE recall = 0.0) AS BIGINT) AS n_missed
+    FROM per_probe""",
+    ),
+    tags=("similarity", "X3", "approx", "evaluation"),
+)
+def lsh_recall_at_3(spark, sf_dir):
+    """ANN QUALITY, externally verified: recall@3 of the LSH pipeline
+    against exact brute force — per-probe overlap of the two top-3
+    sets, averaged, with perfect/missed probe counts. Possible only
+    because BOTH pipelines are deterministic and oracle-replayable (the
+    r4 plane-literal upgrade): the evaluation harness itself passes the
+    differential gate, so the recall number the docstrings quote is a
+    externally-checked measurement, not a self-report. The exact side
+    is the O(n²) ground truth (validation scale); the comparison joins
+    are top-k-sized."""
+    from pyspark.sql import Window as W
+
+    from .similarity.knn import knn_all_pairs
+    from .similarity.lsh import lsh_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh_top = lsh_knn(
+        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42
+    ).select("id", F.col("neighbor_id").alias("l_n"))
+    exact_top = knn_all_pairs(emb, k=3).select("id", "neighbor_id")
+    per_probe = (
+        exact_top.join(
+            lsh_top,
+            (lsh_top.id == exact_top.id)
+            & (F.col("l_n") == exact_top.neighbor_id),
+            "left",
+        )
+        .drop(lsh_top.id)
+        .groupBy("id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("l_n").isNotNull(), 1).otherwise(0)
+                )
+                / 3.0
+            ).alias("recall")
+        )
+    )
+    return per_probe.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        pround(F.avg("recall"), 6).alias("mean_recall_at_3"),
+        F.count(F.when(F.col("recall") == 1.0, 1)).cast("bigint").alias(
+            "n_perfect"
+        ),
+        F.count(F.when(F.col("recall") == 0.0, 1)).cast("bigint").alias(
+            "n_missed"
+        ),
+    )
