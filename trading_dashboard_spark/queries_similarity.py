@@ -1249,3 +1249,92 @@ def lsh_recall_at_3(spark, sf_dir):
             "n_missed"
         ),
     )
+
+
+@register(
+    "ivf_recall_at_5",
+    f"""
+    WITH cents(cid, c) AS (
+      VALUES {", ".join(f"({i}, {_sql_list(c)})" for i, c in enumerate(_IVF_CENTS))}
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT vec_id, v, cid, round(list_dot_product(v, c), 6) AS d
+      FROM v CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, CAST(cid AS INT) AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    probe_cos AS (
+      SELECT vec_id, cell,
+             round(list_dot_product(v, {_sql_list(_IVF_PROBE)})
+                   / nullif(sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product({_sql_list(_IVF_PROBE)},
+                                                    {_sql_list(_IVF_PROBE)})), 0),
+                   6) AS cosine
+      FROM assigned
+    ),
+    ivf_top AS (
+      SELECT vec_id FROM probe_cos
+      WHERE cell IN ({", ".join(str(c) for c in _IVF_CELLS)})
+      ORDER BY cosine DESC, vec_id LIMIT 5
+    ),
+    exact_top AS (
+      SELECT vec_id FROM probe_cos ORDER BY cosine DESC, vec_id LIMIT 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 5.0, 2) AS recall_at_5
+    FROM exact_top e LEFT JOIN ivf_top i ON i.vec_id = e.vec_id
+    """,
+    tags=("similarity", "X3", "approx", "evaluation"),
+)
+def ivf_recall_at_5(spark, sf_dir):
+    """IVF recall@5 against the exact scan for the same probe — the
+    `lsh_recall_at_3` pattern on the second ANN path, so BOTH
+    approximate indexes carry externally-verified quality numbers (the
+    cell pruning is the only approximation; a probe whose true
+    neighbors live in unprobed cells shows up here as lost recall).
+    One corpus scoring pass feeds both the pruned and the exact top-5;
+    the comparison join is 5 rows."""
+    from pyspark.sql import Window as W
+
+    from .similarity.ivf import ivf_search
+    from .similarity.knn import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf_top = ivf_search(emb, _IVF_CENTS, _IVF_PROBE, k=5, nprobe=3).select(
+        F.col("vec_id").alias("ivf_id")
+    )
+    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pc = v.select(
+        "vec_id",
+        pround(
+            dot(F.col("v"), probe_lit)
+            / F.nullif(
+                F.sqrt(dot(F.col("v"), F.col("v")))
+                * F.sqrt(dot(probe_lit, probe_lit)),
+                F.lit(0),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    exact_top = pc.orderBy(F.col("cosine").desc(), "vec_id").limit(5).select("vec_id")
+    j = exact_top.join(
+        ivf_top, exact_top.vec_id == F.col("ivf_id"), "left"
+    )
+    matched = F.sum(F.when(F.col("ivf_id").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        matched.cast("bigint").alias("n_matched"),
+        pround(matched / 5.0, 2).alias("recall_at_5"),
+    )
