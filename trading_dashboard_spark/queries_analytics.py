@@ -3200,3 +3200,109 @@ def session_bounce_profile(spark, sf_dir):
         pround(F.percentile("dur_min", 0.9), 4).alias("p90_duration_min"),
         pround(F.avg("n_events"), 4).alias("avg_events"),
     )
+
+
+@register(
+    "orderkey_gap_audit",
+    """
+    WITH seq AS (
+      SELECT o_orderkey,
+             lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(prev_key + 1 AS BIGINT) AS gap_start,
+           CAST(o_orderkey - 1 AS BIGINT) AS gap_end,
+           CAST(o_orderkey - prev_key - 1 AS BIGINT) AS gap_len
+    FROM seq
+    WHERE prev_key IS NOT NULL AND o_orderkey - prev_key > 1
+    ORDER BY gap_len DESC, gap_start LIMIT 20
+    """,
+    tags=("window", "data-quality", "gaps", "audit"),
+)
+def orderkey_gap_audit(spark, sf_dir):
+    """Key-continuity audit: missing ranges in the order-key sequence
+    (largest gaps first) — the ingestion-loss detector for
+    monotonic-key feeds (a dropped batch shows up as one big gap; a
+    flaky producer as many small ones; TPC-H's own sparse keyspace
+    makes a rich fixture; audited here over the finished-status
+    subset, whose keyspace is naturally gapped). Single ordered lag
+    over the KEY COLUMN only — at rest this reads one column, and the global sort is over
+    the key-projection, the cheapest possible total order. Contrast
+    `activity_coverage_gaps` (calendar cells) — this audits identity
+    continuity, that audits time coverage."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    w = W.orderBy("o_orderkey")
+    seq = o.select(
+        "o_orderkey", F.lag("o_orderkey").over(w).alias("prev_key")
+    ).filter(
+        F.col("prev_key").isNotNull()
+        & (F.col("o_orderkey") - F.col("prev_key") > 1)
+    )
+    return (
+        seq.select(
+            (F.col("prev_key") + 1).cast("bigint").alias("gap_start"),
+            (F.col("o_orderkey") - 1).cast("bigint").alias("gap_end"),
+            (F.col("o_orderkey") - F.col("prev_key") - 1)
+            .cast("bigint")
+            .alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(20)
+    )
+
+
+@register(
+    "weekday_variance_explained",
+    f"""
+    WITH {DAILY_SQL},
+    obs AS (
+      SELECT user_id, close, dayofweek(d) AS dow FROM daily
+    ),
+    g AS (
+      SELECT user_id, dow, count(*) AS n, avg(close) AS mu,
+             sum(close * close) AS ss
+      FROM obs GROUP BY user_id, dow
+    ),
+    t AS (
+      SELECT user_id, sum(n) AS n_t,
+             sum(n * mu) / sum(n) AS mu_t, sum(ss) AS ss_t
+      FROM g GROUP BY user_id
+    )
+    SELECT g.user_id,
+           round(sum(g.n * (g.mu - t.mu_t) * (g.mu - t.mu_t))
+                 / nullif(max(t.ss_t) - max(t.n_t) * max(t.mu_t) * max(t.mu_t),
+                          0), 6) AS dow_eta_squared
+    FROM g JOIN t ON t.user_id = g.user_id
+    GROUP BY g.user_id
+    """,
+    tags=("stats", "anova", "seasonality", "A1"),
+)
+def weekday_variance_explained(spark, sf_dir):
+    """Per-user weekday seasonality strength — η² of close vs
+    day-of-week (`anova_eta_squared`'s grouped form): the share of each
+    user's price variance a weekday-means model explains, i.e. HOW
+    seasonal each series is before you bother fitting
+    `dow_return_seasonality`'s profile to it. Sufficient statistics
+    per (user, dow) → per-user totals → one join on the same
+    clustering; grouping by a DIFFERENT dow numbering in either engine
+    is harmless because only the partition matters, never the label."""
+    daily = _daily_close(spark, sf_dir)
+    obs = daily.select("user_id", "close", F.dayofweek("d").alias("dow"))
+    g = obs.groupBy("user_id", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("close").alias("mu"),
+        F.sum(F.col("close") * F.col("close")).alias("ss"),
+    )
+    t = g.groupBy("user_id").agg(
+        F.sum("n").alias("n_t"),
+        (F.sum(F.col("n") * F.col("mu")) / F.sum("n")).alias("mu_t"),
+        F.sum("ss").alias("ss_t"),
+    )
+    j = g.join(t, "user_id")
+    ssb = F.sum(
+        F.col("n") * (F.col("mu") - F.col("mu_t")) * (F.col("mu") - F.col("mu_t"))
+    )
+    sst = F.max("ss_t") - F.max("n_t") * F.max("mu_t") * F.max("mu_t")
+    return j.groupBy("user_id").agg(
+        pround(ssb / F.nullif(sst, F.lit(0)), 6).alias("dow_eta_squared")
+    )
