@@ -69,17 +69,53 @@ def test_fn_segments_granularity():
     assert fns_d == fns_a and rest_d != rest_a
 
 
-def test_rotation_fronts_fresh_then_stale():
-    """Never-verified queries lead the registry; queries whose source
-    (or dependency closure) changed this round precede untouched proven
-    ones, so the driver's bounded window re-attests fresh edits."""
+def test_rotation_covers_fresh_within_window():
+    """Every never-verified query lands inside the driver's window
+    (fresh fits this round — the round-5 drain directive), preceded
+    only by pins and head-stale entries."""
     from trading_dashboard_spark.queries import (
-        QUERY_REGISTRY, _verified_rounds,
+        _DRIVER_WINDOW, _PIN_REVERIFY, QUERY_REGISTRY, _verified_rounds,
     )
 
     names = list(QUERY_REGISTRY)
     verified = set(_verified_rounds())
-    n_fresh = sum(1 for n in names if n not in verified)
-    # every fresh query sits ahead of every proven one
-    assert all(n not in verified for n in names[:n_fresh])
-    assert all(n in verified for n in names[n_fresh:])
+    fresh = [n for n in names if n not in verified]
+    if len(fresh) + len(_PIN_REVERIFY) <= _DRIVER_WINDOW:
+        window = names[:_DRIVER_WINDOW]
+        assert all(n in window for n in fresh)
+        assert all(p in window for p in _PIN_REVERIFY if p in verified)
+    # pins lead unconditionally
+    live_pins = [p for p in _PIN_REVERIFY if p in verified]
+    assert names[: len(live_pins)] == live_pins
+
+
+def test_rotation_reserve_is_floor_under_pressure():
+    """Round-4 verdict #6: with a synthetic 60-new/20-stale registry the
+    reserve must guarantee >=12 stale slots inside the 50-slot window —
+    a floor, not a residual (round 4 starved it to zero)."""
+    from trading_dashboard_spark.queries import _window_order
+
+    fresh = [f"new_{i}" for i in range(60)]
+    stale = [f"stale_{i}" for i in range(20)]
+    rest = [f"proven_{i}" for i in range(30)]
+    order = _window_order([], fresh, stale, rest, window=50, reserve=12)
+    window = order[:50]
+    assert sum(1 for n in window if n in stale) >= 12
+    # the floor takes the HIGHEST-priority stale entries, in order
+    assert window[:12] == stale[:12]
+    # no query is dropped or duplicated by the re-keying
+    assert sorted(order) == sorted(fresh + stale + rest)
+
+    # when fresh fits the window, fresh is never evicted by stale
+    order2 = _window_order([], fresh[:43], stale, rest, window=50, reserve=12)
+    window2 = order2[:50]
+    assert all(n in window2 for n in fresh[:43])
+    assert sum(1 for n in window2 if n in stale) == 7  # leftover slots
+
+    # pins always lead and are deduplicated out of the stale block
+    order3 = _window_order(
+        ["stale_3", "proven_1"], fresh[:10], stale, rest,
+        window=50, reserve=12,
+    )
+    assert order3[:2] == ["stale_3", "proven_1"]
+    assert order3.count("stale_3") == 1 and order3.count("proven_1") == 1

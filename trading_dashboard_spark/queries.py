@@ -91,9 +91,52 @@ _R03_VERIFIED = (
     "language_id_counts",
 )
 
-#: How many window slots to spend re-verifying previously-green queries.
-#: The rest of the window goes to never-verified / new entries.
+#: Queries with a green row in CORRECTNESS_r04.json (driver round 4 —
+#: 50/50 hash-green, all first-time verifications of round-4 queries).
+_R04_VERIFIED = (
+    "daily_demand_full_outer", "nation_top_customers_listagg",
+    "fulfillment_lag_quantiles", "price_rank_with_ties",
+    "rolling_median_value", "atr_indicator", "williams_r_indicator",
+    "cci_indicator", "donchian_channels", "vwap_daily",
+    "sharpe_ratio_per_user", "dow_return_seasonality", "drawdown_durations",
+    "bullish_engulfing_days", "top_correlated_user_pairs",
+    "holt_trend_smoothing", "holt_forecast_accuracy",
+    "bigram_logprob_score", "bm25_keyword_search",
+    "levenshtein_name_near_dups", "bigram_collocations_pmi",
+    "phrase_search_hash_join", "verbatim_overlap_pairs",
+    "dup_cluster_size_histogram", "kmeans_embedding_clusters",
+    "pca_top_component_power_iteration", "hybrid_rrf_retrieval",
+    "sq8_rerank_top5", "knn_label_agreement", "lsh_recall_at_3",
+    "ivf_recall_at_5", "media_vit_patch_plan", "media_jpeg_roundtrip",
+    "weighted_sample_per_source", "streaming_abandoned_clicks",
+    "streaming_welford_anomalies", "variant_props_stats",
+    "pagerank_trade_graph", "small_quantity_part_revenue",
+    "cheapest_supplier_per_part", "important_nation_value_share",
+    "modal_event_type_per_user", "value_histogram_20bins",
+    "markov_event_transitions", "event_path_trigrams", "event_pair_lift",
+    "rolling_corr_user_vs_market", "bloom_prefiltered_order_revenue",
+    "event_key_skew_profile", "max_concurrent_events_per_day",
+)
+
+#: MINIMUM window slots guaranteed to stale-changed re-verification.
+#: Round-4 lesson (verdict "what's wrong" #3): as a residual this
+#: silently starved — ~93 new queries saturated the 50-slot window and
+#: zero re-verify slots fired.  Now a FLOOR: up to this many stale
+#: entries are keyed AHEAD of the never-verified block, the rest of the
+#: stale set follows it.
 _REVERIFY_RESERVE = 12
+
+#: Observed driver verification window (50 rows in every
+#: CORRECTNESS_r*.json to date) — used to size the stale head so fresh
+#: entries that FIT the window are never evicted by old-churn staleness.
+_DRIVER_WINDOW = 50
+
+#: Round-5 verdict directive #1: these previously-verified queries must
+#: be re-rowed THIS round alongside the 43 first-timers
+#: (`doc_sentiment`'s only row predates two rounds of VADER changes;
+#: `lsh_ann_top3` gained its value oracle after its r03 rows-only row).
+#: Keyed ahead of everything; drop entries once their fresh row lands.
+_PIN_REVERIFY = ("doc_sentiment", "lsh_ann_top3")
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
@@ -103,7 +146,10 @@ _PKG_NAME = os.path.basename(_PKG_DIR)
 def _verified_rounds() -> dict[str, int]:
     """name -> latest driver round with a row for it."""
     out: dict[str, int] = {}
-    for rnd, names in ((1, _R01_VERIFIED), (2, _R02_VERIFIED), (3, _R03_VERIFIED)):
+    for rnd, names in (
+        (1, _R01_VERIFIED), (2, _R02_VERIFIED),
+        (3, _R03_VERIFIED), (4, _R04_VERIFIED),
+    ):
         for n in names:
             out[n] = rnd
     return out
@@ -406,19 +452,52 @@ def _stale_delta(stale_names: set[str]) -> dict[str, int]:
     return delta
 
 
+def _window_order(
+    pins: list[str],
+    fresh: list[str],
+    stale_sorted: list[str],
+    rest: list[str],
+    window: int = _DRIVER_WINDOW,
+    reserve: int = _REVERIFY_RESERVE,
+) -> list[str]:
+    """Pure ordering kernel for the driver's bounded window.
+
+    ``pins`` lead unconditionally.  Then FLOOR semantics (round-4
+    verdict #3/#6): when never-verified pressure saturates the whole
+    window, ``reserve`` stale entries are still keyed AHEAD of the
+    fresh block — re-verification of changed code is a floor new
+    queries cannot starve to zero (round 4: ~93 new queries, 0
+    re-verify slots fired).  When the fresh block FITS inside the
+    window, fresh keeps priority (the round-5 directive: every
+    registered query gets a driver row before anything else) and stale
+    takes only the leftover slots."""
+    stale_sorted = [n for n in stale_sorted if n not in pins]
+    rest = [n for n in rest if n not in pins]
+    fresh_n = len(fresh) + len(pins)
+    head_n = reserve if fresh_n >= window else max(0, window - fresh_n)
+    return (
+        pins + stale_sorted[:head_n] + fresh
+        + stale_sorted[head_n:] + rest
+    )
+
+
 def _front_unverified() -> None:
     """Re-key QUERY_REGISTRY so the driver's bounded verification window
     is spent where it buys the most evidence:
 
-    1. never-driver-verified entries with value oracles (fresh, oracle),
-    2. never-driver-verified rows-only entries,
-    3. CHANGE-AWARE re-verification: previously-green queries whose
-       implementing source (module dependency closure, git-diffed
-       against the round boundary that last verified them) has changed
-       — ordered oldest-verification-first,
-    4. the remaining proven queries, stride-rotated by the round number
+    1. _PIN_REVERIFY entries (explicit round directives);
+    2. CHANGE-AWARE stale entries up to the reserve floor — previously
+       green queries whose implementing source (module dependency
+       closure, git-diffed against the round boundary that last
+       verified them) has changed.  Sized by `_window_order`: a
+       guaranteed floor under new-query pressure, leftover-slots-only
+       when the fresh block fits the window;
+    3. never-driver-verified entries with value oracles (fresh, oracle),
+    4. never-driver-verified rows-only entries,
+    5. stale entries beyond the head,
+    6. the remaining proven queries, stride-rotated by the round number
        (derived from the CORRECTNESS_r*.json artifacts, not hand-bumped)
-       so the reserve slice still walks the whole proven set over time.
+       so the tail slice still walks the whole proven set over time.
 
     Git/artifact failures degrade to the round-3 behavior (blind stride
     rotation) — ordering must never take down the registry import."""
@@ -469,11 +548,13 @@ def _front_unverified() -> None:
     if rest:
         off = (rnd * _REVERIFY_RESERVE) % len(rest)
         rest = rest[off:] + rest[:off]
-    proven = {n: QUERY_REGISTRY[n] for n in stale_first + rest}
+    pins = [n for n in _PIN_REVERIFY if n in verified and n in QUERY_REGISTRY]
+    names = _window_order(
+        pins, list(fresh_oracle) + list(fresh_rows_only), stale_first, rest,
+    )
+    ordered = {n: QUERY_REGISTRY[n] for n in names}
     QUERY_REGISTRY.clear()
-    QUERY_REGISTRY.update(fresh_oracle)
-    QUERY_REGISTRY.update(fresh_rows_only)
-    QUERY_REGISTRY.update(proven)
+    QUERY_REGISTRY.update(ordered)
 
 
 _front_unverified()
