@@ -340,3 +340,31 @@ def test_chunk_udtf_matches_expression_operator(spark):
         for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_phrase_search_survives_degenerate_docs(spark, tmp_path):
+    """ADVICE r4 (medium): sequence(1, size-1) on a 0/1-token doc steps
+    DOWNWARD to [1, 0] in Spark and the fold then indexes position 0 —
+    a runtime crash the DuckDB oracle (empty range) never hits. The
+    guarded form must run on empty/one-token docs and still count
+    adjacent phrases correctly."""
+    from trading_dashboard_spark.queries_text import phrase_search_hash_join
+
+    rows = [
+        (1, "", "en", "synth", 0),
+        (2, "hash", "en", "synth", 4),
+        (3, None, "en", "synth", 0),
+        (4, "the hash join beats hash join loops", "en", "synth", 36),
+        (5, "hash joins are not a hash join phrase hash join", "en",
+         "synth", 47),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search_hash_join(spark, str(tmp_path)).collect()
+    }
+    assert got == {4: 2, 5: 2}

@@ -101,11 +101,11 @@ COMMENTARY = {
         "guaranteed rather than cost-model-dependent."
     ),
     "bm25_keyword_search": (
-        "Lexical retrieval: the query-vocabulary IN-filter is applied to "
-        "the exploded tokens as a narrow op (no exchange between Generate "
-        "and Filter), so the (doc,term) relation entering aggregation is "
-        "|hits|-sized; df and corpus stats broadcast; top-20 is "
-        "TakeOrderedAndProject."
+        "Lexical retrieval with ZERO token explode (plan test asserts no "
+        "Generate): per-term tf is a map-only size(filter(toks, ...)) "
+        "array fold per query term, so the corpus scan emits one "
+        "fixed-width row per doc; the single-row df/corpus-stats "
+        "aggregate broadcasts back; top-20 is TakeOrderedAndProject."
     ),
     "pca_top_component_power_iteration": (
         "Iterative tier: the corpus pass is MapInPandas (Arrow Gram "

@@ -1105,8 +1105,8 @@ def event_type_dow_chi2(spark, sf_dir):
     ),
     dev AS (
       SELECT user_id, bucket, d, close,
-             abs(close - avg(close) OVER (PARTITION BY user_id, bucket))
-               AS dev
+             round(abs(close - avg(close)
+                       OVER (PARTITION BY user_id, bucket)), 6) AS dev
       FROM seq
     ),
     ranked AS (
@@ -1141,8 +1141,12 @@ def lttb_downsampled_closes(spark, sf_dir):
         ((F.row_number().over(wu) - 1) / 10).cast("int").alias("bucket"),
     )
     wb = W.partitionBy("user_id", "bucket")
+    # Round-before-rank anchor: the bucket mean's float summation order
+    # differs between engines, so an exact-in-real-arithmetic dev tie
+    # (two points symmetric around the mean) could flip its ulp-level
+    # ordering and select different rows. 6dp pins the rank key.
     dev = seq.withColumn(
-        "dev", F.abs(F.col("close") - F.avg("close").over(wb))
+        "dev", pround(F.abs(F.col("close") - F.avg("close").over(wb)), 6)
     )
     rk = F.row_number().over(
         W.partitionBy("user_id", "bucket").orderBy(F.col("dev").desc(), "d")

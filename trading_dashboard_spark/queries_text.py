@@ -1301,7 +1301,13 @@ def phrase_search_hash_join(spark, sf_dir):
     toks = docs.select(
         "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
     )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0)))
+    # Guard the degenerate docs: Spark's sequence(start, stop) with
+    # start > stop steps DOWNWARD, so a 0/1-token array would yield
+    # [1, 0] and the fold would touch index 0 ("SQL array indices start
+    # at 1" runtime error). DuckDB's range(1, n) is simply empty there.
+    idx = F.when(
+        F.size("toks") >= 2, F.sequence(F.lit(1), F.size("toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     n_occ = F.size(
         F.filter(
             idx,

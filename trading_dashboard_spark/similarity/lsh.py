@@ -95,13 +95,14 @@ def lsh_knn(
     higher recall, linearly more candidate pairs. All shuffles key on
     (table, bucket) — small fixed-width keys.
 
-    Vectors are unit-normalized ONCE, up front: bucketing runs on the
-    normalized vectors (sign(<v,p>) == sign(<u,p>) for positive ‖v‖, so
-    buckets are identical) and scoring reuses them, collapsing the old
-    separate normalize pass. The normalized relation is referenced three
-    times (bucketing + both scoring sides); ``persist=True`` caches it so
-    the scan + normalization UDF run once — the right call whenever the
-    corpus fits the cluster's storage tier.
+    Bucketing projects the RAW vectors straight off `base`
+    (sign(<v,p>) == sign(<u,p>) for positive ‖v‖, so hyperplane signs
+    are invariant to normalization — and this matches the oracle, which
+    buckets the stored vectors). Vectors are unit-normalized once for
+    scoring only; that normalized relation is reused by the two scoring
+    joins, and ``persist=True`` caches it so the scan + normalization
+    UDF run once — the right call whenever the corpus fits the
+    cluster's storage tier.
     """
     from pyspark.sql import Window as W
 
