@@ -170,3 +170,84 @@ def test_holt_linear_matches_reference_recurrence(spark):
         b = math.floor((0.1 * (l_new - l) + 0.9 * b) * f + 0.5) / f
         l = l_new
         assert out[t] == (l, b), t
+
+
+def test_macd_three_lanes_agree(spark):
+    """The three MACD lanes — grouped-map pandas (`macd`), collect_list
+    fold (`macd_sql`, query default), segmented-scan windows
+    (`macd_window`, the >10⁷-row form) — must agree with pandas ewm to
+    float noise, including keys long enough to span multiple exponent
+    blocks in the window lane."""
+    import numpy as np
+    import pandas as pd
+
+    from trading_dashboard_spark.operators.indicators import (
+        ema_window, macd, macd_sql, macd_window,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k, n in (("a", 3), ("b", 40), ("c", 700)):
+        for i, v in enumerate(rng.normal(100, 15, n)):
+            rows.append((k, i, float(v)))
+    pdf = pd.DataFrame(rows, columns=["sym", "t", "close"])
+    sdf = spark.createDataFrame(pdf)
+
+    g = pdf.groupby("sym")["close"]
+    fast = g.transform(lambda s: s.ewm(span=12, adjust=False).mean())
+    slow = g.transform(lambda s: s.ewm(span=26, adjust=False).mean())
+    pdf["macd"] = fast - slow
+    pdf["macd_signal"] = pdf.groupby("sym")["macd"].transform(
+        lambda s: s.ewm(span=9, adjust=False).mean()
+    )
+    pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+    exp = pdf.sort_values(["sym", "t"]).reset_index(drop=True)
+
+    lanes = {
+        "grouped_map": macd(sdf, "close", "sym", "t"),
+        "fold": macd_sql(sdf, "close", "sym", "t"),
+        # block=64 forces the 700-row key through 11 carry blocks
+        "window": None,
+    }
+    w1 = ema_window(sdf, "close", "sym", "t", 12, "_f", block=64)
+    w2 = ema_window(w1, "close", "sym", "t", 26, "_s", block=64)
+    w2 = w2.withColumn("macd", F.col("_f") - F.col("_s")).drop("_f", "_s")
+    w3 = ema_window(w2, "macd", "sym", "t", 9, "macd_signal", block=64)
+    lanes["window"] = w3.withColumn(
+        "macd_hist", F.col("macd") - F.col("macd_signal")
+    )
+
+    for lane, df in lanes.items():
+        got = df.toPandas().sort_values(["sym", "t"]).reset_index(drop=True)
+        for col in ("macd", "macd_signal", "macd_hist"):
+            assert np.allclose(
+                got[col].to_numpy(float), exp[col].to_numpy(float), atol=1e-9
+            ), (lane, col)
+
+
+def test_macd_window_default_block_and_plan(spark):
+    """`macd_window` with the default 512-row block: correct on a
+    >512-row key (multi-block carry), and the per-row lane is pure
+    window/join codegen — no Python evaluator in the plan."""
+    import numpy as np
+    import pandas as pd
+
+    from trading_dashboard_spark.operators.indicators import macd_window
+
+    rng = np.random.default_rng(3)
+    n = 1300
+    pdf = pd.DataFrame(
+        {"sym": "x", "t": range(n), "close": rng.normal(50, 5, n)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = macd_window(sdf, "close", "sym", "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+    got = out.toPandas().sort_values("t").reset_index(drop=True)
+    fast = pdf["close"].ewm(span=12, adjust=False).mean()
+    slow = pdf["close"].ewm(span=26, adjust=False).mean()
+    macd_e = fast - slow
+    sig_e = macd_e.ewm(span=9, adjust=False).mean()
+    assert np.allclose(got["macd"].to_numpy(float), macd_e, atol=1e-9)
+    assert np.allclose(got["macd_signal"].to_numpy(float), sig_e, atol=1e-9)

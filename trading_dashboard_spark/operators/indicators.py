@@ -152,6 +152,235 @@ def macd(
     return grouped_sorted_map(df, keys, order, fn, out_schema)
 
 
+def ema_series_sql(xs: Column, span: int) -> Column:
+    """The whole adjust=False EMA series of ordered array ``xs`` as one
+    JVM ``aggregate`` fold — ``y[t] = α·x[t] + (1-α)·y[t-1]``, seeded
+    ``y[1] = x[1]`` — the exact recurrence (pandas-parity arithmetic,
+    unlike the closed-form power-sum the DuckDB oracles unroll; the two
+    agree to well past the 4dp output anchors).
+
+    A per-POSITION closed-form unroll (`aggregate` inside `transform`)
+    is the wrong shape here: higher-order functions don't codegen, and
+    CollapseProject inlines the macd array into every `element_at` of
+    the downstream signal unroll, degrading to O(n³) interpreted
+    arithmetic (measured: 48 s vs 1.2 s for the grouped-map lane at
+    sf0.01). The fold form consumes each array input ONCE, so even a
+    fully collapsed projection evaluates each EMA series a constant
+    number of times; cost is O(n²) in cheap array copies per key
+    (``concat`` re-copies the accumulator), with history n bounded
+    per key and keys partitioning."""
+    alpha = 2.0 / (span + 1.0)
+    return F.aggregate(
+        xs,
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x).otherwise(
+                    alpha * x + (1.0 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+
+
+_EMA_BLOCK = 512
+
+
+def ema_window(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: str,
+    span: int,
+    out_col: str,
+    block: int = _EMA_BLOCK,
+) -> DataFrame:
+    """W7, JVM lane — the adjust=False EMA as pure window expressions
+    (whole-stage codegen end to end; no Python worker, no per-key
+    array materialization).
+
+    The recurrence ``y[t] = α·x[t] + (1-α)·y[t-1]`` is a linear scan,
+    so it admits the prefix-sum closed form ``y[t] = (1-α)^t·(y[0] +
+    α·Σ x[j]·(1-α)^(-j))`` — but the raw form overflows doubles once
+    ``(1-α)^(-j)`` passes ~1e308. The scale-safe fix is the classic
+    segmented scan: exponents are taken RELATIVE to ``block``-row
+    blocks (bounded by ``(1/(1-α))^(block-1)`` — for any span ≥ 2,
+    α ≤ 2/3 so the bound is ≤ 3^511 < 1e245, safe for EVERY span at
+    ANY history length), and the per-block carry ``c_b`` follows the
+    tiny linear recurrence ``c_{b+1} = A_b·c_b + K_b`` folded per key
+    over the #blocks-sized summary array.
+
+    Plan shape: one shuffle on ``keys`` (both windows share the
+    partitioning), a #rows/block-sized summary aggregate + fold, and
+    an equi-join of the carries back on (keys, block) — broadcastable
+    whenever keys×blocks fits, co-partitioned otherwise. Per-key
+    history is calendar-bounded in this engine (one row per trading
+    day), so blocks per key stay single-digit while key count scales.
+    """
+    if span < 2:
+        return df.withColumn(out_col, F.col(value_col).cast("double"))
+    alpha = 2.0 / (span + 1.0)
+    beta = 1.0 - alpha  # decay
+    r = 1.0 / beta
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = W.partitionBy(*keys).orderBy(order)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+
+    x = F.col(value_col).cast("double")
+    sel1 = df.withColumn("_rn", F.row_number().over(w)).select(
+        "*",
+        ((F.col("_rn") - 1) / block).cast("int").alias("_blk"),
+        ((F.col("_rn") - 1) % block).alias("_j"),
+        F.first(x).over(wcum).alias("_fx"),
+    )
+    u = F.pow(F.lit(r), F.col("_j")) * x
+    wblk = W.partitionBy(*keys, "_blk").orderBy(order).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sel2 = sel1.select("*", F.sum(u).over(wblk).alias("_P"))
+
+    summaries = sel1.groupBy(*keys, "_blk").agg(
+        F.count(F.lit(1)).alias("_len"),
+        F.sum(u).alias("_Pend"),
+        F.min("_fx").alias("_fx0"),  # per-key constant; min == the value
+    )
+    # carries: c_0 = x[1] (seeds y[1] = x[1]); c_{b+1} = A_b·c_b + K_b
+    # with A_b = (1-α)^len_b, K_b = α·(1-α)^(len_b - 1)·Pend_b.
+    blocks = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("_blk").alias("b"),
+                F.pow(F.lit(beta), F.col("_len")).alias("a"),
+                (F.lit(alpha)
+                 * F.pow(F.lit(beta), F.col("_len") - 1)
+                 * F.col("_Pend")).alias("k"),
+            )
+        )
+    )
+    carries = (
+        summaries.groupBy(*keys)
+        .agg(blocks.alias("_bs"), F.min("_fx0").alias("_c0"))
+        .select(
+            *keys,
+            F.explode(
+                F.aggregate(
+                    F.col("_bs"),
+                    F.array(F.struct(
+                        F.lit(0).cast("int").alias("b"),
+                        F.col("_c0").cast("double").alias("c"),
+                    )),
+                    lambda acc, s: F.concat(
+                        acc,
+                        F.array(F.struct(
+                            (s["b"] + 1).cast("int").alias("b"),
+                            (s["a"] * F.element_at(acc, -1)["c"] + s["k"])
+                            .alias("c"),
+                        )),
+                    ),
+                )
+            ).alias("_bc"),
+        )
+        .select(*keys, F.col("_bc.b").alias("_blk"), F.col("_bc.c").alias("_c"))
+    )
+    joined = sel2.join(carries, [*keys, "_blk"], "inner")
+    y = F.pow(F.lit(beta), F.col("_j")) * (
+        F.lit(beta) * F.col("_c") + F.lit(alpha) * F.col("_P")
+    )
+    return joined.withColumn(out_col, y).drop(
+        "_rn", "_blk", "_j", "_fx", "_P", "_c"
+    )
+
+
+def macd_window(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal_span: int = 9,
+) -> DataFrame:
+    """MACD via three `ema_window` segmented-scan passes — the
+    100 TB-asymptotics lane: O(1) codegen'd work per row, no Python, no
+    per-key arrays. Costs ~8 exchanges/joins of plan fixed overhead, so
+    it loses to `macd_sql` below ~10⁷ rows (measured ×10 sweep: 2.97 s
+    vs 1.27 s) and wins above, where per-row cost dominates
+    (fold ≈ 14 µs/row interpreted vs ≈ 0.1 µs/row here).
+
+    Returns the input columns plus macd, macd_signal, macd_hist — one
+    row per input row.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out = ema_window(df, value_col, keys, order, fast, "_ema_fast")
+    out = ema_window(out, value_col, keys, order, slow, "_ema_slow")
+    out = out.withColumn(
+        "macd", F.col("_ema_fast") - F.col("_ema_slow")
+    ).drop("_ema_fast", "_ema_slow")
+    out = ema_window(out, "macd", keys, order, signal_span, "macd_signal")
+    return out.withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+
+
+def macd_sql(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal_span: int = 9,
+) -> DataFrame:
+    """JVM-lane MACD, collect_list form — the query default (round-4
+    verdict #3: the grouped mapInPandas lane ran 8.7× DuckDB at ×10;
+    this one stays inside the JVM end to end with the lowest fixed
+    overhead of the three lanes: ONE shuffle, no Python worker, no
+    joins).
+
+    One ``collect_list`` aggregate per key materializes the ordered
+    close array; fast/slow/signal EMAs evaluate as three
+    `ema_series_sql` folds plus `zip_with` arithmetic. Per-key cost is
+    O(history²) array copies — history is calendar-bounded (daily
+    bars), so this scales with KEY COUNT, each key a bounded constant;
+    for histories beyond ~10⁴ rows/key or tables past ~10⁷ rows, use
+    `macd_window` (segmented scan, O(1)/row) — measured crossover in
+    BENCHMARKS.md. The grouped-map lane (`macd`) is the pandas-parity
+    check.
+
+    Returns (keys…, ``order``, macd, macd_signal, macd_hist) — one row
+    per input row.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lists = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order).alias("o"),
+                                    F.col(value_col).alias("x")))
+        ).alias("series")
+    )
+    xs = F.col("series.x")
+    with_macd = lists.select(
+        *keys,
+        F.col("series.o").alias("os"),
+        F.zip_with(
+            ema_series_sql(xs, fast), ema_series_sql(xs, slow),
+            lambda f, s: f - s,
+        ).alias("ms"),
+    )
+    with_sig = with_macd.select(
+        *keys,
+        F.arrays_zip(
+            "os", "ms", ema_series_sql(F.col("ms"), signal_span).alias("sig")
+        ).alias("z"),
+    )
+    row = F.explode("z").alias("r")
+    return with_sig.select(*keys, row).select(
+        *keys,
+        F.col("r.os").alias(order),
+        F.col("r.ms").alias("macd"),
+        F.col("r.sig").alias("macd_signal"),
+        (F.col("r.ms") - F.col("r.sig")).alias("macd_hist"),
+    )
+
+
 def ema_sql(value_list: Column, span: int) -> Column:
     """Pure-SQL EMA over a pre-collected ordered array (fallback form).
 
