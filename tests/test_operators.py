@@ -297,3 +297,25 @@ def test_decile_query_releases_rank_checkpoint(spark, sf_dir):
     assert len(rows) == 10
     after = jsc.getPersistentRDDs().size()
     assert after - before <= 1  # only the 10-row result checkpoint remains
+
+
+def test_key_gaps_buckets_and_stitch(spark):
+    """key_gaps finds every maximal missing range: inside one bucket,
+    across adjacent buckets, and across runs of EMPTY buckets (the
+    stitch lags the previous non-empty bucket's max)."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.operators.ranks import key_gaps
+
+    keys = [1, 2, 3, 7, 8, 100, 1050, 5000]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in key_gaps(df, "k", bucket_size=50).collect()
+    )
+    assert got == [(4, 6, 3), (9, 99, 91), (101, 1049, 949),
+                   (1051, 4999, 3949)]
+    # gapless and single-key inputs produce no rows
+    dense = spark.createDataFrame([(k,) for k in range(10, 20)], "k long")
+    assert key_gaps(dense, "k", bucket_size=4).count() == 0
+    assert key_gaps(df.limit(1), "k").count() == 0

@@ -191,15 +191,25 @@ def test_sessionization_single_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
 
 
-def test_macd_single_grouped_map_pass(spark, sf_dir):
-    """MACD computes fast/slow/signal EMAs in ONE grouped-sorted
-    mapInPandas pass — chaining ema() three times would show three
-    Python-lane nodes and three exchanges, and the per-group
-    FlatMapGroupsInPandas lane must not appear at all (its one-Arrow-
-    batch-per-key round-trip is ~10x slower on many-small-key tables)."""
+def test_macd_is_jvm_single_shuffle(spark, sf_dir):
+    """MACD's default lane (r5) is the collect_list fold: NO Python
+    evaluator anywhere in the plan, and the whole indicator costs one
+    aggregate exchange over the daily bars (the fold + zip_with +
+    explode are narrow)."""
     plan = _plan(spark, sf_dir, "macd_indicator")
-    assert plan.count("MapInPandas") == 1
+    assert "MapInPandas" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_gap_audit_no_raw_single_partition_window(spark, sf_dir):
+    """orderkey_gap_audit (r5): the raw-fact lag partitions by the
+    deterministic key bucket — the ONLY single-partition exchange
+    feeds the bucket-summary stitch (aggregate-bounded, ≤ keyspace /
+    bucket_size rows), never the orders scan."""
+    plan = _plan(spark, sf_dir, "orderkey_gap_audit")
+    assert "windowspecdefinition(b" in plan  # bucketed raw lag
+    assert plan.count("Exchange SinglePartition") <= 1
 
 
 def test_repetition_signals_map_only(spark, sf_dir):

@@ -192,3 +192,54 @@ def distribution_ranks(
         .withColumn(cume_col, (r / F.lit(total)).cast("double"))
         .drop("__grank")
     )
+
+
+def key_gaps(
+    df: DataFrame,
+    key_col: str,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Missing ranges in a unique integer key sequence — distributed
+    lag with NO raw-fact single-partition window (round-4 verdict #1:
+    ``lag() OVER (ORDER BY key)`` funnels every row through one task).
+
+    Deterministic VALUE bucketing replaces the global sort: every
+    window partitions by ``floor(key / bucket_size)``, so each
+    partition holds at most ``bucket_size`` keys BY CONSTRUCTION —
+    no range-partitioner sampling to pin (contrast
+    ``_with_global_rank``'s localCheckpoint), no skew case, and the
+    per-partition lag finds every gap between keys in the same bucket.
+    Cross-bucket gaps stitch from the per-bucket (min, max) summary:
+    lagging max over bucket order spans any run of EMPTY buckets in
+    one step, so the stitch relation has one row per NON-EMPTY bucket —
+    ≤ rows/1 and ≤ keyspace/bucket_size. That summary lag is the one
+    single-partition window, in the accepted aggregate-bounded class
+    (cf. lorenz/rfm notes); for keyspaces past ~10⁹·bucket_size,
+    re-bucket the summary a second level.
+
+    Returns (gap_start, gap_end, gap_len) — one row per maximal run of
+    missing keys strictly inside [min(key), max(key)].
+    """
+    k = F.col(key_col).cast("long")
+    keyed = df.select(k.alias("k"), (k - (k % bucket_size)).alias("b"))
+    wloc = W.partitionBy("b").orderBy("k")
+    local = (
+        keyed.select("k", F.lag("k").over(wloc).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1))
+    )
+    summary = keyed.groupBy("b").agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    wb = W.orderBy("b")
+    stitch = (
+        summary.select(
+            F.col("mn").alias("k"), F.lag("mx").over(wb).alias("prev")
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("k") - F.col("prev") > 1))
+    )
+    gaps = local.select("k", "prev").unionByName(stitch.select("k", "prev"))
+    return gaps.select(
+        (F.col("prev") + 1).alias("gap_start"),
+        (F.col("k") - 1).alias("gap_end"),
+        (F.col("k") - F.col("prev") - 1).alias("gap_len"),
+    )
