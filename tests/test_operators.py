@@ -319,3 +319,42 @@ def test_key_gaps_buckets_and_stitch(spark):
     dense = spark.createDataFrame([(k,) for k in range(10, 20)], "k long")
     assert key_gaps(dense, "k", bucket_size=4).count() == 0
     assert key_gaps(df.limit(1), "k").count() == 0
+
+
+def test_adaptive_ntile_queries_distributed_parity(spark, monkeypatch):
+    """rfm_customer_segments / lorenz_curve_deciles (r5 policy sweep):
+    forcing the row threshold to 0 routes both through the two-stage
+    ntile_buckets — values must equal the exact window path, and the
+    distributed scoring plan must contain no single-partition
+    exchange."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.operators import ranks
+    from trading_dashboard_spark.queries_analytics import (
+        lorenz_curve_deciles, rfm_customer_segments,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact_rfm = {tuple(r) for r in rfm_customer_segments(spark, sf).collect()}
+    exact_lor = [tuple(r) for r in
+                 lorenz_curve_deciles(spark, sf).orderBy("decile").collect()]
+
+    monkeypatch.setattr(ranks, "NTILE_EXACT_MAX_ROWS", 0)
+    dist_rfm = {tuple(r) for r in rfm_customer_segments(spark, sf).collect()}
+    dist_lor = [tuple(r) for r in
+                lorenz_curve_deciles(spark, sf).orderBy("decile").collect()]
+    assert dist_rfm == exact_rfm and len(exact_rfm) > 0
+    assert dist_lor == exact_lor and len(exact_lor) == 10
+
+    # plan shape of the distributed scoring chain itself
+    from trading_dashboard_spark.io.readers import load_table
+
+    o = load_table(spark, "orders", sf)
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
+    tiled = ranks.ntile_buckets(
+        per_cust, 10, [F.col("r"), F.col("o_custkey")], "decile",
+        exact=False,
+    )
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    ranks.release_rank_cache(tiled)

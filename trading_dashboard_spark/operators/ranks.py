@@ -39,6 +39,17 @@ from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql import Window as W
 
 
+#: Adaptive global-ranking policy (round-4 verdict #9): callers whose
+#: ranked relation is a per-key AGGREGATE count it (one cheap job over
+#: already-aggregated rows) and keep the one-task window sort below
+#: this threshold — a few-million-row sort in one task is faster than
+#: the two-stage machinery's extra exchanges — switching to
+#: ``exact=False`` above it, where the single sorting task would
+#: become the straggler. 2M rows ≈ tens of MB sorted in well under a
+#: second on one core.
+NTILE_EXACT_MAX_ROWS = 2_000_000
+
+
 def _with_global_rank(
     df: DataFrame,
     sort_cols: list[Column],

@@ -667,12 +667,18 @@ def rfm_customer_segments(spark, sf_dir):
     """RFM segmentation — the marketing-analytics classic: per-customer
     Recency (days since last order, vs the dataset's own horizon),
     Frequency, Monetary, each quartile-scored (1 = best), segment cell
-    counts out. The three ntile windows run over the per-customer
-    AGGREGATE (#customers rows — the bounded-global-window
-    justification; for a key space that outgrows it, the two-stage
-    `operators/ranks.ntile_buckets` path computes identical values
-    distributed). Every ntile ordering carries the custkey tiebreak so
-    quartile assignment is a total order in both engines."""
+    counts out. ADAPTIVE ranking policy (r5): the per-customer relation
+    is counted (one cheap job over already-aggregated rows); at or
+    below ranks.NTILE_EXACT_MAX_ROWS the three ntile windows run as the
+    plain one-task sort (optimal for an aggregate-bounded relation),
+    above it they chain three two-stage `ntile_buckets(exact=False)`
+    passes — identical values (custkey tiebreaks make each ordering
+    total), no single-partition window; the 64-cell output is then
+    eagerly materialized and the rank checkpoints released. Every
+    ntile ordering carries the custkey tiebreak so quartile assignment
+    is a total order in both engines."""
+    from .operators import ranks
+
     o = _t(spark, sf_dir, "orders")
     ref = o.agg(F.max("o_orderdate").alias("mx"))
     per_cust = (
@@ -692,20 +698,30 @@ def rfm_customer_segments(spark, sf_dir):
             "monetary",
         )
     )
-    scored = per_cust.select(
-        F.ntile(4).over(W.orderBy("recency_days", "o_custkey")).alias("r"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f"),
-        F.ntile(4)
-        .over(W.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m"),
+    exact = per_cust.count() <= ranks.NTILE_EXACT_MAX_ROWS
+    s1 = ranks.ntile_buckets(
+        per_cust, 4, [F.col("recency_days"), F.col("o_custkey")], "r",
+        exact=exact,
     )
-    return scored.groupBy(
+    s2 = ranks.ntile_buckets(
+        s1, 4, [F.col("frequency").desc(), F.col("o_custkey")], "f",
+        exact=exact,
+    )
+    s3 = ranks.ntile_buckets(
+        s2, 4, [F.col("monetary").desc(), F.col("o_custkey")], "m",
+        exact=exact,
+    )
+    cells = s3.groupBy(
         F.col("r").cast("int").alias("r"),
         F.col("f").cast("int").alias("f"),
         F.col("m").cast("int").alias("m"),
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+    if exact:
+        return cells
+    rows = cells.collect()  # ≤ 64 segment cells — bounded by design
+    for s in (s1, s2, s3):
+        ranks.release_rank_cache(s)
+    return spark.createDataFrame(rows, cells.schema)
 
 
 @register(
@@ -3117,21 +3133,26 @@ def lorenz_curve_deciles(spark, sf_dir):
     `event_key_skew_profile`'s Gini and `pareto_revenue_coverage`'s
     crossing point: cumulative revenue share of each ascending customer
     decile (the bowed-away-from-diagonal curve IS the inequality).
-    ntile over the per-customer aggregate (bounded global window,
-    custkey tiebreak), then a 10-row cumulative window over the decile
-    aggregate."""
+    ADAPTIVE ranking policy (r5, like `rfm_customer_segments`): plain
+    ntile window at/below ranks.NTILE_EXACT_MAX_ROWS per-customer rows,
+    two-stage `ntile_buckets(exact=False)` above (custkey tiebreak
+    makes the order total → identical buckets); the revenue total is a
+    broadcast scalar in both paths (never a global-sum window), and the
+    10-row cumulative window runs over the decile aggregate."""
+    from .operators import ranks
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("r"))
-    tiled = per_cust.select(
-        "r",
-        F.ntile(10).over(W.orderBy("r", "o_custkey")).alias("decile"),
-        F.sum("r").over(W.partitionBy()).alias("tot"),
-    )
+    exact = per_cust.count() <= ranks.NTILE_EXACT_MAX_ROWS
+    tiled = ranks.ntile_buckets(
+        per_cust, 10, [F.col("r"), F.col("o_custkey")], "decile",
+        exact=exact,
+    ).crossJoin(F.broadcast(per_cust.agg(F.sum("r").alias("tot"))))
     dec = tiled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count(F.lit(1)).alias("n_customers"),
         pround(F.sum(F.col("r") / F.col("tot")), 6).alias("revenue_share"),
     )
-    return dec.select(
+    out = dec.select(
         "decile",
         "n_customers",
         "revenue_share",
@@ -3142,6 +3163,11 @@ def lorenz_curve_deciles(spark, sf_dir):
             6,
         ).alias("cumulative_share"),
     )
+    if exact:
+        return out
+    rows = out.collect()  # 10 decile rows — bounded by design
+    ranks.release_rank_cache(tiled)
+    return spark.createDataFrame(rows, out.schema)
 
 
 @register(
