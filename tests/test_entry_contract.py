@@ -19,11 +19,10 @@ def test_registry_shape():
     assert len(qs) >= 45
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented non-SQL-expressible ones
-    # (lsh_ann_top3 left this set in r4: plane-literal oracle)
-    assert set(qs) - set(oracles) == {
-        "ml_next_day_prediction",
-        "corpus_sketch_profile",
-    }
+    # (lsh_ann_top3 left this set in r4 via the plane-literal oracle;
+    # ml_next_day_prediction in r5 via the Cramer normal-equations
+    # oracle — only the sketch-valued profile remains by design)
+    assert set(qs) - set(oracles) == {"corpus_sketch_profile"}
 
 
 @pytest.mark.parametrize("name", sorted(contract.queries()))
