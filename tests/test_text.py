@@ -255,23 +255,25 @@ def test_sentiment_caps_but_qm_rules_and_oracle_parity():
 
 
 def test_vader_dropin_lexicon_loader(tmp_path, monkeypatch):
-    """$VADER_LEXICON_PATH overrides the builtin set: real-file rows load,
-    non-scorable rows (emoticons, multiword, mixed-case) are filtered,
-    and an unparseable file falls back to builtin instead of raising."""
+    """$VADER_LEXICON_PATH overrides the builtin set: real-file rows load
+    — including emoticons, which the r5 NLTK-faithful tokenizer CAN
+    produce — while multiword and uppercase rows (unreachable by NLTK's
+    own lowercased per-token lookup) are filtered, and an unparseable
+    file falls back to builtin instead of raising."""
     from trading_dashboard_spark.text import vader_lexicon as vl
 
     good = tmp_path / "vader_lexicon.txt"
     # published file shape: token \t mean \t stddev \t ratings-list
     good.write_text(
         "happy\t2.7\t0.7\t[3, 3, 2]\n"
-        ":)\t2.0\t1.0\t[2]\n"            # emoticon — not scorer-reachable
+        ":)\t2.0\t1.0\t[2]\n"            # emoticon — kept (r5 tokenizer)
         "kind of\t-0.3\t0.5\t[0]\n"      # multiword — filtered
-        "Good\t1.9\t0.9\t[2]\n"          # mixed case — filtered (scorer lowers)
+        "Good\t1.9\t0.9\t[2]\n"          # uppercase — filtered (lookup lowers)
         "can't\t-1.0\t0.5\t[-1]\n"       # apostrophe — kept
     )
     monkeypatch.setenv("VADER_LEXICON_PATH", str(good))
     lex = vl._load_dropin()
-    assert lex == {"happy": 2.7, "can't": -1.0}
+    assert lex == {"happy": 2.7, ":)": 2.0, "can't": -1.0}
 
     bad = tmp_path / "bad.txt"
     bad.write_bytes(b"happy\tnot-a-number\n")
@@ -368,3 +370,34 @@ def test_phrase_search_survives_degenerate_docs(spark, tmp_path):
         for r in phrase_search_hash_join(spark, str(tmp_path)).collect()
     }
     assert got == {4: 2, 5: 2}
+
+
+def test_vader_published_compound_parity():
+    """Exact parity with NLTK VADER on the published ground-truth
+    compound table (Hutto & Gilbert's README examples, MIT) — this
+    EXECUTES in-container, unlike the full-lexicon parity test (which
+    needs the real data file): each case's 4dp compound is forced by
+    the lexicon valences + rule constants together, so collectively
+    they pin tokenization, caps emphasis, per-distance gated negation,
+    the never-so/this amplifier, the kind-of damper + skip, the
+    n't-detection, but-reweighting, punctuation emphasis, and the
+    anchor valences (smart/handsome/funny/good/great/horrible/sux/
+    bad/terrible/uncompelling)."""
+    from trading_dashboard_spark.text.sentiment import vader_score
+
+    published = {
+        "VADER is smart, handsome, and funny.": 0.8316,
+        "VADER is smart, handsome, and funny!": 0.8439,
+        "VADER is not smart, handsome, nor funny.": -0.7424,
+        "The book was good.": 0.4404,
+        "The book was only kind of good.": 0.3832,
+        "At least it isn't a horrible book.": 0.431,
+        "The plot was good, but the characters are uncompelling and "
+        "the dialog is not great.": -0.7042,
+        "Today SUX!": -0.5461,
+        "Not bad at all": 0.431,
+        "Sentiment analysis has never been good.": -0.3412,
+        "Sentiment analysis has never been this good.": 0.5228,
+    }
+    for text, expected in published.items():
+        assert abs(round(vader_score(text), 4) - expected) < 5e-5, text

@@ -348,7 +348,7 @@ shrink\t-1.0
 sick\t-2.3
 slow\t-1.0
 slump\t-1.6
-smart\t2.0
+smart\t1.7
 smooth\t1.4
 solid\t1.3
 solve\t1.5
@@ -951,7 +951,7 @@ honored\t2.2
 hopeful\t1.9
 hopes\t1.6
 horrendous\t-2.9
-horrible\t-2.7
+horrible\t-2.5
 horrific\t-3.0
 horror\t-2.8
 hostility\t-2.3
@@ -3657,7 +3657,7 @@ grinning	1.8
 groundbreaking	2.1
 grumpy	-1.6
 haha	2.0
-handsome	2.1
+handsome	2.2
 hard	-0.4
 harder	-0.8
 hardest	-1.0
@@ -4124,7 +4124,7 @@ stench	-2.0
 stimulus	0.9
 stink	-1.8
 stinky	-1.8
-sux	-1.9
+sux	-1.5
 sweeter	1.7
 sweetest	2.1
 sweetheart	2.6
@@ -4155,13 +4155,22 @@ zzz	-0.7
 
 
 #: token -> valence on [-4, 4] (builtin curated set: base + extension).
+#: Sixth tier (r5): entries whose EXACT published valence is pinned by
+#: the VADER README's ground-truth compound table (each value is forced
+#: algebraically by a published compound + the rule constants — see
+#: tests/test_text.py::test_vader_published_compound_parity), so these
+#: are evidence-backed, not recalled.
+LEXICON_DATA_EXTENSION5 = """\
+uncompelling\t-0.9
+"""
+
 _BUILTIN_LEXICON: dict[str, float] = {
     tok: float(val)
     for tok, val in (
         line.split("\t")
         for line in (LEXICON_DATA + LEXICON_DATA_EXTENSION
                      + LEXICON_DATA_EXTENSION2 + LEXICON_DATA_EXTENSION3
-                     + LEXICON_DATA_EXTENSION4).splitlines()
+                     + LEXICON_DATA_EXTENSION4 + LEXICON_DATA_EXTENSION5).splitlines()
         if line
     )
 }
@@ -4177,11 +4186,14 @@ def _load_dropin() -> dict[str, float] | None:
     2. the installed ``vaderSentiment`` package's bundled file,
     3. NLTK's unzipped data layout under ``$NLTK_DATA``/``~/nltk_data``.
 
-    Only entries whose token the scorer can ever produce (lowercase
-    ``[a-z']+``, matching sentiment._TOKEN_RE after lower()) are kept:
-    the file's emoticons/multiword rows would bloat the generated SQL
-    oracle without ever matching a token. Unparseable files are ignored
-    (builtin wins) — a bad drop-in must not take down the scorer.
+    Single-token rows are kept — including emoticons, which the r5
+    NLTK-faithful tokenizer (whitespace split + word±punc mapping, no
+    letter regex) CAN produce — mirroring NLTK's own loader. Multiword
+    rows are dropped: lookup is per-token in NLTK too, so they are
+    unreachable there as well. Rows with uppercase letters are dropped
+    for the same reason (lookup lowercases the token first).
+    Unparseable files are ignored (builtin wins) — a bad drop-in must
+    not take down the scorer.
     """
     import os
     import re as _re
@@ -4205,7 +4217,7 @@ def _load_dropin() -> dict[str, float] | None:
                     root, "sentiment", "vader_lexicon", "vader_lexicon.txt"
                 )
             )
-    tok_ok = _re.compile(r"^[a-z']+$")
+    tok_ok = _re.compile(r"^[^\sA-Z]+$")  # one token, no uppercase
     for path in paths:
         try:
             out: dict[str, float] = {}
@@ -4231,31 +4243,59 @@ def _load_dropin() -> dict[str, float] | None:
 #: the same dict, so the two lanes stay hash-identical either way.
 LEXICON: dict[str, float] = _load_dropin() or _BUILTIN_LEXICON
 
-#: Negation cues — flip a valenced token within 3 preceding positions by
-#: N_SCALAR (VADER's NEGATE list, apostrophes preserved by tokenization).
+#: Negation cues — the published NEGATE list verbatim (note: "no" is NOT
+#: a VADER negator; tokens containing "n't" also negate, via the
+#: include_nt rule in the scorer).
 NEGATORS = frozenset({
-    "not", "no", "never", "neither", "nor", "cannot", "without", "nothing",
-    "nobody", "none", "nope", "nah", "rarely", "seldom", "hardly", "scarcely",
-    "can't", "cant", "don't", "dont", "won't", "wont", "isn't", "isnt",
-    "wasn't", "wasnt", "aren't", "arent", "doesn't", "doesnt", "didn't",
-    "didnt", "couldn't", "couldnt", "shouldn't", "shouldnt", "wouldn't",
-    "wouldnt", "hasn't", "hasnt", "haven't", "havent", "ain't", "aint",
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+    "doesnt", "ain't", "aren't", "can't", "couldn't", "daren't", "didn't",
+    "doesn't", "dont", "hadnt", "hasnt", "havent", "isnt", "mightnt",
+    "mustnt", "neither", "don't", "hadn't", "hasn't", "haven't", "isn't",
+    "mightn't", "mustn't", "neednt", "needn't", "never", "none", "nope",
+    "nor", "not", "nothing", "nowhere", "oughtnt", "shant", "shouldnt",
+    "oughtn't", "shan't", "shouldn't", "uhuh", "wasnt", "werent", "uh-uh",
+    "wasn't", "weren't", "without", "wont", "wouldnt", "won't",
+    "wouldn't", "rarely", "seldom", "despite",
 })
 
-#: Degree modifiers (VADER's BOOSTER_DICT shape): intensifiers add B_INCR
-#: to a following valenced token's magnitude, dampeners subtract it.
+#: Degree modifiers — the published BOOSTER_DICT's single-token entries
+#: (every value is exactly ±B_INCR): intensifiers add B_INCR to a
+#: following valenced token's magnitude, dampeners subtract it.
 INTENSIFIERS = frozenset({
-    "very", "extremely", "absolutely", "completely", "considerably",
-    "decidedly", "deeply", "enormously", "entirely", "especially",
-    "exceptionally", "extraordinarily", "greatly", "highly", "hugely",
-    "incredibly", "intensely", "more", "most", "particularly", "purely",
-    "quite", "really", "remarkably", "so", "substantially", "thoroughly",
-    "totally", "tremendously", "unusually", "utterly",
+    "absolutely", "amazingly", "awfully", "completely", "considerable",
+    "considerably", "decidedly", "deeply", "effing", "enormous",
+    "enormously", "entirely", "especially", "exceptional", "exceptionally",
+    "extreme", "extremely", "fabulously", "flipping", "flippin", "frackin",
+    "fracking", "fricking", "frickin", "frigging", "friggin", "fully",
+    "fuckin", "fucking", "fuggin", "fugging", "greatly", "hella", "highly",
+    "hugely", "incredible", "incredibly", "intensely", "major", "majorly",
+    "more", "most", "particularly", "purely", "quite", "really",
+    "remarkably", "so", "substantially", "thoroughly", "total", "totally",
+    "tremendous", "tremendously", "uber", "unbelievably", "unusually",
+    "utter", "utterly", "very",
 })
 DAMPENERS = frozenset({
-    "almost", "barely", "kinda", "less", "little", "marginally",
-    "occasionally", "partly", "slightly", "somewhat",
+    "almost", "barely", "hardly", "kinda", "kindof", "kind-of", "less",
+    "little", "marginal", "marginally", "occasional", "occasionally",
+    "partly", "scarce", "scarcely", "slight", "slightly", "somewhat",
+    "sorta", "sortof", "sort-of",
 })
+
+#: BOOSTER_DICT's multiword keys — unreachable by single-token lookup
+#: (exactly as in NLTK), they act only through the idiom bigram check,
+#: which ADDS the constant B_DECR when a preceding 2/3-gram matches.
+BOOSTER_PHRASES = frozenset({"kind of", "sort of", "just enough"})
+
+#: Published special-case idiom table: a contextual n-gram REPLACES the
+#: matched token's valence outright ("the shit" is praise, etc.).
+SPECIAL_IDIOMS: dict[str, float] = {
+    "the shit": 3.0,
+    "the bomb": 3.0,
+    "bad ass": 1.5,
+    "yeah right": -2.0,
+    "kiss of death": -1.5,
+    "hand to mouth": -2.0,
+}
 
 # Published VADER rule constants (Hutto & Gilbert 2014).
 B_INCR = 0.293      # degree-modifier increment
@@ -4274,3 +4314,5 @@ BUT_AFTER = 1.5
 #: distance decay for degree modifiers at positions -2 / -3
 DECAY_2 = 0.95
 DECAY_3 = 0.9
+#: "never so X" / "never this X" amplifies instead of negating
+NEVER_SCALAR = 1.25
