@@ -53,10 +53,17 @@ COMMENTARY = {
         "that same partitioning (key-prefix rule)."
     ),
     "macd_indicator": (
-        "One MapInPandas node over a repartition+sort computes fast/slow/"
-        "signal EMAs together: one shuffle instead of three, and no "
-        "per-group FlatMapGroupsInPandas round-trip (thousands of keys "
-        "share each Arrow batch)."
+        "JVM fold lane (r5): ONE collect_list aggregate per key, then "
+        "fast/slow/signal EMAs as aggregate() array folds + zip_with — "
+        "no Python evaluator anywhere in the plan, one shuffle total; "
+        "the segmented-scan macd_window form is the >10^7-row path."
+    ),
+    "orderkey_gap_audit": (
+        "Distributed gap lag (r5): the raw-fact window partitions by the "
+        "deterministic key bucket (floor(key/2^20) — <= bucket_size rows "
+        "per partition by construction, no sampler to pin); the only "
+        "single-partition exchange feeds the bucket-summary stitch, "
+        "~keyspace/bucket_size rows."
     ),
     "ivf_ann_probe_top5": (
         "Inverted-file probe: PartitionFilters on the cell column prune at "
@@ -73,9 +80,10 @@ COMMENTARY = {
         "(map-side combine), filter pushed into the parquet scan."
     ),
     "hourly_ohlc_candles": (
-        "OHLC resample: both opposed row_number windows AND the final "
-        "aggregate run on one (event_type, hour) Exchange — resampling "
-        "costs a single shuffle at any grain."
+        "OHLC resample: open/close via min_by/max_by on a packed BIGINT "
+        "ordering key inside the ONE (event_type, hour) hash aggregate — "
+        "Exchange -> HashAggregate with map-side partials, zero Sort "
+        "operators; resampling costs a single shuffle at any grain."
     ),
     "user_retention_cohorts": (
         "Cohort matrix: one explicit user_id repartition serves the "
