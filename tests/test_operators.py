@@ -319,6 +319,17 @@ def test_key_gaps_buckets_and_stitch(spark):
     dense = spark.createDataFrame([(k,) for k in range(10, 20)], "k long")
     assert key_gaps(dense, "k", bucket_size=4).count() == 0
     assert key_gaps(df.limit(1), "k").count() == 0
+    # negative keys: Spark's % keeps the dividend sign, so the bucket
+    # spanning zero is up to 2x wide — ranges stay contiguous and
+    # non-overlapping, which is all correctness needs
+    negk = spark.createDataFrame(
+        [(-120,), (-119,), (-60,), (-3,), (0,), (2,), (75,)], "k long")
+    got_n = sorted(
+        (r["gap_start"], r["gap_end"], r["gap_len"])
+        for r in key_gaps(negk, "k", bucket_size=50).collect()
+    )
+    assert got_n == [(-118, -61, 58), (-59, -4, 56), (-2, -1, 2),
+                     (1, 1, 1), (3, 74, 72)]
 
 
 def test_adaptive_ntile_queries_distributed_parity(spark, monkeypatch):

@@ -4286,8 +4286,13 @@ DAMPENERS = frozenset({
 #: which ADDS the constant B_DECR when a preceding 2/3-gram matches.
 BOOSTER_PHRASES = frozenset({"kind of", "sort of", "just enough"})
 
-#: Published special-case idiom table: a contextual n-gram REPLACES the
-#: matched token's valence outright ("the shit" is praise, etc.).
+#: Special-case idiom table: a contextual n-gram REPLACES the matched
+#: token's valence outright ("the shit" is praise, etc.). This is the
+#: subset of the published SPECIAL_CASE_IDIOMS whose exact values are
+#: confidently known here — entries are never guessed (same curation
+#: basis as the lexicon tiers); the drop-in of a real lexicon file does
+#: not carry idioms, so texts hitting an omitted idiom are a documented
+#: divergence.
 SPECIAL_IDIOMS: dict[str, float] = {
     "the shit": 3.0,
     "the bomb": 3.0,
