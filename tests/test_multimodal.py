@@ -406,3 +406,73 @@ class TestJpegBaselineCodec:
         enc[sof + 1] = 0xC2  # rewrite frame marker to progressive
         with pytest.raises(NotImplementedError, match="progressive"):
             decode_jpeg(bytes(enc))
+
+
+class TestJpegSubsampling:
+    def test_subsampled_roundtrip_all_factors(self):
+        """r5: 4:2:0 / 4:2:2 / 4:4:0 encode+decode — MCU interleave
+        order, odd-dimension cropping, and box down/up-sampling must
+        round-trip smooth content to quantization-level error."""
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg, encode_jpeg, jpeg_header,
+        )
+
+        yy, xx = np.mgrid[0:33, 0:47]
+        img = np.stack(
+            [
+                (128 + 80 * np.sin(xx / 17) * np.cos(yy / 23)),
+                (128 + 60 * np.cos(xx / 29)),
+                (128 + 50 * np.sin(yy / 31)),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        for ss in [(2, 2), (2, 1), (1, 2)]:
+            enc = encode_jpeg(img, subsample=ss)
+            hdr = jpeg_header(enc)
+            assert (hdr["width"], hdr["height"]) == (47, 33)
+            dec = decode_jpeg(enc)
+            assert dec.shape == img.shape
+            err = np.abs(dec.astype(float) - img.astype(float)).mean()
+            assert err < 6.0, (ss, err)
+
+    def test_constant_chroma_is_lossless_under_subsampling(self):
+        """Box-downsampling a CONSTANT chroma plane loses nothing, so a
+        solid-color image must decode identically under 4:4:4 and
+        4:2:0 (quantization hits the same flat blocks either way)."""
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        img = np.full((24, 40, 3), (90, 160, 210), dtype=np.uint8)
+        a = decode_jpeg(encode_jpeg(img, subsample=(1, 1)))
+        b = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
+        assert (a == b).all()
+
+    def test_non_interleaved_scan_raises(self):
+        """A baseline file whose SOS carries fewer components than the
+        frame (multi-scan layout) raises a NAMED NotImplementedError —
+        never a wrong pixel."""
+        import numpy as np
+        import pytest
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        img = np.full((8, 8, 3), 100, dtype=np.uint8)
+        enc = bytearray(encode_jpeg(img))
+        i = enc.find(b"\xff\xda")
+        assert i > 0
+        # rewrite Ns=3 -> 1 and shrink the SOS header accordingly
+        length = int.from_bytes(enc[i + 2 : i + 4], "big")
+        body = enc[i + 4 : i + 2 + length]
+        new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:])
+        enc[i + 2 : i + 2 + length] = (
+            (len(new_body) + 2).to_bytes(2, "big") + new_body
+        )
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
+            decode_jpeg(bytes(enc))

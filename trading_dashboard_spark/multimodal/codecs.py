@@ -491,16 +491,29 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, (v if v >= 0 else v + (1 << s) - 1)
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+def encode_jpeg(
+    pixels: np.ndarray, subsample: tuple[int, int] = (1, 1)
+) -> bytes:
     """Encode uint8 pixels — (H, W) grayscale or (H, W, 3) RGB — as a
     sequential baseline JFIF JPEG (quality-50 Annex-K quantization,
-    Annex-K Huffman tables, 4:4:4 — no chroma subsampling)."""
+    Annex-K Huffman tables).
+
+    ``subsample`` is the LUMA (h, v) sampling factor pair relative to
+    1×1 chroma: (1, 1) = 4:4:4 (default), (2, 1) = 4:2:2, (2, 2) =
+    4:2:0. Chroma planes are box-downsampled (mean of each h×v cell) —
+    the exact inverse of the decoder's box upsampling, so constant-
+    chroma content round-trips to quantization error only."""
     px = np.asarray(pixels)
     if px.dtype != np.uint8:
         raise ValueError(f"encode_jpeg needs uint8 pixels, got {px.dtype}")
     gray = px.ndim == 2
     if not gray and not (px.ndim == 3 and px.shape[2] == 3):
         raise ValueError(f"encode_jpeg needs (H,W) or (H,W,3), got {px.shape}")
+    sh, sv = subsample
+    if gray:
+        sh = sv = 1
+    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+        raise ValueError(f"invalid subsample factors {subsample}")
     h, w = px.shape[:2]
     if gray:
         comps = [px.astype(np.float64)]
@@ -516,51 +529,73 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    # MCU grid sized by the luma factors; chroma box-downsampled
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    factors = [(sh, sv)] + [(1, 1)] * (len(comps) - 1)
     padded = []
-    for comp in comps:
-        p = np.pad(comp, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    for ci, comp in enumerate(comps):
+        fx, fv = factors[ci]
+        if ci > 0 and (sh > 1 or sv > 1):
+            # pad to a cell multiple with edge values, then box-mean
+            ph = (h + sv - 1) // sv * sv
+            pw = (w + sh - 1) // sh * sh
+            c = np.pad(comp, ((0, ph - h), (0, pw - w)), mode="edge")
+            comp = c.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        th, tw = mcuy * 8 * fv, mcux * 8 * fx
+        p = np.pad(
+            comp,
+            ((0, th - comp.shape[0]), (0, tw - comp.shape[1])),
+            mode="edge",
+        )
         padded.append(p)
 
     writer = _BitWriter()
     dc_prev = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, comp in enumerate(padded):
-                qt = _QT_LUMA if ci == 0 else _QT_CHROMA
-                dc_t = dc_l if ci == 0 else dc_c
-                ac_t = ac_l if ci == 0 else ac_c
-                block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = _DCT_C @ block @ _DCT_C.T
-                q = np.round(coef / qt).astype(np.int64)
-                zz = q.ravel()[_ZZ]
-                # DC
-                diff = int(zz[0]) - dc_prev[ci]
-                dc_prev[ci] = int(zz[0])
-                s, amp = _magnitude(diff)
-                code, ln = dc_t[s]
+
+    def put_block(comp: np.ndarray, by: int, bx: int, ci: int) -> None:
+        qt = _QT_LUMA if ci == 0 else _QT_CHROMA
+        dc_t = dc_l if ci == 0 else dc_c
+        ac_t = ac_l if ci == 0 else ac_c
+        block = comp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = _DCT_C @ block @ _DCT_C.T
+        q = np.round(coef / qt).astype(np.int64)
+        zz = q.ravel()[_ZZ]
+        # DC
+        diff = int(zz[0]) - dc_prev[ci]
+        dc_prev[ci] = int(zz[0])
+        s, amp = _magnitude(diff)
+        code, ln = dc_t[s]
+        writer.put(code, ln)
+        if s:
+            writer.put(amp, s)
+        # AC with run-length + EOB/ZRL
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_t[0xF0]
                 writer.put(code, ln)
-                if s:
-                    writer.put(amp, s)
-                # AC with run-length + EOB/ZRL
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_t[0xF0]
-                        writer.put(code, ln)
-                        run -= 16
-                    s, amp = _magnitude(v)
-                    code, ln = ac_t[run * 16 + s]
-                    writer.put(code, ln)
-                    writer.put(amp, s)
-                    run = 0
-                if run:
-                    code, ln = ac_t[0x00]
-                    writer.put(code, ln)
+                run -= 16
+            s, amp = _magnitude(v)
+            code, ln = ac_t[run * 16 + s]
+            writer.put(code, ln)
+            writer.put(amp, s)
+            run = 0
+        if run:
+            code, ln = ac_t[0x00]
+            writer.put(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, comp in enumerate(padded):
+                fx, fv = factors[ci]
+                for bv in range(fv):
+                    for bhh in range(fx):
+                        put_block(comp, my * fv + bv, mx * fx + bhh, ci)
     writer.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -574,7 +609,8 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+        hv = (sh << 4) | sv if ci == 0 else 0x11
+        sof += struct.pack(">BBB", ci + 1, hv, 0 if ci == 0 else 1)
     out += seg(0xC0, sof)
     for tclass, tid, bits, vals in (
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -668,8 +704,10 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a sequential baseline JPEG to uint8 pixels — (H, W) for
-    grayscale, (H, W, 3) RGB otherwise. Progressive frames and
-    subsampled chroma raise NotImplementedError naming the feature."""
+    grayscale, (H, W, 3) RGB otherwise. Subsampled chroma (4:2:0 /
+    4:2:2 / any integer h×v ≤ 4, r5) decodes with box upsampling;
+    progressive frames and non-interleaved multi-scan files raise
+    NotImplementedError naming the feature."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG: bad SOI marker")
     qts: dict[int, np.ndarray] = {}
@@ -721,12 +759,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"invalid JPEG sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "tq": tq, "h": ch, "v": cv})
+            if nc == 1:
+                # single-component frames scan non-interleaved: one data
+                # unit per MCU, sampling factors ignored (spec A.2.2)
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
                     raise NotImplementedError(
-                        "subsampled chroma (sampling factors != 1x1) not supported"
+                        "fractional JPEG chroma sampling ratios not supported"
                     )
-                comps.append({"id": cid, "tq": tq})
-            frame = (fh, fw, nc)
+            frame = (fh, fw, nc, hmax, vmax)
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
@@ -737,14 +785,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cid] = (tabs >> 4, tabs & 0x0F)
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            fh, fw, nc = frame
-            bh, bw = (fh + 7) // 8, (fw + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in range(nc)]
+            fh, fw, nc, hmax, vmax = frame
+            if ns != nc:
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]),
+                         dtype=np.float64)
+                for c in comps
+            ]
             reader = _BitReader(payload, i + 2 + length)
             dc_prev = [0] * nc
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         # byte-align and consume the RST marker
                         while reader.marker is None:
@@ -756,32 +813,50 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     for ci in range(nc):
                         cd = comps[ci]
                         dct, act = sel[cd["id"]]
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_huff(reader, dc_tabs[dct])
-                        diff = _extend(reader.bits(s), s) if s else 0
-                        dc_prev[ci] += diff
-                        zz[0] = dc_prev[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_huff(reader, ac_tabs[act])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = _extend(reader.bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZZ] = zz
-                        block = coef.reshape(8, 8) * qts[cd["tq"]]
-                        px = _DCT_C.T @ block @ _DCT_C + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+                        # an MCU carries h x v data units per component,
+                        # row-major (spec A.2.3 interleaved order)
+                        for bv in range(cd["v"]):
+                            for bhh in range(cd["h"]):
+                                zz = np.zeros(64, dtype=np.int64)
+                                s = _read_huff(reader, dc_tabs[dct])
+                                diff = _extend(reader.bits(s), s) if s else 0
+                                dc_prev[ci] += diff
+                                zz[0] = dc_prev[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = _read_huff(reader, ac_tabs[act])
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("JPEG AC index overflow")
+                                    zz[k] = _extend(reader.bits(s), s)
+                                    k += 1
+                                coef = np.zeros(64, dtype=np.float64)
+                                coef[_ZZ] = zz
+                                block = coef.reshape(8, 8) * qts[cd["tq"]]
+                                px = _DCT_C.T @ block @ _DCT_C + 128.0
+                                py0 = (my * cd["v"] + bv) * 8
+                                px0 = (mx * cd["h"] + bhh) * 8
+                                planes[ci][py0 : py0 + 8, px0 : px0 + 8] = px
                     mcu += 1
-            planes = [p[:fh, :fw] for p in planes]
+            # crop each component to its true size, then upsample to the
+            # frame grid by sample replication (box upsampling — exact
+            # for the box-downsampled encoder below; libjpeg's "fancy"
+            # triangle filter is a documented divergence)
+            up = []
+            for ci, c in enumerate(comps):
+                cw = (fw * c["h"] + hmax - 1) // hmax
+                chh = (fh * c["v"] + vmax - 1) // vmax
+                p = planes[ci][:chh, :cw]
+                p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                              hmax // c["h"], axis=1)[:fh, :fw]
+                up.append(p)
+            planes = up
             if nc == 1:
                 return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
             y, cb, cr = planes
