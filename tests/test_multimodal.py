@@ -393,7 +393,10 @@ class TestJpegBaselineCodec:
         assert abs(mean - img.mean()) < 3.0
         assert std > 10.0  # real statistics, not the old zero slots
 
-    def test_progressive_raises_not_implemented(self):
+    def test_mislabeled_progressive_raises_precisely(self):
+        """r5: progressive DECODES now, so a baseline stream whose SOF
+        marker is rewritten to SOF2 must fail the scan-script
+        validation (DC scan with Se=63), never mis-decode."""
         import pytest
 
         from trading_dashboard_spark.multimodal.codecs import (
@@ -404,8 +407,37 @@ class TestJpegBaselineCodec:
         enc = bytearray(encode_jpeg(self._gradient(16, 16)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 1] = 0xC2  # rewrite frame marker to progressive
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="scan script"):
             decode_jpeg(bytes(enc))
+
+    def test_progressive_decodes_bit_identical_to_baseline(self):
+        """Progressive is a REORDERING of the same quantized
+        coefficients: decode(progressive(img)) == decode(baseline(img))
+        exactly, across subsampling, successive-approximation depths,
+        odd dimensions, and noisy content (ZRL/EOB/refinement paths)."""
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive, jpeg_header,
+        )
+
+        rng = np.random.default_rng(9)
+        for h, w in [(16, 16), (33, 47)]:
+            noisy = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            for ss in [(1, 1), (2, 2), (2, 1)]:
+                for al in (0, 1, 2):
+                    base = decode_jpeg(encode_jpeg(noisy, subsample=ss))
+                    prog = decode_jpeg(
+                        encode_jpeg_progressive(noisy, subsample=ss, al=al)
+                    )
+                    assert (base == prog).all(), (h, w, ss, al)
+        gray = rng.integers(0, 255, (17, 25)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(gray))
+            == decode_jpeg(encode_jpeg_progressive(gray, al=2))
+        ).all()
+        hdr = jpeg_header(encode_jpeg_progressive(gray))
+        assert hdr["progressive"] is True
 
 
 class TestJpegSubsampling:

@@ -11,10 +11,12 @@ arrays and sample arrays, not just header sniffs — which makes
 
 Scope: PNG non-interlaced, 8-bit, grayscale/RGB/RGBA/gray+alpha (color
 types 0/2/4/6 — the overwhelming majority of real PNGs); WAV integer PCM
-8/16/32-bit; JPEG sequential baseline, 8-bit, grayscale or 4:4:4 color.
-Anything else (Adam7, progressive JPEG, subsampled chroma, non-PCM WAV)
-raises a precise NotImplementedError naming the unsupported feature,
-never a wrong answer.
+8/16/32-bit; JPEG 8-bit grayscale or color, sequential baseline at any
+integer chroma sampling (4:4:4/4:2:2/4:2:0, r5) AND progressive (SOF2,
+spectral selection + successive approximation, r5). Anything else
+(Adam7, non-interleaved multi-scan baseline, fractional sampling
+ratios, non-PCM WAV) raises a precise NotImplementedError naming the
+unsupported feature, never a wrong answer.
 """
 
 from __future__ import annotations
@@ -750,7 +752,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 j += 17 + cnt
         elif marker in _JPEG_SOF:
             if marker == 0xC2:
-                raise NotImplementedError("progressive JPEG decode not supported")
+                return _decode_progressive(payload)
             if marker != 0xC0 and marker != 0xC1:
                 raise NotImplementedError(f"JPEG SOF{marker - 0xC0} profile not supported")
             depth, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -867,3 +869,534 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         i += 2 + length
     raise ValueError("no JPEG scan (SOS) found")
+
+
+# --------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — spectral selection + successive approximation.
+# The decoder accumulates quantized coefficients across scans and runs the
+# IDCT once at end-of-image; the encoder exists chiefly so the decoder can
+# be validated by EXACT roundtrip (progressive is a reordering of the same
+# quantized coefficients, so decode(progressive(img)) must be bit-identical
+# to decode(baseline(img)) at equal sampling). EOB runs are emitted as
+# EOB0 only — Annex-K AC tables carry no EOBn>0 symbols.
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Index of the next non-stuffed, non-RST marker's 0xFF at/after
+    ``pos`` (the terminator of an entropy-coded segment)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            nxt = data[pos + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7) and nxt != 0xFF:
+                return pos
+            pos += 2 if nxt in (0x00,) or (0xD0 <= nxt <= 0xD7) else 1
+        else:
+            pos += 1
+    return n
+
+
+def _comp_block_grid(frame, comp) -> tuple[int, int]:
+    """(block rows, block cols) of one component's NON-INTERLEAVED scan
+    (spec A.2.2: ceil of the component's true dimensions / 8)."""
+    fh, fw, _nc, hmax, vmax = frame
+    cw = (fw * comp["h"] + hmax - 1) // hmax
+    ch = (fh * comp["v"] + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG: every scan deposits DC/AC
+    coefficient bits (first scans shift by Al; refinement scans add
+    correction bits — two's-complement for DC, magnitude-based for AC,
+    exactly the G.1.2 point-transform rules); reconstruction
+    (dequantize + IDCT + box chroma upsampling) runs once at EOI."""
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    comps: list[dict] = []
+    coefs: list[np.ndarray] = []
+    restart_interval = 0
+    eobrun = 0
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        (length,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        body = payload[i + 4 : i + 2 + length]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZZ] = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                qts[tq] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(body[j + 17 : j + 17 + cnt])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
+                j += 17 + cnt
+        elif marker == 0xC2:
+            depth, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(f"JPEG bit depth {depth} not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
+                ch, cv = hv >> 4, hv & 0x0F
+                comps.append({"id": cid, "tq": tq, "h": ch, "v": cv})
+            if nc == 1:
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if hmax % c["h"] or vmax % c["v"]:
+                    raise NotImplementedError(
+                        "fractional JPEG chroma sampling ratios not supported"
+                    )
+            frame = (fh, fw, nc, hmax, vmax)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+                for c in comps
+            ]
+        elif marker in _JPEG_SOF:
+            raise ValueError("mixed SOF markers in progressive stream")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            fh, fw, nc, hmax, vmax = frame
+            ns = body[0]
+            sel = []
+            for ci in range(ns):
+                cid, tabs = body[1 + ci * 2], body[2 + ci * 2]
+                idx = next(k for k, c in enumerate(comps) if c["id"] == cid)
+                sel.append((idx, tabs >> 4, tabs & 0x0F))
+            ss, se, a = body[1 + ns * 2 : 4 + ns * 2]
+            ah, al = a >> 4, a & 0x0F
+            if ss == 0 and se != 0:
+                raise ValueError(
+                    "invalid progressive scan script: DC scan with Se != 0 "
+                    "(baseline entropy data under an SOF2 header?)"
+                )
+            if ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            reader = _BitReader(payload, i + 2 + length)
+            eobrun = 0
+            p1, m1 = 1 << al, -(1 << al)
+
+            def refine_band(zz: np.ndarray, k0: int) -> None:
+                for k2 in range(k0, se + 1):
+                    c = int(zz[k2])
+                    if c != 0 and reader.bits(1) and not (c & p1):
+                        zz[k2] = c + (p1 if c >= 0 else m1)
+
+            def decode_block(zz: np.ndarray, ci_sel: int) -> None:
+                nonlocal eobrun
+                _idx, dct, act = sel[ci_sel]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        s = _read_huff(reader, dc_tabs[dct])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        dc_pred[ci_sel] += diff
+                        zz[0] = dc_pred[ci_sel] << al
+                    else:
+                        if reader.bits(1):
+                            zz[0] = int(zz[0]) | p1
+                    return
+                if ah == 0:  # AC first scan
+                    if eobrun > 0:
+                        eobrun -= 1
+                        return
+                    k = ss
+                    while k <= se:
+                        rs = _read_huff(reader, ac_tabs[act])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+                    return
+                # AC refinement scan
+                if eobrun > 0:
+                    eobrun -= 1
+                    refine_band(zz, ss)
+                    return
+                k = ss
+                hit_eob = False
+                while k <= se:
+                    rs = _read_huff(reader, ac_tabs[act])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            hit_eob = True
+                            break
+                        val = 0  # ZRL: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("invalid AC refinement symbol")
+                        val = p1 if reader.bits(1) else m1
+                    while k <= se:
+                        c = int(zz[k])
+                        if c != 0:
+                            if reader.bits(1) and not (c & p1):
+                                zz[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+                if hit_eob:
+                    refine_band(zz, k)
+                    eobrun -= 1
+
+            dc_pred = [0] * ns
+            mcu = 0
+
+            def maybe_restart() -> None:
+                nonlocal dc_pred, eobrun
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    while reader.marker is None:
+                        reader.bits(1)
+                    if not (0xD0 <= reader.marker <= 0xD7):
+                        raise ValueError("expected JPEG restart marker")
+                    reader.align_after_marker()
+                    dc_pred = [0] * ns
+                    eobrun = 0
+
+            if ns > 1:  # interleaved — DC scans only (spec B.2.3)
+                if ss != 0:
+                    raise ValueError("interleaved progressive AC scan")
+                mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart()
+                        for ci_sel, (idx, _d, _a) in enumerate(sel):
+                            cd = comps[idx]
+                            for bv in range(cd["v"]):
+                                for bhh in range(cd["h"]):
+                                    decode_block(
+                                        coefs[idx][my * cd["v"] + bv,
+                                                   mx * cd["h"] + bhh],
+                                        ci_sel,
+                                    )
+                        mcu += 1
+            else:
+                idx = sel[0][0]
+                bh_c, bw_c = _comp_block_grid(frame, comps[idx])
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        maybe_restart()
+                        decode_block(coefs[idx][by, bx], 0)
+                        mcu += 1
+            i = _next_marker(payload, reader.pos)
+            continue
+        i += 2 + length
+    if frame is None or not coefs:
+        raise ValueError("no progressive frame decoded")
+    fh, fw, nc, hmax, vmax = frame
+    planes = []
+    for ci, c in enumerate(comps):
+        grid = coefs[ci]
+        gh, gw = grid.shape[:2]
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.float64)
+        qt = qts[c["tq"]]
+        for by in range(gh):
+            for bx in range(gw):
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZZ] = grid[by, bx]
+                block = coef.reshape(8, 8) * qt
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT_C.T @ block @ _DCT_C + 128.0
+                )
+        cw = (fw * c["h"] + hmax - 1) // hmax
+        chh = (fh * c["v"] + vmax - 1) // vmax
+        p = plane[:chh, :cw]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)[:fh, :fw]
+        planes.append(p)
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _quantized_blocks(
+    px: np.ndarray, subsample: tuple[int, int]
+) -> tuple[list[np.ndarray], tuple, int, int]:
+    """Shared encoder front half: color transform, chroma box-downsample,
+    pad, forward DCT, quantize. Returns (per-comp zigzag coef grids of
+    shape (bh, bw, 64), frame tuple, mcux, mcuy) — the same quantized
+    coefficients the baseline encoder writes, so baseline and
+    progressive encodings of one image decode bit-identically."""
+    gray = px.ndim == 2
+    sh, sv = (1, 1) if gray else subsample
+    h, w = px.shape[:2]
+    if gray:
+        comps = [px.astype(np.float64)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [y, cb, cr]
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    factors = [(sh, sv)] + [(1, 1)] * (len(comps) - 1)
+    grids = []
+    for ci, comp in enumerate(comps):
+        fx, fv = factors[ci]
+        if ci > 0 and (sh > 1 or sv > 1):
+            ph = (h + sv - 1) // sv * sv
+            pw = (w + sh - 1) // sh * sh
+            c = np.pad(comp, ((0, ph - h), (0, pw - w)), mode="edge")
+            comp = c.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        th, tw = mcuy * 8 * fv, mcux * 8 * fx
+        p = np.pad(
+            comp,
+            ((0, th - comp.shape[0]), (0, tw - comp.shape[1])),
+            mode="edge",
+        )
+        qt = _QT_LUMA if ci == 0 else _QT_CHROMA
+        bh, bw = th // 8, tw // 8
+        grid = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_C @ block @ _DCT_C.T
+                q = np.round(coef / qt).astype(np.int64)
+                grid[by, bx] = q.ravel()[_ZZ]
+        grids.append(grid)
+    nc = len(comps)
+    frame = (h, w, nc, sh if nc > 1 else 1, sv if nc > 1 else 1)
+    return grids, frame, mcux, mcuy
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsample: tuple[int, int] = (1, 1),
+    bands: tuple = ((1, 5), (6, 63)),
+    al: int = 1,
+) -> bytes:
+    """Encode a progressive (SOF2) JPEG with a standard-shaped scan
+    script: DC first (Al=``al``) interleaved, per-component AC first
+    scans over each spectral ``band`` (Al=``al``), then DC and AC
+    refinement scans down to Al=0 — exercising spectral selection AND
+    successive approximation. Quantized coefficients are IDENTICAL to
+    :func:`encode_jpeg`'s (shared front half), so the two encodings
+    must decode bit-identically. EOB runs are emitted as EOB0 only
+    (Annex-K AC tables carry no EOBn>0 symbols)."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError(f"encode_jpeg_progressive needs uint8, got {px.dtype}")
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(f"needs (H,W) or (H,W,3), got {px.shape}")
+    grids, frame, mcux, mcuy = _quantized_blocks(px, subsample)
+    fh, fw, nc, sh, sv = frame
+    factors = [(sh, sv)] + [(1, 1)] * (nc - 1)
+    comps_meta = [
+        {"id": ci + 1, "h": factors[ci][0], "v": factors[ci][1],
+         "tq": 0 if ci == 0 else 1}
+        for ci in range(nc)
+    ]
+
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(_QT_LUMA.ravel()[_ZZ].astype(np.uint8)))
+    if nc > 1:
+        out += seg(0xDB, b"\x01" + bytes(_QT_CHROMA.ravel()[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, fh, fw, nc)
+    for c in comps_meta:
+        sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+    out += seg(0xC2, sof)
+    for tclass, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if nc == 1 and tid == 1:
+            continue
+        out += seg(0xC4, bytes([tclass * 16 + tid]) + bytes(bits) + bytes(vals))
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int,
+                   a_low: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tabs = (0 << 4) | 0 if cid == 1 else (1 << 4) | 1
+            body += bytes([cid, tabs])
+        body += bytes([ss, se, (ah << 4) | a_low])
+        return seg(0xDA, body)
+
+    def dc_first_scan(a_low: int) -> bytes:
+        writer = _BitWriter()
+        prev = [0] * nc
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    fx, fv = factors[ci]
+                    dc_t = dc_l if ci == 0 else dc_c
+                    for bv in range(fv):
+                        for bhh in range(fx):
+                            v = int(grids[ci][my * fv + bv, mx * fx + bhh, 0])
+                            t = v >> a_low  # arithmetic shift (spec DC rule)
+                            diff = t - prev[ci]
+                            prev[ci] = t
+                            s, amp = _magnitude(diff)
+                            code, ln = dc_t[s]
+                            writer.put(code, ln)
+                            if s:
+                                writer.put(amp, s)
+        writer.flush()
+        return bytes(writer.buf)
+
+    def dc_refine_scan(a_low: int) -> bytes:
+        writer = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nc):
+                    fx, fv = factors[ci]
+                    for bv in range(fv):
+                        for bhh in range(fx):
+                            v = int(grids[ci][my * fv + bv, mx * fx + bhh, 0])
+                            writer.put((v >> a_low) & 1, 1)
+        writer.flush()
+        return bytes(writer.buf)
+
+    def comp_blocks(ci: int):
+        bh_c, bw_c = _comp_block_grid(frame, comps_meta[ci])
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                yield grids[ci][by, bx]
+
+    def ac_first_scan(ci: int, ss: int, se: int, a_low: int) -> bytes:
+        writer = _BitWriter()
+        ac_t = ac_l if ci == 0 else ac_c
+        for zz in comp_blocks(ci):
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> a_low  # magnitude shift (spec AC rule)
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_t[0xF0]
+                    writer.put(code, ln)
+                    run -= 16
+                s, amp = _magnitude(t if v > 0 else -t)
+                code, ln = ac_t[run * 16 + s]
+                writer.put(code, ln)
+                writer.put(amp, s)
+                run = 0
+            if run:
+                code, ln = ac_t[0x00]  # EOB0
+                writer.put(code, ln)
+        writer.flush()
+        return bytes(writer.buf)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, a_low: int) -> bytes:
+        writer = _BitWriter()
+        ac_t = ac_l if ci == 0 else ac_c
+        for zz in comp_blocks(ci):
+            absv = [abs(int(zz[k])) >> a_low for k in range(64)]
+            eob = 0
+            for k in range(ss, se + 1):
+                if absv[k] == 1:
+                    eob = k
+            run = 0
+            pending: list[int] = []
+            for k in range(ss, se + 1):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    code, ln = ac_t[0xF0]
+                    writer.put(code, ln)
+                    run -= 16
+                    for bit in pending:
+                        writer.put(bit, 1)
+                    pending = []
+                if t > 1:  # history coefficient: append its correction bit
+                    pending.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                code, ln = ac_t[run * 16 + 1]
+                writer.put(code, ln)
+                writer.put(1 if int(zz[k]) >= 0 else 0, 1)
+                for bit in pending:
+                    writer.put(bit, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                code, ln = ac_t[0x00]  # EOB0
+                writer.put(code, ln)
+                for bit in pending:
+                    writer.put(bit, 1)
+        writer.flush()
+        return bytes(writer.buf)
+
+    all_ids = [c["id"] for c in comps_meta]
+    out += sos_header(all_ids, 0, 0, 0, al) + dc_first_scan(al)
+    for ci in range(nc):
+        for ss, se in bands:
+            out += sos_header([comps_meta[ci]["id"]], ss, se, 0, al)
+            out += ac_first_scan(ci, ss, se, al)
+    for a_low in range(al - 1, -1, -1):
+        out += sos_header(all_ids, 0, 0, a_low + 1, a_low)
+        out += dc_refine_scan(a_low)
+        for ci in range(nc):
+            for ss, se in bands:
+                out += sos_header([comps_meta[ci]["id"]], ss, se,
+                                  a_low + 1, a_low)
+                out += ac_refine_scan(ci, ss, se, a_low)
+    out += b"\xff\xd9"
+    return bytes(out)
