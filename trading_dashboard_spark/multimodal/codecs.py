@@ -308,12 +308,9 @@ def jpeg_header(payload: bytes) -> dict:
     """Scan segment markers to the first SOF frame header: width, height,
     channels, bit depth, progressive flag.
 
-    Header parse only — baseline JPEG entropy decoding (Huffman + IDCT)
-    is deliberately out of scope for a dependency-free codec; pixel-level
-    requests on JPEG raise in `media_features`' callers, never return a
-    wrong answer. The marker walk skips entropy-coded segments by
-    honoring each segment's declared length, so it is O(#segments), not
-    O(bytes).
+    Header parse only (the pixel path lives in `decode_jpeg`). The
+    marker walk skips entropy-coded segments by honoring each segment's
+    declared length, so it is O(#segments), not O(bytes).
     """
     if not is_jpeg(payload):
         raise ValueError("not a JPEG: bad SOI marker")
@@ -358,9 +355,11 @@ def jpeg_header(payload: bytes) -> dict:
 # with 0xFF byte stuffing) and decoder (DQT/SOF0/DHT/SOS/DRI parse →
 # canonical-Huffman MCU decode with restart-marker handling → dequantize →
 # IDCT → level unshift → YCbCr→RGB). Scope is precise, as everywhere in
-# this module: sequential baseline, 8-bit, grayscale or 4:4:4 color
-# (the encoder's own output); progressive frames and subsampled chroma
-# raise NotImplementedError naming the feature, never a wrong pixel.
+# this module: 8-bit grayscale or color, any integer chroma sampling
+# (r5), sequential baseline here plus the progressive (SOF2) path
+# further below; what remains out (fractional sampling ratios,
+# non-interleaved multi-scan baseline, 12-bit) raises a named
+# NotImplementedError, never a wrong pixel.
 # --------------------------------------------------------------------------
 
 #: zigzag scan order (spec Figure 5)
