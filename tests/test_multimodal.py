@@ -508,3 +508,36 @@ class TestJpegSubsampling:
         )
         with pytest.raises(NotImplementedError, match="non-interleaved"):
             decode_jpeg(bytes(enc))
+
+
+def test_jpeg_codec_property_fuzz():
+    """Property (hypothesis): for ANY uint8 image, subsampling mode,
+    and successive-approximation depth, the progressive encoding
+    decodes bit-identically to the baseline encoding (they carry the
+    same quantized coefficients), and shapes round-trip."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from trading_dashboard_spark.multimodal.codecs import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        gray=st.booleans(),
+        ss=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+        al=st.integers(0, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, gray, ss, al, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsample=ss))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsample=ss, al=al))
+        assert base.shape == img.shape
+        assert (base == prog).all()
+
+    check()
