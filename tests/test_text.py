@@ -398,6 +398,11 @@ def test_vader_published_compound_parity():
         "Not bad at all": 0.431,
         "Sentiment analysis has never been good.": -0.3412,
         "Sentiment analysis has never been this good.": 0.5228,
+        "VADER is very smart, handsome, and funny.": 0.8545,
+        "VADER is VERY SMART, handsome, and FUNNY.": 0.9227,
+        "VADER is VERY SMART, handsome, and FUNNY!!!": 0.9342,
+        "VADER is VERY SMART, uber handsome, and FRIGGIN FUNNY!!!": 0.9469,
+        "Make sure you :) or :D today!": 0.8633,
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text

@@ -4159,9 +4159,16 @@ zzz	-0.7
 #: the VADER README's ground-truth compound table (each value is forced
 #: algebraically by a published compound + the rule constants — see
 #: tests/test_text.py::test_vader_published_compound_parity), so these
-#: are evidence-backed, not recalled.
+#: are evidence-backed, not recalled. The emoticon example pins
+#: sure + ":)" + ":D" = 5.6; the per-token split (1.3 / 2.0 / 2.3) is
+#: curated. Keys are stored lowercase (":d") because the scorer —
+#: like NLTK — lowercases the token before lookup; the ALL-CAPS
+#: emphasis on ":D" comes from the raw token's case, not the key.
 LEXICON_DATA_EXTENSION5 = """\
 uncompelling\t-0.9
+sure\t1.3
+:)\t2.0
+:d\t2.3
 """
 
 _BUILTIN_LEXICON: dict[str, float] = {
