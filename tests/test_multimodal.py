@@ -541,3 +541,146 @@ def test_jpeg_codec_property_fuzz():
         assert (base == prog).all()
 
     check()
+
+
+class TestPngExtendedDecode:
+    """r5: Adam7 interlacing, PLTE-indexed color at depths 1/2/4/8, and
+    sub-byte grayscale — fixtures hand-built at the zlib level so the
+    decoder is checked against the spec, not against our own writer."""
+
+    @staticmethod
+    def _chunk(ctype, data):
+        import struct
+        import zlib
+
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    @staticmethod
+    def _pack_rows(values, depth):
+        import numpy as np
+
+        stream = b""
+        for row in values:
+            bits = np.unpackbits(row[:, None].astype(np.uint8), axis=1)[
+                :, 8 - depth:
+            ].ravel()
+            pad = (-len(bits)) % 8
+            bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+            stream += b"\x00" + np.packbits(bits).tobytes()
+        return stream
+
+    def test_adam7_interlaced(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            PNG_SIGNATURE, decode_png,
+        )
+
+        adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        rng = np.random.default_rng(2)
+        for h, w in [(13, 11), (1, 1), (2, 3), (16, 17)]:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            stream = b""
+            for x0, y0, dx, dy in adam7:
+                sub = img[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue  # empty passes carry no scanlines
+                for row in sub:
+                    stream += b"\x00" + row.tobytes()
+            payload = (
+                PNG_SIGNATURE
+                + self._chunk(b"IHDR",
+                              struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+                + self._chunk(b"IDAT", zlib.compress(stream))
+                + self._chunk(b"IEND", b"")
+            )
+            assert np.array_equal(decode_png(payload), img), (h, w)
+
+    def test_palette_all_depths(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            PNG_SIGNATURE, decode_png,
+        )
+
+        rng = np.random.default_rng(4)
+        for depth in (1, 2, 4, 8):
+            npal = 1 << depth
+            pal = rng.integers(0, 256, (npal, 3)).astype(np.uint8)
+            idx = rng.integers(0, npal, (5, 9)).astype(np.uint8)
+            payload = (
+                PNG_SIGNATURE
+                + self._chunk(b"IHDR",
+                              struct.pack(">IIBBBBB", 9, 5, depth, 3, 0, 0, 0))
+                + self._chunk(b"PLTE", pal.tobytes())
+                + self._chunk(b"IDAT",
+                              zlib.compress(self._pack_rows(idx, depth)))
+                + self._chunk(b"IEND", b"")
+            )
+            assert np.array_equal(decode_png(payload), pal[idx]), depth
+
+    def test_grayscale_sub_byte_scaling(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            PNG_SIGNATURE, decode_png,
+        )
+
+        rng = np.random.default_rng(6)
+        gv = rng.integers(0, 16, (4, 6)).astype(np.uint8)
+        payload = (
+            PNG_SIGNATURE
+            + self._chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 4, 4, 0, 0, 0, 0))
+            + self._chunk(b"IDAT", zlib.compress(self._pack_rows(gv, 4)))
+            + self._chunk(b"IEND", b"")
+        )
+        got = decode_png(payload)
+        # left-bit replication == v * 255 / 15 exactly at these depths
+        assert np.array_equal(got[:, :, 0],
+                              (gv.astype(int) * 255 // 15).astype(np.uint8))
+
+    def test_remaining_raises_are_named(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            PNG_SIGNATURE, decode_png,
+        )
+
+        # 16-bit still raises precisely
+        payload = (
+            PNG_SIGNATURE
+            + self._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + self._chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + self._chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="bit depth 16"):
+            decode_png(payload)
+        # paletted transparency raises precisely
+        pal = np.zeros((2, 3), np.uint8)
+        payload = (
+            PNG_SIGNATURE
+            + self._chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 1, 3, 0, 0, 0))
+            + self._chunk(b"PLTE", pal.tobytes())
+            + self._chunk(b"tRNS", b"\x00")
+            + self._chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + self._chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="tRNS"):
+            decode_png(payload)

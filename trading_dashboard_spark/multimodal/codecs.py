@@ -9,14 +9,15 @@ products, both directions). These are complete codecs — actual pixel
 arrays and sample arrays, not just header sniffs — which makes
 ``decode_media_batch(fake=False)`` real for all three formats.
 
-Scope: PNG non-interlaced, 8-bit, grayscale/RGB/RGBA/gray+alpha (color
-types 0/2/4/6 — the overwhelming majority of real PNGs); WAV integer PCM
-8/16/32-bit; JPEG 8-bit grayscale or color, sequential baseline at any
-integer chroma sampling (4:4:4/4:2:2/4:2:0, r5) AND progressive (SOF2,
-spectral selection + successive approximation, r5). Anything else
-(Adam7, non-interleaved multi-scan baseline, fractional sampling
-ratios, non-PCM WAV) raises a precise NotImplementedError naming the
-unsupported feature, never a wrong answer.
+Scope: PNG color types 0/2/3/4/6 at bit depths 1/2/4/8 (PLTE-indexed
+and sub-byte grayscale included), non-interlaced AND Adam7 (r5); WAV
+integer PCM 8/16/32-bit; JPEG 8-bit grayscale or color, sequential
+baseline at any integer chroma sampling (4:4:4/4:2:2/4:2:0, r5) AND
+progressive (SOF2, spectral selection + successive approximation, r5).
+Anything else (16-bit samples, paletted tRNS, non-interleaved
+multi-scan baseline JPEG, fractional sampling ratios, non-PCM WAV)
+raises a precise NotImplementedError naming the unsupported feature,
+never a wrong answer.
 """
 
 from __future__ import annotations
@@ -106,28 +107,91 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unpack_scanlines(
+    rec: np.ndarray, h: int, w: int, channels: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes → (h, w, channels) raw sample values
+    (sub-byte depths unpack big-endian within each byte, per spec)."""
+    if depth == 8:
+        return rec.reshape(h, w, channels)
+    bits = np.unpackbits(rec, axis=1)[:, : w * channels * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits.reshape(h, w * channels, depth) * weights).sum(axis=2)
+    return vals.reshape(h, w, channels).astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Full PNG decode → (height, width, channels) uint8 pixel array."""
+    """Full PNG decode → (height, width, channels) uint8 pixel array.
+
+    r5 scope: bit depths 1/2/4/8 (sub-byte for grayscale and palette,
+    per spec), color types 0/2/3/4/6 including PLTE-indexed, and Adam7
+    interlacing (seven independently filtered passes merged onto the
+    pixel grid). 16-bit samples and paletted transparency (tRNS) raise
+    a named NotImplementedError."""
     hdr = png_header(payload)
-    if hdr["interlace"] != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if hdr["bit_depth"] != 8:
-        raise NotImplementedError(f"PNG bit depth {hdr['bit_depth']} not supported")
-    if hdr["color_type"] not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"PNG color type {hdr['color_type']} (palette?) not supported"
-        )
-    channels = _PNG_CHANNELS[hdr["color_type"]]
+    depth, color = hdr["bit_depth"], hdr["color_type"]
+    if depth not in (1, 2, 4, 8):
+        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if color not in (0, 2, 3, 4, 6):
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth != 8 and color not in (0, 3):
+        raise ValueError(f"PNG bit depth {depth} invalid for color type {color}")
+    channels = 1 if color == 3 else _PNG_CHANNELS[color]
     w, h = hdr["width"], hdr["height"]
+    plte = None
+    for ctype, data in png_chunks(payload):
+        if ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            raise NotImplementedError("paletted PNG transparency (tRNS) not supported")
+    if color == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE chunk")
     idat = b"".join(data for ctype, data in png_chunks(payload) if ctype == b"IDAT")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = w * channels
-    if raw.size != h * (1 + stride):
+    bpp = max(1, channels * depth // 8)
+
+    def stride_bytes(width: int) -> int:
+        return (width * channels * depth + 7) // 8
+
+    if hdr["interlace"] == 0:
+        passes = [(0, 0, 1, 1)]
+    elif hdr["interlace"] == 1:
+        passes = list(_ADAM7)
+    else:
+        raise ValueError(f"invalid PNG interlace method {hdr['interlace']}")
+
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no scanlines (spec)
+        sb = stride_bytes(pw)
+        need = ph * (1 + sb)
+        if pos + need > raw.size:
+            raise ValueError(
+                f"PNG data size mismatch: need {pos + need}, got {raw.size}"
+            )
+        rec = _unfilter(raw[pos : pos + need].reshape(ph, 1 + sb), ph, sb, bpp)
+        pos += need
+        out[y0::dy, x0::dx] = _unpack_scanlines(rec, ph, pw, channels, depth)
+    if pos != raw.size:
         raise ValueError(
-            f"PNG data size mismatch: got {raw.size}, expected {h * (1 + stride)}"
+            f"PNG data size mismatch: got {raw.size}, expected {pos}"
         )
-    recovered = _unfilter(raw.reshape(h, 1 + stride), h, stride, channels)
-    return recovered.reshape(h, w, channels)
+    if color == 3:
+        return plte[out[:, :, 0]]
+    if depth != 8:  # grayscale sub-byte: left-bit replication == v·255/max
+        out = (out.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return out
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
