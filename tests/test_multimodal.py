@@ -484,10 +484,28 @@ class TestJpegSubsampling:
         b = decode_jpeg(encode_jpeg(img, subsample=(2, 2)))
         assert (a == b).all()
 
-    def test_non_interleaved_scan_raises(self):
-        """A baseline file whose SOS carries fewer components than the
-        frame (multi-scan layout) raises a NAMED NotImplementedError —
-        never a wrong pixel."""
+    def test_non_interleaved_baseline_decodes(self):
+        """r5: baseline files whose components ship in separate ns=1
+        scans decode bit-identically to the interleaved encoding of the
+        same coefficients, across subsampling modes."""
+        import numpy as np
+
+        from trading_dashboard_spark.multimodal.codecs import (
+            decode_jpeg, encode_jpeg, encode_jpeg_noninterleaved,
+        )
+
+        rng = np.random.default_rng(12)
+        for h, w in [(16, 16), (33, 47)]:
+            img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+            for ss in [(1, 1), (2, 2), (2, 1)]:
+                a = decode_jpeg(encode_jpeg(img, subsample=ss))
+                b = decode_jpeg(encode_jpeg_noninterleaved(img, subsample=ss))
+                assert (a == b).all(), (h, w, ss)
+
+    def test_missing_component_scan_raises(self):
+        """A stream whose scans never cover some component (truncated /
+        malformed multi-scan) raises a NAMED error instead of emitting
+        zeroed chroma planes — never a wrong pixel."""
         import numpy as np
         import pytest
 
@@ -499,14 +517,15 @@ class TestJpegSubsampling:
         enc = bytearray(encode_jpeg(img))
         i = enc.find(b"\xff\xda")
         assert i > 0
-        # rewrite Ns=3 -> 1 and shrink the SOS header accordingly
+        # rewrite Ns=3 -> 1 and shrink the SOS header accordingly: only
+        # component 1 ever gets scan data
         length = int.from_bytes(enc[i + 2 : i + 4], "big")
         body = enc[i + 4 : i + 2 + length]
         new_body = bytes([1]) + bytes(body[1:3]) + bytes(body[7:])
         enc[i + 2 : i + 2 + length] = (
             (len(new_body) + 2).to_bytes(2, "big") + new_body
         )
-        with pytest.raises(NotImplementedError, match="non-interleaved"):
+        with pytest.raises(ValueError, match="no scan for component"):
             decode_jpeg(bytes(enc))
 
 

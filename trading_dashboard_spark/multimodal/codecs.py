@@ -14,8 +14,9 @@ and sub-byte grayscale included), non-interlaced AND Adam7 (r5); WAV
 integer PCM 8/16/32-bit; JPEG 8-bit grayscale or color, sequential
 baseline at any integer chroma sampling (4:4:4/4:2:2/4:2:0, r5) AND
 progressive (SOF2, spectral selection + successive approximation, r5).
-Anything else (16-bit samples, paletted tRNS, non-interleaved
-multi-scan baseline JPEG, fractional sampling ratios, non-PCM WAV)
+Baseline multi-scan (non-interleaved) layouts decode through the same
+scan-accumulating path as progressive (r5). Anything else (16-bit
+samples, paletted tRNS, fractional sampling ratios, non-PCM WAV)
 raises a precise NotImplementedError naming the unsupported feature,
 never a wrong answer.
 """
@@ -852,9 +853,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             fh, fw, nc, hmax, vmax = frame
             if ns != nc:
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG not supported"
-                )
+                # non-interleaved layout: scans cover component subsets —
+                # decode through the scan-accumulating path (r5)
+                return _decode_progressive(payload)
             mcux = (fw + 8 * hmax - 1) // (8 * hmax)
             mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
             planes = [
@@ -969,7 +970,9 @@ def _comp_block_grid(frame, comp) -> tuple[int, int]:
 
 
 def _decode_progressive(payload: bytes) -> np.ndarray:
-    """Decode a progressive (SOF2) JPEG: every scan deposits DC/AC
+    """Decode a multi-scan JPEG — progressive (SOF2) or NON-INTERLEAVED
+    baseline (SOF0/1 whose scans cover component subsets): every scan
+    deposits DC/AC
     coefficient bits (first scans shift by Al; refinement scans add
     correction bits — two's-complement for DC, magnitude-based for AC,
     exactly the G.1.2 point-transform rules); reconstruction
@@ -980,6 +983,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     frame = None
     comps: list[dict] = []
     coefs: list[np.ndarray] = []
+    scanned: set[int] = set()
     restart_interval = 0
     eobrun = 0
     i = 2
@@ -1014,7 +1018,8 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + cnt])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decoder(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC2:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            baseline = marker != 0xC2
             depth, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG bit depth {depth} not supported")
@@ -1040,7 +1045,9 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 for c in comps
             ]
         elif marker in _JPEG_SOF:
-            raise ValueError("mixed SOF markers in progressive stream")
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} profile not supported"
+            )
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
@@ -1053,15 +1060,20 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                 cid, tabs = body[1 + ci * 2], body[2 + ci * 2]
                 idx = next(k for k, c in enumerate(comps) if c["id"] == cid)
                 sel.append((idx, tabs >> 4, tabs & 0x0F))
+                scanned.add(idx)
             ss, se, a = body[1 + ns * 2 : 4 + ns * 2]
             ah, al = a >> 4, a & 0x0F
-            if ss == 0 and se != 0:
-                raise ValueError(
-                    "invalid progressive scan script: DC scan with Se != 0 "
-                    "(baseline entropy data under an SOF2 header?)"
-                )
-            if ss > 0 and ns != 1:
-                raise ValueError("interleaved progressive AC scan")
+            if baseline:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("invalid baseline scan header")
+            else:
+                if ss == 0 and se != 0:
+                    raise ValueError(
+                        "invalid progressive scan script: DC scan with Se != 0 "
+                        "(baseline entropy data under an SOF2 header?)"
+                    )
+                if ss > 0 and ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
             reader = _BitReader(payload, i + 2 + length)
             eobrun = 0
             p1, m1 = 1 << al, -(1 << al)
@@ -1075,6 +1087,26 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             def decode_block(zz: np.ndarray, ci_sel: int) -> None:
                 nonlocal eobrun
                 _idx, dct, act = sel[ci_sel]
+                if baseline:  # full DC+AC block, no point transform
+                    s = _read_huff(reader, dc_tabs[dct])
+                    diff = _extend(reader.bits(s), s) if s else 0
+                    dc_pred[ci_sel] += diff
+                    zz[0] = dc_pred[ci_sel]
+                    k = 1
+                    while k < 64:
+                        rs = _read_huff(reader, ac_tabs[act])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    return
                 if ss == 0:  # DC scan
                     if ah == 0:
                         s = _read_huff(reader, dc_tabs[dct])
@@ -1160,8 +1192,8 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                     dc_pred = [0] * ns
                     eobrun = 0
 
-            if ns > 1:  # interleaved — DC scans only (spec B.2.3)
-                if ss != 0:
+            if ns > 1:  # interleaved (progressive: DC scans only, B.2.3)
+                if ss != 0 and not baseline:
                     raise ValueError("interleaved progressive AC scan")
                 mcux = (fw + 8 * hmax - 1) // (8 * hmax)
                 mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
@@ -1190,7 +1222,13 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
             continue
         i += 2 + length
     if frame is None or not coefs:
-        raise ValueError("no progressive frame decoded")
+        raise ValueError("no JPEG frame decoded")
+    missing = set(range(len(comps))) - scanned
+    if missing:
+        raise ValueError(
+            f"JPEG stream carries no scan for component(s) {sorted(missing)} "
+            "— truncated or malformed; refusing to emit zeroed planes"
+        )
     fh, fw, nc, hmax, vmax = frame
     planes = []
     for ci, c in enumerate(comps):
@@ -1461,5 +1499,96 @@ def encode_jpeg_progressive(
                 out += sos_header([comps_meta[ci]["id"]], ss, se,
                                   a_low + 1, a_low)
                 out += ac_refine_scan(ci, ss, se, a_low)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_noninterleaved(
+    pixels: np.ndarray, subsample: tuple[int, int] = (1, 1)
+) -> bytes:
+    """Encode a baseline (SOF0) JPEG whose components ship in SEPARATE
+    scans (ns=1 each) — the non-interleaved layout some encoders emit.
+    Same quantized coefficients as :func:`encode_jpeg` (shared front
+    half), so the two encodings decode bit-identically; exists chiefly
+    to validate the decoder's multi-scan baseline path."""
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError(f"needs uint8 pixels, got {px.dtype}")
+    gray = px.ndim == 2
+    if not gray and not (px.ndim == 3 and px.shape[2] == 3):
+        raise ValueError(f"needs (H,W) or (H,W,3), got {px.shape}")
+    grids, frame, _mcux, _mcuy = _quantized_blocks(px, subsample)
+    fh, fw, nc, sh, sv = frame
+    factors = [(sh, sv)] + [(1, 1)] * (nc - 1)
+    comps_meta = [
+        {"id": ci + 1, "h": factors[ci][0], "v": factors[ci][1],
+         "tq": 0 if ci == 0 else 1}
+        for ci in range(nc)
+    ]
+    dc_l = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(_QT_LUMA.ravel()[_ZZ].astype(np.uint8)))
+    if nc > 1:
+        out += seg(0xDB, b"\x01" + bytes(_QT_CHROMA.ravel()[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, fh, fw, nc)
+    for c in comps_meta:
+        sof += struct.pack(">BBB", c["id"], (c["h"] << 4) | c["v"], c["tq"])
+    out += seg(0xC0, sof)
+    for tclass, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    ):
+        if nc == 1 and tid == 1:
+            continue
+        out += seg(0xC4, bytes([tclass * 16 + tid]) + bytes(bits) + bytes(vals))
+
+    for ci in range(nc):
+        dc_t = dc_l if ci == 0 else dc_c
+        ac_t = ac_l if ci == 0 else ac_c
+        tabs = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, comps_meta[ci]["id"], tabs, 0, 63, 0]))
+        writer = _BitWriter()
+        prev = 0
+        bh_c, bw_c = _comp_block_grid(frame, comps_meta[ci])
+        for by in range(bh_c):
+            for bx in range(bw_c):
+                zz = grids[ci][by, bx]
+                diff = int(zz[0]) - prev
+                prev = int(zz[0])
+                s, amp = _magnitude(diff)
+                code, ln = dc_t[s]
+                writer.put(code, ln)
+                if s:
+                    writer.put(amp, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_t[0xF0]
+                        writer.put(code, ln)
+                        run -= 16
+                    s, amp = _magnitude(v)
+                    code, ln = ac_t[run * 16 + s]
+                    writer.put(code, ln)
+                    writer.put(amp, s)
+                    run = 0
+                if run:
+                    code, ln = ac_t[0x00]
+                    writer.put(code, ln)
+        writer.flush()
+        out += bytes(writer.buf)
     out += b"\xff\xd9"
     return bytes(out)
