@@ -216,3 +216,66 @@ def test_welford_anomalies_fold_across_batches(spark, sf_dir, tmp_path):
         .tolist()
     )
     assert sorted(got) == sorted(want)
+
+
+def test_stream_static_asof_scd2_enrichment(spark, sf_dir, tmp_path):
+    """r5 groundwork: stream-static AS-OF join — each streamed event
+    picks up exactly the SCD2 dimension version valid at its event
+    time; events before the first version or with unknown keys survive
+    with null dimension columns (left outer); result equals the batch
+    join of the same condition."""
+    import datetime as dt
+
+    from trading_dashboard_spark.streaming.ingest import (
+        run_stream_to_table, stream_events,
+    )
+    from trading_dashboard_spark.streaming.joins import stream_static_asof
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def us(d):
+        return int(d.timestamp() * 1e6) * 1000  # ns int64 landing form
+
+    rows = [
+        # (event_id, user_id, type, value, ts)
+        (1, 10, "click", 1.0, t0 + dt.timedelta(hours=1)),
+        (2, 10, "click", 2.0, t0 + dt.timedelta(days=2)),
+        (3, 10, "click", 3.0, t0 - dt.timedelta(hours=5)),  # pre-history
+        (4, 99, "click", 4.0, t0 + dt.timedelta(hours=2)),  # unknown key
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, v, us(ts)) for i, u, t, v, ts in rows],
+        "event_id long, user_id long, event_type string, value double, ts long",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    dim = spark.createDataFrame(
+        [
+            (10, 1, "bronze", t0, t0 + dt.timedelta(days=1)),
+            (10, 2, "gold", t0 + dt.timedelta(days=1), None),
+        ],
+        "user_id long, version int, tier string, "
+        "valid_from timestamp, valid_to timestamp",
+    )
+
+    stream = stream_events(spark, str(tmp_path / "ev"))
+    out = run_stream_to_table(
+        stream_static_asof(stream, dim, "user_id", "ts"), "t_asof"
+    )
+    got = {r["event_id"]: (r["tier"], r["version"]) for r in out.collect()}
+    assert got == {
+        1: ("bronze", 1),
+        2: ("gold", 2),
+        3: (None, None),
+        4: (None, None),
+    }
+
+    # batch equivalence on the same inputs
+    from pyspark.sql import functions as F
+
+    batch = spark.read.parquet(str(tmp_path / "ev")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    bj = stream_static_asof(batch, dim, "user_id", "ts")
+    bgot = {r["event_id"]: (r["tier"], r["version"]) for r in bj.collect()}
+    assert bgot == got

@@ -73,3 +73,45 @@ def interval_left_outer(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
     )
     return lw.join(rw, cond, "left_outer")
+
+
+def stream_static_asof(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str,
+    dim_key: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left_outer",
+) -> DataFrame:
+    """Enrich a stream with the SCD2 dimension version in effect AS OF
+    each event's time: join on key + ``valid_from <= ts < valid_to``
+    (NULL ``valid_to`` = the current version, open-ended).
+
+    This is the STREAM-STATIC as-of join (the r4 candidate the
+    stream-stream interval joins above don't cover): the static side
+    is re-planned per micro-batch — so a dimension table refreshed
+    between batches is picked up automatically — and NO streaming state
+    is kept at all (stream-static joins are stateless on the stream
+    side; no watermark needed). SCD2 validity intervals partition time
+    per key, so at most one dimension version matches each event:
+    cardinality is preserved, and ``left_outer`` keeps events whose key
+    (or time range) has no dimension row, exactly like the batch
+    as-of's unmatched semantics. At 100 TB-stream scale the static side
+    is a broadcast when it fits and a per-batch shuffled join
+    otherwise; either way the stream is a single pass.
+
+    ``dim_key`` names the dimension's key column when it differs from
+    the stream's (same-name columns would collide in the output).
+    """
+    dk = dim_key or key
+    if dk == key:
+        dim = dim.withColumnRenamed(key, key + "_dim")
+        dk = key + "_dim"
+    cond = (
+        (F.col(key) == F.col(dk))
+        & (F.col(ts) >= F.col(valid_from))
+        & (F.col(valid_to).isNull() | (F.col(ts) < F.col(valid_to)))
+    )
+    return stream.join(dim, cond, how)
