@@ -82,3 +82,43 @@ def test_heavy_hitters_exact_regime(spark):
     df = spark.createDataFrame(rows, "item long").repartition(3)
     got = {r.item: r.est for r in heavy_hitters(df, "item", k=7, capacity=64).collect()}
     assert got == {i: 100 for i in range(7)}
+
+
+def test_grouped_heavy_hitters_exact_and_bounded(spark, sf_dir):
+    """Per-group Misra-Gries (r6 groundwork): in the exact regime
+    (capacity > per-group distincts) the estimates equal groupBy
+    counts; in the compaction regime every estimate undercounts by at
+    most n_g/(capacity+1) and every item above that bound survives."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.functions.sketches import (
+        grouped_heavy_hitters,
+    )
+    from trading_dashboard_spark.io.readers import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    # exact regime: event_type has ~5 distincts per user
+    got = grouped_heavy_hitters(ev, "user_id", "event_type",
+                                k=3, capacity=64)
+    exact = (
+        ev.groupBy("user_id", "event_type").count().collect()
+    )
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["user_id"], {})[r["event_type"]] = r["count"]
+    for r in got.collect():
+        assert r["est"] == truth[r["user_id"]][r["event_type"]]
+        top = sorted(truth[r["user_id"]].items(),
+                     key=lambda kv: (-kv[1], kv[0]))
+        assert r["event_type"] == top[r["rk"] - 1][0]
+
+    # compaction regime: capacity 2 across 5 types per group
+    small = grouped_heavy_hitters(ev, "user_id", "event_type",
+                                  k=2, capacity=2)
+    n_parts = ev.rdd.getNumPartitions()
+    for r in small.collect():
+        true_n = truth[r["user_id"]][r["event_type"]]
+        n_g = sum(truth[r["user_id"]].values())
+        assert r["est"] <= true_n
+        # merged undercount: each partition loses <= its n_g share/(cap+1)
+        assert true_n - r["est"] <= n_g / (2 + 1) + n_parts

@@ -130,3 +130,67 @@ def heavy_hitters(
     )
     merged = summaries.groupBy("item").agg(F.sum("est").alias("est"))
     return merged.orderBy(F.col("est").desc(), F.col("item")).limit(k)
+
+
+def misra_gries_grouped_partition(group: str, col: str, capacity: int):
+    """Partition-level PER-GROUP Misra-Gries summaries as a mapInPandas
+    function: at most ``capacity`` (item, est) rows per (partition,
+    group). Same decrement-compaction and mergeability as
+    :func:`misra_gries_partition`, applied to each group's counter set
+    independently — the undercount bound becomes per-group:
+    ≤ n_g/(capacity+1) for group size n_g."""
+
+    def fn(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby([group, col], sort=False).size()
+            touched = set()
+            for (g, v), c in vc.items():
+                d = counters.setdefault(g, {})
+                d[v] = d.get(v, 0) + int(c)
+                touched.add(g)
+            for g in touched:
+                d = counters[g]
+                if len(d) > capacity:
+                    cut = sorted(d.values(), reverse=True)[capacity]
+                    counters[g] = {
+                        k: n - cut for k, n in d.items() if n - cut > 0
+                    }
+        yield pd.DataFrame(
+            [(g, v, n) for g, d in counters.items() for v, n in d.items()],
+            columns=["grp", "item", "est"],
+        )
+
+    return fn
+
+
+def grouped_heavy_hitters(
+    df: DataFrame, group: str, col: str, k: int = 5, capacity: int = 64
+) -> DataFrame:
+    """Approximate top-k frequent items WITHIN EACH GROUP in bounded
+    memory (the per-group form of :func:`heavy_hitters` — r6 candidate
+    groundwork): per-partition per-group Misra-Gries summaries, one
+    (group, item) merge aggregate, per-group top-k via the rank window
+    (WindowGroupLimit prunes below the shuffle). In-flight state never
+    exceeds partitions × groups-per-partition × capacity rows; exact
+    ``groupBy(group, item)`` state grows with per-group distincts.
+    When capacity exceeds every group's per-partition distinct count,
+    estimates are exact."""
+    from pyspark.sql import Window as W
+
+    g_type = df.schema[group].dataType.simpleString()
+    i_type = df.schema[col].dataType.simpleString()
+    summaries = df.select(group, col).mapInPandas(
+        misra_gries_grouped_partition(group, col, capacity),
+        schema=f"grp {g_type}, item {i_type}, est long",
+    )
+    merged = summaries.groupBy("grp", "item").agg(F.sum("est").alias("est"))
+    w = W.partitionBy("grp").orderBy(F.col("est").desc(), F.col("item"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(F.col("grp").alias(group), F.col("item").alias(col),
+                "est", F.col("rk").cast("int").alias("rk"))
+    )
