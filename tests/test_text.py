@@ -406,3 +406,46 @@ def test_vader_published_compound_parity():
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text
+
+
+def test_bpe_fit_known_merges_and_apply(spark):
+    """BPE (r6 groundwork): on the classic toy vocabulary the learned
+    merge sequence is the hand-computable one; application reconstructs
+    each word's characters exactly (merges never lose content) and the
+    distributed word-frequency pass feeds the same fit."""
+    from trading_dashboard_spark.text.bpe import (
+        EOW, apply_bpe, fit_bpe, word_frequencies,
+    )
+
+    # Sennrich's example shape: low/lower/newest/widest
+    vocab = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = fit_bpe(vocab, n_merges=4)
+    # hand-derivable: es(9) -> est(9) -> est</w>(9) -> lo(7)
+    assert merges == [("e", "s"), ("es", "t"), ("est", EOW), ("l", "o")]
+
+    rows = [(1, "the newest lowest widest low"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bpe_tokens"]
+           for r in apply_bpe(df, merges).collect()}
+    # every word's subwords concatenate back to word + EOW
+    for tok_list, text in ((out[1], rows[0][1]),):
+        joined = "".join(tok_list)
+        expected = "".join(w + EOW for w in text.lower().split())
+        assert joined == expected
+    assert "est" + EOW in out[1]  # learned subword actually used
+    assert out[2] == [] and out[3] == []
+
+    # distributed vocab pass: counts match a local count on a tiny corpus
+    wf = dict(word_frequencies(df, max_vocab=100))
+    assert wf == {"the": 1, "newest": 1, "lowest": 1, "widest": 1, "low": 1}
+
+    # end-to-end over testdata: deterministic fit, non-trivial merges
+    from trading_dashboard_spark.io.readers import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    wf2 = word_frequencies(docs, max_vocab=2000)
+    m1 = fit_bpe(wf2, n_merges=50)
+    m2 = fit_bpe(wf2, n_merges=50)
+    assert m1 == m2 and len(m1) == 50
+    enc = apply_bpe(docs.limit(20), m1)
+    assert enc.filter(F.size("bpe_tokens") > 0).count() > 0
