@@ -195,3 +195,60 @@ def pq_search(
         .limit(k)
         .select(id_col, "score", "adc_score")
     )
+
+
+def ivfpq_search(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """IVF × PQ composition — the complete billion-vector serving shape
+    (FAISS IVFPQ): the coarse quantizer prunes the scan to ``nprobe``
+    cells (partition pruning against a `ivf.write_inverted_file`
+    layout), the ADC table-lookup scores ONLY the m-byte codes inside
+    those cells (no float vectors read), and the exact rerank touches
+    full vectors for ``shortlist`` rows. Cost per query:
+    cells/nprobe-th of the corpus in code bytes + shortlist float rows
+    — the two prunings compose multiplicatively.
+
+    Works over an unmaterialized corpus too (on-the-fly cell
+    assignment + encode), which is the oracle-checkable form: cells,
+    codebooks, and the ADC table are all plan literals."""
+    from .ivf import assign_cells, probe_cells
+
+    cells = probe_cells(centroids, query, nprobe)
+    assigned = assign_cells(df, centroids, vec_col)
+    if code_col not in assigned.columns:
+        assigned = encode_pq(assigned, codebooks, vec_col, code_col)
+    table = adc_table(query, codebooks)
+    pruned = assigned.filter(F.col("cell").isin(cells))
+    approx = pruned.withColumn(
+        "adc_score", F.round(adc_score(F.col(code_col), table), 6)
+    )
+    short = approx.orderBy(
+        F.col("adc_score").desc(), F.col(id_col)
+    ).limit(shortlist)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    exact = short.withColumn(
+        "score",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return (
+        exact.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "cell", "score", "adc_score")
+    )
