@@ -118,6 +118,34 @@ _R04_VERIFIED = (
     "event_key_skew_profile", "max_concurrent_events_per_day",
 )
 
+#: Queries with a green row in CORRECTNESS_r05.json (driver round 5 —
+#: 50/50 hash-green: the 43 round-4-session-2 first-timers plus the two
+#: pins and five stale re-verifications, exactly as predicted).
+_R05_VERIFIED = (
+    "doc_sentiment", "lsh_ann_top3", "ml_next_day_prediction",
+    "phrase_search_hash_join", "macd_indicator", "regional_revenue_rollup",
+    "event_type_pivot", "rfm_customer_segments", "week_over_week_close_change",
+    "lineitem_column_profile", "user_behavior_entropy", "benford_price_digits",
+    "price_trend_slope_per_user", "incremental_agg_maintenance",
+    "event_type_dow_chi2", "lttb_downsampled_closes",
+    "floored_running_balance", "funnel_step_waterfall",
+    "referential_integrity_audit", "logistic_purchase_model",
+    "mad_robust_outliers", "keyset_paginated_events",
+    "value_mean_families_by_type", "logistic_calibration_deciles",
+    "twap_daily", "recency_weighted_user_value",
+    "surplus_click_days_except_all", "null_ordering_price_ranks",
+    "decimal_exact_revenue", "cusum_mean_shift_alerts",
+    "coactivity_triangle_count", "ab_test_welch_t", "ab_test_conversion_z",
+    "winsorized_value_means", "market_concentration_hhi",
+    "price_elasticity_by_brand", "kaplan_meier_signup_to_purchase",
+    "interarrival_burstiness_per_user", "pareto_revenue_coverage",
+    "coactivity_degree_distribution", "value_psi_drift",
+    "padding_waste_by_length_bucket", "transition_latency_matrix",
+    "freshness_audit", "anova_eta_squared", "activity_coverage_gaps",
+    "lorenz_curve_deciles", "session_bounce_profile", "orderkey_gap_audit",
+    "weekday_variance_explained",
+)
+
 #: MINIMUM window slots guaranteed to stale-changed re-verification.
 #: Round-4 lesson (verdict "what's wrong" #3): as a residual this
 #: silently starved — ~93 new queries saturated the 50-slot window and
@@ -131,12 +159,10 @@ _REVERIFY_RESERVE = 12
 #: entries that FIT the window are never evicted by old-churn staleness.
 _DRIVER_WINDOW = 50
 
-#: Round-5 verdict directive #1: these previously-verified queries must
-#: be re-rowed THIS round alongside the 43 first-timers
-#: (`doc_sentiment`'s only row predates two rounds of VADER changes;
-#: `lsh_ann_top3` gained its value oracle after its r03 rows-only row).
-#: Keyed ahead of everything; drop entries once their fresh row lands.
-_PIN_REVERIFY = ("doc_sentiment", "lsh_ann_top3")
+#: Explicit round-directive re-verifications, keyed ahead of everything.
+#: Round 6: empty — both r5 pins landed fresh hash-green rows in
+#: CORRECTNESS_r05.json, so nothing outranks the never-verified block.
+_PIN_REVERIFY: tuple[str, ...] = ()
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
@@ -149,6 +175,7 @@ def _verified_rounds() -> dict[str, int]:
     for rnd, names in (
         (1, _R01_VERIFIED), (2, _R02_VERIFIED),
         (3, _R03_VERIFIED), (4, _R04_VERIFIED),
+        (5, _R05_VERIFIED),
     ):
         for n in names:
             out[n] = rnd
