@@ -320,6 +320,21 @@ def test_pq_dim_divisibility_raises(spark, sf_dir):
         fit_codebooks(emb, m=7, sample_n=128)
 
 
+def test_pq_small_sample_raises_named_error(spark):
+    """ADVICE r5 (low): fewer sample vectors than ksub must raise the
+    module's named error, not numpy's bare choice() ValueError."""
+    import pytest
+
+    from trading_dashboard_spark.similarity.pq import fit_codebooks
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ksub=16 sample vectors"):
+        fit_codebooks(tiny, m=4, ksub=16, sample_n=512)
+
+
 def test_ivfpq_composition(spark, sf_dir):
     """IVF×PQ (r6 groundwork): the composed search returns exactly the
     IVF-exact ranking whenever the ADC shortlist covers the probed

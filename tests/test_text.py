@@ -408,6 +408,70 @@ def test_vader_published_compound_parity():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text
 
 
+def test_vader_distance3_so_this_precedence_quirk():
+    """ADVICE r5 (medium): NLTK's start_i==2 never-check is
+    unparenthesized — ``never@i-3 and so/this@i-2 or so/this@i-1`` —
+    so Python precedence makes ANY "so"/"this" immediately before a
+    lexicon word fire the 1.25 amplifier at distance 3, no "never"
+    required. "It was so good": good=1.9 + so-booster 0.293 = 2.193,
+    ×1.25 = 2.74125 → compound 0.5777 (exact normalization algebra).
+    The SQL oracle must mirror the same quirk bit-for-bit."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from trading_dashboard_spark.text.sentiment import (
+        vader_oracle_sql, vader_score,
+    )
+
+    s = (1.9 + 0.293) * 1.25
+    expected = s / math.sqrt(s * s + 15.0)
+    assert abs(vader_score("It was so good") - expected) < 5e-9
+    # distance-2 form still REQUIRES never (parenthesized in NLTK)
+    assert abs(vader_score("that was good") - 1.9 / math.sqrt(1.9**2 + 15)) < 5e-9
+
+    cases = ["It was so good", "never been so bad", "made this terrible",
+             "it is so so great", "was this good"]
+    df = pd.DataFrame({"doc_id": range(len(cases)), "text": cases})
+    con = duckdb.connect()
+    con.register("documents", df)
+    got = dict(con.execute(vader_oracle_sql(digits=6)).fetchall())
+    for i, t in enumerate(cases):
+        assert abs(round(vader_score(t), 6) - got[i]) < 1e-9, t
+
+
+def test_bpe_apply_merges_all_occurrences_like_training():
+    """ADVICE r5 (low): _encode_word must merge ALL occurrences of the
+    selected lowest-rank pair per iteration (as fit_bpe's training loop
+    does), so every training word re-encodes to its training
+    segmentation — pair-creating merges must not pre-empt remaining
+    occurrences of the current pair."""
+    from trading_dashboard_spark.text.bpe import EOW, _encode_word, fit_bpe
+
+    # "aaab": training merges (a,a) everywhere first; if apply merged one
+    # occurrence then rescanned, rank of a later-created pair could win.
+    vocab = [("aaab", 10), ("ab", 3)]
+    merges = fit_bpe(vocab, n_merges=6)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    # replay training segmentation: every vocab word encodes to ONE token
+    # stream consistent with the final training state of fit_bpe
+    state = {w: list(w) + [EOW] for w, _ in vocab}
+    for a, b in merges:
+        for w, syms in state.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            state[w] = out
+    for w, _ in vocab:
+        assert _encode_word(w, ranks) == state[w], w
+
+
 def test_bpe_fit_known_merges_and_apply(spark):
     """BPE (r6 groundwork): on the classic toy vocabulary the learned
     merge sequence is the hand-computable one; application reconstructs

@@ -63,6 +63,11 @@ def fit_codebooks(
         frac = min(1.0, 1.3 * sample_n / total)
         sel = sel.sample(fraction=frac, seed=seed).limit(4 * sample_n)
     rows = sorted(sel.collect(), key=lambda r: r[0])[:sample_n]
+    if len(rows) < ksub:
+        raise ValueError(
+            f"PQ codebook fit needs at least ksub={ksub} sample vectors; "
+            f"got {len(rows)} (corpus or sample too small — lower ksub or "
+            f"raise sample_n)")
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:

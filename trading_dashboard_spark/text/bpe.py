@@ -98,17 +98,38 @@ def fit_bpe(
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Greedy lowest-rank-first merge application to one word."""
+    """Greedy lowest-rank-first merge application to one word.
+
+    Each iteration merges ALL occurrences of the selected lowest-rank
+    pair, left to right (GPT-2 style), exactly as `fit_bpe`'s training
+    loop rewrites its vocabulary — one-occurrence-per-iteration would
+    let a merge that creates a lower-ranked pair pre-empt the remaining
+    occurrences, so a training word could encode differently than it was
+    segmented during training."""
     syms = list(word) + [EOW]
     while len(syms) > 1:
-        best_i, best_r = -1, None
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
+        best_pair, best_r = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
             if r is not None and (best_r is None or r < best_r):
-                best_i, best_r = i, r
-        if best_r is None:
+                best_pair, best_r = pair, r
+        if best_pair is None:
             break
-        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        joined = best_pair[0] + best_pair[1]
+        out: list[str] = []
+        j = 0
+        while j < len(syms):
+            if (
+                j + 1 < len(syms)
+                and syms[j] == best_pair[0]
+                and syms[j + 1] == best_pair[1]
+            ):
+                out.append(joined)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
     return syms
 
 

@@ -146,8 +146,14 @@ def _negation(v: float, low: list[str], d: int, i: int) -> float:
         elif _negated(low[i - 2]):
             v *= N_SCALAR
     else:
-        if low[i - 3] == "never" and (
-            low[i - 2] in ("so", "this") or low[i - 1] in ("so", "this")
+        # NLTK's published start_i==2 condition is unparenthesized:
+        # ``never@i-3 and (so/this@i-2) or (so/this@i-1)`` — Python
+        # precedence binds the ``and`` first, so ANY "so"/"this"
+        # immediately before the lexicon word triggers the 1.25 boost at
+        # distance 3, with or without "never" (e.g. "it was so good").
+        # Faithfully reproduced, precedence quirk and all.
+        if (low[i - 3] == "never" and low[i - 2] in ("so", "this")) or (
+            low[i - 1] in ("so", "this")
         ):
             v *= NEVER_SCALAR
         elif low[i - 3] == "without" and (
@@ -370,10 +376,18 @@ def vader_oracle_sql(table: str = "documents", id_col: str = "doc_id",
         else:
             far = f"t{d}"
             mids = [f"t{k}" for k in range(1, d)]
-            so_this = " OR ".join(f"{m} IN ('so', 'this')" for m in mids)
             doubt = " OR ".join(f"{m} = 'doubt'" for m in mids)
+            if d == 2:
+                never = f"({far} = 'never' AND t1 IN ('so', 'this'))"
+            else:
+                # NLTK precedence quirk (see _negation): at distance 3
+                # "so"/"this" at i-1 boosts WITHOUT requiring "never".
+                never = (
+                    f"(({far} = 'never' AND t2 IN ('so', 'this')) "
+                    f"OR t1 IN ('so', 'this'))"
+                )
             body = (
-                f"CASE WHEN {far} = 'never' AND ({so_this}) "
+                f"CASE WHEN {never} "
                 f"THEN {v} * {NEVER_SCALAR} "
                 f"WHEN {far} = 'without' AND ({doubt}) THEN {v} "
                 f"WHEN {negated(far)} THEN {v} * {N_SCALAR} ELSE {v} END"
