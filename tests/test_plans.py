@@ -340,3 +340,16 @@ def test_pca_covariance_is_arrow_gram(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pca_top_component_power_iteration")
     assert "MapInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_search_is_codegen_scan_topk(spark, sf_dir):
+    """The registered PQ search must keep encode + ADC scoring entirely
+    JVM-side (no Python evaluator anywhere in the plan) and resolve the
+    shortlist with TakeOrderedAndProject — a code-only scan, not a
+    shuffle; the same must hold for the IVFPQ composition, which adds
+    only a cell Filter."""
+    for name in ("pq_search_top5", "ivfpq_search_top5"):
+        plan = _plan(spark, sf_dir, name)
+        assert "EvalPython" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "HashAggregate" not in plan, name

@@ -1338,3 +1338,271 @@ def ivf_recall_at_5(spark, sf_dir):
         matched.cast("bigint").alias("n_matched"),
         pround(matched / 5.0, 2).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization tier (r5 groundwork -> r6 registration)
+# ---------------------------------------------------------------------------
+
+def _pq_setup():
+    """Static PQ configuration for the oracle-checked queries: data-
+    independent codebooks + the shared probe, so encoding, the ADC lookup
+    table, and the whole two-tier search replay exactly in static SQL
+    (the fitted-codebook path is recall-/unit-tested in tests/)."""
+    from .similarity.pq import adc_table, static_codebooks
+
+    books = static_codebooks(m=8, ksub=16, dsub=8, seed=11)
+    table = adc_table(_IVF_PROBE, books)
+    return books, table
+
+
+_PQ_BOOKS, _PQ_TABLE = _pq_setup()
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8
+
+
+def _pq_books_values() -> str:
+    """VALUES rows (j, cid, b, bb) for the codebook relation. ``bb`` is
+    the SAME driver-computed <b,b> double the Spark encoder embeds
+    (repr round-trips exactly), so neither engine recomputes it."""
+    import numpy as np
+
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for c, cent in enumerate(book):
+            bb = float(np.dot(np.asarray(cent), np.asarray(cent)))
+            rows.append(f"({j}, {c}, {_sql_list(cent)}, {bb!r})")
+    return ", ".join(rows)
+
+
+def _pq_pipeline_ctes(pruned: bool) -> str:
+    """Shared oracle CTE chain: encode -> pivot -> ADC -> shortlist.
+    With ``pruned`` the corpus is first filtered to the probed IVF cells
+    (the IVFPQ composition); cell assignment reuses the ivf oracle CTE."""
+    d = _PQ_DSUB
+    pivots = ", ".join(
+        f"max(CASE WHEN j = {j} THEN code END) AS c{j}" for j in range(_PQ_M)
+    )
+    lookups = " + ".join(
+        f"list_extract({_sql_list(_PQ_TABLE[j])}, c{j} + 1)"
+        for j in range(_PQ_M)
+    )
+    if pruned:
+        corpus = f"""
+    cents(cid, c) AS (
+      VALUES {", ".join(f"({i}, {_sql_list(c)})" for i, c in enumerate(_IVF_CENTS))}
+    ),
+    cell_scored AS (
+      SELECT vec_id, v, cid, round(list_dot_product(v, c), 6) AS d
+      FROM allv CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT vec_id, v, CAST(cid AS INT) AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM cell_scored
+      ) WHERE rn = 1
+    ),
+    v AS (SELECT vec_id, v, cell FROM assigned
+          WHERE cell IN ({", ".join(str(c) for c in _IVF_CELLS)})),"""
+        keep_cell = ", cell"
+    else:
+        corpus = "\n    v AS (SELECT vec_id, v FROM allv),"
+        keep_cell = ""
+    return f"""
+    WITH books(j, cid, b, bb) AS (VALUES {_pq_books_values()}),
+    allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),{corpus}
+    subs AS (
+      SELECT vec_id, j, cid,
+             round(-2.0 * list_dot_product(v[(j*{d}+1):(j*{d}+{d})], b) + bb, 6) AS dist
+      FROM v CROSS JOIN books
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn
+        FROM subs
+      ) WHERE rn = 1
+    ),
+    codesw AS (SELECT vec_id, {pivots} FROM codes GROUP BY vec_id),
+    adc AS (
+      SELECT c.vec_id{keep_cell}, v.v, round({lookups}, 6) AS adc_score
+      FROM codesw c JOIN v ON v.vec_id = c.vec_id
+    ),
+    short AS (SELECT * FROM adc ORDER BY adc_score DESC, vec_id LIMIT 50)"""
+
+
+def _pq_oracle() -> str:
+    return f"""{_pq_pipeline_ctes(pruned=False)}
+    SELECT vec_id,
+           round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) AS score,
+           adc_score
+    FROM short ORDER BY score DESC, vec_id LIMIT 5"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""{_pq_pipeline_ctes(pruned=True)}
+    SELECT vec_id, cell,
+           round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) AS score,
+           adc_score
+    FROM short ORDER BY score DESC, vec_id LIMIT 5"""
+
+
+def _pq_recall_oracle() -> str:
+    return f"""{_pq_pipeline_ctes(pruned=False)},
+    pq_top AS (
+      SELECT vec_id,
+             round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) AS score
+      FROM short ORDER BY score DESC, vec_id LIMIT 5
+    ),
+    exact_top AS (
+      SELECT vec_id FROM allv
+      ORDER BY round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) DESC, vec_id
+      LIMIT 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 5.0, 2) AS recall_at_5
+    FROM exact_top e LEFT JOIN pq_top p ON p.vec_id = e.vec_id"""
+
+
+def _ivfpq_recall_oracle() -> str:
+    return f"""{_pq_pipeline_ctes(pruned=True)},
+    pq_top AS (
+      SELECT vec_id,
+             round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) AS score
+      FROM short ORDER BY score DESC, vec_id LIMIT 5
+    ),
+    exact_top AS (
+      SELECT vec_id FROM allv
+      ORDER BY round(list_dot_product(v, {_sql_list(_IVF_PROBE)}), 6) DESC, vec_id
+      LIMIT 5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           round(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 5.0, 2) AS recall_at_5
+    FROM exact_top e LEFT JOIN pq_top p ON p.vec_id = e.vec_id"""
+
+
+@register(
+    "pq_search_top5", _pq_oracle(), tags=("similarity", "X3", "approx", "pq")
+)
+def pq_search_top5(spark, sf_dir):
+    """X3 scale path #3 — product-quantization search (similarity/pq.
+    pq_search): the corpus compresses to m=8 smallint codes per vector
+    (the FAISS PQ payload: d·4 bytes -> m bytes), the scan scores ONLY
+    those codes via the query's ADC lookup table (a JVM aggregate fold
+    over plan-literal arrays — no float vector read, no Python), and
+    exact dot products touch the 50-row shortlist only. Fully
+    oracle-checked like the IVF/LSH siblings: codebooks, <b,b> terms,
+    and the ADC table are plan literals; encoding rounds the centroid
+    score to 6 dp with smaller-code ties (encode_pq_expr), so DuckDB
+    replays every code, every ADC sum, and the final ranking exactly.
+    The fitted-codebook path (fit_codebooks) is unit-tested; its recall
+    is measured by pq_recall_at_5's registered harness shape."""
+    from .similarity.pq import encode_pq_expr, pq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = encode_pq_expr(emb, _PQ_BOOKS)
+    return pq_search(coded, _IVF_PROBE, _PQ_BOOKS, k=5, shortlist=50)
+
+
+@register(
+    "ivfpq_search_top5", _ivfpq_oracle(),
+    tags=("similarity", "X3", "approx", "pq", "ivf"),
+)
+def ivfpq_search_top5(spark, sf_dir):
+    """X3 — the complete billion-vector serving composition (similarity/
+    pq.ivfpq_search = FAISS IVFPQ): coarse-quantizer cell pruning
+    (nprobe=3 of 8 cells — against a write_inverted_file layout this is
+    partition pruning at the file listing) × ADC code-only scoring ×
+    exact rerank on the shortlist. The two prunings compose
+    multiplicatively: per query the scan reads ~nprobe/n_cells of the
+    corpus in m-byte codes plus 50 float rows. Every stage is a plan
+    literal (centroids, codebooks, ADC table), so the full composition
+    is hash-checked against DuckDB — not just row counts."""
+    from .similarity.pq import encode_pq_expr, ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = encode_pq_expr(emb, _PQ_BOOKS)
+    return ivfpq_search(
+        coded, _IVF_CENTS, _PQ_BOOKS, _IVF_PROBE, k=5, nprobe=3, shortlist=50
+    )
+
+
+@register(
+    "pq_recall_at_5", _pq_recall_oracle(),
+    tags=("similarity", "X3", "approx", "pq", "evaluation"),
+)
+def pq_recall_at_5(spark, sf_dir):
+    """PQ recall@5 against the exact dot-product scan for the same probe
+    — the lsh_recall_at_3 / ivf_recall_at_5 pattern on the third ANN
+    path, so EVERY approximate index in the engine carries an
+    externally-verified quality number. The ADC top-50 shortlist is the
+    only approximation (rerank within it is exact), so recall measures
+    shortlist coverage of the true top-5; both pipelines are
+    deterministic and the whole evaluation passes the differential
+    gate."""
+    from .similarity.knn import _as_double
+    from .similarity.pq import encode_pq_expr, pq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = encode_pq_expr(emb, _PQ_BOOKS)
+    pq_top = pq_search(
+        coded, _IVF_PROBE, _PQ_BOOKS, k=5, shortlist=50
+    ).select(F.col("vec_id").alias("pq_id"))
+    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    exact_top = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .orderBy(pround(dot(F.col("v"), probe_lit), 6).desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    j = exact_top.join(pq_top, exact_top.vec_id == F.col("pq_id"), "left")
+    matched = F.sum(F.when(F.col("pq_id").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        matched.cast("bigint").alias("n_matched"),
+        pround(matched / 5.0, 2).alias("recall_at_5"),
+    )
+
+
+@register(
+    "ivfpq_recall_at_5", _ivfpq_recall_oracle(),
+    tags=("similarity", "X3", "approx", "pq", "ivf", "evaluation"),
+)
+def ivfpq_recall_at_5(spark, sf_dir):
+    """IVFPQ recall@5 against the exact global scan — quality of the
+    FULL composition (cell pruning × ADC shortlist × rerank), so the
+    recall loss decomposes against pq_recall_at_5 (ADC-only) and
+    ivf_recall_at_5 (pruning-only): the three registered evaluation
+    harnesses isolate where approximation costs accuracy."""
+    from .similarity.knn import _as_double
+    from .similarity.pq import encode_pq_expr, ivfpq_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = encode_pq_expr(emb, _PQ_BOOKS)
+    ivfpq_top = ivfpq_search(
+        coded, _IVF_CENTS, _PQ_BOOKS, _IVF_PROBE, k=5, nprobe=3, shortlist=50
+    ).select(F.col("vec_id").alias("pq_id"))
+    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    exact_top = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .orderBy(pround(dot(F.col("v"), probe_lit), 6).desc(), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    j = exact_top.join(ivfpq_top, exact_top.vec_id == F.col("pq_id"), "left")
+    matched = F.sum(F.when(F.col("pq_id").isNotNull(), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        matched.cast("bigint").alias("n_matched"),
+        pround(matched / 5.0, 2).alias("recall_at_5"),
+    )

@@ -38,6 +38,21 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions import pround
+
+
+def static_codebooks(
+    m: int = 8, ksub: int = 16, dsub: int = 8, seed: int = 11
+) -> list[list[list[float]]]:
+    """Data-independent codebooks (random unit sub-vectors, 6 dp) — the
+    zero-training configuration, mirroring ivf.static_centroids: constant
+    at query-build time, so PQ queries over them are fully static-SQL
+    oracle-checkable. `fit_codebooks` is the quality path and is
+    recall-/unit-tested instead."""
+    from .ivf import _unit_rows
+
+    return [_unit_rows(ksub, dsub, seed + j) for j in range(m)]
+
 
 def fit_codebooks(
     df: DataFrame,
@@ -116,6 +131,46 @@ def encode_pq(
     return df.withColumn(code_col, _enc(F.col(vec_col)))
 
 
+def encode_pq_expr(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Expression-form PQ encoding — value-identical semantics to
+    `encode_pq` but bit-reproducible across engines (the assign_cells
+    discipline): per subspace the centroid score is the expanded-form
+    L2 proxy ``-2·<s,b> + <b,b>`` with the ``<b,b>`` term passed as a
+    literal, rounded to 6 dp BEFORE the argmin, ties to the smaller
+    code — so a SQL oracle replays every code exactly. Map-only,
+    whole-stage-codegen (no Python evaluator); the numpy path stays the
+    throughput encoder for at-rest ingest."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(v, j * dsub + 1, dsub)
+        entries = []
+        for c, cent in enumerate(book):
+            b = F.array(*[F.lit(float(x)) for x in cent])
+            bb = float(np.dot(np.asarray(cent), np.asarray(cent)))
+            d = pround(
+                F.lit(-2.0)
+                * F.aggregate(
+                    F.zip_with(s, b, lambda a, y: a * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                + F.lit(bb),
+                6,
+            )
+            entries.append(F.struct(d.alias("d"), F.lit(c).alias("cid")))
+        best = F.array_min(F.array(*entries))
+        codes.append(best["cid"].cast("smallint"))
+    return df.withColumn(code_col, F.array(*codes))
+
+
 def adc_table(query: list[float], codebooks: list[list[list[float]]],
               digits: int = 6) -> list[list[float]]:
     """The query's dot-product lookup table: table[j][c] = <q_j, B_j[c]>,
@@ -176,7 +231,7 @@ def pq_search(
         df, codebooks, vec_col, code_col
     )
     approx = coded.withColumn(
-        "adc_score", F.round(adc_score(F.col(code_col), table), 6)
+        "adc_score", pround(adc_score(F.col(code_col), table), 6)
     )
     short = approx.orderBy(
         F.col("adc_score").desc(), F.col(id_col)
@@ -186,7 +241,7 @@ def pq_search(
     q = F.array(*[F.lit(float(x)) for x in query])
     exact = short.withColumn(
         "score",
-        F.round(
+        pround(
             F.aggregate(
                 F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
                 F.lit(0.0),
@@ -235,7 +290,7 @@ def ivfpq_search(
     table = adc_table(query, codebooks)
     pruned = assigned.filter(F.col("cell").isin(cells))
     approx = pruned.withColumn(
-        "adc_score", F.round(adc_score(F.col(code_col), table), 6)
+        "adc_score", pround(adc_score(F.col(code_col), table), 6)
     )
     short = approx.orderBy(
         F.col("adc_score").desc(), F.col(id_col)
@@ -243,7 +298,7 @@ def ivfpq_search(
     q = F.array(*[F.lit(float(x)) for x in query])
     exact = short.withColumn(
         "score",
-        F.round(
+        pround(
             F.aggregate(
                 F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
                 F.lit(0.0),
