@@ -472,3 +472,81 @@ def streaming_welford_anomalies(spark, sf_dir):
         pround("value", 2).alias("value"),
         pround("z", 3).alias("z"),
     )
+
+
+@register(
+    "streaming_scd2_asof_enrichment",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, max_by(value, ts) AS close
+      FROM events GROUP BY 1, 2
+    ),
+    dim AS (
+      SELECT user_id AS dim_user, close,
+             CAST(d AS TIMESTAMP) AS valid_from,
+             lead(CAST(d AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY d) AS valid_to
+      FROM daily
+    ),
+    joined AS (
+      SELECT p.user_id, p.value, m.close
+      FROM events p
+      LEFT JOIN dim m
+        ON p.user_id = m.dim_user
+       AND p.ts >= m.valid_from
+       AND (m.valid_to IS NULL OR p.ts < m.valid_to)
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(close) AS BIGINT) AS n_enriched,
+           round(sum(value), 2) AS total_value,
+           round(sum(close), 2) AS total_asof_close
+    FROM joined GROUP BY user_id
+    """,
+    tags=("streaming", "join", "asof", "scd2"),
+)
+def streaming_scd2_asof_enrichment(spark, sf_dir):
+    """STREAM-STATIC as-of join (streaming/joins.stream_static_asof —
+    r5 groundwork, registered r6): the purchase stream enriches each
+    event with the SCD2 dimension version valid AT ITS EVENT TIME
+    (key + ``valid_from <= ts < valid_to``, NULL = open-ended). The
+    static side — per-user daily-close price versions built from the
+    batch reader — is re-planned per micro-batch and holds NO streaming
+    state at all (stream-static joins are stateless on the stream side;
+    no watermark). SCD2 intervals partition time per key, so
+    cardinality is preserved and left-outer keeps pre-history /
+    unknown-key events with null dimension columns. Driven to
+    completion over static data the result equals the batch as-of
+    join, which is what the oracle replays; per-user aggregation of the
+    enrichment keeps the checked output compact."""
+    from pyspark.sql import Window as W
+
+    from .query_registry import _daily_close
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.joins import stream_static_asof
+
+    daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
+    w = W.partitionBy("dim_user").orderBy("valid_from")
+    dim = daily.select(
+        F.col("user_id").alias("dim_user"),
+        "close",
+        F.col("d").cast("timestamp").alias("valid_from"),
+    ).withColumn("valid_to", F.lead("valid_from").over(w))
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    stream = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    joined = stream_static_asof(
+        stream, dim, key="user_id", ts="ts", dim_key="dim_user"
+    )
+    out = run_stream_to_table(joined, "scd2_asof_enrichment")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("close").cast("long").alias("n_enriched"),
+        pround(F.sum("value"), 2).alias("total_value"),
+        pround(F.sum("close"), 2).alias("total_asof_close"),
+    )

@@ -821,3 +821,41 @@ def curation_funnel(spark, sf_dir):
         .unionByName(stage(sampled, "3_mixture_sample"))
         .unionByName(stage(packed, "4_packed_shards", shard=True))
     )
+
+
+@register(
+    "grouped_heavy_hitters",
+    """
+    SELECT event_type, user_id AS item, est, rk FROM (
+      SELECT event_type, user_id,
+             CAST(count(*) AS BIGINT) AS est,
+             CAST(row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS INT) AS rk
+      FROM events
+      GROUP BY event_type, user_id
+    ) WHERE rk <= 5
+    """,
+    tags=("training", "sketch", "heavy-hitters"),
+)
+def grouped_heavy_hitters(spark, sf_dir):
+    """Top-5 users WITHIN each event type via the per-group Misra-Gries
+    sketch (functions/sketches.grouped_heavy_hitters — r5 groundwork,
+    registered r6): per-partition per-group bounded summaries (≤
+    capacity counters per (partition, group) regardless of key
+    cardinality), one (group, item) merge aggregate, per-group top-k
+    through the rank window (WindowGroupLimit prunes below the
+    shuffle). Capacity 512 exceeds the per-group user cardinality, so
+    the sketch runs in its exact regime and the oracle is plain exact
+    grouped counting; the compaction regime's per-group undercount
+    bound n_g/(capacity+1) is asserted in tests/."""
+    from .functions.sketches import grouped_heavy_hitters as ghh
+
+    ev = _t(spark, sf_dir, "events")
+    out = ghh(ev, "event_type", "user_id", k=5, capacity=512)
+    return out.select(
+        "event_type",
+        F.col("user_id").alias("item"),
+        F.col("est").cast("long").alias("est"),
+        F.col("rk").cast("int").alias("rk"),
+    )
