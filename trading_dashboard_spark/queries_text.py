@@ -1458,3 +1458,197 @@ def dup_cluster_size_histogram(spark, sf_dir):
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training + application (r5 groundwork -> r6 registration)
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 12
+_BPE_MAX_VOCAB = 20000
+
+
+def _bpe_apply_layer(k: int, a_expr: str, b_expr: str, s: str) -> str:
+    """One merge-rule application layer over a symbol-sequence relation
+    ``{s}{k}(w, pos, sym)`` -> ``{s}{k+1}``: flag (a,b) adjacencies,
+    resolve overlapping occurrences left-to-right via run-start parity
+    (within a maximal run of consecutive matches, every other position
+    starting at the run head merges — exactly the engine's scan-with-
+    skip), then drop consumed rows and renumber. MATERIALIZED so the
+    layer chain stays linear (DuckDB inlines CTEs by default; an
+    inlined 12-layer chain re-expands exponentially)."""
+    return f"""
+    {s}m{k} AS (
+      SELECT w, pos, sym,
+             coalesce(sym = {a_expr}
+                      AND lead(sym) OVER (PARTITION BY w ORDER BY pos) = {b_expr},
+                      FALSE) AS mt
+      FROM {s}{k}
+    ),
+    {s}r{k} AS (
+      SELECT w, pos, sym, mt,
+             mt AND ((pos - coalesce(max(CASE WHEN NOT mt THEN pos END) OVER (
+                 PARTITION BY w ORDER BY pos ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1) AS sel
+      FROM {s}m{k}
+    ),
+    {s}{k + 1} AS MATERIALIZED (
+      SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+             CASE WHEN sel THEN sym || nsym ELSE sym END AS sym
+      FROM (
+        SELECT w, pos, sym, sel,
+               lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+               coalesce(lag(sel) OVER (PARTITION BY w ORDER BY pos), FALSE) AS consumed
+        FROM {s}r{k}
+      ) WHERE NOT consumed
+    )"""
+
+
+def _bpe_train_layer(k: int) -> str:
+    """Training step k: weighted pair counts over the current vocabulary
+    state, argmax with (count DESC, pair lexicographic) ties — exactly
+    fit_bpe's selection — then the apply layer driven by the selected
+    rule as scalar subqueries."""
+    return f"""
+    p{k} AS (
+      SELECT s.sym AS a, lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS b, v.n
+      FROM s{k} s JOIN vocab v ON v.w = s.w
+    ),
+    best{k} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a, b, sum(n) AS cnt FROM p{k} WHERE b IS NOT NULL GROUP BY a, b
+      ) ORDER BY cnt DESC, a, b LIMIT 1
+    ),""" + _bpe_apply_layer(k, f"(SELECT a FROM best{k})", f"(SELECT b FROM best{k})", "s")
+
+
+def _bpe_training_ctes() -> str:
+    """Shared oracle preamble: tokenize the corpus (identical semantics
+    to text/bpe.word_frequencies), build the frequency-bounded
+    vocabulary, split to characters + the </w> sentinel, and run the
+    full merge-selection loop as N chained layers."""
+    layers = ",".join(_bpe_train_layer(k) for k in range(_BPE_N_MERGES))
+    return f"""
+    toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '[^a-z0-9'']+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+      ORDER BY n DESC, w LIMIT {_BPE_MAX_VOCAB}
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, unnest(range(1, len(cs) + 1)) AS pos,
+             cs[unnest(range(1, len(cs) + 1))] AS sym
+      FROM (SELECT w, list_concat(regexp_extract_all(w, '.'), ['</w>']) AS cs
+            FROM vocab)
+    ),
+    {layers}"""
+
+
+def _bpe_fit_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rk, (SELECT a FROM best{k}) AS lhs, "
+        f"(SELECT b FROM best{k}) AS rhs, (SELECT a || b FROM best{k}) AS merged"
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"WITH {_bpe_training_ctes()}\n    {rows}"
+
+
+def _bpe_stats_oracle() -> str:
+    """Training replay + a SECOND apply chain over every distinct corpus
+    word (vocab truncation must not skip encoding), then per-language
+    statistics of the resulting subword streams."""
+    apply_layers = ",".join(
+        _bpe_apply_layer(
+            k, f"(SELECT a FROM best{k})", f"(SELECT b FROM best{k})", "a"
+        )
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"""
+    WITH {_bpe_training_ctes()},
+    a0 AS MATERIALIZED (
+      SELECT w, unnest(range(1, len(cs) + 1)) AS pos,
+             cs[unnest(range(1, len(cs) + 1))] AS sym
+      FROM (SELECT w, list_concat(regexp_extract_all(w, '.'), ['</w>']) AS cs
+            FROM (SELECT DISTINCT w FROM toks))
+    ),
+    {apply_layers},
+    wstats AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(count(*) FILTER (WHERE sym LIKE '%</w>') AS BIGINT) AS n_eow
+      FROM a{_BPE_N_MERGES} GROUP BY w
+    ),
+    doc_tok AS (
+      SELECT t.doc_id, sum(ws.n_toks) AS n_toks, sum(ws.n_eow) AS n_eow
+      FROM toks t JOIN wstats ws ON ws.w = t.w GROUP BY t.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(dt.n_toks, 0)) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(dt.n_eow, 0)) AS BIGINT) AS n_word_end_tokens,
+           round(CAST(sum(coalesce(dt.n_toks, 0)) AS DOUBLE) / count(*), 6)
+             AS avg_tokens_per_doc
+    FROM documents d LEFT JOIN doc_tok dt ON dt.doc_id = d.doc_id
+    GROUP BY d.lang"""
+
+
+@register(
+    "bpe_learned_merges", _bpe_fit_oracle(),
+    tags=("text", "X4", "tokenizer", "bpe"),
+)
+def bpe_learned_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, fully oracle-checked (text/bpe — r5
+    groundwork, registered r6): one distributed pass builds the
+    frequency-bounded (word, count) vocabulary (text/bpe.
+    word_frequencies — the corpus is never touched again), then the
+    merge loop runs driver-side on that bounded table (ivf.fit_centroids'
+    bounded-state discipline) and the learned merge table is the query
+    output. The oracle INDEPENDENTLY REPLAYS TRAINING in SQL — 12
+    chained merge-selection layers (weighted pair counts -> argmax with
+    fit_bpe's exact count-desc/lexicographic tie -> run-parity merge
+    application) — so every selected rule, not just the final
+    tokenization, is hash-checked against a second engine."""
+    from .text.bpe import fit_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
+    merges = fit_bpe(vocab, n_merges=_BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(k, a, b, a + b) for k, (a, b) in enumerate(merges)],
+        "rk int, lhs string, rhs string, merged string",
+    )
+
+
+@register(
+    "bpe_token_stats", _bpe_stats_oracle(),
+    tags=("text", "X4", "tokenizer", "bpe"),
+)
+def bpe_token_stats(spark, sf_dir):
+    """End-to-end BPE pipeline: train on the corpus (bpe_learned_merges'
+    fit), ENCODE every document with the learned rules (text/bpe.
+    apply_bpe, ordered mode — sequential rank-order application, which
+    replays training segmentation verbatim and is therefore
+    SQL-replayable), and report per-language subword statistics. The
+    encode is one map-only Arrow pass with per-batch word memoization
+    (cost tracks distinct words, not token count). The oracle replays
+    training AND re-encodes every distinct corpus word through the same
+    12 rules in SQL, then aggregates — tokenizer train + apply both
+    pass the differential gate."""
+    from .text.bpe import apply_bpe, fit_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
+    merges = fit_bpe(vocab, n_merges=_BPE_N_MERGES)
+    enc = apply_bpe(docs, merges, ordered=True)
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("total_tokens"),
+        F.sum(
+            F.size(F.filter("bpe_tokens", lambda t: t.endswith("</w>")))
+        ).cast("long").alias("n_word_end_tokens"),
+        pround(
+            F.sum(F.size("bpe_tokens")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens_per_doc"),
+    )

@@ -76,24 +76,9 @@ def fit_bpe(
             break
         best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         merges.append(best)
-        joined = best[0] + best[1]
         for i, (syms, n) in enumerate(words):
-            if best[0] not in syms:
-                continue
-            out = []
-            j = 0
-            while j < len(syms):
-                if (
-                    j + 1 < len(syms)
-                    and syms[j] == best[0]
-                    and syms[j + 1] == best[1]
-                ):
-                    out.append(joined)
-                    j += 2
-                else:
-                    out.append(syms[j])
-                    j += 1
-            words[i] = (out, n)
+            if best[0] in syms:
+                words[i] = (_merge_pass(syms, *best), n)
     return merges
 
 
@@ -115,21 +100,38 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
                 best_pair, best_r = pair, r
         if best_pair is None:
             break
-        joined = best_pair[0] + best_pair[1]
-        out: list[str] = []
-        j = 0
-        while j < len(syms):
-            if (
-                j + 1 < len(syms)
-                and syms[j] == best_pair[0]
-                and syms[j + 1] == best_pair[1]
-            ):
-                out.append(joined)
-                j += 2
-            else:
-                out.append(syms[j])
-                j += 1
-        syms = out
+        syms = _merge_pass(syms, *best_pair)
+    return syms
+
+
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One left-to-right merge-all-occurrences pass of pair (a, b)."""
+    out: list[str] = []
+    j = 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def _encode_word_ordered(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Sequential rank-order merge application (the original Sennrich
+    formulation): every rule applies once, in training order, merging
+    all its occurrences — which replays fit_bpe's vocabulary rewrites
+    verbatim, so a training word ALWAYS encodes to its training
+    segmentation. Differs from the greedy form only when a later rule
+    re-creates an occurrence of an earlier pair (which greedy would
+    then merge); sequential order is the SQL-oracle-replayable form."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        if a in syms:
+            syms = _merge_pass(syms, a, b)
     return syms
 
 
@@ -138,11 +140,18 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    ordered: bool = False,
 ) -> DataFrame:
     """Map-only BPE encoding: documents → learned-subword arrays. One
     Arrow batch pass; each DISTINCT word in a batch is encoded once
-    (memoized), so the per-row cost is amortized by Zipf reuse."""
+    (memoized), so the per-row cost is amortized by Zipf reuse.
+
+    ``ordered=False`` (default) is the GPT-2-style greedy
+    lowest-rank-first encoder; ``ordered=True`` applies rules
+    sequentially in training order (`_encode_word_ordered`) — the
+    deterministic training replay the registered oracle checks."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
+    rules = [tuple(m) for m in merges]
 
     @pandas_udf("array<string>")
     def _enc(texts: pd.Series) -> pd.Series:
@@ -156,7 +165,11 @@ def apply_bpe(
             for w in word_re.findall((t or "").lower()):
                 got = cache.get(w)
                 if got is None:
-                    got = cache[w] = _encode_word(w, ranks)
+                    got = cache[w] = (
+                        _encode_word_ordered(w, rules)
+                        if ordered
+                        else _encode_word(w, ranks)
+                    )
                 out.extend(got)
             return out
 
