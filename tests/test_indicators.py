@@ -251,3 +251,47 @@ def test_macd_window_default_block_and_plan(spark):
     sig_e = macd_e.ewm(span=9, adjust=False).mean()
     assert np.allclose(got["macd"].to_numpy(float), macd_e, atol=1e-9)
     assert np.allclose(got["macd_signal"].to_numpy(float), sig_e, atol=1e-9)
+
+
+def test_macd_auto_lane_switch(spark):
+    """r5 verdict #3: `macd_auto` must pick the collect_list fold below
+    both thresholds and the segmented-scan window lane above either —
+    asserted on the PLAN (fold = sort_array(collect_list...); window
+    lane = Window nodes, no collect_list) — and both choices return the
+    same values and column set."""
+    import numpy as np
+    import pandas as pd
+
+    from trading_dashboard_spark.operators.indicators import macd_auto
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for k, n in (("a", 30), ("b", 45)):
+        for i, v in enumerate(rng.normal(100, 10, n)):
+            rows.append((k, i, float(v)))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["sym", "t", "close"])
+    )
+
+    # fold lane: one collect_list aggregate, NO window operator
+    fold = macd_auto(sdf, "close", "sym", "t")
+    plan = fold._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan and "Window" not in plan
+
+    # tiny history threshold forces the segmented-scan window lane
+    win = macd_auto(sdf, "close", "sym", "t", max_fold_history=10)
+    plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # tiny total-rows threshold forces it too
+    win2 = macd_auto(sdf, "close", "sym", "t", max_fold_rows=10)
+    assert "Window" in (
+        win2._jdf.queryExecution().executedPlan().toString()
+    )
+
+    a = fold.toPandas().sort_values(["sym", "t"]).reset_index(drop=True)
+    b = win.toPandas().sort_values(["sym", "t"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for col in ("macd", "macd_signal", "macd_hist"):
+        assert np.allclose(
+            a[col].to_numpy(float), b[col].to_numpy(float), atol=1e-9
+        ), col

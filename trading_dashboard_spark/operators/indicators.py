@@ -381,6 +381,53 @@ def macd_sql(
     )
 
 
+#: Adaptive MACD lane policy (round-5 verdict #3, mirroring
+#: ranks.NTILE_EXACT_MAX_ROWS): the collect_list fold lane has the
+#: lowest fixed overhead but costs O(history²) array copies per key, so
+#: it degrades silently on long per-key histories and loses to the
+#: segmented scan's O(1)/row past ~10⁷ total rows (measured crossover,
+#: BENCHMARKS.md). The probe is one partial-aggregated count job whose
+#: shuffle carries key-cardinality rows, not data.
+MACD_FOLD_MAX_ROWS = 10_000_000
+MACD_FOLD_MAX_HISTORY = 10_000
+
+
+def macd_auto(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | str,
+    order: str,
+    fast: int = 12,
+    slow: int = 26,
+    signal_span: int = 9,
+    max_fold_rows: int = MACD_FOLD_MAX_ROWS,
+    max_fold_history: int = MACD_FOLD_MAX_HISTORY,
+) -> DataFrame:
+    """Adaptive MACD: probe per-key history length + total rows with one
+    cheap count job (map-side combined — the shuffle is key-cardinality
+    sized), then pick the lane the data shape wants: `macd_sql`'s
+    single-shuffle fold below both thresholds, `macd_window`'s
+    segmented scan above either — so the caller never has to know the
+    crossover, and a 100× scale-up cannot silently land on the
+    O(history²) lane (the ranks.ntile_buckets adaptive policy, applied
+    to W7)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    probe = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("total"))
+        .first()
+    )
+    max_hist = probe["mx"] or 0
+    total = probe["total"] or 0
+    if total <= max_fold_rows and max_hist <= max_fold_history:
+        return macd_sql(df, value_col, keys, order, fast, slow, signal_span)
+    out = macd_window(df, value_col, keys, order, fast, slow, signal_span)
+    return out.select(
+        *keys, order, "macd", "macd_signal", "macd_hist"
+    )
+
+
 def ema_sql(value_list: Column, span: int) -> Column:
     """Pure-SQL EMA over a pre-collected ordered array (fallback form).
 

@@ -651,19 +651,21 @@ def _macd_oracle() -> str:
 
 @register("macd_indicator", _macd_oracle(), tags=("window", "W7", "udf"))
 def macd_indicator(spark, sf_dir):
-    """MACD(12,26,9) over the daily bars — fast/slow EMA spread, signal
-    EMA, histogram, via the JVM fold lane
-    (operators/indicators.macd_sql): one collect_list aggregate per key,
-    all three adjust=False EMA recurrences as `aggregate` array folds —
-    no Python worker in the path (round-4 verdict #3: the grouped-map
-    lane, kept as the pandas-parity oracle in tests, ran 8.7× DuckDB;
-    `macd_window` is the segmented-scan form for >10⁷-row inputs).
-    The SQL oracle unrolls the same recurrences in closed form."""
-    from .operators.indicators import macd_sql
+    """MACD(12,26,9) over the daily bars via the ADAPTIVE lane
+    (operators/indicators.macd_auto — round-5 verdict #3): one cheap
+    key-cardinality count probe picks `macd_sql`'s single-shuffle JVM
+    fold (collect_list + three adjust=False EMA `aggregate` folds, no
+    Python worker — lowest fixed overhead) below 10⁷ rows / 10⁴-row
+    histories, and `macd_window`'s segmented scan (O(1) codegen'd work
+    per row) above either threshold — so a 100× scale-up can never
+    silently land on the O(history²) fold. Both lanes are
+    value-identical (tests/test_indicators.py); the SQL oracle unrolls
+    the same recurrences in closed form."""
+    from .operators.indicators import macd_auto
 
     daily = _daily_close(spark, sf_dir).select("user_id", "d", "close")
-    out = macd_sql(daily, "close", "user_id", "d", fast=12, slow=26,
-                   signal_span=9)
+    out = macd_auto(daily, "close", "user_id", "d", fast=12, slow=26,
+                    signal_span=9)
     return out.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
