@@ -1069,7 +1069,12 @@ def bm25_keyword_search(spark, sf_dir):
     token-level rows exist, and the only aggregates are the single-row
     corpus stats and per-term df partials folded from the same
     projection (measured 1.68 s → ~0.6 s at the ×10 sweep vs the
-    explode-then-filter form). The per-(doc,term) score then unpivots
+    explode-then-filter form). All m term counts come from ONE
+    ``aggregate`` fold over the token array (r5 verdict #4: the
+    previous per-term ``size(filter(...))`` folds re-walked the array
+    once per term — m× the traversals; the fold's struct accumulator
+    only rebuilds on a term HIT, so non-matching tokens cost one
+    comparison chain each). The per-(doc,term) score then unpivots
     KB-scale term columns; top-20 via TakeOrderedAndProject with a
     doc_id tiebreak. (The unbounded-vocabulary case is
     `tfidf_top_terms`' explode pipeline.)"""
@@ -1080,17 +1085,32 @@ def bm25_keyword_search(spark, sf_dir):
     toks = docs.select(
         "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
     )
-    def _tf(word):
-        # closure factory: a `lambda t, w=w:` default-arg binding would
-        # make the lambda arity-2, which F.filter interprets as
-        # (element, index) — silently comparing tokens to positions.
-        # (size - size(array_remove(...)) measured SLOWER: it
-        # materializes the filtered array per term; the HOF fold only
-        # counts.)
-        return F.size(F.filter("toks", lambda t: t == word))
 
-    tf_cols = [_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)]
-    base = toks.select("doc_id", F.size("toks").alias("dl"), *tf_cols)
+    fields = [f"tf_{i}" for i in range(len(terms))]
+
+    def _bump(acc, i):
+        return F.struct(*[
+            (acc[f] + 1).alias(f) if k == i else acc[f].alias(f)
+            for k, f in enumerate(fields)
+        ])
+
+    def _step(acc, t):
+        expr = F.when(t == terms[0], _bump(acc, 0))
+        for i, w in enumerate(terms[1:], start=1):
+            expr = expr.when(t == w, _bump(acc, i))
+        # rebuild only on hit; a non-matching token returns acc as-is
+        return expr.otherwise(acc)
+
+    counts = F.aggregate(
+        F.col("toks"),
+        F.struct(*[F.lit(0).alias(f) for f in fields]),
+        _step,
+    )
+    base = toks.select(
+        "doc_id", F.size("toks").alias("dl"), counts.alias("_tfs")
+    ).select(
+        "doc_id", "dl", *[F.col(f"_tfs.{f}").alias(f) for f in fields]
+    )
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
