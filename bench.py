@@ -212,6 +212,11 @@ SWEEP_QUERIES = [
     # round-4 additions (events/documents/embeddings-only, oracle-anchored)
     "bm25_keyword_search", "pca_top_component_power_iteration",
     "markov_event_transitions", "max_concurrent_events_per_day",
+    # round-6: the ANN family (r5 verdict #6 — the costliest sf0.1
+    # queries were absent from the sweep, so ANN scaling was graded on
+    # reasoning instead of data) plus the newly registered PQ tier.
+    "knn_probe_top10", "lsh_ann_top3", "ivf_ann_probe_top5",
+    "pq_search_top5", "ivfpq_search_top5",
 ]
 
 

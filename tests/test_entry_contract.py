@@ -118,3 +118,77 @@ def test_rotation_reserve_is_floor_under_pressure():
     )
     assert order3[:2] == ["stale_3", "proven_1"]
     assert order3.count("stale_3") == 1 and order3.count("proven_1") == 1
+
+
+def test_module_level_pure_additions_do_not_stale_siblings(tmp_path, monkeypatch):
+    """r6 rotation fix: appending NEW module-level constants/helpers
+    (shipped alongside new queries) must not mark every pre-existing
+    query in the module stale — code that existed before cannot depend
+    on lines that didn't exist. Removals/modifications still flood
+    conservatively."""
+    import subprocess
+
+    from trading_dashboard_spark import queries as q
+
+    repo = tmp_path / "repo"
+    pkg = repo / "pkg"
+    pkg.mkdir(parents=True)
+    f = pkg / "mod.py"
+    base = "X = 1\n\ndef q1():\n    return X\n"
+    f.write_text(base)
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=repo, check=True)
+    subprocess.run(
+        ["git", "-c", "user.email=t@t", "-c", "user.name=t",
+         "commit", "-qm", "base"],
+        cwd=repo, check=True,
+    )
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True,
+        text=True, check=True,
+    ).stdout.strip()
+    monkeypatch.setattr(q, "_REPO_ROOT", str(repo))
+
+    # pure addition: new constant + new function -> no module-level flag
+    f.write_text(base + "\nY = 2\n\ndef q2():\n    return Y\n")
+    changed, module_level = q._fn_changes("pkg/mod.py", head)
+    assert changed == {"q2"} and module_level is False
+
+    # modifying an existing module-level line still floods
+    f.write_text(base.replace("X = 1", "X = 3"))
+    changed, module_level = q._fn_changes("pkg/mod.py", head)
+    assert module_level is True
+
+    # removing one still floods
+    f.write_text(base.replace("X = 1\n", ""))
+    _, module_level = q._fn_changes("pkg/mod.py", head)
+    assert module_level is True
+
+
+def test_r6_window_composition():
+    """Round-6 predicted window (r5 verdict #8): with all 236 prior
+    queries recorded verified and no pins, the 50-slot window must hold
+    ALL never-verified round-6 registrations, and the genuinely edited
+    queries (macd_indicator's adaptive lane, bm25's one-pass fold) must
+    occupy the stale head — not be crowded out by sibling churn. Skips
+    once the round-6 artifact lands (the composition is then history)."""
+    import os
+
+    import pytest
+
+    from trading_dashboard_spark.queries import (
+        _DRIVER_WINDOW, _PIN_REVERIFY, _verified_rounds, QUERY_REGISTRY,
+    )
+
+    if os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_r06.json")):
+        pytest.skip("round-6 artifact landed; composition is historical")
+    assert _PIN_REVERIFY == ()
+    verified = set(_verified_rounds())
+    names = list(QUERY_REGISTRY)
+    window = names[:_DRIVER_WINDOW]
+    fresh = [n for n in QUERY_REGISTRY if n not in verified]
+    assert len(fresh) >= 8
+    assert all(n in window for n in fresh)
+    for must in ("macd_indicator", "bm25_keyword_search"):
+        assert must in window, must

@@ -336,8 +336,14 @@ def _fn_changes(rel: str, commit: str) -> tuple[set[str], bool]:
     the function's last line, so oracle edits count as function changes.
     The remainder (module-level constants, shared SQL fragments) is
     compared blank-line-insensitively; if IT changed, every query in the
-    module is conservatively stale. Unreadable old versions (new file)
-    report everything changed."""
+    module is conservatively stale — EXCEPT pure additions (round-6
+    lesson: new module-level helpers shipped alongside new queries
+    rank-0-flooded 40+ untouched siblings ahead of a genuinely edited
+    macd_indicator): a pre-existing function cannot have depended on
+    lines that did not exist when it was last verified, so the
+    module-level flag fires only when old remainder lines were removed
+    or modified. Unreadable old versions (new file) report everything
+    changed."""
     segments = _fn_segments
     try:
         with open(os.path.join(_REPO_ROOT, rel), encoding="utf-8") as fh:
@@ -356,7 +362,8 @@ def _fn_changes(rel: str, commit: str) -> tuple[set[str], bool]:
     changed = {
         name for name, seg in new_fns.items() if old_fns.get(name) != seg
     }
-    return changed, old_rest != new_rest
+    removed_or_modified = set(old_rest.splitlines()) - set(new_rest.splitlines())
+    return changed, bool(removed_or_modified)
 
 
 def _stale_verified(verified_round: dict[str, int]) -> dict[str, int]:
