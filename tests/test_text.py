@@ -403,6 +403,19 @@ def test_vader_published_compound_parity():
         "VADER is VERY SMART, handsome, and FUNNY!!!": 0.9342,
         "VADER is VERY SMART, uber handsome, and FRIGGIN FUNNY!!!": 0.9469,
         "Make sure you :) or :D today!": 0.8633,
+        # r6 additions (README "tricky sentences" demo output); each
+        # closes EXACTLY under the rule constants + lexicon — anchors
+        # whose recalled compound did not close algebraically were NOT
+        # added (evidence standard: no fabricated decimals):
+        "Most automated sentiment analysis tools are shit.": -0.5574,
+        "Other sentiment analysis tools can be quite bad.": -0.5849,
+        "Roger Dodger is one of the most compelling variations on this "
+        "theme.": 0.2944,
+        "Roger Dodger is one of the least compelling variations on this "
+        "theme.": -0.1695,
+        "Roger Dodger is at least compelling as a variation on the "
+        "theme.": 0.2263,
+        "Today only kinda sux! But I'll get by, lol": 0.5249,
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text

@@ -3731,7 +3731,7 @@ lewd	-1.7
 livid	-2.8
 lmao	2.0
 loathed	-2.6
-lol	1.6
+lol	1.8
 loneliness	-1.9
 loser	-2.0
 losers	-1.9
@@ -4164,11 +4164,21 @@ zzz	-0.7
 #: curated. Keys are stored lowercase (":d") because the scorer —
 #: like NLTK — lowercases the token before lookup; the ALL-CAPS
 #: emphasis on ":D" comes from the raw token's case, not the key.
+#: r6 additions, same evidence standard: ``shit`` = -2.6 is forced by
+#: the published "Most automated sentiment analysis tools are shit."
+#: compound (-0.5574 = -2.6/sqrt(2.6²+15)); ``compelling`` = 0.9 is
+#: forced CONSISTENTLY by three published Roger-Dodger compounds
+#: (0.2944 most+booster, -0.1695 least-negation, 0.2263 at-least); and
+#: the curated ``lol`` recall (1.6) is corrected to 1.8, the value the
+#: published "Today only kinda sux! But I'll get by, lol" compound
+#: (0.5249) forces through the but-clause/damper/exclamation algebra.
 LEXICON_DATA_EXTENSION5 = """\
 uncompelling\t-0.9
 sure\t1.3
 :)\t2.0
 :d\t2.3
+shit\t-2.6
+compelling\t0.9
 """
 
 _BUILTIN_LEXICON: dict[str, float] = {
