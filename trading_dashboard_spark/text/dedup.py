@@ -71,13 +71,22 @@ def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
     Fixed-length lowercase hex compares lexicographically in numeric order,
     so the string min *is* the hash min — no hex→int conversion needed,
     which keeps the construction portable to any SQL engine (the oracle).
-    """
-    return [
-        F.array_min(
-            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+
+    The per-component closure is a FACTORY, not a ``lambda s, i=i:``
+    default-arg binding: a two-parameter lambda makes F.transform pass
+    the array INDEX as the second argument, shadowing the intended
+    Python int with an unresolved Column whose str() then leaks into the
+    f-string prefix — a valid-but-wrong hash family that still passes
+    any final-output check (uniform hashes are uniform), caught only
+    when the r6 banding-sweep audit exposed raw candidate counts."""
+
+    def component(i: int) -> Column:
+        prefix = f"{i}:"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
         ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+
+    return [component(i) for i in range(num_hashes)]
 
 
 def minhash_near_dup_pairs(
