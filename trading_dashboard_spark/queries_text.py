@@ -1748,9 +1748,10 @@ def minhash_banding_sweep(spark, sf_dir):
     (id, 16-byte band hash) only) and verification touches candidate
     ids only — the audit costs four bandings of the PRODUCTION plan,
     not four corpus scans."""
+    from .io.readers import spread
     from .text.dedup import minhash_signature, shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     base = docs.select(
         F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
     ).persist()
