@@ -343,13 +343,16 @@ def test_pca_covariance_is_arrow_gram(spark, sf_dir):
 
 
 def test_pq_search_is_codegen_scan_topk(spark, sf_dir):
-    """The registered PQ search must keep encode + ADC scoring entirely
-    JVM-side (no Python evaluator anywhere in the plan) and resolve the
-    shortlist with TakeOrderedAndProject — a code-only scan, not a
-    shuffle; the same must hold for the IVFPQ composition, which adds
-    only a cell Filter."""
+    """The registered PQ search: encoding is ONE Arrow batch pass
+    (ArrowEvalPython — the BLAS kernel; never row-at-a-time
+    BatchEvalPython), ADC scoring and rerank stay JVM-side, and the
+    shortlist resolves with TakeOrderedAndProject — a code-only scan,
+    not a shuffle; the same holds for the IVFPQ composition, which adds
+    only a cell Filter. The zero-Python expression lane is asserted
+    separately on the at-rest coded table (test_similarity)."""
     for name in ("pq_search_top5", "ivfpq_search_top5"):
         plan = _plan(spark, sf_dir, name)
-        assert "EvalPython" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("ArrowEvalPython") <= 1, name
         assert "TakeOrderedAndProject" in plan, name
         assert "HashAggregate" not in plan, name

@@ -379,3 +379,22 @@ def test_ivfpq_composition(spark, sf_dir):
     assert small.first()["vec_id"] == 0
     plan = small._jdf.queryExecution().executedPlan().toString()
     assert "cell" in plan  # the cell filter exists pre-scoring
+
+
+def test_encode_pq_expr_lanes_agree(spark, sf_dir):
+    """The Arrow-vectorized encode lane must produce EXACTLY the codes
+    of the pure-expression lane (shared floor-rounding to 6 dp before
+    the argmin absorbs matmul-vs-fold summation ulps; first-minimum =
+    smallest-code ties both sides)."""
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.similarity.pq import (
+        encode_pq_expr, static_codebooks,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = static_codebooks(m=8, ksub=16, dsub=8, seed=11)
+    fast = {r["vec_id"]: list(r["pq_codes"])
+            for r in encode_pq_expr(emb, books, vectorized=True).collect()}
+    slow = {r["vec_id"]: list(r["pq_codes"])
+            for r in encode_pq_expr(emb, books, vectorized=False).collect()}
+    assert fast == slow and len(fast) > 0
