@@ -398,3 +398,20 @@ def test_encode_pq_expr_lanes_agree(spark, sf_dir):
     slow = {r["vec_id"]: list(r["pq_codes"])
             for r in encode_pq_expr(emb, books, vectorized=False).collect()}
     assert fast == slow and len(fast) > 0
+
+
+def test_lsh_bucket_topk_lane_equals_join_lane(spark, sf_dir):
+    """The per-bucket-gram top-k lane must return EXACTLY the pair-join
+    lane's rows — same neighbors, same cosines, same ranks — on the
+    production configuration (the local-top-k-union argument is exact
+    under the shared (cosine desc, neighbor_id) total order)."""
+    from trading_dashboard_spark.similarity.lsh import lsh_knn
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fast = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+            for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
+                             seed=42, bucket_topk=True).collect()}
+    slow = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+            for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
+                             seed=42, bucket_topk=False).collect()}
+    assert len(fast) > 0 and fast == slow

@@ -323,6 +323,13 @@ def lsh_ann_top3(spark, sf_dir):
     materialization that only amortizes when the result is reused —
     benched ~2x slower for this one-pass registry call (BENCH_r02).
 
+    r6: executes via lsh_knn's bucket-local top-k lane (per-bucket BLAS
+    gram + exact int64 (cosine, id) composite ordering, provably equal
+    to the global ranking) — the candidate PAIR shuffle this replaces
+    was the sweep's scale-killer (~700 M pairs, 42 s at ×10; now 1.6 s,
+    0.2× DuckDB's pair-join oracle). Values unchanged — lane equality
+    is unit-tested and this row stays hash-green.
+
     Parameter choice is recall-driven, measured at sf0.1 (2000 uniform
     64-dim vectors — the LSH-adversarial case): (6 planes, 2 tables)
     gives recall@3 0.117 at ~4 s wall; (8, 3) runs 2x faster at 0.069;

@@ -87,6 +87,7 @@ def lsh_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     persist: bool = False,
+    bucket_topk: bool = True,
 ) -> DataFrame:
     """Approximate per-vector top-k: union candidates from `n_tables`
     independent bucketings, dedup, exact-score, rank.
@@ -99,10 +100,26 @@ def lsh_knn(
     (sign(<v,p>) == sign(<u,p>) for positive ‖v‖, so hyperplane signs
     are invariant to normalization — and this matches the oracle, which
     buckets the stored vectors). Vectors are unit-normalized once for
-    scoring only; that normalized relation is reused by the two scoring
-    joins, and ``persist=True`` caches it so the scan + normalization
-    UDF run once — the right call whenever the corpus fits the
-    cluster's storage tier.
+    scoring only.
+
+    ``bucket_topk=True`` (default) computes each bucket's LOCAL top-k
+    with one chunked BLAS gram matrix per bucket and merges k·n_tables
+    candidates per id globally — exactly the global ranking, because
+    every global top-k neighbor shares ≥1 bucket with its probe and
+    ranks ≤ k inside it. This replaces the O(n²/2^planes) candidate
+    PAIR shuffle (measured 42 s at the ×10 sweep: ~700 M directed pairs
+    through dropDuplicates + two vector re-attach joins) with an
+    O(n·k·n_tables) merge — per-bucket scoring work is the same
+    LSH-inherent cost, but it stays inside one Arrow stage as BLAS
+    calls. Ties resolve EXACTLY like the join lane ((cosine desc,
+    neighbor_id asc)) via an int64 composite key (rounded-cosine
+    micro-units ≪ 32 | ~id) — exact for ids < 2^32; beyond that, raise
+    planes or fall back to the join lane. ``bucket_topk=False`` keeps
+    the pair-join lane (the oracle-shaped reference path, still used by
+    plan tests).
+
+    ``persist=True`` (join lane only) caches the normalized relation
+    reused by the two scoring joins, scoped to this call.
     """
     from pyspark.sql import Window as W
 
@@ -149,6 +166,65 @@ def lsh_knn(
         bits = (np.round(m @ planes_t, 9) >= 0).astype(np.int64)
         vals = bits.reshape(len(m), n_tables, n_planes) @ weights  # B × tables
         return pd.Series(list(vals))
+
+    if bucket_topk:
+        rows = base.select(
+            "id",
+            _unit(F.col("v")).alias("u"),
+            F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket"),
+        )
+        take_k = k
+
+        def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["id"].to_numpy(np.int64)
+            n = len(ids)
+            if n < 2:
+                return pd.DataFrame(
+                    {"id": [], "neighbor_id": [], "cosine": []}
+                ).astype({"id": np.int64, "neighbor_id": np.int64,
+                          "cosine": np.float64})
+            if ids.min() < 0 or ids.max() >= (1 << 32):
+                raise ValueError(
+                    "lsh_knn bucket_topk composite key needs ids in "
+                    "[0, 2^32); use bucket_topk=False for wider ids")
+            M = np.asarray(pdf["u"].tolist(), dtype=np.float64)
+            take = min(take_k, n - 1)
+            # exact (cosine desc, id asc) total order as ONE int64 key:
+            # rounded-cosine micro-units in the high bits, bit-inverted
+            # id below — ties resolve identically to the join lane
+            idkey = (np.int64(1) << 32) - 1 - ids
+            out_id, out_nb, out_cos = [], [], []
+            for lo in range(0, n, 512):  # chunk rows: bounds gram memory
+                hi = min(lo + 512, n)
+                G = np.round(M[lo:hi] @ M.T, 6)
+                ci = np.rint(G * 1e6).astype(np.int64) + 1_000_000
+                keys = (ci << 32) | idkey[None, :]
+                keys[np.arange(hi - lo), np.arange(lo, hi)] = -1  # self
+                part = np.argpartition(-keys, take - 1, axis=1)[:, :take]
+                sel = np.take_along_axis(keys, part, axis=1)
+                order = np.argsort(-sel, axis=1, kind="stable")
+                top = np.take_along_axis(part, order, axis=1)
+                out_id.append(np.repeat(ids[lo:hi], take))
+                out_nb.append(ids[top].ravel())
+                out_cos.append(np.take_along_axis(G, top, axis=1).ravel())
+            return pd.DataFrame({
+                "id": np.concatenate(out_id),
+                "neighbor_id": np.concatenate(out_nb),
+                "cosine": np.concatenate(out_cos),
+            })
+
+        local = rows.groupBy("tbl", "bucket").applyInPandas(
+            _local_topk, "id long, neighbor_id long, cosine double"
+        )
+        merged = local.dropDuplicates(["id", "neighbor_id"])
+        w = W.partitionBy("id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            merged.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("id", "neighbor_id", "cosine", "rnk")
+        )
 
     banded = base.select(
         "id", F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket")
