@@ -8,6 +8,8 @@ here because the signature construction is deterministic md5 min-hashing
 (text/dedup.py).
 """
 
+import math
+
 from pyspark.sql import Window as W, functions as F
 
 from .query_registry import _t, pround, register
@@ -1069,15 +1071,17 @@ def bm25_keyword_search(spark, sf_dir):
     token-level rows exist, and the only aggregates are the single-row
     corpus stats and per-term df partials folded from the same
     projection (measured 1.68 s → ~0.6 s at the ×10 sweep vs the
-    explode-then-filter form). All m term counts come from ONE
-    ``aggregate`` fold over the token array (r5 verdict #4: the
-    previous per-term ``size(filter(...))`` folds re-walked the array
-    once per term — m× the traversals; the fold's struct accumulator
-    only rebuilds on a term HIT, so non-matching tokens cost one
-    comparison chain each). The per-(doc,term) score then unpivots
-    KB-scale term columns; top-20 via TakeOrderedAndProject with a
-    doc_id tiebreak. (The unbounded-vocabulary case is
-    `tfidf_top_terms`' explode pipeline.)"""
+    explode-then-filter form). r6 measurements (verdict #4): a single
+    m-term ``aggregate`` fold was tried and LOST to the m per-term
+    ``size(filter(...))`` folds (0.43 s vs 0.36 s at ×10 — the struct
+    accumulator + when-chain per element outweighs m extra cheap
+    traversals at m=3), so the per-term form stays; the real double
+    cost was the corpus-stats broadcast subtree re-tokenizing the
+    corpus, now a bounded one-row driver literal instead. The
+    per-(doc,term) score then unpivots KB-scale term columns; top-20
+    via TakeOrderedAndProject with a doc_id tiebreak. (The
+    unbounded-vocabulary case is `tfidf_top_terms`' explode
+    pipeline.)"""
     from .text.analysis import tokenize
 
     terms = ("join", "filter", "vector")
@@ -1086,54 +1090,52 @@ def bm25_keyword_search(spark, sf_dir):
         "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
     )
 
-    fields = [f"tf_{i}" for i in range(len(terms))]
+    def _tf(word):
+        # closure factory: a `lambda t, w=w:` default-arg binding would
+        # make the lambda arity-2, which F.filter interprets as
+        # (element, index) — silently comparing tokens to positions
+        # (the exact bug the r6 banding sweep exposed in
+        # minhash_signature). A single m-term `aggregate` fold with a
+        # struct accumulator was ALSO measured (r5 verdict #4): 0.43 s
+        # vs 0.36 s for these m per-term folds at the ×10 sweep — the
+        # struct rebuild + when-chain per element costs more than m
+        # cheap equality-only traversals at m=3.
+        return F.size(F.filter("toks", lambda t: t == word))
 
-    def _bump(acc, i):
-        return F.struct(*[
-            (acc[f] + 1).alias(f) if k == i else acc[f].alias(f)
-            for k, f in enumerate(fields)
-        ])
-
-    def _step(acc, t):
-        expr = F.when(t == terms[0], _bump(acc, 0))
-        for i, w in enumerate(terms[1:], start=1):
-            expr = expr.when(t == w, _bump(acc, i))
-        # rebuild only on hit; a non-matching token returns acc as-is
-        return expr.otherwise(acc)
-
-    counts = F.aggregate(
-        F.col("toks"),
-        F.struct(*[F.lit(0).alias(f) for f in fields]),
-        _step,
-    )
     base = toks.select(
-        "doc_id", F.size("toks").alias("dl"), counts.alias("_tfs")
-    ).select(
-        "doc_id", "dl", *[F.col(f"_tfs.{f}").alias(f) for f in fields]
+        "doc_id", F.size("toks").alias("dl"),
+        *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
     )
-    stats = base.agg(
+    # The slim (doc_id, dl, tf…) relation feeds BOTH the corpus-stats
+    # aggregate and the scoring pass. The stats side is ONE row; pulling
+    # it to the driver and re-entering as literals is operationally the
+    # broadcast-cross-join idiom minus a duplicated plan subtree (the
+    # broadcast build job re-tokenized the corpus — tokenize is ~80% of
+    # this query at the ×10 sweep; an eager localCheckpoint of base was
+    # measured SLOWER than the second pass, 0.98 s vs 0.30 s, because
+    # checkpointing trades codegen for row serialization). The collect
+    # is bounded by construction: exactly one row, four doubles.
+    srow = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
         *[
             F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
             for i in range(len(terms))
         ],
-    )
-    scored = base.crossJoin(F.broadcast(stats))
+    ).first()
+    n_docs, avgdl = float(srow["n_docs"]), float(srow["avgdl"])
+    scored = base
     per_term = []
     for i in range(len(terms)):
         tf = F.col(f"tf_{i}")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
-            / (F.col(f"df_{i}") + 0.5)
-            + 1.0
-        )
+        dfi = float(srow[f"df_{i}"])
+        idf = F.lit(math.log((n_docs - dfi + 0.5) / (dfi + 0.5) + 1.0))
         per_term.append(
             F.when(
                 tf > 0,
                 idf
                 * (tf * 2.2)
-                / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+                / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))),
             ).otherwise(0.0)
         )
     hit = sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0) for i in range(len(terms)))
