@@ -183,12 +183,13 @@ def test_r6_window_composition():
     if os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_r06.json")):
         pytest.skip("round-6 artifact landed; composition is historical")
-    assert _PIN_REVERIFY == ()
+    assert _PIN_REVERIFY == ("lsh_recall_at_3",)  # lane change attestation
     verified = set(_verified_rounds())
     names = list(QUERY_REGISTRY)
     window = names[:_DRIVER_WINDOW]
     fresh = [n for n in QUERY_REGISTRY if n not in verified]
     assert len(fresh) >= 8
     assert all(n in window for n in fresh)
-    for must in ("macd_indicator", "bm25_keyword_search"):
+    for must in ("macd_indicator", "bm25_keyword_search", "lsh_ann_top3",
+                 "lsh_recall_at_3"):
         assert must in window, must
