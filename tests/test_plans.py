@@ -350,9 +350,11 @@ def test_pq_search_is_codegen_scan_topk(spark, sf_dir):
     not a shuffle; the same holds for the IVFPQ composition, which adds
     only a cell Filter. The zero-Python expression lane is asserted
     separately on the at-rest coded table (test_similarity)."""
-    for name in ("pq_search_top5", "ivfpq_search_top5"):
+    # one Arrow kernel for the PQ encode; IVFPQ adds one more for the
+    # vectorized cell assignment — never row-at-a-time evaluators
+    for name, max_arrow in (("pq_search_top5", 1), ("ivfpq_search_top5", 2)):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
-        assert plan.count("ArrowEvalPython") <= 1, name
+        assert plan.count("ArrowEvalPython") <= max_arrow, name
         assert "TakeOrderedAndProject" in plan, name
         assert "HashAggregate" not in plan, name
