@@ -221,3 +221,54 @@ def test_welford_equals_two_pass_property():
         assert abs(m2 / (n - 1) - var) <= 1e-6 * max(1.0, var)
 
     check()
+
+
+def test_lsh_bucket_topk_random_battery(spark):
+    """The bucket-local top-k lane == the pair-join lane on random
+    corpora engineered for ties: duplicated vectors (identical cosines
+    force the id tiebreak), multiple k values, and bucket sizes around
+    the chunk boundary. Guards the local-topk-union exactness argument
+    under the shared (cosine desc, neighbor_id) total order."""
+    from trading_dashboard_spark.similarity.lsh import lsh_knn
+
+    rng = np.random.RandomState(23)
+    for trial, (n, dim, k) in enumerate([(60, 8, 1), (120, 8, 3), (90, 8, 5)]):
+        base = rng.normal(size=(n, dim))
+        # plant exact duplicates: identical cosine to everything -> the
+        # neighbor_id tiebreak decides, on both lanes
+        base[1] = base[0]
+        base[n // 2] = base[2]
+        rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        fast = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+                for r in lsh_knn(df, dim=dim, k=k, n_planes=3, n_tables=2,
+                                 seed=trial, bucket_topk=True).collect()}
+        slow = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+                for r in lsh_knn(df, dim=dim, k=k, n_planes=3, n_tables=2,
+                                 seed=trial, bucket_topk=False).collect()}
+        assert fast == slow and len(fast) > 0, (trial, n, k)
+
+
+def test_pq_encode_lanes_random_battery(spark):
+    """Arrow-vectorized PQ encode == expression-form encode on random
+    corpora including exact duplicate vectors and a vector equidistant
+    to two centroids at the rounding grid (the smaller-code tie)."""
+    from trading_dashboard_spark.similarity.pq import (
+        encode_pq_expr, static_codebooks,
+    )
+
+    rng = np.random.RandomState(31)
+    books = static_codebooks(m=4, ksub=8, dsub=4, seed=5)
+    n = 80
+    base = rng.normal(size=(n, 16))
+    base[3] = base[0]
+    # a vector exactly ON a centroid (distance 0 to it): argmin stable
+    flat = [c for book in books for c in book]
+    base[7] = np.array(flat[0] + flat[1] + flat[2] + flat[3])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    fast = {r["vec_id"]: list(r["pq_codes"])
+            for r in encode_pq_expr(df, books, vectorized=True).collect()}
+    slow = {r["vec_id"]: list(r["pq_codes"])
+            for r in encode_pq_expr(df, books, vectorized=False).collect()}
+    assert fast == slow and len(fast) == n

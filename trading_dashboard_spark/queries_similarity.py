@@ -1685,3 +1685,71 @@ def semantic_dedup_survivors(spark, sf_dir):
         allv, threshold=0.98, id_col="vec_id", vec_col="v"
     ).select(F.col("keep_id").alias("id_a"), F.col("drop_id").alias("id_b"))
     return dedup_clusters(pairs)
+
+
+def _pq_distortion_oracle() -> str:
+    d = _PQ_DSUB
+    return f"""{_pq_pipeline_ctes(pruned=False)},
+    recon AS (
+      SELECT c.vec_id, c.j,
+             round(list_sum(list_transform(range(1, {d} + 1),
+                     i -> pow(v.v[c.j * {d} + i] - bk.b[i], 2))), 6) AS sq_err
+      FROM codes c
+      JOIN v  ON v.vec_id = c.vec_id
+      JOIN books bk ON bk.j = c.j AND bk.cid = c.code
+    )
+    SELECT CAST(j AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(round(sum(sq_err), 4) / count(*), 6) AS avg_sq_err,
+           round(max(sq_err), 6) AS max_sq_err
+    FROM recon GROUP BY j"""
+
+
+@register(
+    "pq_distortion_audit", _pq_distortion_oracle(),
+    tags=("similarity", "X3", "pq", "evaluation"),
+)
+def pq_distortion_audit(spark, sf_dir):
+    """PQ quantization-distortion audit — the quality number next to
+    pq_recall_at_5's retrieval number: per-subspace reconstruction
+    error ``‖s_j − b_{code_j}‖²`` (count / rounded-sum mean / max)
+    over the whole corpus, the metric codebook training minimizes and
+    the first thing to inspect when PQ recall degrades (a single bad
+    subspace → refit or raise ksub there). Map-only: encode (one Arrow
+    kernel) + per-subspace error expressions + one aggregate; the
+    oracle replays encoding through the shared CTE chain and joins
+    codes back to the codebook literals for reconstruction."""
+    from .similarity.knn import _as_double
+    from .similarity.pq import encode_pq_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = encode_pq_expr(emb, _PQ_BOOKS).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"), "pq_codes"
+    )
+    d = _PQ_DSUB
+    entries = []
+    for j, book in enumerate(_PQ_BOOKS):
+        book_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in cent]) for cent in book
+        ])
+        cent = F.element_at(book_lit, F.col("pq_codes")[j].cast("int") + 1)
+        s = F.slice("v", j * d + 1, d)
+        err = pround(
+            F.aggregate(
+                F.zip_with(s, cent, lambda a, b: F.pow(a - b, F.lit(2.0))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        entries.append(F.struct(F.lit(j).alias("subspace"), err.alias("sq_err")))
+    per = coded.select(F.explode(F.array(*entries)).alias("e")).select(
+        F.col("e.subspace").alias("subspace"), F.col("e.sq_err").alias("sq_err")
+    )
+    return per.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        pround(pround(F.sum("sq_err"), 4) / F.count(F.lit(1)), 6).alias(
+            "avg_sq_err"
+        ),
+        pround(F.max("sq_err"), 6).alias("max_sq_err"),
+    )
