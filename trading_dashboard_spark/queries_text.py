@@ -1578,10 +1578,10 @@ def _bpe_fit_oracle() -> str:
     return f"WITH {_bpe_training_ctes()}\n    {rows}"
 
 
-def _bpe_stats_oracle() -> str:
+def _bpe_doc_tokens_ctes() -> str:
     """Training replay + a SECOND apply chain over every distinct corpus
-    word (vocab truncation must not skip encoding), then per-language
-    statistics of the resulting subword streams."""
+    word (vocab truncation must not skip encoding), down to per-document
+    subword counts — shared by the stats and packing oracles."""
     apply_layers = ",".join(
         _bpe_apply_layer(
             k, f"(SELECT a FROM best{k})", f"(SELECT b FROM best{k})", "a"
@@ -1605,7 +1605,11 @@ def _bpe_stats_oracle() -> str:
     doc_tok AS (
       SELECT t.doc_id, sum(ws.n_toks) AS n_toks, sum(ws.n_eow) AS n_eow
       FROM toks t JOIN wstats ws ON ws.w = t.w GROUP BY t.doc_id
-    )
+    )"""
+
+
+def _bpe_stats_oracle() -> str:
+    return f"""{_bpe_doc_tokens_ctes()}
     SELECT d.lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(coalesce(dt.n_toks, 0)) AS BIGINT) AS total_tokens,
@@ -1895,4 +1899,62 @@ def cross_lingual_contamination(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_shared_windows"),
         F.sum("na").cast("long").alias("n_docs_a"),
         F.sum("nb").cast("long").alias("n_docs_b"),
+    )
+
+
+@register(
+    "bpe_packed_shards",
+    f"""{_bpe_doc_tokens_ctes()},
+    sized AS (
+      SELECT d.source, d.doc_id,
+             coalesce(dt.n_toks, 0) AS n_bpe_tokens
+      FROM documents d LEFT JOIN doc_tok dt ON dt.doc_id = d.doc_id
+    ),
+    packed AS (
+      SELECT source, doc_id, n_bpe_tokens,
+             CAST(floor((sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_bpe_tokens) / 4000.0)
+                  AS BIGINT) AS shard_id
+      FROM sized
+    )
+    SELECT source, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe_tokens) AS BIGINT) AS shard_tokens
+    FROM packed GROUP BY source, shard_id
+    """,
+    tags=("text", "training", "packing", "tokenizer", "bpe"),
+)
+def bpe_packed_shards(spark, sf_dir):
+    """The end-to-end tokenizer→curation composition: train BPE on the
+    corpus, encode every document with the learned rules, and pack the
+    REAL per-document subword counts into ~4k-token training shards
+    (token_budget_shards' greedy per-source prefix-sum, which that query
+    runs on the chars/4 heuristic — this one replaces the estimate with
+    the tokenizer's actual output, the difference between provisioning a
+    training run by guess and by measure). Per-source partitioned prefix
+    sum — no global window; the encode is the map-only memoized Arrow
+    pass; the oracle replays training, re-encodes every distinct word in
+    SQL, and packs identically."""
+    from pyspark.sql import Window as W
+
+    from .text.bpe import apply_bpe, fit_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = word_frequencies(docs, max_vocab=_BPE_MAX_VOCAB)
+    merges = fit_bpe(vocab, n_merges=_BPE_N_MERGES)
+    sized = apply_bpe(docs, merges, ordered=True).select(
+        "source", "doc_id", F.size("bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = sized.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_bpe_tokens").over(w) - F.col("n_bpe_tokens")) / 4000.0
+        ).cast("long"),
+    )
+    return packed.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("shard_tokens"),
     )
