@@ -415,3 +415,45 @@ def test_lsh_bucket_topk_lane_equals_join_lane(spark, sf_dir):
             for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
                              seed=42, bucket_topk=False).collect()}
     assert len(fast) > 0 and fast == slow
+
+
+def test_pq_at_rest_coded_scan_prunes_columns(spark, sf_dir, tmp_path):
+    """The serving layout: corpus encoded ONCE at ingest and written
+    partitioned by IVF cell with the code column alongside. A probe's
+    ADC scan must then (a) prune partitions on the cell literal and
+    (b) read ONLY (id, codes) from parquet — never the float vectors —
+    which is the whole point of the m-byte PQ payload."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.io.readers import load_table
+    from trading_dashboard_spark.similarity.ivf import (
+        assign_cells, probe_cells, static_centroids,
+    )
+    from trading_dashboard_spark.similarity.pq import (
+        adc_score, adc_table, encode_pq_expr, static_codebooks,
+    )
+    from trading_dashboard_spark.similarity.ivf import _unit_rows
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = static_centroids(n_cells=8, dim=64, seed=7)
+    books = static_codebooks(m=8, ksub=16, dsub=8, seed=11)
+    coded = encode_pq_expr(assign_cells(emb, cents), books)
+    path = str(tmp_path / "ivfpq")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    probe = _unit_rows(1, 64, seed=123)[0]
+    cells = probe_cells(cents, probe, nprobe=2)
+    table = adc_table(probe, books)
+    at_rest = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    scan = at_rest.select(
+        "vec_id", adc_score(F.col("pq_codes"), table).alias("adc")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:80]
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "pq_codes" in rs and "embedding" not in rs  # column pruning
+    assert "EvalPython" not in plan  # pure-JVM ADC over the codes
+    # and the pruned scan really returns only probed-cell rows
+    got = at_rest.select("cell").distinct().collect()
+    assert {r["cell"] for r in got} <= set(cells)
