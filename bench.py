@@ -217,6 +217,11 @@ SWEEP_QUERIES = [
     # reasoning instead of data) plus the newly registered PQ tier.
     "knn_probe_top10", "lsh_ann_top3", "ivf_ann_probe_top5",
     "pq_search_top5", "ivfpq_search_top5",
+    # r6 growth with linear scale shape (the banding sweep and the
+    # semantic-dedup pair stage are intentionally excluded: their
+    # loosest configs are quadratic-by-design audit/validation tools,
+    # documented as LSH-blocked at corpus scale)
+    "cross_lingual_contamination",
 ]
 
 
