@@ -279,3 +279,71 @@ def test_stream_static_asof_scd2_enrichment(spark, sf_dir, tmp_path):
     bj = stream_static_asof(batch, dim, "user_id", "ts")
     bgot = {r["event_id"]: (r["tier"], r["version"]) for r in bj.collect()}
     assert bgot == got
+
+
+def test_interval_full_outer_emits_both_unmatched_sides(spark, tmp_path):
+    """r6: FULL OUTER stream-stream interval join — matched pairs emit,
+    a mature unmatched LEFT row null-emits (no in-horizon right), and a
+    mature unmatched RIGHT row null-emits (no preceding left) — while
+    rows younger than horizon+watermark at end-of-stream stay
+    undecided. Crafted data pins each class."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.streaming.ingest import (
+        run_stream_to_table, stream_events,
+    )
+    from trading_dashboard_spark.streaming.joins import interval_full_outer
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ns(d):
+        return int(d.timestamp() * 1e6) * 1000
+
+    rows = [
+        # matched: click 1 -> purchase 2 within the hour
+        (1, 10, "click", 1.0, t0),
+        (2, 10, "purchase", 5.0, t0 + dt.timedelta(minutes=30)),
+        # abandoned click (user 11): no purchase follows
+        (3, 11, "click", 1.0, t0 + dt.timedelta(minutes=5)),
+        # orphan purchase (user 12): no click precedes
+        (4, 12, "purchase", 7.0, t0 + dt.timedelta(minutes=10)),
+        # horizon-miss pair (user 13): purchase 2h after the click
+        (5, 13, "click", 1.0, t0),
+        (6, 13, "purchase", 3.0, t0 + dt.timedelta(hours=2)),
+        # watermark driver far in the future on BOTH streams
+        (7, 99, "click", 0.0, t0 + dt.timedelta(days=2)),
+        (8, 99, "purchase", 0.0, t0 + dt.timedelta(days=2)),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, t, v, ns(ts)) for i, u, t, v, ts in rows],
+        "event_id long, user_id long, event_type string, value double, ts long",
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+
+    def side(kind, suffix):
+        return (
+            stream_events(spark, str(tmp_path / "ev"))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"user_id_{suffix}"),
+                F.col("event_id").alias(f"{kind}_id"),
+                F.col("ts").alias(f"{kind}_ts"),
+            )
+        )
+
+    joined = interval_full_outer(
+        side("click", "l"), side("purchase", "r"),
+        "user_id", "click_ts", "purchase_ts",
+        horizon="1 HOUR", watermark="2 hours",
+    )
+    out = run_stream_to_table(joined, "t_fo", output_mode="append")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in out.collect()
+        if (r["user_id_l"] or r["user_id_r"]) != 99
+    }
+    # matched pair; abandoned click; orphan purchase; horizon-miss pair
+    # decomposes into BOTH unmatched emissions
+    assert got == {(1, 2), (3, None), (None, 4), (5, None), (None, 6)}

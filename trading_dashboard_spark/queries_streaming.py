@@ -550,3 +550,126 @@ def streaming_scd2_asof_enrichment(spark, sf_dir):
         pround(F.sum("value"), 2).alias("total_value"),
         pround(F.sum("close"), 2).alias("total_asof_close"),
     )
+
+
+@register(
+    "streaming_interval_full_outer_audit",
+    """
+    WITH mx AS (
+      SELECT least(
+        max(ts) FILTER (WHERE event_type = 'click'),
+        max(ts) FILTER (WHERE event_type = 'purchase'))
+        - INTERVAL 190 MINUTE AS c
+      FROM events
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fo AS (
+      SELECT c.user_id AS ul, p.user_id AS ur,
+             c.click_ts, p.purchase_ts
+      FROM clicks c FULL OUTER JOIN purchases p
+        ON c.user_id = p.user_id
+       AND p.purchase_ts >= c.click_ts
+       AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    classified AS (
+      SELECT coalesce(ul, ur) AS user_id,
+             CASE
+               WHEN ul IS NOT NULL AND ur IS NOT NULL
+                    AND click_ts < mx.c AND purchase_ts < mx.c
+                 THEN 'matched'
+               WHEN ur IS NULL AND click_ts < mx.c THEN 'click_only'
+               WHEN ul IS NULL AND purchase_ts < mx.c THEN 'purchase_only'
+             END AS cls
+      FROM fo CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE cls = 'matched') AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (WHERE cls = 'click_only') AS BIGINT) AS n_click_only,
+           CAST(count(*) FILTER (WHERE cls = 'purchase_only') AS BIGINT) AS n_purchase_only
+    FROM classified WHERE cls IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("streaming", "join", "outer", "full-outer"),
+)
+def streaming_interval_full_outer_audit(spark, sf_dir):
+    """FULL OUTER stream-stream interval join (streaming/joins.
+    interval_full_outer) — the last uncovered stream-stream join mode:
+    per user, in-horizon click→purchase matches PLUS both unmatched
+    classes (abandoned clicks AND purchases with no preceding click —
+    the attribution-gap audit). Both sides null-emit only when the
+    joint watermark proves no partner can arrive, so BOTH lanes apply
+    the same per-class maturity cutoff (horizon + watermark + margin
+    behind the joint max event time) and streaming equals the batch
+    FULL OUTER the oracle runs. State on each side is bounded by the
+    watermark horizon — the unbounded-stream-safe shape."""
+    from .streaming.ingest import run_stream_to_table, stream_events
+    from .streaming.joins import interval_full_outer
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    mx = (
+        _t(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .collect()[0][0]
+    )
+    clicks = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id_l"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        stream_events(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id_r"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = interval_full_outer(
+        clicks, purchases, "user_id", "click_ts", "purchase_ts",
+        horizon="1 HOUR", watermark="2 hours",
+    )
+    out = run_stream_to_table(
+        joined, "interval_full_outer", output_mode="append"
+    )
+    cutoff = F.lit(mx) - F.expr("INTERVAL 190 MINUTE")
+    cls = (
+        F.when(
+            F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+            & (F.col("click_ts") < cutoff) & (F.col("purchase_ts") < cutoff),
+            "matched",
+        )
+        .when(
+            F.col("purchase_id").isNull() & (F.col("click_ts") < cutoff),
+            "click_only",
+        )
+        .when(
+            F.col("click_id").isNull() & (F.col("purchase_ts") < cutoff),
+            "purchase_only",
+        )
+    )
+    classified = out.select(
+        F.coalesce("user_id_l", "user_id_r").alias("user_id"),
+        cls.alias("cls"),
+    ).filter(F.col("cls").isNotNull())
+    return classified.groupBy("user_id").agg(
+        F.count(F.when(F.col("cls") == "matched", 1)).cast("long").alias("n_matched"),
+        F.count(F.when(F.col("cls") == "click_only", 1)).cast("long").alias("n_click_only"),
+        F.count(F.when(F.col("cls") == "purchase_only", 1)).cast("long").alias("n_purchase_only"),
+    )

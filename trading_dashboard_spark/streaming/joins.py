@@ -75,6 +75,38 @@ def interval_left_outer(
     return lw.join(rw, cond, "left_outer")
 
 
+def interval_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — both sides null-emit:
+    an unmatched LEFT row once the watermark passes ``left_ts +
+    horizon`` (no in-horizon right partner can still arrive), an
+    unmatched RIGHT row once it passes ``right_ts`` (any left partner
+    would need ``left_ts ∈ [right_ts − horizon, right_ts]``, all behind
+    the watermark). State on both sides is watermark-bounded.
+
+    Same completeness caveat as `interval_left_outer`, now on BOTH
+    sides: rows younger than ``horizon + watermark`` at end-of-stream
+    are still awaiting their verdict, so batch-equivalent consumers
+    must apply a maturity cutoff to every emission class (see
+    `streaming_interval_full_outer_audit` for the canonical binding).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key + "_l") == F.col(key + "_r"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lw.join(rw, cond, "full_outer")
+
+
 def stream_static_asof(
     stream: DataFrame,
     dim: DataFrame,
