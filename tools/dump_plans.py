@@ -152,6 +152,46 @@ COMMENTARY = {
         "regardless of corpus size (the bounded-global-window "
         "discipline)."
     ),
+    "pq_search_top5": (
+        "PQ two-tier search (r6): ONE ArrowEvalPython (the vectorized "
+        "encode kernel — a BLAS matmul per batch/subspace), then the ADC "
+        "scoring is a pure-JVM aggregate fold over the code arrays with "
+        "the lookup table as plan literals, TakeOrderedAndProject for "
+        "the shortlist, exact rerank on 50 rows. No shuffle before the "
+        "top-k; against an at-rest coded table the scan reads m "
+        "smallints per vector, never the floats "
+        "(tests/test_similarity.py::test_pq_at_rest_coded_scan_prunes_columns)."
+    ),
+    "ivfpq_search_top5": (
+        "IVFPQ composition: the cell Filter on the probe's literal cell "
+        "list sits directly above the scan (partition pruning against a "
+        "write_inverted_file layout), then the identical PQ "
+        "encode/ADC/rerank chain — the two prunings compose with no "
+        "extra exchange."
+    ),
+    "lsh_ann_top3": (
+        "LSH per-vector top-k, r6 bucket-local lane: one exchange to "
+        "group (table, bucket), each bucket's local top-k computed "
+        "inside a single FlatMapGroupsInPandas (chunked BLAS gram, "
+        "exact int64 composite ordering), then a k·tables-per-id merge "
+        "— the candidate PAIR shuffle (O(n²/2^planes) rows) that "
+        "previously dominated at scale no longer exists in the plan."
+    ),
+    "bpe_packed_shards": (
+        "Tokenizer→curation composition: the encode is ONE "
+        "ArrowEvalPython over the corpus (memoized per-word), the "
+        "prefix-sum window partitions by source (no Exchange "
+        "SinglePartition anywhere — a global window would serialize the "
+        "corpus), and the shard aggregate reuses the same hash "
+        "partitioning."
+    ),
+    "cross_lingual_contamination": (
+        "Contamination audit: tokens explode to 8-token window "
+        "fingerprints, aggregate to (lang, fp) BEFORE the cross-lang "
+        "join — the join carries 16-byte digests with per-lang counts, "
+        "never text and never doc-level rows; both join sides derive "
+        "from one exchange-shared aggregate."
+    ),
 }
 
 
