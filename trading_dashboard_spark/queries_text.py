@@ -1874,28 +1874,42 @@ def cross_lingual_contamination(spark, sf_dir):
             " ", *[F.element_at("toks", F.col("i") + k) for k in range(8)]
         )
     )
-    wins = (
-        toks.select(
-            "lang", "doc_id", F.explode(idx).alias("i"), "toks"
-        )
-        .select("lang", "doc_id", win.alias("w_fp"))
-        .dropDuplicates(["lang", "doc_id", "w_fp"])
-    )
+    wins = toks.select(
+        "lang", "doc_id", F.explode(idx).alias("i"), "toks"
+    ).select("lang", "doc_id", win.alias("w_fp"))
+    # countDistinct replaces a dropDuplicates+count pair: one shuffle on
+    # (lang, w_fp) with partial distinct expansion instead of a second
+    # full shuffle of the window rows on (lang, doc_id, w_fp)
     per_lang = wins.groupBy("lang", "w_fp").agg(
-        F.count(F.lit(1)).alias("n_docs")
+        F.countDistinct("doc_id").alias("n_docs")
     )
-    a = per_lang.select(
-        F.col("lang").alias("lang_a"), "w_fp", F.col("n_docs").alias("na")
+    # pair expansion by bucket aggregation, NOT a self-join: a self-join
+    # re-computes the whole explode+md5+aggregate pipeline once per side
+    # (exchange reuse across differently-aliased sides is best-effort);
+    # grouping per fingerprint and expanding lang pairs in-place keeps
+    # ONE pipeline, and the per-fp array is bounded by the language
+    # count (the minhash candidate-generation idiom)
+    grouped = (
+        per_lang.groupBy("w_fp")
+        .agg(F.collect_list(F.struct("lang", "n_docs")).alias("langs"))
+        .filter(F.size("langs") >= 2)
     )
-    b = per_lang.select(
-        F.col("lang").alias("lang_b"), F.col("w_fp").alias("w_fp_b"),
-        F.col("n_docs").alias("nb"),
+    entries = F.array_sort(F.col("langs"))  # struct sort: lang asc first
+    pairs = F.flatten(F.transform(
+        entries,
+        lambda x, i: F.transform(
+            F.slice(entries, i + 2, F.size(entries)),
+            lambda y: F.struct(
+                x["lang"].alias("lang_a"), y["lang"].alias("lang_b"),
+                x["n_docs"].alias("na"), y["n_docs"].alias("nb"),
+            ),
+        ),
+    ))
+    exploded = grouped.select(F.explode(pairs).alias("p")).select(
+        F.col("p.lang_a").alias("lang_a"), F.col("p.lang_b").alias("lang_b"),
+        F.col("p.na").alias("na"), F.col("p.nb").alias("nb"),
     )
-    joined = a.join(
-        b,
-        (F.col("w_fp") == F.col("w_fp_b")) & (F.col("lang_a") < F.col("lang_b")),
-    )
-    return joined.groupBy("lang_a", "lang_b").agg(
+    return exploded.groupBy("lang_a", "lang_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_windows"),
         F.sum("na").cast("long").alias("n_docs_a"),
         F.sum("nb").cast("long").alias("n_docs_b"),
