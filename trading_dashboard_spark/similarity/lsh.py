@@ -71,7 +71,10 @@ def random_hyperplane_buckets(
     @pandas_udf("long")
     def _bucket(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        bits = (m @ planes_t >= 0).astype(np.int64)
+        # 9dp round before the sign test (the _all_buckets discipline):
+        # with 6dp plane literals this makes bucket assignment exact
+        # decimal arithmetic a SQL oracle replays bit-for-bit
+        bits = (np.round(m @ planes_t, 9) >= 0).astype(np.int64)
         return pd.Series(bits @ weights)
 
     return df.withColumn(out_col, _bucket(F.col(vec_col)))
