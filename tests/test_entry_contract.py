@@ -183,7 +183,7 @@ def test_r6_window_composition():
     if os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "CORRECTNESS_r06.json")):
         pytest.skip("round-6 artifact landed; composition is historical")
-    assert _PIN_REVERIFY == ("lsh_recall_at_3",)  # lane change attestation
+    assert _PIN_REVERIFY == ("lsh_recall_at_3", "streaming_abandoned_clicks")
     verified = set(_verified_rounds())
     names = list(QUERY_REGISTRY)
     window = names[:_DRIVER_WINDOW]
@@ -191,5 +191,5 @@ def test_r6_window_composition():
     assert len(fresh) >= 8
     assert all(n in window for n in fresh)
     for must in ("macd_indicator", "bm25_keyword_search", "lsh_ann_top3",
-                 "lsh_recall_at_3"):
+                 "lsh_recall_at_3", "streaming_abandoned_clicks"):
         assert must in window, must

@@ -320,7 +320,11 @@ def test_interval_full_outer_emits_both_unmatched_sides(spark, tmp_path):
         [(i, u, t, v, ns(ts)) for i, u, t, v, ts in rows],
         "event_id long, user_id long, event_type string, value double, ts long",
     )
-    ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
+    # ONE file -> one micro-batch: with multiple files the file source
+    # may deliver the day-2 watermark-driver rows in an EARLIER batch
+    # than the t0 clicks, which then arrive behind the watermark and are
+    # (correctly) dropped as late — a batching race, not join semantics
+    ev.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "ev"))
 
     def side(kind, suffix):
         return (

@@ -162,9 +162,13 @@ _DRIVER_WINDOW = 50
 #: Explicit round-directive re-verifications, keyed ahead of everything.
 #: Round 6: lsh_recall_at_3 executes through lsh_knn's NEW bucket-local
 #: top-k lane (lane equality is unit-tested, but the driver row should
-#: attest the shipped path); its rank-1 staleness alone lost the slot
-#: race to queries_text's larger diff. Drop once its fresh row lands.
-_PIN_REVERIFY: tuple[str, ...] = ("lsh_recall_at_3",)
+#: attest the shipped path), and streaming_abandoned_clicks depends on
+#: the watermark-eviction completeness that run_stream_to_table's r6
+#: quiescence poll now guarantees (previously racy-by-luck); both lost
+#: the rank-1 slot race to larger diffs. Drop once fresh rows land.
+_PIN_REVERIFY: tuple[str, ...] = (
+    "lsh_recall_at_3", "streaming_abandoned_clicks",
+)
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)

@@ -128,14 +128,35 @@ def run_stream_to_table(stream_df: DataFrame, name: str, output_mode: str = "app
     return the result as a batch DataFrame (memory sink +
     processAllAvailable) — the test/oracle harness for streaming
     operators."""
+    import time
+
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
     )
+    spark = stream_df.sparkSession
     try:
         q.processAllAvailable()
+        # Watermark-gated emissions (outer-join null rows, state
+        # timeouts) land in NO-DATA batches scheduled after the batch
+        # that advanced the watermark; processAllAvailable only
+        # guarantees the DATA is consumed, and stop() can kill a
+        # pending eviction batch mid-commit (observed ~1-in-4 missing
+        # null-emissions on the full-outer crafted test). Wait for the
+        # sink to go quiescent: stop only after the row count holds
+        # still across consecutive settle intervals, bounded at ~12 s
+        # (static sources converge in one or two no-data batches).
+        prev, stable = -1, 0
+        for _ in range(30):
+            q.processAllAvailable()
+            cur = spark.table(name).count()
+            stable = stable + 1 if cur == prev else 0
+            if stable >= 2:
+                break
+            prev = cur
+            time.sleep(0.4)
     finally:
         q.stop()
-    return stream_df.sparkSession.table(name)
+    return spark.table(name)
