@@ -165,31 +165,21 @@ def test_module_level_pure_additions_do_not_stale_siblings(tmp_path, monkeypatch
     assert module_level is True
 
 
-def test_r6_window_composition():
-    """Round-6 predicted window (r5 verdict #8): with all 236 prior
-    queries recorded verified and no pins, the 50-slot window must hold
-    ALL never-verified round-6 registrations, and the genuinely edited
-    queries (macd_indicator's adaptive lane, bm25's one-pass fold) must
-    occupy the stale head — not be crowded out by sibling churn. Skips
-    once the round-6 artifact lands (the composition is then history)."""
+def test_verified_rounds_cover_every_driver_row():
+    """Every name recorded in a CORRECTNESS_r*.json artifact must appear
+    in the _R0N_VERIFIED tuples (the rotation's memory of driver rows) —
+    forgetting to record a round would silently re-burn window slots on
+    already-green queries."""
+    import json
     import os
 
-    import pytest
+    from trading_dashboard_spark.queries import _verified_rounds
 
-    from trading_dashboard_spark.queries import (
-        _DRIVER_WINDOW, _PIN_REVERIFY, _verified_rounds, QUERY_REGISTRY,
-    )
-
-    if os.path.exists(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "CORRECTNESS_r06.json")):
-        pytest.skip("round-6 artifact landed; composition is historical")
-    assert _PIN_REVERIFY == ("lsh_recall_at_3", "streaming_abandoned_clicks")
-    verified = set(_verified_rounds())
-    names = list(QUERY_REGISTRY)
-    window = names[:_DRIVER_WINDOW]
-    fresh = [n for n in QUERY_REGISTRY if n not in verified]
-    assert len(fresh) >= 8
-    assert all(n in window for n in fresh)
-    for must in ("macd_indicator", "bm25_keyword_search", "lsh_ann_top3",
-                 "lsh_recall_at_3", "streaming_abandoned_clicks"):
-        assert must in window, must
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recorded = set(_verified_rounds())
+    for fname in sorted(os.listdir(repo)):
+        if fname.startswith("CORRECTNESS_r") and fname.endswith(".json"):
+            with open(os.path.join(repo, fname)) as fh:
+                rows = json.load(fh)
+            missing = set(rows) - recorded
+            assert not missing, f"{fname} rows unrecorded: {sorted(missing)}"

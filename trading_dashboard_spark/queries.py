@@ -146,6 +146,31 @@ _R05_VERIFIED = (
     "weekday_variance_explained",
 )
 
+#: Queries with a green row in CORRECTNESS_r06.json (driver round 6 —
+#: 50/50 hash-green: the 14 round-6 registrations, the two pins, and 34
+#: stale re-verifications covering every touched query, as predicted).
+_R06_VERIFIED = (
+    "lsh_recall_at_3", "streaming_abandoned_clicks", "bm25_keyword_search",
+    "lsh_ann_top3", "macd_indicator", "fingerprint_uniqueness_by_source",
+    "minhash_near_dup_pairs", "ngram_jaccard_near_dups",
+    "simhash_fingerprints", "blocked_jaccard_within_source", "top_trigrams",
+    "repetition_signals", "tfidf_top_terms", "unigram_logprob_score",
+    "near_dup_clusters", "exact_dedup_docs", "token_stats_by_lang",
+    "doc_quality_features", "language_id_counts", "doc_pii_redaction",
+    "chunk_boilerplate_ratio", "quality_gate_summary",
+    "cluster_survivor_selection", "vocabulary_growth_by_source",
+    "bigram_logprob_score", "levenshtein_name_near_dups",
+    "bigram_collocations_pmi", "verbatim_overlap_pairs",
+    "dup_cluster_size_histogram", "doc_sentiment", "phrase_search_hash_join",
+    "knn_probe_top10", "knn_per_vector_top3", "embedding_stats_by_label",
+    "embedding_cosine_near_dup", "ivf_ann_probe_top5", "bpe_learned_merges",
+    "bpe_token_stats", "minhash_banding_sweep", "cross_lingual_contamination",
+    "bpe_packed_shards", "pq_search_top5", "ivfpq_search_top5",
+    "pq_recall_at_5", "ivfpq_recall_at_5", "semantic_dedup_survivors",
+    "pq_distortion_audit", "grouped_heavy_hitters",
+    "streaming_scd2_asof_enrichment", "streaming_interval_full_outer_audit",
+)
+
 #: MINIMUM window slots guaranteed to stale-changed re-verification.
 #: Round-4 lesson (verdict "what's wrong" #3): as a residual this
 #: silently starved — ~93 new queries saturated the 50-slot window and
@@ -160,15 +185,10 @@ _REVERIFY_RESERVE = 12
 _DRIVER_WINDOW = 50
 
 #: Explicit round-directive re-verifications, keyed ahead of everything.
-#: Round 6: lsh_recall_at_3 executes through lsh_knn's NEW bucket-local
-#: top-k lane (lane equality is unit-tested, but the driver row should
-#: attest the shipped path), and streaming_abandoned_clicks depends on
-#: the watermark-eviction completeness that run_stream_to_table's r6
-#: quiescence poll now guarantees (previously racy-by-luck); both lost
-#: the rank-1 slot race to larger diffs. Drop once fresh rows land.
-_PIN_REVERIFY: tuple[str, ...] = (
-    "lsh_recall_at_3", "streaming_abandoned_clicks",
-)
+#: Round 7: empty — both round-6 pins landed fresh green rows in
+#: CORRECTNESS_r06.json; the change-aware stale ranking covers this
+#: round's edits (fingerprint-width, MACD probe fold, ADC kernel).
+_PIN_REVERIFY: tuple[str, ...] = ()
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
@@ -181,7 +201,7 @@ def _verified_rounds() -> dict[str, int]:
     for rnd, names in (
         (1, _R01_VERIFIED), (2, _R02_VERIFIED),
         (3, _R03_VERIFIED), (4, _R04_VERIFIED),
-        (5, _R05_VERIFIED),
+        (5, _R05_VERIFIED), (6, _R06_VERIFIED),
     ):
         for n in names:
             out[n] = rnd

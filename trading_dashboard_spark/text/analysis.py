@@ -253,9 +253,13 @@ def chunk_fingerprints(
     paragraph-level corpus dedup (CCNet/RefinedWeb-style boilerplate
     removal works on repeated *segments*, not whole documents).
 
-    One row per (doc, chunk_idx) with a 128-bit md5 of the chunk text:
-    downstream stages group on the fingerprint (16-byte shuffle, never
-    text) to find segments repeated across documents. Map-only explode.
+    One row per (doc, chunk_idx) with a 64-bit xxhash64 of the chunk
+    text: downstream stages group on the fingerprint (8-byte shuffle,
+    never text) to find segments repeated across documents — the fp is
+    an equality key that never surfaces in query output, so the engine
+    uses the narrowest hash Spark evaluates natively (the oracle keeps
+    md5; equivalence classes are identical modulo 2^-64 collisions).
+    Map-only explode.
     """
     toks = tokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     n = F.size(toks)
@@ -264,7 +268,7 @@ def chunk_fingerprints(
         F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
         lambda i: F.struct(
             i.cast("int").alias("chunk_idx"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))).alias("chunk_fp"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))).alias("chunk_fp"),
         ),
     )
     win = F.slice(win, 1, n_chunks)
