@@ -350,7 +350,14 @@ def macd_sql(
     per input row.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
-    lists = df.groupBy(*keys).agg(
+    # Force the groupBy's partition count: the shuffled rows are narrow
+    # (key, date, double), so AQE's byte-based coalescing collapses the
+    # aggregate to ONE partition and the interpreted EMA folds — the
+    # expensive part, ~14 µs/row, invisible to byte statistics — run
+    # serially (measured 0.77 s -> 0.40 s at x10 with 32 partitions).
+    # An explicit-N repartition is exempt from AQE coalescing.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    lists = df.repartition(n_shuffle, *keys).groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(order).alias("o"),
                                     F.col(value_col).alias("x")))
@@ -402,24 +409,58 @@ def macd_auto(
     signal_span: int = 9,
     max_fold_rows: int = MACD_FOLD_MAX_ROWS,
     max_fold_history: int = MACD_FOLD_MAX_HISTORY,
+    materialize: bool = False,
 ) -> DataFrame:
-    """Adaptive MACD: probe per-key history length + total rows with one
-    cheap count job (map-side combined — the shuffle is key-cardinality
-    sized), then pick the lane the data shape wants: `macd_sql`'s
-    single-shuffle fold below both thresholds, `macd_window`'s
-    segmented scan above either — so the caller never has to know the
-    crossover, and a 100× scale-up cannot silently land on the
-    O(history²) lane (the ranks.ntile_buckets adaptive policy, applied
-    to W7)."""
+    """Adaptive MACD: probe per-key history length + total rows, then
+    pick the lane the data shape wants: `macd_sql`'s single-shuffle
+    fold below both thresholds, `macd_window`'s segmented scan above
+    either — so the caller never has to know the crossover, and a 100×
+    scale-up cannot silently land on the O(history²) lane (the
+    ranks.ntile_buckets adaptive policy, applied to W7).
+
+    Probe cost (round-6 verdict #2 — "piggyback the count job on the
+    checkpoint pass"): with ``materialize=True`` and a date-typed
+    ``order`` column, the probe rides the eager ``localCheckpoint``
+    action as ``observe()`` metrics — total row count plus the
+    calendar span of ``order``, which upper-bounds every key's history
+    (a key cannot have more daily bars than there are days), so lane
+    safety needs ZERO extra jobs. The span bound is conservative: a
+    27+-year sparse corpus may take the segmented-scan lane although
+    the fold would have been fine — safe either way, both lanes are
+    value-identical. Non-date order columns (no cheap history bound)
+    fall back to the exact key-cardinality count job against the
+    now-materialized input."""
+    from pyspark.sql.types import DateType
+
     keys = [keys] if isinstance(keys, str) else list(keys)
-    probe = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .agg(F.max("_n").alias("mx"), F.sum("_n").alias("total"))
-        .first()
-    )
-    max_hist = probe["mx"] or 0
-    total = probe["total"] or 0
+    max_hist = total = None
+    if materialize:
+        from pyspark.sql import Observation
+
+        if isinstance(df.schema[order].dataType, DateType):
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("total"),
+                F.min(order).alias("lo"),
+                F.max(order).alias("hi"),
+            ).localCheckpoint(eager=True)
+            m = obs.get
+            total = m["total"] or 0
+            max_hist = (
+                (m["hi"] - m["lo"]).days + 1 if m["hi"] is not None else 0
+            )
+        else:
+            df = df.localCheckpoint(eager=True)
+    if max_hist is None:
+        probe = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("mx"), F.sum("_n").alias("total"))
+            .first()
+        )
+        max_hist = probe["mx"] or 0
+        total = probe["total"] or 0
     if total <= max_fold_rows and max_hist <= max_fold_history:
         return macd_sql(df, value_col, keys, order, fast, slow, signal_span)
     out = macd_window(df, value_col, keys, order, fast, slow, signal_span)
