@@ -1,1 +1,3 @@
-from .numeric import pround, portable_round_sql  # noqa: F401
+from .numeric import (  # noqa: F401
+    lit_double_matrix, lit_doubles, portable_round_sql, pround,
+)

@@ -15,6 +15,32 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+def lit_doubles(values) -> Column:
+    """``array<double>`` literal built as ONE parsed SQL expression.
+
+    ``F.array(*[F.lit(x) for x in values])`` costs a py4j round trip per
+    element (~1-2 ms each under load); the ANN literal payloads — probe
+    vectors (64 doubles), PQ codebooks (8×16×8), ADC tables (8×16) —
+    rebuilt on every query invocation made plan CONSTRUCTION ~half the
+    measured ivfpq query time at ×10. A single ``F.expr`` string is one
+    round trip; ``repr`` emits the shortest digits that round-trip to
+    the exact same IEEE double, and the ``D`` suffix forces DoubleType
+    (a bare decimal literal parses as DECIMAL in Spark SQL)."""
+    return F.expr(
+        "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+    )
+
+
+def lit_double_matrix(rows) -> Column:
+    """``array<array<double>>`` literal as one parsed expression — the
+    nested form of :func:`lit_doubles` for codebook / lookup tables."""
+    inner = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def pround(c: Column | str, n: int) -> Column:
     """Portable rounding: ``floor(x·10ⁿ + 0.5) / 10ⁿ`` from primitive ops.
 

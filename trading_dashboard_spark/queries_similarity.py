@@ -10,6 +10,7 @@ doubles → portable rounding matches exactly.
 
 from pyspark.sql import functions as F
 
+from .functions import lit_double_matrix, lit_doubles
 from .query_registry import _t, pround, register
 
 #: DuckDB cosine over double-cast lists (explicit, not list_cosine_similarity,
@@ -1318,7 +1319,7 @@ def ivf_recall_at_5(spark, sf_dir):
     ivf_top = ivf_search(emb, _IVF_CENTS, _IVF_PROBE, k=5, nprobe=3).select(
         F.col("vec_id").alias("ivf_id")
     )
-    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    probe_lit = lit_doubles(_IVF_PROBE)
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     dot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -1559,7 +1560,7 @@ def pq_recall_at_5(spark, sf_dir):
     pq_top = pq_search(
         coded, _IVF_PROBE, _PQ_BOOKS, k=5, shortlist=50
     ).select(F.col("vec_id").alias("pq_id"))
-    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    probe_lit = lit_doubles(_IVF_PROBE)
     dot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1596,7 +1597,7 @@ def ivfpq_recall_at_5(spark, sf_dir):
     ivfpq_top = ivfpq_search(
         coded, _IVF_CENTS, _PQ_BOOKS, _IVF_PROBE, k=5, nprobe=3, shortlist=50
     ).select(F.col("vec_id").alias("pq_id"))
-    probe_lit = F.array(*[F.lit(float(x)) for x in _IVF_PROBE])
+    probe_lit = lit_doubles(_IVF_PROBE)
     dot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1769,9 +1770,7 @@ def pq_distortion_audit(spark, sf_dir):
     d = _PQ_DSUB
     entries = []
     for j, book in enumerate(_PQ_BOOKS):
-        book_lit = F.array(*[
-            F.array(*[F.lit(float(x)) for x in cent]) for cent in book
-        ])
+        book_lit = lit_double_matrix(book)
         cent = F.element_at(book_lit, F.col("pq_codes")[j].cast("int") + 1)
         s = F.slice("v", j * d + 1, d)
         err = pround(

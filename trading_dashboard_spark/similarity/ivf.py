@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import pround
+from ..functions import lit_doubles, pround
 
 from .knn import _as_double, cosine_sim, cosine_sim_arrow, dot
 
@@ -139,7 +139,7 @@ def assign_cells(
     v = _as_double(F.col(vec_col))
     entries = [
         F.struct(
-            pround(dot(v, F.array(*[F.lit(float(x)) for x in c])), 6).alias("d"),
+            pround(dot(v, lit_doubles(c)), 6).alias("d"),
             F.lit(-i).alias("negcid"),
         )
         for i, c in enumerate(centroids)
@@ -194,10 +194,10 @@ def ivf_search(
     cells = probe_cells(centroids, probe, nprobe)
     assigned = assign_cells(df, centroids, vec_col, vectorized=vectorized)
     if vectorized:
-        pcol = F.array(*[F.lit(float(x)) for x in probe])
+        pcol = lit_doubles(probe)
         sim = cosine_sim_arrow(F.col(vec_col), pcol)
     else:
-        pcol = F.array(*[F.lit(float(x)) for x in probe])
+        pcol = lit_doubles(probe)
         sim = pround(cosine_sim(F.col(vec_col), pcol), 6)
     return (
         assigned.filter(F.col("cell").isin(cells))

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from ..functions import pround
+from ..functions import lit_doubles, pround
 
 
 def _as_double(v: Column) -> Column:
@@ -123,7 +123,7 @@ def knn_to_probe(
 
         sim = _probe_cos(F.col(vec_col))
     else:
-        parr = F.array(*[F.lit(float(x)) for x in probe])
+        parr = lit_doubles(probe)
         sim = pround(cosine_sim(F.col(vec_col), parr), 6)
     return (
         df.select(F.col(id_col), sim.alias("cosine"))

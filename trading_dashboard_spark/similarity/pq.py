@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions import pround
+from ..functions import lit_double_matrix, lit_doubles, pround
 
 
 def static_codebooks(
@@ -181,7 +181,7 @@ def encode_pq_expr(
         s = F.slice(v, j * dsub + 1, dsub)
         entries = []
         for c, cent in enumerate(book):
-            b = F.array(*[F.lit(float(x)) for x in cent])
+            b = lit_doubles(cent)
             bb = float(np.dot(np.asarray(cent), np.asarray(cent)))
             d = pround(
                 F.lit(-2.0)
@@ -214,14 +214,29 @@ def adc_table(query: list[float], codebooks: list[list[list[float]]],
     return out
 
 
-def adc_score(code_col: Column, table: list[list[float]]) -> Column:
+def adc_score(code_col: Column | str, table: list[list[float]]) -> Column:
     """JVM-side ADC: approximate <q, x> as the sum of per-subspace table
     lookups over the code array — a codegen-able ``aggregate`` fold with
     the lookup table as a nested array literal; no Python, no float
-    vectors read. The fold carries (subspace index, acc) in a struct."""
-    tbl = F.array(*[
-        F.array(*[F.lit(float(x)) for x in row]) for row in table
-    ])
+    vectors read. The fold carries (subspace index, acc) in a struct.
+
+    With a string-name ``code_col`` the WHOLE scorer (table literals +
+    fold lambda) is one parsed SQL expression: assembled from F.lit /
+    Python lambdas it costs a py4j round trip per node, rebuilt on
+    every query call — plan construction was ~half the measured ivfpq
+    wall time at ×10. The Column form remains for composed exprs."""
+    tbl_sql = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in table
+    )
+    if isinstance(code_col, str):
+        return F.expr(
+            f"aggregate({code_col}, struct(0 as j, 0.0D as s), "
+            f"(acc, c) -> struct(acc.j + 1 as j, acc.s + element_at("
+            f"element_at(array({tbl_sql}), acc.j + 1), cast(c as int) + 1)"
+            f" as s)).s"
+        )
+    tbl = lit_double_matrix(table)
     folded = F.aggregate(
         code_col,
         F.struct(F.lit(0).alias("j"), F.lit(0.0).alias("s")),
@@ -233,6 +248,18 @@ def adc_score(code_col: Column, table: list[list[float]]) -> Column:
         ),
     )
     return folded["s"]
+
+
+def dot_literal(vec_col: str, values: list[float]) -> Column:
+    """Exact ``<vec_col, values>`` as one parsed fold expression — the
+    same left-to-right ``zip_with``+``aggregate`` sum the engine uses
+    everywhere (identical summation order, identical doubles), minus
+    the per-node py4j construction cost of the Python-lambda form."""
+    vals = ",".join(f"{float(v)!r}D" for v in values)
+    return F.expr(
+        f"aggregate(zip_with({vec_col}, array({vals}), (a, b) -> a * b), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def pq_search(
@@ -259,24 +286,15 @@ def pq_search(
         df, codebooks, vec_col, code_col
     )
     approx = coded.withColumn(
-        "adc_score", pround(adc_score(F.col(code_col), table), 6)
+        "adc_score", pround(adc_score(code_col, table), 6)
     )
     short = approx.orderBy(
         F.col("adc_score").desc(), F.col(id_col)
     ).limit(shortlist)
     if not rerank:
         return short.select(id_col, "adc_score").limit(k)
-    q = F.array(*[F.lit(float(x)) for x in query])
     exact = short.withColumn(
-        "score",
-        pround(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ),
+        "score", pround(dot_literal(vec_col, query), 6)
     )
     return (
         exact.orderBy(F.col("score").desc(), F.col(id_col))
@@ -322,22 +340,13 @@ def ivfpq_search(
     table = adc_table(query, codebooks)
     pruned = assigned.filter(F.col("cell").isin(cells))
     approx = pruned.withColumn(
-        "adc_score", pround(adc_score(F.col(code_col), table), 6)
+        "adc_score", pround(adc_score(code_col, table), 6)
     )
     short = approx.orderBy(
         F.col("adc_score").desc(), F.col(id_col)
     ).limit(shortlist)
-    q = F.array(*[F.lit(float(x)) for x in query])
     exact = short.withColumn(
-        "score",
-        pround(
-            F.aggregate(
-                F.zip_with(F.col(vec_col), q, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ),
+        "score", pround(dot_literal(vec_col, query), 6)
     )
     return (
         exact.orderBy(F.col("score").desc(), F.col(id_col))
