@@ -1691,6 +1691,114 @@ def bpe_token_stats(spark, sf_dir):
     )
 
 
+#: sequence-level (phrase) BPE depth — 256 rules is past the point where
+#: the corpus's 31-word surface vocabulary saturates word-level BPE
+#: (~120 char merges exhaust it), so every rule is a learned PHRASE.
+_BPE_SEQ_MERGES = 256
+
+#: tokenization shared by fit_bpe_sequences and its oracle (lowercase
+#: [a-z0-9']+ words — word_frequencies' convention)
+_BPE_WORDS = (
+    "list_filter(regexp_split_to_array(lower(coalesce(text, '')), "
+    "'[^a-z0-9'']+'), t -> t <> '')"
+)
+
+
+def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES) -> str:
+    """Recursive-CTE training replay for sequence-level BPE.
+
+    The chained-CTE idiom of `_bpe_training_ctes` is PLANNING-bound past
+    ~64 layers (measured: 25 s at 64, 565 s at 256 — DuckDB re-optimizes
+    the whole chain per layer), so this oracle folds the whole merge loop
+    into ONE recursive CTE: the working table is the full (it, doc, pos,
+    sym) corpus state, each step selects the (count DESC, a, b) argmax
+    pair as an uncorrelated scalar subquery and applies it with the same
+    run-parity window rewrite the chained layers use. The merge table is
+    then re-derived OUTSIDE the recursion from the accumulated per-
+    iteration states (recursive UNION ALL retains every round), by the
+    identical argmax — so all ``n`` selected rules are value-checked."""
+    return f"""
+    WITH RECURSIVE st(it, doc, pos, sym) AS (
+      SELECT 0, doc_id, unnest(range(1, len(w) + 1)),
+             w[unnest(range(1, len(w) + 1))]
+      FROM (SELECT doc_id, {_BPE_WORDS} AS w FROM documents)
+      WHERE len(w) > 1
+      UNION ALL
+      SELECT it + 1, doc, row_number() OVER (PARTITION BY doc ORDER BY pos),
+             CASE WHEN sel THEN sym || ' ' || nsym ELSE sym END
+      FROM (
+        SELECT it, doc, pos, sym, nsym, sel,
+               coalesce(lag(sel) OVER (PARTITION BY doc ORDER BY pos),
+                        FALSE) AS consumed
+        FROM (
+          SELECT it, doc, pos, sym, nsym,
+                 mt AND ((pos - coalesce(max(CASE WHEN NOT mt THEN pos END)
+                     OVER (PARTITION BY doc ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING), 0)) % 2 = 1) AS sel
+          FROM (
+            SELECT it, doc, pos, sym,
+                   lead(sym) OVER (PARTITION BY doc ORDER BY pos) AS nsym,
+                   coalesce((sym, lead(sym) OVER (PARTITION BY doc ORDER BY pos)) =
+                            (SELECT (a, b) FROM (
+                               SELECT sym AS a,
+                                      lead(sym) OVER (PARTITION BY doc
+                                                      ORDER BY pos) AS b
+                               FROM st) p
+                             WHERE b IS NOT NULL
+                             GROUP BY a, b
+                             ORDER BY count(*) DESC, a, b LIMIT 1),
+                            FALSE) AS mt
+            FROM st
+          )
+        )
+      ) WHERE NOT consumed AND it < {n}
+    ),
+    pairs_by_it AS (
+      SELECT it, sym AS a,
+             lead(sym) OVER (PARTITION BY it, doc ORDER BY pos) AS b
+      FROM st WHERE it < {n}
+    ),
+    ranked AS (
+      SELECT it, a, b,
+             row_number() OVER (PARTITION BY it
+                                ORDER BY cnt DESC, a, b) AS rn
+      FROM (SELECT it, a, b, count(*) AS cnt FROM pairs_by_it
+            WHERE b IS NOT NULL GROUP BY it, a, b)
+    )
+    SELECT CAST(it AS INT) AS rk, a AS lhs, b AS rhs,
+           a || ' ' || b AS merged
+    FROM ranked WHERE rn = 1"""
+
+
+@register(
+    "bpe_phrase_merges_256", _bpe_phrase_oracle(),
+    tags=("text", "X4", "tokenizer", "bpe", "distributed-fit"),
+)
+def bpe_phrase_merges_256(spark, sf_dir):
+    """Sequence-level BPE trained by the DISTRIBUTED merge loop (r6
+    verdict #6): 256 phrase-merge rules learned over each document's word
+    sequence, where the training state is the corpus itself — unbounded,
+    so `fit_bpe`'s bounded-vocab driver loop cannot apply. `text/bpe.
+    fit_bpe_sequences` keeps the state in executors for all 256
+    iterations: one map-side-combined pair-count action per rule (shuffle
+    carries (a, b, count) only), merge application as a literal JVM
+    string replace on the sentinel-delimited state,
+    plan depth bounded by periodic localCheckpoint, and the driver holds
+    nothing but the 256-row merge table returned here. The oracle replays
+    the full training loop as a single recursive CTE (the chained-layer
+    idiom is planning-bound past ~64 layers) and re-derives every selected
+    rule from the accumulated iteration states — all 256 rules are
+    value-hash-checked against the second engine."""
+    from .text.bpe import fit_bpe_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe_sequences(docs, n_merges=_BPE_SEQ_MERGES)
+    return spark.createDataFrame(
+        [(k, a, b, f"{a} {b}") for k, (a, b) in enumerate(merges)],
+        "rk int, lhs string, rhs string, merged string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-6 registry growth: LSH parameter audit + cross-lingual contamination
 # ---------------------------------------------------------------------------
