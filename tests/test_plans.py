@@ -358,3 +358,23 @@ def test_pq_search_is_codegen_scan_topk(spark, sf_dir):
         assert plan.count("ArrowEvalPython") <= max_arrow, name
         assert "TakeOrderedAndProject" in plan, name
         assert "HashAggregate" not in plan, name
+
+
+def test_eval_decontamination_broadcasts_eval_windows(spark, sf_dir):
+    """The eval slice's window-fp set is the structurally small side of
+    the decontamination check: it must BROADCAST into the train-side
+    explode (no shuffle of the exploded corpus windows for the join),
+    with no cartesian product anywhere."""
+    plan = _plan(spark, sf_dir, "eval_window_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_refresh_broadcasts_centroids(spark, sf_dir):
+    """Codebook refresh: both the incumbent assignment and every Lloyd
+    iteration are map-side passes over broadcast centroid relations —
+    the corpus is never the build side and never cartesian-joined
+    against anything its own size."""
+    plan = _plan(spark, sf_dir, "ivf_codebook_refresh")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

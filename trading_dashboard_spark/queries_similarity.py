@@ -611,13 +611,14 @@ def knn_multi_probe_top3(spark, sf_dir):
     return knn_batch_probes(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
-def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
-    """Generate the chained-CTE DuckDB oracle for deterministic Lloyd's
-    k-means: init = the k lowest vec_ids, each iteration = argmin
-    assignment (ties to the lowest cid) + per-dimension mean with
-    centroids rounded to 6dp (the cross-engine determinism anchor: both
-    engines feed the NEXT iteration bit-identical centroid doubles, so
-    float summation-order drift never compounds across iterations)."""
+def _kmeans_ctes(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Chained-CTE body for deterministic Lloyd's k-means (shared by the
+    clustering oracle and the codebook-refresh oracle): init = the k
+    lowest vec_ids, each iteration = argmin assignment (ties to the
+    lowest cid) + per-dimension mean with centroids rounded to 6dp (the
+    cross-engine determinism anchor: both engines feed the NEXT iteration
+    bit-identical centroid doubles, so float summation-order drift never
+    compounds across iterations). Exposes ``v`` and ``a{iters}``."""
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {k})",
@@ -643,8 +644,12 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
         GROUP BY a.cid, t.j)
       GROUP BY cid
     )""")
+    return ",".join(ctes)
+
+
+def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
     return f"""
-    WITH {",".join(ctes)}
+    WITH {_kmeans_ctes(k, dim, iters)}
     SELECT cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_vecs,
            round(avg(dist), 6) AS avg_sq_dist,
@@ -654,36 +659,19 @@ def _kmeans_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
     """
 
 
-@register(
-    "kmeans_embedding_clusters",
-    _kmeans_oracle(),
-    tags=("similarity", "X3", "iterative", "ml"),
-)
-def kmeans_embedding_clusters(spark, sf_dir):
-    """Deterministic Lloyd's k-means (k=8, 3 iterations) over the
-    embedding corpus — the iterative-algorithm tier with a VALUE oracle:
-    init is the k lowest vec_ids (no RNG), assignment ties break to the
-    lowest cid, and centroids round to 6dp each update so both engines
-    feed bit-identical doubles into the next iteration.
+def _lloyd_assignments(emb, k: int, iters: int):
+    """Deterministic distributed Lloyd's k-means, the engine twin of
+    `_kmeans_ctes`: k-lowest-id init, per-iteration broadcast centroids →
+    map-side squared-L2 argmin (JVM zip_with/aggregate fold, ties to the
+    lowest cid) → (cid, pos) partial-sum centroid rebuild rounded to 6dp.
+    The corpus is scanned once per iteration and never shuffled; the
+    driver loop only composes the plan (no collect between iterations).
+    Returns the final (vec_id, cid, dist) assignment DataFrame."""
+    from pyspark.sql import Window as W
 
-    Scale shape per iteration: the centroid relation is k x dim
-    (KB-scale regardless of corpus size) and BROADCASTS into a map-side
-    assignment pass — squared-L2 via zip_with/aggregate (JVM fold,
-    identical order to DuckDB's list_sum) — then WindowGroupLimit prunes
-    the argmin and a (cid, pos) aggregate rebuilds centroids: corpus
-    vectors are scanned once per iteration and NEVER shuffled (the
-    shuffle carries k*dim partial sums per partition). The driver loop
-    only composes the plan; no collect between iterations."""
-    k, iters = 8, 3
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
-    from pyspark.sql import Window as W
-
     assigned = None
     for it in range(1, iters + 1):
         d = emb.crossJoin(F.broadcast(cents))
@@ -714,11 +702,151 @@ def kmeans_embedding_clusters(spark, sf_dir):
                     lambda s: s["m"],
                 ).alias("c")
             )
+    return assigned
+
+
+@register(
+    "kmeans_embedding_clusters",
+    _kmeans_oracle(),
+    tags=("similarity", "X3", "iterative", "ml"),
+)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 3 iterations) over the
+    embedding corpus — the iterative-algorithm tier with a VALUE oracle:
+    init is the k lowest vec_ids (no RNG), assignment ties break to the
+    lowest cid, and centroids round to 6dp each update so both engines
+    feed bit-identical doubles into the next iteration.
+
+    Scale shape per iteration: the centroid relation is k x dim
+    (KB-scale regardless of corpus size) and BROADCASTS into a map-side
+    assignment pass — squared-L2 via zip_with/aggregate (JVM fold,
+    identical order to DuckDB's list_sum) — then WindowGroupLimit prunes
+    the argmin and a (cid, pos) aggregate rebuilds centroids: corpus
+    vectors are scanned once per iteration and NEVER shuffled (the
+    shuffle carries k*dim partial sums per partition). The driver loop
+    only composes the plan; no collect between iterations (the loop is
+    `_lloyd_assignments`, shared with ivf_codebook_refresh)."""
+    k, iters = 8, 3
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    assigned = _lloyd_assignments(emb, k, iters)
     return assigned.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vecs"),
         pround(F.avg("dist"), 6).alias("avg_sq_dist"),
         pround(F.min("dist"), 6).alias("min_sq_dist"),
         pround(F.max("dist"), 6).alias("max_sq_dist"),
+    )
+
+
+def _ivf_refresh_oracle(k: int = 8, dim: int = 64, iters: int = 3) -> str:
+    """Codebook-refresh oracle: incumbent static-centroid assignment
+    (the ivf_ann_probe_top5 CTE, dot-argmax with 6dp rounds) × the
+    deterministic Lloyd re-fit (`_kmeans_ctes`), joined per vector into
+    an old-cell → new-cell contingency with modal-cell churn rates."""
+    cents_rows = ", ".join(
+        f"({i}, {_sql_list(c)})" for i, c in enumerate(_IVF_CENTS)
+    )
+    return f"""
+    WITH {_kmeans_ctes(k, dim, iters)},
+    cents(ocid, oc) AS (VALUES {cents_rows}),
+    old_scored AS (
+      SELECT x.vec_id, ocid, round(list_dot_product(x.v, oc), 6) AS d
+      FROM v x CROSS JOIN cents
+    ),
+    old_a AS (
+      SELECT vec_id, CAST(ocid AS INT) AS old_cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, ocid) AS rn
+        FROM old_scored
+      ) WHERE rn = 1
+    ),
+    cnt AS (
+      SELECT o.old_cell, a.cid AS new_cell, count(*) AS n
+      FROM old_a o JOIN a{iters} a USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT old_cell, new_cell, n,
+             row_number() OVER (PARTITION BY old_cell
+                                ORDER BY n DESC, new_cell) AS rn
+      FROM cnt
+    ),
+    tot AS (SELECT old_cell, sum(n) AS n_vecs FROM cnt GROUP BY 1)
+    SELECT CAST(t.old_cell AS INT) AS old_cell,
+           CAST(t.n_vecs AS BIGINT) AS n_vecs,
+           CAST(r.new_cell AS INT) AS modal_new_cell,
+           CAST(t.n_vecs - r.n AS BIGINT) AS n_moved,
+           round((t.n_vecs - r.n) / CAST(t.n_vecs AS DOUBLE), 6)
+             AS churn_rate
+    FROM tot t JOIN ranked r ON r.old_cell = t.old_cell AND r.rn = 1"""
+
+
+@register(
+    "ivf_codebook_refresh",
+    _ivf_refresh_oracle(),
+    tags=("similarity", "X3", "index-maintenance", "iterative"),
+)
+def ivf_codebook_refresh(spark, sf_dir):
+    """IVF index MAINTENANCE (r6 verdict #8b): re-fit the coarse
+    quantizer and audit how much of the incumbent inverted-file layout
+    survives — the cell-churn report every serving stack runs before
+    swapping codebooks (high churn = full index rebuild; low churn =
+    incremental move). Incumbent = the static seed-7 quantizer every
+    registered IVF query serves from (`similarity/ivf.assign_cells`,
+    map-only dot-argmax over plan literals); challenger = the
+    deterministic distributed Lloyd re-fit (`_lloyd_assignments` — the
+    kmeans_embedding_clusters loop: broadcast centroids, map-side L2
+    argmin, corpus never shuffled, no driver collect). One vec_id join
+    builds the old→new contingency; output is per-old-cell size, modal
+    destination cell, and churn rate. Both assignment passes and all 3
+    re-fit iterations replay exactly in the oracle (6dp rounding
+    anchors), so the maintenance decision itself is hash-checked."""
+    from .similarity.ivf import assign_cells
+
+    k, iters = 8, 3
+    emb = _t(spark, sf_dir, "embeddings")
+    old = assign_cells(emb, _IVF_CENTS, out_col="old_cell").select(
+        "vec_id", "old_cell"
+    )
+    embv = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    new = _lloyd_assignments(embv, k, iters).select(
+        "vec_id", F.col("cid").alias("new_cell")
+    )
+    cnt = (
+        old.join(new, "vec_id")
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("old_cell").orderBy(F.col("n").desc(), "new_cell")
+    )
+    modal = (
+        cnt.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "old_cell",
+            F.col("new_cell").alias("modal_new_cell"),
+            F.col("n").alias("modal_n"),
+        )
+    )
+    tot = cnt.groupBy("old_cell").agg(F.sum("n").alias("n_vecs"))
+    return tot.join(modal, "old_cell").select(
+        F.col("old_cell").cast("int").alias("old_cell"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("modal_new_cell").cast("int").alias("modal_new_cell"),
+        (F.col("n_vecs") - F.col("modal_n")).cast("bigint").alias("n_moved"),
+        pround(
+            (F.col("n_vecs") - F.col("modal_n"))
+            / F.col("n_vecs").cast("double"),
+            6,
+        ).alias("churn_rate"),
     )
 
 

@@ -1799,6 +1799,111 @@ def bpe_phrase_merges_256(spark, sf_dir):
     )
 
 
+@register(
+    "eval_window_decontamination",
+    f"""
+    WITH toks_t AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, split, w_fp FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(range(1, len(toks) - 6),
+                 i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                    toks[i+3], toks[i+4], toks[i+5],
+                                    toks[i+6], toks[i+7])))) AS w_fp
+        FROM toks_t WHERE len(toks) >= 8
+      )
+    ),
+    eval_fps AS (SELECT DISTINCT w_fp FROM wins WHERE split = 'test'),
+    hits AS (
+      SELECT w.doc_id, count(*) AS n_shared
+      FROM wins w JOIN eval_fps e USING (w_fp)
+      WHERE w.split = 'train'
+      GROUP BY w.doc_id
+    ),
+    train_docs AS (SELECT doc_id, source FROM toks_t WHERE split = 'train')
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(count(h.n_shared) AS BIGINT) AS n_contaminated,
+           CAST(count(*) - count(h.n_shared) AS BIGINT) AS n_clean,
+           CAST(coalesce(max(h.n_shared), 0) AS BIGINT) AS max_shared_windows
+    FROM train_docs t LEFT JOIN hits h USING (doc_id)
+    GROUP BY t.source
+    """,
+    tags=("text", "X2", "decontamination", "training", "sliding-window"),
+)
+def eval_window_decontamination(spark, sf_dir):
+    """Train/eval DECONTAMINATION at substring granularity (r6 verdict
+    #8a): flag every train-split document sharing any verbatim 8-token
+    window with the held-out eval slice — the n-gram-collision
+    decontamination step of LLM training pipelines, strictly stronger
+    than `cross_split_contamination`'s whole-document fingerprint (a
+    doc that EMBEDS an eval answer passes the whole-doc check but not
+    this one). Composes the engine's sliding-window fingerprints
+    (verbatim_overlap_pairs' unit: xxhash64 over 8 tokens directly,
+    8-byte longs through the explode — the oracle keeps md5 since fps
+    are join keys, never output) with the md5-deterministic split of
+    train_test_split_stats.
+
+    Scale shape: the eval slice is the structurally small side — its
+    distinct window-fp set BROADCASTS, so the train-side explode stays
+    map-only into a broadcast semi-join; the only shuffle is the
+    per-contaminated-doc count (hits only, not the corpus). Survivors
+    (n_clean) come from the same left join arithmetically — no second
+    anti-join pass over the corpus."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "valid").otherwise("test")
+    )
+    toks = docs.select(
+        "doc_id",
+        split.alias("split"),
+        tokenize(F.lower(F.col("text"))).alias("toks"),
+    ).filter(F.size("toks") >= 8)
+    idx = F.sequence(F.lit(1), F.size("toks") - 7)
+    win = F.xxhash64(
+        *[F.element_at("toks", F.col("i") + k) for k in range(8)]
+    )
+    wins = (
+        toks.select("doc_id", "split", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", "split", win.alias("w_fp"))
+        .distinct()
+    )
+    eval_fps = (
+        wins.filter(F.col("split") == "test").select("w_fp").distinct()
+    )
+    hits = (
+        wins.filter(F.col("split") == "train")
+        .join(F.broadcast(eval_fps), "w_fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    train_docs = docs.select("doc_id", "source").where(split == "train")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("n_shared").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.count("n_shared"))
+            .cast("bigint")
+            .alias("n_clean"),
+            F.coalesce(F.max("n_shared"), F.lit(0))
+            .cast("bigint")
+            .alias("max_shared_windows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-6 registry growth: LSH parameter audit + cross-lingual contamination
 # ---------------------------------------------------------------------------
