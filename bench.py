@@ -241,6 +241,13 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
     shingle-set equality within a copy) while making cross-copy shingles
     disjoint, so the dup-rate stays constant as a real 10× corpus's
     would and near-dup work scales linearly.
+
+    Embeddings get the same treatment in vector space (r7): a per-copy
+    ORTHOGONAL transform (cyclic dimension shift) preserves norms and
+    within-copy pairwise dots but scrambles cross-copy LSH projections.
+    Verbatim replication put every vector's ``factor - 1`` exact twins
+    in the SAME buckets — bucket sizes ×factor, bucket-local pair work
+    ×factor² — overstating the bucket-quadratic queries' scale cost.
     """
     import shutil
     import tempfile
@@ -267,6 +274,15 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
                 if t == "documents" and i:
                     rot = salt[i:] + salt[:i]
                     c = c.withColumn("text", F.translate("text", salt, rot))
+                if t == "embeddings" and i:
+                    sh = (i * 6) % 64  # spread the 10 shifts over 64 dims
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {sh + 1}, {64 - sh}),"
+                            f" slice(embedding, 1, {sh}))"
+                        ),
+                    )
                 copies.append(c)
             out = copies[0]
             for c in copies[1:]:

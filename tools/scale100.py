@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""×100 spot-bench of the heavy dedup/ANN/tokenizer family (r6 verdict #3).
+
+Builds a ~100× replica of the sf0.1 documents/embeddings tables (ids
+shifted per copy; document text passed through a per-copy bijective
+character substitution so the corpus dup-rate stays ~constant instead of
+inflating 100×), re-times the named queries at that factor, and prints
+per-query ×10→×100 scaling exponents — the measured evidence that the
+banded/blocked plans scale sub-quadratically (a ×10 trend alone cannot
+distinguish n·log n from n²: slope 1.0 vs 2.0 only separates cleanly
+over a decade of scale).
+
+Substitution detail: 10 rotations of one alphabet give only 10 distinct
+bijections, so ×100 composes rotations of TWO disjoint common-letter
+alphabets (i%10 on the first, i//10 on the second) — 100 distinct
+bijections. Residual artifact: words containing letters of neither
+alphabet (none in this corpus) — or of only the first — can coincide
+across the ≤10 copies sharing a first-alphabet rotation; a near-dup
+pair needs MOST shingles to coincide, which requires whole windows of
+such words, so the inflation is negligible for banding/minhash counts.
+
+Usage: python tools/scale100.py [--factor N] [--runs N] [q ...]
+Replica cached at $SCALE_DIR (default /tmp/scale_x100).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+DEFAULT_QUERIES = [
+    "exact_dedup_docs",
+    "minhash_near_dup_pairs",
+    "cross_lingual_contamination",
+    "lsh_ann_top3",
+    "bpe_token_stats",
+]
+
+SALT1 = "etaoinshrd"
+SALT2 = "lucmfwypvb"
+
+
+def build_replica(spark, tmp: str, factor: int) -> None:
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.io.readers import load_table
+
+    for t in ("documents", "embeddings"):
+        df = load_table(spark, t, SF_DIR)
+        id_col = {"documents": "doc_id", "embeddings": "vec_id"}[t]
+        offset = df.agg(F.max(id_col)).first()[0] + 1
+        copies = []
+        for i in range(factor):
+            c = df.withColumn(id_col, F.col(id_col) + F.lit(i * offset))
+            if t == "documents" and i:
+                r1 = SALT1[i % 10:] + SALT1[: i % 10]
+                r2 = SALT2[(i // 10) % 10:] + SALT2[: (i // 10) % 10]
+                c = c.withColumn(
+                    "text",
+                    F.translate(
+                        F.translate("text", SALT1, r1), SALT2, r2
+                    ),
+                )
+            if t == "embeddings" and i:
+                # Per-copy ORTHOGONAL transform (cyclic dim shift, plus a
+                # sign-flip past 64 copies): norms and within-copy pairwise
+                # dots are preserved, so each copy's internal similarity
+                # structure is intact, but cross-copy LSH projections
+                # scramble. Verbatim replication would put every vector's
+                # `factor` exact twins in the SAME buckets — bucket sizes
+                # ×factor, bucket-local pair work ×factor² — a skew
+                # pathology, not a scale-up (the embedding twin of the
+                # document substitution above).
+                sh = i % 64
+                if sh:
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            f"concat(slice(embedding, {sh + 1}, {64 - sh}),"
+                            f" slice(embedding, 1, {sh}))"
+                        ),
+                    )
+                if i >= 64:
+                    c = c.withColumn(
+                        "embedding",
+                        F.expr(
+                            "transform(embedding, (x, j) -> "
+                            "CASE WHEN j % 2 = 0 THEN -x ELSE x END)"
+                        ),
+                    )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        # ~one file per copy keeps the write parallel and the read split
+        out.repartition(max(32, factor)).write.mode("overwrite").parquet(
+            f"{tmp}/{t}.parquet"
+        )
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+
+
+#: oracles whose candidate-pair space is bucket-quadratic with FIXED LSH
+#: parameters — infeasible in DuckDB at ×100 (the Spark side is timed;
+#: the oracle skip is recorded, not silent)
+DUCK_SKIP_AT_100 = {"lsh_ann_top3"}
+
+
+def time_queries(spark, registry, data_dir: str, names, runs: int,
+                 with_duck: bool, duck_skip: set | None = None) -> dict:
+    duck_skip = duck_skip or set()
+    out: dict[str, dict] = {}
+    duck_con = None
+    if with_duck:
+        import duckdb
+
+        duck_con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            src = f"{data_dir}/{t}.parquet"
+            glob = f"{src}/*.parquet" if os.path.isdir(src) else src
+            duck_con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
+            )
+    for name in names:
+        ent = registry[name]
+        best = float("inf")
+        for i in range(runs + 1):  # +1 untimed warm-up
+            t0 = time.time()
+            ent.fn(spark, data_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            if i:
+                best = min(best, time.time() - t0)
+        rec: dict = {"spark": round(best, 3)}
+        if name in duck_skip:
+            rec["duck"] = "skipped:bucket-quadratic-oracle"
+        elif duck_con is not None and ent.oracle:
+            d = float("inf")
+            for i in range(2):
+                t0 = time.time()
+                duck_con.execute(ent.oracle).fetchall()
+                if i:
+                    d = min(d, time.time() - t0)
+            rec["duck"] = round(d, 3)
+        out[name] = rec
+    return out
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    factor, runs = 100, 2
+    names: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--factor":
+            factor = int(args[i + 1]); i += 2
+        elif args[i] == "--runs":
+            runs = int(args[i + 1]); i += 2
+        else:
+            names.append(args[i]); i += 1
+    names = names or DEFAULT_QUERIES
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+    from trading_dashboard_spark.session import get_spark
+
+    spark = get_spark(
+        "scale100", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    tmp = os.environ.get("SCALE_DIR", "/tmp/scale_x100")
+    if not os.path.exists(f"{tmp}/documents.parquet"):
+        os.makedirs(tmp, exist_ok=True)
+        t0 = time.time()
+        build_replica(spark, tmp, factor)
+        print(f"built x{factor} replica at {tmp} "
+              f"in {time.time() - t0:.0f}s", file=sys.stderr)
+
+    x10 = os.environ.get("SWEEP_DIR", "/tmp/sweep10")
+    result: dict = {"factor": factor, "sf_base": SF_DIR}
+    if os.path.exists(f"{x10}/documents.parquet"):
+        result["x10"] = time_queries(
+            spark, QUERY_REGISTRY, x10, names, runs, with_duck=True
+        )
+    result[f"x{factor}"] = time_queries(
+        spark, QUERY_REGISTRY, tmp, names, runs, with_duck=True,
+        duck_skip=DUCK_SKIP_AT_100 if factor >= 100 else set(),
+    )
+    if "x10" in result:
+        span = math.log10(factor / 10)
+        result["spark_exponent_x10_to_x100"] = {
+            n: round(
+                math.log10(
+                    result[f"x{factor}"][n]["spark"]
+                    / result["x10"][n]["spark"]
+                )
+                / span,
+                2,
+            )
+            for n in names
+        }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,16 @@ def build_replica(spark, tmp: str, factor: int = 10) -> None:
             if t == "documents" and i:
                 rot = salt[i:] + salt[:i]
                 c = c.withColumn("text", F.translate("text", salt, rot))
+            if t == "embeddings" and i:
+                # orthogonal per-copy dim shift — see bench._scale_sweep
+                sh = (i * 6) % 64
+                c = c.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {sh + 1}, {64 - sh}),"
+                        f" slice(embedding, 1, {sh}))"
+                    ),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
