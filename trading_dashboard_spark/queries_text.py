@@ -1854,9 +1854,13 @@ def eval_window_decontamination(spark, sf_dir):
     Scale shape: the eval slice is the structurally small side — its
     distinct window-fp set BROADCASTS, so the train-side explode stays
     map-only into a broadcast semi-join; the only shuffle is the
-    per-contaminated-doc count (hits only, not the corpus). Survivors
-    (n_clean) come from the same left join arithmetically — no second
-    anti-join pass over the corpus."""
+    per-contaminated-doc DISTINCT-window count, which runs on the join
+    SURVIVORS (hits only, not the corpus — deduping per (doc, fp)
+    before the join would shuffle every train window; after the
+    broadcast join the same dedupe is a partial-aggregated
+    `countDistinct` over a hits-sized relation). Survivors (n_clean)
+    come from the same left join arithmetically — no second anti-join
+    pass over the corpus."""
     from .text.analysis import tokenize
 
     docs = _t(spark, sf_dir, "documents")
@@ -1873,11 +1877,9 @@ def eval_window_decontamination(spark, sf_dir):
     win = F.xxhash64(
         *[F.element_at("toks", F.col("i") + k) for k in range(8)]
     )
-    wins = (
-        toks.select("doc_id", "split", "toks", F.explode(idx).alias("i"))
-        .select("doc_id", "split", win.alias("w_fp"))
-        .distinct()
-    )
+    wins = toks.select(
+        "doc_id", "split", "toks", F.explode(idx).alias("i")
+    ).select("doc_id", "split", win.alias("w_fp"))
     eval_fps = (
         wins.filter(F.col("split") == "test").select("w_fp").distinct()
     )
@@ -1885,7 +1887,7 @@ def eval_window_decontamination(spark, sf_dir):
         wins.filter(F.col("split") == "train")
         .join(F.broadcast(eval_fps), "w_fp")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct("w_fp").alias("n_shared"))
     )
     train_docs = docs.select("doc_id", "source").where(split == "train")
     return (
