@@ -457,3 +457,41 @@ def test_pq_at_rest_coded_scan_prunes_columns(spark, sf_dir, tmp_path):
     # and the pruned scan really returns only probed-cell rows
     got = at_rest.select("cell").distinct().collect()
     assert {r["cell"] for r in got} <= set(cells)
+
+
+def test_cosine_pair_scan_lane_equals_join_lane(spark, sf_dir):
+    """The blocked chunked-BLAS pair scan must return EXACTLY the pair-join
+    lane's rows — same pairs, same 6dp cosines — on the real embeddings
+    bucketed by a production LSH grid (semantic_dedup_survivors' pair
+    stage shape), including a chunk boundary (chunk=512 < corpus)."""
+    from trading_dashboard_spark.similarity.knn import (
+        _as_double, cosine_near_dup_pairs,
+    )
+    from trading_dashboard_spark.similarity.lsh import (
+        random_hyperplane_buckets,
+    )
+
+    base = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("v"),
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.expr("slice(v, 2, size(v) - 1)"),
+        ).alias("v"),
+    )  # the semantic_dedup twin corpus: every vector has a >=0.98 twin
+    bucketed = random_hyperplane_buckets(
+        base.unionByName(pert), dim=64, n_planes=2, seed=9, table=0,
+        vec_col="v",
+    )  # 4 buckets -> ~250-row blocks at sf0.01: many pairs per block
+    kw = dict(threshold=0.98, id_col="vec_id", vec_col="v",
+              block_col="bucket")
+    scan = {(r["keep_id"], r["drop_id"], r["cosine"])
+            for r in cosine_near_dup_pairs(bucketed, **kw).collect()}
+    join = {(r["keep_id"], r["drop_id"], r["cosine"])
+            for r in cosine_near_dup_pairs(bucketed, lane="join",
+                                           **kw).collect()}
+    assert scan == join
+    assert len(scan) > 0  # non-vacuous: threshold low enough to emit

@@ -8,6 +8,8 @@ tolerance. Dot products fold left-to-right in both engines → identical
 doubles → portable rounding matches exactly.
 """
 
+import math
+
 from pyspark.sql import functions as F
 
 from .functions import lit_double_matrix, lit_doubles
@@ -1815,11 +1817,26 @@ def semantic_dedup_survivors(spark, sf_dir):
     tier's clustering — the pipeline shape of embedding-based corpus
     dedup (SemDeDup-style) with every stage oracle-replayed, the
     transitive closure via recursive SQL. r6: the pair stage runs the
-    PRODUCTION blocked path — two independent LSH bucketings (4 plane
-    literals each, 9dp-rounded sign test) bound the quadratic term per
-    bucket and the union of both tables' pairs feeds clustering; the
-    oracle replays bucket membership exactly, and at this corpus the
-    blocking loses zero pairs vs all-pairs (measured 500/500)."""
+    PRODUCTION blocked path — two independent LSH bucketings
+    (9dp-rounded sign test) bound the quadratic term per bucket and the
+    union of both tables' pairs feeds clustering; the oracle replays
+    bucket membership exactly, and at this corpus the blocking loses
+    zero pairs vs all-pairs (measured 500/500).
+
+    r7 scale work, after the first ×10 sweep measurement came in at
+    500 s: (a) in-bucket scoring now runs the chunked-BLAS pair scan
+    (knn._blocked_pair_scan) instead of the pair JOIN — at ×10 the join
+    lane shuffled ~100 M candidate rows each carrying two 64-d vectors
+    (~100 GB), the scan emits only threshold survivors; (b) the plane
+    count ADAPTS to corpus size (planes = max(4, ⌈log2(n/1024)⌉), one
+    metadata-cheap count) so per-bucket population — and with it the
+    quadratic in-bucket term — stays ~constant as the corpus grows,
+    instead of buckets growing linearly under a fixed 2^4 grid. In the
+    regimes the driver value-checks (sf0.01: n=1000, sf0.1: n=4000)
+    the formula yields exactly 4, the static 4-plane grid the SQL
+    oracle replays; recall holds as planes rise because twin pairs sit
+    at cosine ≈ 1 (split probability per plane ~P(|proj| < 0.05·|p₀|),
+    and two independent tables must BOTH split a pair to lose it)."""
     from .similarity.knn import _as_double, cosine_near_dup_pairs
     from .similarity.lsh import random_hyperplane_buckets
     from .text.clusters import dedup_clusters
@@ -1837,10 +1854,12 @@ def semantic_dedup_survivors(spark, sf_dir):
         ).alias("v"),
     )
     allv = base.unionByName(pert)
+    n_vecs = 2 * emb.count()  # parquet-metadata count, no data scan
+    n_planes = max(4, math.ceil(math.log2(max(n_vecs, 2) / 1024)))
     per_table = []
     for t in range(2):
         bucketed = random_hyperplane_buckets(
-            allv, dim=64, n_planes=4, seed=9, table=t, vec_col="v"
+            allv, dim=64, n_planes=n_planes, seed=9, table=t, vec_col="v"
         )
         per_table.append(
             cosine_near_dup_pairs(
