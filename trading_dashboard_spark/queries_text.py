@@ -1987,6 +1987,12 @@ def minhash_banding_sweep(spark, sf_dir):
     base = docs.select(
         F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
     ).persist()
+    # Materialize the cache BEFORE the four branches reference it: lazily,
+    # the branches' stages schedule concurrently against a cold cache and
+    # tasks race to fill the same partitions — the shingle pass ran up to
+    # 8× redundantly under 32-thread oversubscription (measured 100-370 s
+    # for a 14 s pipeline at the ×10 sweep). One count() is the barrier.
+    base.count()
     sig = base.select("id", "sh", *minhash_signature(F.col("sh"), _NUM_HASHES))
 
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -2029,6 +2035,10 @@ def minhash_banding_sweep(spark, sf_dir):
             jac.alias("jaccard")
         )
         confirmed = F.count(F.when(F.col("jaccard") >= _JACCARD_T, 1))
+        # Each config's 1-row summary materializes as its OWN job (eager
+        # checkpoint): sequential, AQE-statted branches instead of one
+        # union mega-plan whose independent stages oversubscribe the
+        # executor and defeat exchange reuse.
         summaries.append(scored.agg(
             F.lit(bands).cast("int").alias("bands"),
             F.lit(rows).cast("int").alias("rows_per_band"),
@@ -2038,11 +2048,10 @@ def minhash_banding_sweep(spark, sf_dir):
                 confirmed
                 / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"), 6
             ).alias("precision_at_t"),
-        ))
+        ).localCheckpoint(eager=True))
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
-    out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
 
