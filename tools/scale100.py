@@ -42,6 +42,10 @@ DEFAULT_QUERIES = [
     "cross_lingual_contamination",
     "lsh_ann_top3",
     "bpe_token_stats",
+    # r7: the two heavy shapes the ×10 sweep fixed this round — prove the
+    # fixes hold a further decade up
+    "minhash_banding_sweep",
+    "semantic_dedup_survivors",
 ]
 
 SALT1 = "etaoinshrd"
@@ -112,7 +116,8 @@ def build_replica(spark, tmp: str, factor: int) -> None:
 #: oracles whose candidate-pair space is bucket-quadratic with FIXED LSH
 #: parameters — infeasible in DuckDB at ×100 (the Spark side is timed;
 #: the oracle skip is recorded, not silent)
-DUCK_SKIP_AT_100 = {"lsh_ann_top3"}
+DUCK_SKIP_AT_100 = {"lsh_ann_top3", "minhash_banding_sweep",
+                    "semantic_dedup_survivors"}
 
 
 def time_queries(spark, registry, data_dir: str, names, runs: int,
@@ -124,6 +129,9 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
         import duckdb
 
         duck_con = duckdb.connect()
+        # fail loud inside this process, never OOM-kill the host (the
+        # banding-sweep oracle reached 125 GB RSS on a mere ×10 replica)
+        duck_con.execute("SET memory_limit='60GB'")
         for t in ("documents", "embeddings"):
             src = f"{data_dir}/{t}.parquet"
             glob = f"{src}/*.parquet" if os.path.isdir(src) else src
@@ -145,12 +153,15 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
             rec["duck"] = "skipped:bucket-quadratic-oracle"
         elif duck_con is not None and ent.oracle:
             d = float("inf")
-            for i in range(2):
-                t0 = time.time()
-                duck_con.execute(ent.oracle).fetchall()
-                if i:
-                    d = min(d, time.time() - t0)
-            rec["duck"] = round(d, 3)
+            try:
+                for i in range(2):
+                    t0 = time.time()
+                    duck_con.execute(ent.oracle).fetchall()
+                    if i:
+                        d = min(d, time.time() - t0)
+                rec["duck"] = round(d, 3)
+            except Exception as e:  # noqa: BLE001 — record, keep timing
+                rec["duck"] = f"failed: {e}"[:160]
         out[name] = rec
     return out
 
