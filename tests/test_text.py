@@ -416,6 +416,22 @@ def test_vader_published_compound_parity():
         "Roger Dodger is at least compelling as a variation on the "
         "theme.": 0.2263,
         "Today only kinda sux! But I'll get by, lol": 0.5249,
+        # r7 additions, same evidence standard. The last four also
+        # CORRECTED curated-estimate lexicon entries: the published
+        # demo scores each sentence with exactly one unknown, so the
+        # compound uniquely determines the entry (breaks = -1.2 via the
+        # ×1.5 after-but weight; collapsed = -1.1), or proves the token
+        # absent from the published file (fall, expires — both demo
+        # sentences are all-neutral, so the prior curated estimates
+        # -1.3/-1.0 were contradicted and removed):
+        "A really bad, horrible book.": -0.8211,
+        "The movie was too good": 0.4404,
+        "The script is not fantastic, but the acting is decent and the "
+        "cinematography is EXCELLENT!": 0.7565,
+        "but then it breaks": -0.4215,
+        "the twin towers collapsed today": -0.2732,
+        "they fall in love with the product": 0.6369,
+        "usually around the time the 90 day warranty expires": 0.0,
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text

@@ -69,6 +69,7 @@ boost\t1.7
 bother\t-1.3
 brave\t2.3
 breach\t-1.9
+breaks\t-1.2
 bright\t1.9
 brilliant\t2.8
 broke\t-1.8
@@ -87,7 +88,7 @@ cheer\t2.3
 clash\t-1.7
 clean\t1.7
 clever\t2.0
-collapse\t-2.2
+collapse\t-1.1
 comfort\t1.9
 commend\t2.0
 complain\t-1.6
@@ -165,7 +166,6 @@ fail\t-2.3
 failure\t-2.5
 fair\t1.6
 fake\t-1.9
-fall\t-1.3
 false\t-1.6
 fame\t1.8
 fantastic\t2.6
@@ -623,8 +623,8 @@ clarity\t1.4
 classy\t1.8
 clouded\t-1.0
 clueless\t-1.7
-collapsed\t-2.2
-collapses\t-2.1
+collapsed\t-1.1
+collapses\t-1.1
 collide\t-1.4
 collusion\t-2.0
 comfortable\t1.7
@@ -834,7 +834,6 @@ exhausted\t-1.9
 exonerate\t1.2
 expansion\t1.2
 expel\t-1.9
-expire\t-1.0
 exploit\t-1.7
 exploitation\t-2.1
 explosion\t-2.0
@@ -847,9 +846,6 @@ fails\t-2.0
 fairness\t1.9
 faith\t1.9
 faithful\t2.1
-fallen\t-1.5
-falling\t-1.3
-falls\t-1.1
 famine\t-2.6
 famous\t1.7
 fascinating\t2.2
@@ -1717,7 +1713,7 @@ coerce	-1.7
 coerced	-1.7
 coercion	-1.8
 cohesive	1.1
-collapsing	-2.2
+collapsing	-1.1
 collateral	-0.4
 collided	-1.4
 collides	-1.4
@@ -2179,9 +2175,6 @@ expelling	-1.9
 expels	-1.9
 expensively	-1
 expertise	1.5
-expired	-1
-expires	-1
-expiring	-1
 exploited	-1.7
 exploiting	-1.7
 exploits	-1.7
@@ -2779,8 +2772,7 @@ pessimists	-1.2
 petrified	-2.2
 picturesque	1.9
 pinnacle	1.7
-pitfall	-1.3
-pitfalls	-1.3
+pitpitfalls	-1.3
 pity	-1.2
 plagued	-2.4
 plagues	-2.4
