@@ -2220,3 +2220,168 @@ def bpe_packed_shards(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_bpe_tokens").cast("long").alias("shard_tokens"),
     )
+
+
+def _incremental_admission_oracle() -> str:
+    rows_per_band = _NUM_HASHES // _BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT id, incumbent, {b} AS band_idx, "
+        "md5(concat_ws('|', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH toks_t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id AS id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS incumbent,
+             {_SHINGLES} AS sh
+      FROM toks_t
+    ),
+    sig AS (SELECT id, incumbent, sh, {sig_cols} FROM base),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, i.id AS inc_id
+      FROM banded n JOIN banded i
+        ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+       AND NOT n.incumbent AND i.incumbent
+    ),
+    verified AS (
+      SELECT DISTINCT c.new_id
+      FROM cand c
+      JOIN base bn ON bn.id = c.new_id
+      JOIN base bi ON bi.id = c.inc_id
+      WHERE round(len(list_intersect(bn.sh, bi.sh))
+                  / CAST(nullif(len(list_distinct(list_concat(bn.sh, bi.sh))),
+                                0) AS DOUBLE), 6) >= {_JACCARD_T}
+    ),
+    flagged AS (SELECT DISTINCT new_id FROM cand)
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN f.new_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN v.new_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rejected,
+           CAST(count(*) - sum(CASE WHEN v.new_id IS NOT NULL THEN 1 ELSE 0
+                               END) AS BIGINT) AS n_admitted
+    FROM base b
+    LEFT JOIN flagged  f ON f.new_id = b.id
+    LEFT JOIN verified v ON v.new_id = b.id
+    WHERE NOT b.incumbent
+    GROUP BY b.source
+    """
+
+
+@register(
+    "minhash_incremental_admission", _incremental_admission_oracle(),
+    tags=("text", "X2", "dedup", "incremental"),
+)
+def minhash_incremental_admission(spark, sf_dir):
+    """INCREMENTAL dedup admission (r7 registry depth): a new document
+    batch (md5-deterministic ~20% slice — the arriving crawl/daily drop)
+    is screened against the INCUMBENT corpus's banded MinHash index
+    (production 8-hash × 4-band config) — the admission gate a
+    continuously-updated training corpus runs on every ingest, where
+    re-deduping the whole corpus per batch is a non-starter. Per source:
+    batch size, docs flagged by ≥1 band collision with the incumbent
+    index, docs rejected after exact-Jaccard verification at the
+    production threshold, and docs admitted.
+
+    Scale shape: the incumbent band table is the AT-REST index (in
+    production, a materialized table keyed by (band_idx, band_hash) —
+    here rebuilt from the corpus since the sf-dir contract is
+    read-only); the batch side is the structurally small side and
+    BROADCASTS, so the collision probe never shuffles the incumbent
+    index — batch rows stream through its partitions (collision output
+    is partitioned like the index, the shape that scales to a 100 TB
+    incumbent). Verification attaches shingle sets for the candidate
+    ids only (semi-join-pruned), and admission counts aggregate
+    batch-side rows only. Nothing in the plan is proportional to the
+    incumbent corpus except the index scan itself."""
+    from .text.dedup import minhash_signature, shingles
+
+    rows_per_band = _NUM_HASHES // _BANDS
+    docs = _t(spark, sf_dir, "documents")
+    incumbent = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        "source",
+        incumbent.alias("incumbent"),
+        shingles(F.col("text"), 3).alias("sh"),
+    )
+    sig = base.select(
+        "id", "incumbent", *minhash_signature(F.col("sh"), _NUM_HASHES)
+    )
+    band_cols = []
+    for b in range(_BANDS):
+        parts = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+        ))
+    banded = sig.select(
+        "id", "incumbent", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "incumbent", "band.band_idx", "band.band_hash")
+    inc_bands = banded.filter(F.col("incumbent")).select(
+        F.col("id").alias("inc_id"), "band_idx", "band_hash"
+    )
+    new_bands = banded.filter(~F.col("incumbent")).select(
+        F.col("id").alias("new_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        inc_bands.join(
+            F.broadcast(new_bands), ["band_idx", "band_hash"]
+        )
+        .select("new_id", "inc_id")
+        .distinct()
+    )
+    sh_new = base.filter(~F.col("incumbent")).select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_n")
+    )
+    sh_inc = base.filter(F.col("incumbent")).select(
+        F.col("id").alias("inc_id"), F.col("sh").alias("sh_i")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_i"))
+    union = F.size(F.array_union("sh_n", "sh_i"))
+    jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
+    verified = (
+        cand.join(sh_new, "new_id")
+        .join(sh_inc, "inc_id")
+        .filter(jac >= _JACCARD_T)
+        .select("new_id")
+        .distinct()
+        .withColumn("rejected", F.lit(True))
+    )
+    flagged = cand.select("new_id").distinct().withColumn(
+        "flagged", F.lit(True)
+    )
+    batch = base.filter(~F.col("incumbent")).select(
+        F.col("id").alias("new_id"), "source"
+    )
+    return (
+        batch.join(flagged, "new_id", "left")
+        .join(verified, "new_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+            F.count("flagged").cast("bigint").alias("n_flagged"),
+            F.count("rejected").cast("bigint").alias("n_rejected"),
+            (F.count(F.lit(1)) - F.count("rejected"))
+            .cast("bigint")
+            .alias("n_admitted"),
+        )
+    )
