@@ -340,9 +340,11 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
         import duckdb
 
         con = duckdb.connect()
-        # Cap the oracle's memory so a quadratic-materializing oracle
-        # fails loud inside this process instead of OOM-killing the host
-        # (minhash_banding_sweep's oracle did exactly that at 125 GB RSS).
+        # Cap the oracle's buffer-pool memory. NOTE: the cap does NOT
+        # bound list-heavy intermediates (minhash_banding_sweep's oracle
+        # reached 127 GB RSS with this limit set and was host-OOM-killed)
+        # — known-infeasible oracles must be in SWEEP_ORACLE_SKIP; the
+        # cap + try/except only catches shapes DuckDB itself tracks.
         con.execute("SET memory_limit='60GB'")
         con.execute(
             f"CREATE VIEW events AS SELECT event_id, "

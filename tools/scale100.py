@@ -116,8 +116,14 @@ def build_replica(spark, tmp: str, factor: int) -> None:
 #: oracles whose candidate-pair space is bucket-quadratic with FIXED LSH
 #: parameters — infeasible in DuckDB at ×100 (the Spark side is timed;
 #: the oracle skip is recorded, not silent)
-DUCK_SKIP_AT_100 = {"lsh_ann_top3", "minhash_banding_sweep",
-                    "semantic_dedup_survivors"}
+DUCK_SKIP_AT_100 = {"lsh_ann_top3", "semantic_dedup_survivors"}
+
+#: oracles infeasible at ANY replica factor: the banding sweep's oracle
+#: materializes the full per-config bucket-pair expansion and blows past
+#: even DuckDB's own memory_limit (the limit does not track the list
+#: intermediates — measured 127 GB RSS/host OOM-kill at a mere ×10 with
+#: memory_limit=60GB set)
+DUCK_SKIP_ALWAYS = {"minhash_banding_sweep"}
 
 
 def time_queries(spark, registry, data_dir: str, names, runs: int,
@@ -198,11 +204,13 @@ def main() -> None:
     result: dict = {"factor": factor, "sf_base": SF_DIR}
     if os.path.exists(f"{x10}/documents.parquet"):
         result["x10"] = time_queries(
-            spark, QUERY_REGISTRY, x10, names, runs, with_duck=True
+            spark, QUERY_REGISTRY, x10, names, runs, with_duck=True,
+            duck_skip=DUCK_SKIP_ALWAYS,
         )
     result[f"x{factor}"] = time_queries(
         spark, QUERY_REGISTRY, tmp, names, runs, with_duck=True,
-        duck_skip=DUCK_SKIP_AT_100 if factor >= 100 else set(),
+        duck_skip=(DUCK_SKIP_AT_100 | DUCK_SKIP_ALWAYS)
+        if factor >= 100 else DUCK_SKIP_ALWAYS,
     )
     if "x10" in result:
         span = math.log10(factor / 10)
