@@ -1939,3 +1939,86 @@ def pq_distortion_audit(spark, sf_dir):
         ),
         pround(F.max("sq_err"), 6).alias("max_sq_err"),
     )
+
+
+def _drift_oracle() -> str:
+    return """
+    WITH base AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (
+      SELECT label, i, avg(v[i]) AS c
+      FROM base, range(1, 65) AS t(i)
+      GROUP BY label, i
+    ),
+    cents AS (SELECT label, list(c ORDER BY i) AS c FROM dims GROUP BY label),
+    gdims AS (
+      SELECT i, avg(v[i]) AS g FROM base, range(1, 65) AS t(i) GROUP BY i
+    ),
+    gcent AS (SELECT list(g ORDER BY i) AS g FROM gdims),
+    stats AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             avg(list_dot_product(v, v)) AS msq
+      FROM base GROUP BY label
+    )
+    SELECT s.label, s.n_vecs,
+           round(list_dot_product(c.c, gc.g)
+                 / nullif(sqrt(list_dot_product(c.c, c.c))
+                          * sqrt(list_dot_product(gc.g, gc.g)), 0),
+                 6) AS drift_cosine,
+           round(s.msq - list_dot_product(c.c, c.c), 6) AS dispersion
+    FROM stats s JOIN cents c USING (label) CROSS JOIN gcent gc
+    """
+
+
+@register(
+    "embedding_drift_by_label", _drift_oracle(),
+    tags=("similarity", "X3", "monitoring"),
+)
+def embedding_drift_by_label(spark, sf_dir):
+    """Embedding-distribution DRIFT monitor (r7 registry depth): per
+    label, the centroid's cosine against the GLOBAL centroid (direction
+    drift — a label whose centroid swings away from the corpus mean is
+    the first sign of an upstream encoder/data change) and the
+    within-label dispersion E‖x‖² − ‖c‖² (the variance identity: mean
+    squared distance to the own centroid without a second pass over the
+    vectors). The monitoring pass an embedding pipeline schedules next
+    to its ANN index refresh.
+
+    Scale shape: one partial-aggregable groupBy — per-dimension means
+    are 64 `avg(element_at(v, i))` expressions and the squared norm one
+    aggregate fold, so map-side combine reduces every partition to one
+    65-value row per label before the shuffle; the global centroid is a
+    one-row aggregate broadcast back over the ≤n_labels rows. No
+    explode, no second scan, nothing proportional to corpus size past
+    the input scan."""
+    from .similarity.knn import _as_double
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", _as_double(F.col("embedding")).alias("v")
+    )
+    sq_norm = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    dim_avgs = [
+        F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(64)
+    ]
+    per_label = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.avg(sq_norm).alias("msq"),
+        *dim_avgs,
+    )
+    global_row = emb.agg(
+        *[F.avg(F.element_at("v", i + 1)).alias(f"g{i}") for i in range(64)]
+    )
+    dot_cg = sum(F.col(f"c{i}") * F.col(f"g{i}") for i in range(64))
+    norm_c2 = sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(64))
+    norm_g2 = sum(F.col(f"g{i}") * F.col(f"g{i}") for i in range(64))
+    den = F.sqrt(norm_c2) * F.sqrt(norm_g2)
+    return (
+        per_label.crossJoin(F.broadcast(global_row))
+        .select(
+            "label",
+            "n_vecs",
+            pround(dot_cg / F.when(den != 0.0, den), 6).alias("drift_cosine"),
+            pround(F.col("msq") - norm_c2, 6).alias("dispersion"),
+        )
+    )
