@@ -2385,3 +2385,138 @@ def minhash_incremental_admission(spark, sf_dir):
             .alias("n_admitted"),
         )
     )
+
+
+def _heldout_lm_oracle() -> str:
+    return f"""
+    WITH toks_t AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, is_train,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS b1
+      FROM toks_t
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bg WHERE is_train GROUP BY b),
+    pre AS (SELECT b1, count(*) AS cp FROM bg WHERE is_train GROUP BY b1),
+    scored AS (
+      SELECT g.source, g.b, c.c, p.cp
+      FROM bg g
+      LEFT JOIN cnt c USING (b)
+      LEFT JOIN pre p USING (b1)
+      WHERE NOT g.is_train
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+             round(sum(CASE WHEN c IS NOT NULL
+                            THEN ln(c / CAST(cp AS DOUBLE)) END)
+                   / nullif(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END),
+                            0), 4) AS avg_seen_logprob
+      FROM scored GROUP BY source
+    ),
+    docs_h AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM toks_t WHERE NOT is_train GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.n_oov, 0) AS n_oov,
+           round(coalesce(p.n_oov, 0)
+                 / CAST(nullif(p.n_bigrams, 0) AS DOUBLE), 4) AS oov_rate,
+           p.avg_seen_logprob
+    FROM docs_h d LEFT JOIN per_src p USING (source)
+    """
+
+
+@register(
+    "heldout_bigram_fit_by_source", _heldout_lm_oracle(),
+    tags=("text", "X4", "quality", "lm", "evaluation"),
+)
+def heldout_bigram_fit_by_source(spark, sf_dir):
+    """HELD-OUT language-model fit (r7 registry depth): a bigram MLE
+    trained on the train split (the md5-deterministic ~80% slice every
+    split query shares) scores the held-out slice — per source, the
+    held-out bigram volume, the OOV rate (bigrams never seen in
+    training — the drift/quality signal), and the mean conditional
+    log-probability over SEEN bigrams. This is the cross-split
+    generalization measurement a corpus pipeline runs where
+    bigram_logprob_score is in-sample: a source whose held-out text
+    surprises a model fit on its own train slice is templated,
+    shifting, or contaminated. OOV is reported, not smoothed away — no
+    smoothing constant to argue about, and both engines agree exactly.
+
+    Scale shape: bigram_logprob_score's (tfidf-style) shuffle discipline
+    — repartition by doc_id before the explode so count aggregates
+    shuffle bounded vocabulary partials; the train-count relations join
+    the held-out side by bigram key (AQE broadcasts them when small);
+    per-source output is n_sources rows."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    toks = tokenize(F.lower(F.col("text")))
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("b1"),
+            F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b"),
+        ),
+    )
+    bg = (
+        docs.select("doc_id", "source", is_train.alias("is_train"), "text")
+        .repartition(n_shuffle, "doc_id")
+        .select("source", "is_train", F.explode(pairs).alias("p"))
+        .select("source", "is_train", "p.b1", "p.b")
+    )
+    cnt = bg.filter("is_train").groupBy("b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pre = bg.filter("is_train").groupBy("b1").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    seen = F.col("c").isNotNull()
+    per_src = (
+        bg.filter(~F.col("is_train"))
+        .join(cnt, "b", "left")
+        .join(pre, "b1", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(~seen, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+            pround(
+                F.sum(F.when(seen, F.log(F.col("c") / F.col("cp").cast("double"))))
+                / F.nullif(
+                    F.sum(F.when(seen, 1).otherwise(0)), F.lit(0)
+                ).cast("double"),
+                4,
+            ).alias("avg_seen_logprob"),
+        )
+    )
+    docs_h = (
+        docs.filter(~is_train)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return docs_h.join(per_src, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        pround(
+            F.coalesce("n_oov", F.lit(0))
+            / F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double"),
+            4,
+        ).alias("oov_rate"),
+        "avg_seen_logprob",
+    )
