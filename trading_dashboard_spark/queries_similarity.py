@@ -343,7 +343,11 @@ def lsh_ann_top3(spark, sf_dir):
     from .similarity.lsh import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42)
+    return lsh_knn(
+        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42,
+        adaptive_planes=True,  # floor 6 = the oracle grid at every
+        # driver-checked SF (adaptivity engages past ~32k vectors)
+    )
 
 
 @register(

