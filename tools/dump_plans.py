@@ -192,6 +192,43 @@ COMMENTARY = {
         "never text and never doc-level rows; both join sides derive "
         "from one exchange-shared aggregate."
     ),
+    "eval_window_decontamination": (
+        "Train/eval decontamination (r7): the eval slice's distinct "
+        "window-fp set enters as a BroadcastExchange, so the train-side "
+        "window explode feeds a broadcast hash join with NO shuffle of "
+        "train windows; the (doc, fp) dedupe is a partial-aggregated "
+        "countDistinct on the join SURVIVORS (hits-sized), not a "
+        "corpus-wide distinct."
+    ),
+    "minhash_incremental_admission": (
+        "Incremental dedup admission (r7): the new-batch band hashes "
+        "enter the collision join as the BROADCAST side — the incumbent "
+        "band index (the at-rest table at production scale) is never "
+        "shuffled; verification joins attach shingle arrays for "
+        "candidate ids only; admission counts aggregate batch-side "
+        "rows only."
+    ),
+    "semantic_dedup_survivors": (
+        "Semantic dedup (r7 lane): the pair stage is one exchange to "
+        "group (bucket) + FlatMapGroupsInPandas (chunked-BLAS pair "
+        "scan) per LSH table — candidate pairs never exist as shuffled "
+        "rows, only threshold survivors emit; the cluster loop joins "
+        "checkpointed label relations (lineage truncated per round)."
+    ),
+    "embedding_drift_by_label": (
+        "Drift monitor (r7): ONE partial-aggregable HashAggregate pair "
+        "(64 per-dim avgs + squared-norm fold) — map-side combine "
+        "reduces each partition to a 65-value row per label before the "
+        "single exchange; the global centroid is a one-row aggregate "
+        "re-entering via BroadcastNestedLoopJoin over ≤n_labels rows. "
+        "No explode, no second scan."
+    ),
+    "heldout_bigram_fit_by_source": (
+        "Held-out LM fit (r7): one doc-keyed repartition feeds the "
+        "bigram explode; train-count relations aggregate to "
+        "vocabulary-bounded partials and AQE sizes them into broadcast "
+        "joins against the held-out side; output is n_sources rows."
+    ),
 }
 
 
