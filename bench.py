@@ -231,6 +231,15 @@ SWEEP_QUERIES = [
     # micro-batches over the replica directory; fixed per-batch
     # scheduling dominates at this size)
     "streaming_interval_full_outer_audit", "streaming_scd2_asof_enrichment",
+    # r7 late registrations, measured before listing (sweep-what-you-
+    # shipped): admission ~2.3x (two banded passes + verify — tracks
+    # minhash_near_dup); drift ~1.1 s absolute after the parsed-expr
+    # construction fix (ratio stays high: DuckDB's denominator is a
+    # 34 ms single-row aggregate); heldout LM ~5-6 s — the bigram
+    # struct-HOF construction pass dominates (known r8 follow-up, the
+    # same idiom bigram_logprob_score uses).
+    "minhash_incremental_admission", "embedding_drift_by_label",
+    "heldout_bigram_fit_by_source",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

@@ -1993,17 +1993,21 @@ def embedding_drift_by_label(spark, sf_dir):
     65-value row per label before the shuffle; the global centroid is a
     one-row aggregate broadcast back over the ≤n_labels rows. No
     explode, no second scan, nothing proportional to corpus size past
-    the input scan."""
+    the input scan. Every wide expression (the 64 per-dim aggs, the
+    64-term dot/norm sums) is built as ONE parsed `F.expr` string — the
+    lit_doubles lesson: per-element Column construction costs a py4j
+    round trip each, and plan CONSTRUCTION was ~3 s of a ~0.7 s
+    query at ×10 before this form."""
     from .similarity.knn import _as_double
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "label", _as_double(F.col("embedding")).alias("v")
     )
-    sq_norm = F.aggregate(
-        F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x
+    sq_norm = F.expr(
+        "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
     )
     dim_avgs = [
-        F.avg(F.element_at("v", i + 1)).alias(f"c{i}") for i in range(64)
+        F.expr(f"avg(element_at(v, {i + 1})) AS c{i}") for i in range(64)
     ]
     per_label = emb.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
@@ -2011,11 +2015,11 @@ def embedding_drift_by_label(spark, sf_dir):
         *dim_avgs,
     )
     global_row = emb.agg(
-        *[F.avg(F.element_at("v", i + 1)).alias(f"g{i}") for i in range(64)]
+        *[F.expr(f"avg(element_at(v, {i + 1})) AS g{i}") for i in range(64)]
     )
-    dot_cg = sum(F.col(f"c{i}") * F.col(f"g{i}") for i in range(64))
-    norm_c2 = sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(64))
-    norm_g2 = sum(F.col(f"g{i}") * F.col(f"g{i}") for i in range(64))
+    dot_cg = F.expr(" + ".join(f"c{i} * g{i}" for i in range(64)))
+    norm_c2 = F.expr(" + ".join(f"c{i} * c{i}" for i in range(64)))
+    norm_g2 = F.expr(" + ".join(f"g{i} * g{i}" for i in range(64)))
     den = F.sqrt(norm_c2) * F.sqrt(norm_g2)
     return (
         per_label.crossJoin(F.broadcast(global_row))

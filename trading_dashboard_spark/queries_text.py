@@ -2473,11 +2473,19 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
             F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b"),
         ),
     )
+    # The bigram relation feeds THREE consumers (train bigram counts,
+    # train prefix counts, held-out scoring); the doc-keyed exchange
+    # holds PRE-explode rows, so without a cache each consumer re-runs
+    # tokenize+explode over the corpus — measured 6.0 s at ×10, 3× the
+    # single-pass cost. Scoped persist (minhash_near_dup_pairs idiom):
+    # the 20-row result is eagerly checkpointed below and the cache
+    # released before returning.
     bg = (
         docs.select("doc_id", "source", is_train.alias("is_train"), "text")
         .repartition(n_shuffle, "doc_id")
         .select("source", "is_train", F.explode(pairs).alias("p"))
         .select("source", "is_train", "p.b1", "p.b")
+        .persist()
     )
     cnt = bg.filter("is_train").groupBy("b").agg(
         F.count(F.lit(1)).alias("c")
@@ -2508,7 +2516,7 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    return docs_h.join(per_src, "source", "left").select(
+    out = docs_h.join(per_src, "source", "left").select(
         "source",
         "n_docs",
         F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
@@ -2519,4 +2527,6 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
             4,
         ).alias("oov_rate"),
         "avg_seen_logprob",
-    )
+    ).localCheckpoint(eager=True)
+    bg.unpersist()
+    return out
