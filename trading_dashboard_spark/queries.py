@@ -171,6 +171,33 @@ _R06_VERIFIED = (
     "streaming_scd2_asof_enrichment", "streaming_interval_full_outer_audit",
 )
 
+#: Queries with a green row in CORRECTNESS_r07.json (driver round 7 —
+#: 50/50 hash-green: the 6 round-7 registrations plus change-aware
+#: re-verifies of every query the xxhash64-fingerprint, adaptive-LSH,
+#: blocked-BLAS, and VADER-anchor edits touched).
+_R07_VERIFIED = (
+    "chunk_boilerplate_ratio", "verbatim_overlap_pairs",
+    "minhash_banding_sweep", "cross_lingual_contamination",
+    "kmeans_embedding_clusters", "ivf_recall_at_5", "lsh_ann_top3",
+    "pq_recall_at_5", "ivfpq_recall_at_5", "semantic_dedup_survivors",
+    "pq_distortion_audit", "macd_indicator", "exact_dedup_docs",
+    "token_stats_by_lang", "doc_quality_features", "language_id_counts",
+    "fingerprint_uniqueness_by_source", "minhash_near_dup_pairs",
+    "ngram_jaccard_near_dups", "doc_sentiment", "simhash_fingerprints",
+    "blocked_jaccard_within_source", "top_trigrams", "repetition_signals",
+    "tfidf_top_terms", "bigram_logprob_score", "unigram_logprob_score",
+    "near_dup_clusters", "doc_pii_redaction", "quality_gate_summary",
+    "cluster_survivor_selection", "vocabulary_growth_by_source",
+    "bm25_keyword_search", "levenshtein_name_near_dups",
+    "bigram_collocations_pmi", "phrase_search_hash_join",
+    "dup_cluster_size_histogram", "bpe_learned_merges", "bpe_token_stats",
+    "bpe_packed_shards", "embedding_int8_quantization", "label_centroids",
+    "embedding_covariance_top_pairs", "knn_multi_probe_top3",
+    "bpe_phrase_merges_256", "eval_window_decontamination",
+    "minhash_incremental_admission", "heldout_bigram_fit_by_source",
+    "ivf_codebook_refresh", "embedding_drift_by_label",
+)
+
 #: MINIMUM window slots guaranteed to stale-changed re-verification.
 #: Round-4 lesson (verdict "what's wrong" #3): as a residual this
 #: silently starved — ~93 new queries saturated the 50-slot window and
@@ -185,10 +212,11 @@ _REVERIFY_RESERVE = 12
 _DRIVER_WINDOW = 50
 
 #: Explicit round-directive re-verifications, keyed ahead of everything.
-#: Round 7: empty — both round-6 pins landed fresh green rows in
-#: CORRECTNESS_r06.json; the change-aware stale ranking covers this
-#: round's edits (fingerprint-width, MACD probe fold, ADC kernel).
-_PIN_REVERIFY: tuple[str, ...] = ()
+#: Round 8: the lexicon-corruption fix (pitfall/pitfalls restored per
+#: the r7 ADVICE high item) changes vader_score for any text containing
+#: those tokens — pin doc_sentiment per the standing rule that any
+#: sentiment.py / vader_lexicon.py edit forces a fresh driver row.
+_PIN_REVERIFY: tuple[str, ...] = ("doc_sentiment",)
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)
@@ -202,6 +230,7 @@ def _verified_rounds() -> dict[str, int]:
         (1, _R01_VERIFIED), (2, _R02_VERIFIED),
         (3, _R03_VERIFIED), (4, _R04_VERIFIED),
         (5, _R05_VERIFIED), (6, _R06_VERIFIED),
+        (7, _R07_VERIFIED),
     ):
         for n in names:
             out[n] = rnd

@@ -2772,7 +2772,8 @@ pessimists	-1.2
 petrified	-2.2
 picturesque	1.9
 pinnacle	1.7
-pitpitfalls	-1.3
+pitfall	-1.3
+pitfalls	-1.3
 pity	-1.2
 plagued	-2.4
 plagues	-2.4
