@@ -2453,59 +2453,99 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
     shifting, or contaminated. OOV is reported, not smoothed away — no
     smoothing constant to argue about, and both engines agree exactly.
 
-    Scale shape: bigram_logprob_score's (tfidf-style) shuffle discipline
-    — repartition by doc_id before the explode so count aggregates
-    shuffle bounded vocabulary partials; the train-count relations join
-    the held-out side by bigram key (AQE broadcasts them when small);
-    per-source output is n_sources rows."""
+    Scale shape (r8 rewrite — was 4.1 s / 10.1x at the x10 sweep): the
+    corpus pays exactly ONE occurrence-level shuffle, a
+    groupBy(hb, hb1, source) whose map-side combine collapses repeated
+    bigrams before the exchange and which carries BOTH the train and
+    held-out occurrence counts of each (bigram, source) cell. Every
+    downstream relation (global train counts, prefix counts, held-out
+    scoring joins) then operates on distinct-bigram-sized data — the
+    previous shape shuffled raw occurrences through two count groupBys
+    plus two joins. Keys are xxhash64 8-byte fingerprints (the
+    cross_lingual_contamination idiom); bigram text never leaves the
+    map stage, and the output is per-source counts so fingerprints
+    never surface. The oracle keeps raw strings and agrees because MLE
+    counts only need key equality, which the 64-bit hash preserves
+    (collision odds ~n^2/2^65 — negligible against corpus vocabulary)."""
     from .text.analysis import tokenize
 
     docs = _t(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     is_train = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
     )
-    toks = tokenize(F.lower(F.col("text")))
-    pairs = F.transform(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda x, i: F.struct(
-            x.alias("b1"),
-            F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b"),
-        ),
+    toks = F.col("toks")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    # arrays_zip(slice, slice) builds the bigram structs inside
+    # whole-stage codegen — measured 0.53 s vs 0.82 s for the
+    # equivalent higher-order transform() lambda (HOF lambdas are
+    # interpreted per element) over the x10 corpus.
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("b1"), F.slice(toks, 2, n1).alias("b2")
     )
-    # The bigram relation feeds THREE consumers (train bigram counts,
-    # train prefix counts, held-out scoring); the doc-keyed exchange
-    # holds PRE-explode rows, so without a cache each consumer re-runs
-    # tokenize+explode over the corpus — measured 6.0 s at ×10, 3× the
-    # single-pass cost. Scoped persist (minhash_near_dup_pairs idiom):
-    # the 20-row result is eagerly checkpointed below and the cache
-    # released before returning.
-    bg = (
-        docs.select("doc_id", "source", is_train.alias("is_train"), "text")
+    # ONE occurrence-level pass: hash each bigram to (hb, hb1) 8-byte
+    # keys in the explode's map stage and immediately collapse to
+    # (hb, hb1, source) cells carrying train/held-out occurrence
+    # counts — map-side combine means the exchange moves distinct
+    # bigrams per partition, not occurrences. hb determines hb1 (the
+    # bigram includes its prefix), so hb1 rides along as a grouping
+    # key for free instead of needing a second occurrence pass.
+    # The doc-keyed repartition spreads tokenize+explode across all
+    # cores (the corpus parquet is compact — maxPartitionBytes would
+    # coalesce it onto a couple of input splits otherwise), and
+    # `toks` is a materialized column so the pair slices read an
+    # array instead of re-running the regexp split.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cells = (
+        docs.select(
+            "doc_id", "source", is_train.alias("is_train"), "text"
+        )
         .repartition(n_shuffle, "doc_id")
+        .select(
+            "source", "is_train",
+            tokenize(F.lower(F.col("text"))).alias("toks"),
+        )
         .select("source", "is_train", F.explode(pairs).alias("p"))
-        .select("source", "is_train", "p.b1", "p.b")
-        .persist()
+        .groupBy(
+            F.xxhash64("p.b1", "p.b2").alias("hb"),
+            F.xxhash64("p.b1").alias("hb1"),
+            F.col("source"),
+        )
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("c_tr"),
+            F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).alias("c_ho"),
+        )
     )
-    cnt = bg.filter("is_train").groupBy("b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    pre = bg.filter("is_train").groupBy("b1").agg(
-        F.count(F.lit(1)).alias("cp")
-    )
-    seen = F.col("c").isNotNull()
+    # Train MLE counts are GLOBAL (summed across sources): window sums
+    # over the distinct-bigram cells give c(b) and c(b1) without a
+    # persist, two count groupBys, or two joins — the whole query is
+    # one linear plan (corpus pass -> cells agg -> one window exchange
+    # over ~|vocab|x|sources| rows -> per-source agg). Because hb
+    # functionally determines hb1 (the bigram embeds its prefix),
+    # partitionBy(hb1, hb) yields exactly the per-bigram groups while
+    # letting BOTH windows share the single hb1 exchange and a
+    # prefix-compatible sort.
+    w_b = W.partitionBy("hb1", "hb")
+    w_p = W.partitionBy("hb1")
+    seen = F.col("c") > 0
     per_src = (
-        bg.filter(~F.col("is_train"))
-        .join(cnt, "b", "left")
-        .join(pre, "b1", "left")
+        cells.withColumn("c", F.sum("c_tr").over(w_b))
+        .withColumn("cp", F.sum("c_tr").over(w_p))
+        .filter(F.col("c_ho") > 0)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum(F.when(~seen, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+            F.sum("c_ho").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(~seen, F.col("c_ho")).otherwise(0))
+            .cast("bigint").alias("n_oov"),
             pround(
-                F.sum(F.when(seen, F.log(F.col("c") / F.col("cp").cast("double"))))
+                F.sum(
+                    F.when(
+                        seen,
+                        F.col("c_ho")
+                        * F.log(F.col("c") / F.col("cp").cast("double")),
+                    )
+                )
                 / F.nullif(
-                    F.sum(F.when(seen, 1).otherwise(0)), F.lit(0)
+                    F.sum(F.when(seen, F.col("c_ho")).otherwise(0)), F.lit(0)
                 ).cast("double"),
                 4,
             ).alias("avg_seen_logprob"),
@@ -2527,6 +2567,5 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
             4,
         ).alias("oov_rate"),
         "avg_seen_logprob",
-    ).localCheckpoint(eager=True)
-    bg.unpersist()
+    )
     return out
