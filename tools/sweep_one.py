@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: oracles that OOM-kill the host at replica scale (the banding sweep's
+#: per-config bucket-pair expansion reached 127 GB RSS at a mere ×10;
+#: DuckDB's memory_limit does not track the list intermediates) — time
+#: Spark only, record the skip
+DUCK_INFEASIBLE = {"minhash_banding_sweep"}
+
 
 def build_replica(spark, tmp: str, factor: int = 10) -> None:
     import shutil
@@ -119,7 +125,10 @@ def main() -> None:
             ent.fn(spark, tmp).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         duck = None
-        if ent.oracle:
+        if name in DUCK_INFEASIBLE:
+            print(f"{name}: duck skipped (oracle OOMs >125 GB at ×10 — "
+                  "see scale100.DUCK_SKIP_ALWAYS)", file=sys.stderr)
+        elif ent.oracle:
             duck = float("inf")
             for _ in range(runs):
                 t0 = time.time()

@@ -250,7 +250,8 @@ def ivf_ann_probe_top5(spark, sf_dir):
 
 
 def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
-                n_tables: int = 2, seed: int = 42) -> str:
+                n_tables: int = 2, seed: int = 42,
+                n_probes: int = 0) -> str:
     """Generated DuckDB oracle for the random-hyperplane LSH pipeline.
 
     The hyperplanes are PLAN LITERALS (the IVF discipline): components
@@ -258,6 +259,12 @@ def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
     sign test in BOTH engines, so bucket assignment is exact decimal
     arithmetic and the whole approximate pipeline — bucketing, candidate
     expansion, cosine scoring, ranking — is hash-checkable end to end.
+
+    ``n_probes > 0`` replays query-directed multi-probe: per (vector,
+    table) the ``n_probes`` planes with the smallest |9dp projection|
+    (ties on plane index) flip one bit each; the flipped buckets join
+    the RESIDENT bucket set query-side only — identical semantics to
+    ``lsh_knn(n_probes=...)``, still exact decimal arithmetic.
     """
     from .similarity.lsh import lsh_plane_literals
 
@@ -265,6 +272,26 @@ def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
         f"({t}, {b}, {vals}::DOUBLE[])"
         for t, b, vals in lsh_plane_literals(dim, n_planes, seed, n_tables)
     )
+    if n_probes:
+        probe_ctes = f"""
+    probes AS (
+      SELECT b.vec_id, b.tbl,
+             xor(b.bucket, CAST(1 AS BIGINT) << m.plane) AS bucket
+      FROM buckets b
+      JOIN (
+        SELECT vec_id, tbl, plane,
+               row_number() OVER (PARTITION BY vec_id, tbl
+                                  ORDER BY abs(val), plane) AS rn
+        FROM proj
+      ) m ON m.vec_id = b.vec_id AND m.tbl = b.tbl AND m.rn <= {n_probes}
+    ),
+    qbuckets AS (
+      SELECT vec_id, tbl, bucket FROM buckets
+      UNION ALL SELECT vec_id, tbl, bucket FROM probes
+    ),"""
+    else:
+        probe_ctes = """
+    qbuckets AS (SELECT vec_id, tbl, bucket FROM buckets),"""
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     planes(tbl, plane, pvec) AS (VALUES
@@ -272,20 +299,20 @@ def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
     ),
     proj AS (
       SELECT v.vec_id, p.tbl, p.plane,
-             CASE WHEN round(list_dot_product(v.v, p.pvec), 9) >= 0
-                  THEN 1 ELSE 0 END AS bit
+             round(list_dot_product(v.v, p.pvec), 9) AS val
       FROM v CROSS JOIN planes p
     ),
     buckets AS (
       SELECT vec_id, tbl,
-             sum(bit * (CAST(1 AS BIGINT) << plane)) AS bucket
+             sum(CASE WHEN val >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                      ELSE 0 END) AS bucket
       FROM proj GROUP BY vec_id, tbl
-    ),
+    ),{probe_ctes}
     cands AS (
-      SELECT DISTINCT a.vec_id AS id, b.vec_id AS neighbor_id
-      FROM buckets a
-      JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
-                    AND a.vec_id <> b.vec_id
+      SELECT DISTINCT q.vec_id AS id, r.vec_id AS neighbor_id
+      FROM qbuckets q
+      JOIN buckets r ON q.tbl = r.tbl AND q.bucket = r.bucket
+                    AND q.vec_id <> r.vec_id
     ),
     scored AS (
       SELECT c.id, c.neighbor_id,
@@ -308,7 +335,8 @@ def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
     """
 
 
-@register("lsh_ann_top3", _lsh_oracle(), tags=("similarity", "X3", "approx"))
+@register("lsh_ann_top3", _lsh_oracle(n_probes=2),
+          tags=("similarity", "X3", "approx"))
 def lsh_ann_top3(spark, sf_dir):
     """X3 scale path — random-hyperplane LSH approximate top-3 neighbors
     (similarity/lsh.lsh_knn; 6 planes x 2 tables, seed 42) — VALUE-
@@ -339,12 +367,23 @@ def lsh_ann_top3(spark, sf_dir):
     (9, 3) 2.5x faster at 0.045. Halving an ANN query's recall to save
     wall-clock inverts its purpose, so the slowest-but-most-accurate
     setting stays; clustered real-world embeddings shift the whole
-    frontier up without changing the ordering."""
+    frontier up without changing the ordering.
+
+    r8: query-directed MULTI-PROBE (n_probes=2) joins the oracle
+    contract — each vector additionally queries the 2 lowest-margin
+    bit-flip buckets per table (probe side only; bucket databases stay
+    resident-only), and the generated SQL replays the margin ranking
+    and xor-flips as exact decimal arithmetic, so the multi-probe
+    pipeline is value-checked end to end like the rest. Under the
+    adaptive grid, probes (not table-doubling) carry the recall
+    compensation — measured at ×100 in BENCHMARKS.md. The resolved
+    grid is published via lsh.LAST_RESOLVED_GRID and warns when it
+    diverges from these static literals (ADVICE r7)."""
     from .similarity.lsh import lsh_knn
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn(
-        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42,
+        emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42, n_probes=2,
         adaptive_planes=True,  # floor 6 = the oracle grid at every
         # driver-checked SF (adaptivity engages past ~32k vectors)
     )

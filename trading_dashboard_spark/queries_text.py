@@ -1704,7 +1704,8 @@ _BPE_WORDS = (
 )
 
 
-def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES) -> str:
+def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES,
+                       sample_docs: int | None = None) -> str:
     """Recursive-CTE training replay for sequence-level BPE.
 
     The chained-CTE idiom of `_bpe_training_ctes` is PLANNING-bound past
@@ -1716,12 +1717,21 @@ def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES) -> str:
     run-parity window rewrite the chained layers use. The merge table is
     then re-derived OUTSIDE the recursion from the accumulated per-
     iteration states (recursive UNION ALL retains every round), by the
-    identical argmax — so all ``n`` selected rules are value-checked."""
+    identical argmax — so all ``n`` selected rules are value-checked.
+
+    ``sample_docs`` replays `fit_bpe_sequences`' deterministic
+    (md5(doc_id), doc_id) top-N training slice."""
+    src = "documents"
+    if sample_docs is not None:
+        src = f"""(
+        SELECT * FROM documents
+        QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+                <= {sample_docs})"""
     return f"""
     WITH RECURSIVE st(it, doc, pos, sym) AS (
       SELECT 0, doc_id, unnest(range(1, len(w) + 1)),
              w[unnest(range(1, len(w) + 1))]
-      FROM (SELECT doc_id, {_BPE_WORDS} AS w FROM documents)
+      FROM (SELECT doc_id, {_BPE_WORDS} AS w FROM {src})
       WHERE len(w) > 1
       UNION ALL
       SELECT it + 1, doc, row_number() OVER (PARTITION BY doc ORDER BY pos),
@@ -1793,6 +1803,41 @@ def bpe_phrase_merges_256(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     merges = fit_bpe_sequences(docs, n_merges=_BPE_SEQ_MERGES)
+    return spark.createDataFrame(
+        [(k, a, b, f"{a} {b}") for k, (a, b) in enumerate(merges)],
+        "rk int, lhs string, rhs string, merged string",
+    )
+
+
+#: bounded-sample sequence-BPE training slice (r7 verdict #6): the
+#: constant that bounds training input regardless of corpus size
+_BPE_SAMPLE_DOCS = 256
+
+
+@register(
+    "bpe_phrase_merges_sampled", _bpe_phrase_oracle(sample_docs=_BPE_SAMPLE_DOCS),
+    tags=("text", "X4", "tokenizer", "bpe", "distributed-fit", "sampled"),
+)
+def bpe_phrase_merges_sampled(spark, sf_dir):
+    """Sequence-level BPE on a BOUNDED deterministic sample (r7 verdict
+    #6): the production regime for tokenizer induction at corpus scale.
+    `bpe_phrase_merges_256` trains on the whole corpus — honest but 256
+    full corpus passes at 100 TB; real tokenizers fit on a bounded
+    sample (GPT-2/SentencePiece both subsample). This variant trains the
+    same 256-rule distributed loop on the ``_BPE_SAMPLE_DOCS`` documents
+    with the smallest (md5(doc_id), doc_id) — a corpus-stable slice
+    selected by ONE TakeOrdered pass (map-side top-N heap over 16-byte
+    hashes; nothing corpus-sized moves), after which every per-merge
+    pass touches a CONSTANT-size state no matter how large the corpus
+    grows. The oracle replays the identical slice (QUALIFY row_number
+    OVER (ORDER BY md5, id)) and the identical recursive-CTE training
+    loop, so all selected rules stay value-hash-checked."""
+    from .text.bpe import fit_bpe_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe_sequences(
+        docs, n_merges=_BPE_SEQ_MERGES, sample_docs=_BPE_SAMPLE_DOCS
+    )
     return spark.createDataFrame(
         [(k, a, b, f"{a} {b}") for k, (a, b) in enumerate(merges)],
         "rk int, lhs string, rhs string, merged string",
@@ -1974,85 +2019,137 @@ def minhash_banding_sweep(spark, sf_dir):
     loosest — reporting candidate volume, exact-Jaccard-confirmed pairs
     at the production threshold, and precision per configuration: the
     measured S-curve a banding choice trades along, produced by the
-    engine itself and hash-checked against DuckDB. One signature build
-    feeds all four bandings (persisted, scope-released); candidate
-    generation is the bucket-aggregation form (shuffle carries
-    (id, 16-byte band hash) only) and verification touches candidate
-    ids only — the audit costs four bandings of the PRODUCTION plan,
-    not four corpus scans."""
+    engine itself and hash-checked against DuckDB.
+
+    r8 (verdict #5): ONE pass, not four sequential jobs, built on the
+    candidate-set NESTING of sub-bands — two docs agreeing on a
+    full-width (1×8) band hash necessarily agree on each of its
+    sub-bands under (2×4)/(4×2)/(8×1), so a pair that collides at
+    config rank r collides at every looser rank ≥ r, and the loosest
+    config's candidate set is a SUPERSET of all four. Candidates
+    therefore explode from the (8×1) buckets ONLY (8 single-minhash
+    structs per doc, not 15 per-config band rows), each distinct pair
+    is exact-Jaccard-scored ONCE, and its strictest config (cmin) is
+    re-derived at verify time as a pure signature-equality expression
+    over the two joined 8-component signatures (band agreement ⇔
+    conjunction of component equalities — no per-config pair explode,
+    no min-rank shuffle). Scoring runs over 8-byte xxhash64 shingle
+    FINGERPRINTS (the cross-lingual idiom: shingle text never leaves
+    the map stage; only counts surface, so the engine may fingerprint
+    where the oracle keeps strings — identical equivalence classes),
+    and each pair fans out to its candidate ranks via a 4-bounded
+    sequence explode. One linear job; shuffle rows are
+    (16-byte band hash, id) and fixed-width pair rows. Measured at the
+    ×10 sweep: 10.6 s (sequential 4-branch form) → ~6 s."""
     from .io.readers import spread
     from .text.dedup import minhash_signature, shingles
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    base = docs.select(
+    feat = docs.select(
         F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+    ).select(
+        "id",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
+        F.array(*minhash_signature(F.col("sh"), _NUM_HASHES)).alias("mh"),
     ).persist()
-    # Materialize the cache BEFORE the four branches reference it: lazily,
-    # the branches' stages schedule concurrently against a cold cache and
-    # tasks race to fill the same partitions — the shingle pass ran up to
-    # 8× redundantly under 32-thread oversubscription (measured 100-370 s
-    # for a 14 s pipeline at the ×10 sweep). One count() is the barrier.
-    base.count()
-    sig = base.select("id", "sh", *minhash_signature(F.col("sh"), _NUM_HASHES))
+    # Materialize the cache BEFORE dependent stages reference it: lazily,
+    # the banded scan and the two verify-join scans schedule concurrently
+    # against a cold cache and tasks race to fill the same partitions —
+    # the shingle pass ran up to 8× redundantly under 32-thread
+    # oversubscription (measured 100-370 s for a 14 s pipeline at the
+    # ×10 sweep). One count() is the barrier.
+    feat.count()
 
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # loosest-config buckets: band hash of (8×1) band b IS component b
+    banded = feat.select("id", F.posexplode("mh").alias("band_idx", "mh1"))
+    buckets = (
+        banded.groupBy("band_idx", "mh1")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    ))
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = feat.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"),
+                     F.col("mh").alias("mh_a"))
+    fb = feat.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"),
+                     F.col("mh").alias("mh_b"))
 
-    summaries = []
-    for bands, rows in _BANDING_CONFIGS:
-        band_cols = []
+    def _collides(bands: int, rows: int):
+        """∃ band whose `rows` signature components all agree."""
+        band_eq = []
         for b in range(bands):
-            parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
-            band_cols.append(F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            ))
-        banded = sig.select(
-            "id", F.explode(F.array(*band_cols)).alias("band")
-        ).select("id", "band.band_idx", "band.band_hash")
-        buckets = (
-            banded.groupBy("band_idx", "band_hash")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") >= 2)
+            eqs = [
+                F.element_at("mh_a", b * rows + r + 1)
+                == F.element_at("mh_b", b * rows + r + 1)
+                for r in range(rows)
+            ]
+            conj = eqs[0]
+            for e in eqs[1:]:
+                conj = conj & e
+            band_eq.append(conj)
+        disj = band_eq[0]
+        for e in band_eq[1:]:
+            disj = disj | e
+        return disj
+
+    # strictest config that catches the pair; ELSE = loosest rank (every
+    # candidate collides there by construction)
+    cmin = F.when(_collides(*_BANDING_CONFIGS[0]), 0)
+    for rank, cfg in enumerate(_BANDING_CONFIGS[1:-1], start=1):
+        cmin = cmin.when(_collides(*cfg), rank)
+    cmin = cmin.otherwise(len(_BANDING_CONFIGS) - 1)
+
+    inter = F.size(F.array_intersect("fp_a", "fp_b"))
+    union = F.size(F.array_union("fp_a", "fp_b"))
+    jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
+    scored = (
+        pairs.join(fa, "id_a").join(fb, "id_b")
+        .select(cmin.alias("cmin"), jac.alias("jaccard"))
+    )
+    max_rank = len(_BANDING_CONFIGS) - 1
+    per_rank = (
+        scored.select(
+            F.explode(F.sequence("cmin", F.lit(max_rank))).alias("rank"),
+            "jaccard",
         )
-        ids = F.array_sort(F.col("ids"))
-        pair_structs = F.flatten(F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        ))
-        cand = (
-            buckets.select(F.explode(pair_structs).alias("p"))
-            .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        .groupBy("rank")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.count(F.when(F.col("jaccard") >= _JACCARD_T, 1)).alias("n_conf"),
         )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size(F.array_union("sh_a", "sh_b"))
-        jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
-        scored = cand.join(sh_a, "id_a").join(sh_b, "id_b").select(
-            jac.alias("jaccard")
-        )
-        confirmed = F.count(F.when(F.col("jaccard") >= _JACCARD_T, 1))
-        # Each config's 1-row summary materializes as its OWN job (eager
-        # checkpoint): sequential, AQE-statted branches instead of one
-        # union mega-plan whose independent stages oversubscribe the
-        # executor and defeat exchange reuse.
-        summaries.append(scored.agg(
-            F.lit(bands).cast("int").alias("bands"),
-            F.lit(rows).cast("int").alias("rows_per_band"),
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            confirmed.cast("long").alias("n_confirmed"),
+    )
+    cfgs = spark.createDataFrame(
+        [(r, b, rw) for r, (b, rw) in enumerate(_BANDING_CONFIGS)],
+        "rank int, bands int, rows_per_band int",
+    )
+    out = (
+        cfgs.join(per_rank, "rank", "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_cand", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_conf", F.lit(0)).cast("long").alias("n_confirmed"),
             pround(
-                confirmed
-                / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"), 6
+                F.col("n_conf")
+                / F.nullif(F.col("n_cand"), F.lit(0)).cast("double"), 6
             ).alias("precision_at_t"),
-        ).localCheckpoint(eager=True))
-    out = summaries[0]
-    for s in summaries[1:]:
-        out = out.unionByName(s)
-    base.unpersist()
+        )
+        # tiny (4-row) eager materialization so the shingle cache can be
+        # scope-released before returning — the single job runs here
+        .localCheckpoint(eager=True)
+    )
+    feat.unpersist()
     return out
 
 

@@ -27,6 +27,14 @@ from ..functions import pround
 
 from .knn import _as_double, dot, knn_all_pairs
 
+#: resolved grid of the most recent `lsh_knn` call —
+#: {"n_planes", "n_tables", "n_probes", "adaptive_engaged"} — the
+#: runtime signal (ADVICE r7) that an `adaptive_planes=True` call
+#: diverged from the static grid a registered SQL oracle replays.
+#: Harness/tools can consult this instead of re-deriving the corpus
+#: size; `lsh_knn` additionally emits a `warnings.warn` on divergence.
+LAST_RESOLVED_GRID: dict | None = None
+
 
 def _planes(dim: int, n_planes: int, seed: int, table: int = 0) -> np.ndarray:
     """Seeded Gaussian hyperplanes, components ROUNDED to 6dp — the
@@ -92,6 +100,7 @@ def lsh_knn(
     persist: bool = False,
     bucket_topk: bool = True,
     adaptive_planes: bool = False,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate per-vector top-k: union candidates from `n_tables`
     independent bucketings, dedup, exact-score, rank.
@@ -140,21 +149,66 @@ def lsh_knn(
     static grid, ~3.6× cheaper, with per-bucket work still ~constant in
     corpus size. The plane floor keeps every driver-checked regime on
     the static grid the SQL oracle replays (sf0.01/sf0.1/×10 all
-    resolve to the default 6 planes, 2 tables).
+    resolve to the default 6 planes, 2 tables). The resolved grid is
+    published through ``LAST_RESOLVED_GRID`` and a ``warnings.warn``
+    fires whenever adaptivity diverges from the static literals (so a
+    value-checked run at a larger SF gets a runtime signal, not a
+    silent oracle mismatch — ADVICE r7).
+
+    ``n_probes > 0`` enables query-directed MULTI-PROBE (Lv et al.,
+    VLDB 2007): besides its resident bucket, each vector QUERIES the
+    ``n_probes`` adjacent buckets per table reached by flipping the
+    hyperplanes with the smallest projection margin — a near-boundary
+    vector's most likely miss-assignments. Probe membership is
+    query-side only (the database side of every bucket stays the
+    resident set), so candidate volume grows ×(1+P) per table instead
+    of the ×(1+P)² a symmetric expansion would cost, and the top-k
+    semantics stay exact over the enlarged candidate set. Margin
+    ranking uses the same 9dp-rounded projections as the sign test with
+    (|margin|, plane_idx) ties — exact decimal arithmetic a SQL oracle
+    replays bit-for-bit, so the multi-probe pipeline is VALUE-checkable
+    end to end. Under ``adaptive_planes``, probes are the cheap recall
+    lever: flipping low-margin planes recovers the S-curve loss of a
+    finer grid at linear (not exponential-in-tables) cost — the
+    measured ×100 frontier is in BENCHMARKS.md.
     """
     import math
+    import warnings
 
     from pyspark.sql import Window as W
 
     from ..io.readers import spread
 
+    static = (n_planes, n_tables, n_probes)
     if adaptive_planes:
         n = df.count()
         target = max(n_planes, math.ceil(math.log2(max(n, 2) / 512)))
         delta = target - n_planes
         if delta:
-            n_tables *= 2 ** ((delta + 1) // 2)
+            if n_probes:
+                # multi-probe compensation: probes grow with the grid
+                # (each extra plane sheds ~p of per-table recall; extra
+                # low-margin probes buy it back at linear cost), tables
+                # double only per FOUR extra planes — measured cheaper
+                # than table-doubling alone at equal recall (×100 table
+                # in BENCHMARKS.md).
+                n_probes += delta
+                n_tables *= 2 ** (delta // 4)
+            else:
+                n_tables *= 2 ** ((delta + 1) // 2)
             n_planes = target
+    global LAST_RESOLVED_GRID
+    LAST_RESOLVED_GRID = {
+        "n_planes": n_planes, "n_tables": n_tables, "n_probes": n_probes,
+        "adaptive_engaged": (n_planes, n_tables, n_probes) != static,
+    }
+    if LAST_RESOLVED_GRID["adaptive_engaged"]:
+        warnings.warn(
+            f"lsh_knn adaptive grid resolved to planes={n_planes}, "
+            f"tables={n_tables}, probes={n_probes} (static {static}): "
+            "results diverge from a static-grid SQL oracle at this "
+            "corpus size", stacklevel=2,
+        )
 
     base = spread(df, id_col).select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
@@ -186,58 +240,87 @@ def lsh_knn(
         [_planes(dim, n_planes, seed, t) for t in range(n_tables)], axis=0
     ).T.copy()  # dim × (tables·planes)
     weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+    slot = 1 + n_probes  # buckets emitted per (vector, table)
 
     @pandas_udf("array<long>")
     def _all_buckets(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
+        B = len(m)
         # bucket bits from the RAW vector (sign(<v,p>) == sign(<u,p>)),
         # projection rounded to 9dp before the sign test: with 6dp plane
         # literals this makes bucket assignment an exact decimal
         # computation any SQL engine replays bit-for-bit
-        bits = (np.round(m @ planes_t, 9) >= 0).astype(np.int64)
-        vals = bits.reshape(len(m), n_tables, n_planes) @ weights  # B × tables
-        return pd.Series(list(vals))
+        proj = np.round(m @ planes_t, 9).reshape(B, n_tables, n_planes)
+        bits = (proj >= 0).astype(np.int64)
+        vals = bits @ weights  # B × tables — resident buckets
+        if not n_probes:
+            return pd.Series(list(vals))
+        # multi-probe: flip the n_probes lowest-|margin| planes per
+        # table — |projection| ties break on plane index (stable sort),
+        # the exact (abs(val), plane) order the SQL oracle replays.
+        # Layout is t-major, resident first: pos p ⇒ tbl = p div slot,
+        # resident iff p % slot == 0 (decoded JVM-side — the UDF emits
+        # one flat long array, no per-row Python struct building).
+        order = np.argsort(np.abs(proj), axis=2, kind="stable")
+        flips = vals[:, :, None] ^ (
+            np.int64(1) << order[:, :, :n_probes].astype(np.int64)
+        )  # B × tables × n_probes
+        allb = np.concatenate([vals[:, :, None], flips], axis=2)
+        return pd.Series(list(allb.reshape(B, n_tables * slot)))
 
     if bucket_topk:
         rows = base.select(
             "id",
             _unit(F.col("v")).alias("u"),
-            F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket"),
+            F.posexplode(_all_buckets(F.col("v"))).alias("pos", "bucket"),
+        ).select(
+            "id", "u", "bucket",
+            F.expr(f"pos div {slot}").alias("tbl"),
+            (F.col("pos") % slot == 0).alias("res"),
         )
         take_k = k
 
         def _local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"id": np.int64, "neighbor_id": np.int64,
+                      "cosine": np.float64})
             ids = pdf["id"].to_numpy(np.int64)
+            res = pdf["res"].to_numpy(np.bool_)
+            rids = ids[res]
+            nr = len(rids)
             n = len(ids)
-            if n < 2:
-                return pd.DataFrame(
-                    {"id": [], "neighbor_id": [], "cosine": []}
-                ).astype({"id": np.int64, "neighbor_id": np.int64,
-                          "cosine": np.float64})
+            if nr == 0 or n < 2:
+                return empty
             if ids.min() < 0 or ids.max() >= (1 << 32):
                 raise ValueError(
                     "lsh_knn bucket_topk composite key needs ids in "
                     "[0, 2^32); use bucket_topk=False for wider ids")
             M = np.asarray(pdf["u"].tolist(), dtype=np.float64)
-            take = min(take_k, n - 1)
+            R = M[res]  # database side = residents only
+            take = min(take_k, nr)
             # exact (cosine desc, id asc) total order as ONE int64 key:
             # rounded-cosine micro-units in the high bits, bit-inverted
             # id below — ties resolve identically to the join lane
-            idkey = (np.int64(1) << 32) - 1 - ids
+            idkey = (np.int64(1) << 32) - 1 - rids
             out_id, out_nb, out_cos = [], [], []
             for lo in range(0, n, 512):  # chunk rows: bounds gram memory
                 hi = min(lo + 512, n)
-                G = np.round(M[lo:hi] @ M.T, 6)
+                qi = ids[lo:hi]
+                G = np.round(M[lo:hi] @ R.T, 6)
                 ci = np.rint(G * 1e6).astype(np.int64) + 1_000_000
                 keys = (ci << 32) | idkey[None, :]
-                keys[np.arange(hi - lo), np.arange(lo, hi)] = -1  # self
+                keys[qi[:, None] == rids[None, :]] = -1  # self (key ≥ 0 else)
                 part = np.argpartition(-keys, take - 1, axis=1)[:, :take]
                 sel = np.take_along_axis(keys, part, axis=1)
                 order = np.argsort(-sel, axis=1, kind="stable")
                 top = np.take_along_axis(part, order, axis=1)
-                out_id.append(np.repeat(ids[lo:hi], take))
-                out_nb.append(ids[top].ravel())
-                out_cos.append(np.take_along_axis(G, top, axis=1).ravel())
+                keep = np.take_along_axis(sel, order, axis=1).ravel() >= 0
+                out_id.append(np.repeat(qi, take)[keep])
+                out_nb.append(rids[top].ravel()[keep])
+                out_cos.append(
+                    np.take_along_axis(G, top, axis=1).ravel()[keep]
+                )
             return pd.DataFrame({
                 "id": np.concatenate(out_id),
                 "neighbor_id": np.concatenate(out_nb),
@@ -258,20 +341,30 @@ def lsh_knn(
         )
 
     banded = base.select(
-        "id", F.posexplode(_all_buckets(F.col("v"))).alias("tbl", "bucket")
+        "id", F.posexplode(_all_buckets(F.col("v"))).alias("pos", "bucket")
+    ).select(
+        "id", "bucket",
+        F.expr(f"pos div {slot}").alias("tbl"),
+        (F.col("pos") % slot == 0).alias("res"),
     )
     buckets = (
         banded.groupBy("tbl", "bucket")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .agg(F.collect_list(F.struct("id", "res")).alias("ents"))
+        .filter(F.size("ents") >= 2)
     )
-    ids = F.array_sort(F.col("ids"))
+    # query × resident expansion: every entry (resident or probe) takes
+    # each RESIDENT other than itself as a directed candidate — with
+    # n_probes=0 all entries are resident and this is the symmetric
+    # all-pairs expansion of the original lane.
+    ents = F.col("ents")
     pair_structs = F.flatten(
         F.transform(
-            ids,
-            lambda x: F.transform(
-                F.filter(ids, lambda y: y != x),
-                lambda y: F.struct(x.alias("id"), y.alias("neighbor_id")),
+            ents,
+            lambda e: F.transform(
+                F.filter(ents, lambda r: r["res"] & (r["id"] != e["id"])),
+                lambda r: F.struct(
+                    e["id"].alias("id"), r["id"].alias("neighbor_id")
+                ),
             ),
         )
     )

@@ -159,6 +159,8 @@ def fit_bpe_sequences(
     n_merges: int = 256,
     text_col: str = "text",
     checkpoint_every: int = 32,
+    sample_docs: int | None = None,
+    id_col: str = "doc_id",
 ) -> list[tuple[str, str]]:
     """Sequence-level (phrase) BPE: learn ``n_merges`` merge rules over
     each document's WORD sequence — the tokenizer-induction regime where
@@ -186,10 +188,31 @@ def fit_bpe_sequences(
     re-planning are pure overhead, and the pair-count aggregate output is
     vocabulary-bounded (map-side combine does the heavy lifting) so even
     at corpus scale a handful of reducers suffice — measured together
-    these cut the sf0.01 loop 85 s → 57 s.
+    these cut the sf0.01 loop 85 s → 57 s. NOTE these confs are
+    SESSION-GLOBAL for the loop's duration (shuffle partitioning and AQE
+    cannot be scoped per-plan): the trainer must own the SparkSession
+    exclusively while fitting — a query planned concurrently on the same
+    session would silently get one shuffle partition and no AQE
+    (ADVICE r7; the registry runs queries sequentially, so the contract
+    holds there by construction).
+
+    ``sample_docs`` bounds the training input by a CONSTANT, not corpus
+    size (r7 verdict #6): the ``sample_docs`` documents with the
+    smallest ``(md5(id), id)`` — a deterministic corpus-stable slice any
+    SQL oracle replays, selected by one TakeOrdered pass (top-N by
+    16-byte hash: map-side heap, no full sort, nothing corpus-sized on
+    the driver). Production tokenizers train on a bounded sample; at
+    100 TB the unsampled loop's 256 full corpus passes are the textbook
+    sequence-BPE cost, the sampled loop's are 256 passes over a
+    fixed-size slice.
 
     Tokenization matches `word_frequencies` (lowercase ``[a-z0-9']+``);
     the loop stops early if no adjacent pair remains."""
+    if sample_docs is not None:
+        df = (
+            df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(sample_docs)
+        )
     toks = F.expr(
         f"filter(split(lower(coalesce({text_col}, '')), "
         f"'[^a-z0-9\\']+'), t -> t <> '')"
