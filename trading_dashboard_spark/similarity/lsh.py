@@ -185,17 +185,20 @@ def lsh_knn(
         target = max(n_planes, math.ceil(math.log2(max(n, 2) / 512)))
         delta = target - n_planes
         if delta:
+            n_tables *= 2 ** ((delta + 1) // 2)
             if n_probes:
-                # multi-probe compensation: probes grow with the grid
-                # (each extra plane sheds ~p of per-table recall; extra
-                # low-margin probes buy it back at linear cost), tables
-                # double only per FOUR extra planes — measured cheaper
-                # than table-doubling alone at equal recall (×100 table
-                # in BENCHMARKS.md).
-                n_probes += delta
-                n_tables *= 2 ** (delta // 4)
-            else:
-                n_tables *= 2 ** ((delta + 1) // 2)
+                # multi-probe compensation on top of table doubling:
+                # +2 probes per 3 extra planes. Measured on the ×100
+                # replica (200k vectors, sampled-exact ground truth,
+                # tools/lsh_recall.py): the resolved (9pl, 8tb, 4pr)
+                # point reads recall@3 0.584 at 17.8 s vs 0.211 at
+                # 8.5 s for table-doubling alone — probes carry ~3×
+                # the recall at ~2× the cost because the per-bucket
+                # scoring work is query-side linear in (1+P) while the
+                # fixed merge/window stages don't grow at all. Probing
+                # INSTEAD of doubling tables was measured and rejected:
+                # (9pl, 2tb, 5pr) reads 0.225 — barely the baseline.
+                n_probes += (2 * delta) // 3
             n_planes = target
     global LAST_RESOLVED_GRID
     LAST_RESOLVED_GRID = {

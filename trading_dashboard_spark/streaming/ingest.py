@@ -81,12 +81,17 @@ def _events_read_schema(ts_int64: bool) -> T.StructType:
     )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source stream over events parquet (S8's streaming analog).
 
     ``path`` may be a directory or a single file — the file source needs a
     directory, so a file path becomes (parent, pathGlobFilter=name).
-    ``maxFilesPerTrigger`` bounds each micro-batch. The ts handling is
+    ``maxFilesPerTrigger`` bounds each micro-batch; callers tune it to
+    trade latency for per-batch amortization (the full-outer audit's
+    micro-batch machinery cost is per TRIGGER, not per row — measured in
+    BENCHMARKS.md §streaming-amortization). The ts handling is
     generation-aware, matching the batch reader exactly so batch and
     streaming results are comparable: nanos-era files arrive as int64 and
     get the same ns→us truncation; micros-era files read directly as
@@ -97,7 +102,7 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     apply_runtime_confs(spark)
     ts_int64 = _ts_is_int64(path)
     reader = spark.readStream.schema(_events_read_schema(ts_int64)).option(
-        "maxFilesPerTrigger", "4"
+        "maxFilesPerTrigger", str(max_files_per_trigger)
     )
     if path.endswith(".parquet"):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
