@@ -1704,8 +1704,8 @@ _BPE_WORDS = (
 )
 
 
-def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES,
-                       sample_docs: int | None = None) -> str:
+def _bpe_phrase_ctes(n: int = _BPE_SEQ_MERGES,
+                     sample_docs: int | None = None) -> str:
     """Recursive-CTE training replay for sequence-level BPE.
 
     The chained-CTE idiom of `_bpe_training_ctes` is PLANNING-bound past
@@ -1774,10 +1774,14 @@ def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES,
                                 ORDER BY cnt DESC, a, b) AS rn
       FROM (SELECT it, a, b, count(*) AS cnt FROM pairs_by_it
             WHERE b IS NOT NULL GROUP BY it, a, b)
-    )
-    SELECT CAST(it AS INT) AS rk, a AS lhs, b AS rhs,
-           a || ' ' || b AS merged
-    FROM ranked WHERE rn = 1"""
+    ),
+    rules AS (SELECT CAST(it AS INT) AS rk, a, b FROM ranked WHERE rn = 1)"""
+
+
+def _bpe_phrase_oracle(n: int = _BPE_SEQ_MERGES,
+                       sample_docs: int | None = None) -> str:
+    return f"""{_bpe_phrase_ctes(n, sample_docs)}
+    SELECT rk, a AS lhs, b AS rhs, a || ' ' || b AS merged FROM rules"""
 
 
 @register(
@@ -1841,6 +1845,109 @@ def bpe_phrase_merges_sampled(spark, sf_dir):
     return spark.createDataFrame(
         [(k, a, b, f"{a} {b}") for k, (a, b) in enumerate(merges)],
         "rk int, lhs string, rhs string, merged string",
+    )
+
+
+#: fertility evaluates under the FIRST 64 learned rules — a vocab-size
+#: prefix (BPE rule tables are orderly: rank-k prefixes are themselves
+#: valid tokenizers, the standard multi-vocab-size eval) — because the
+#: oracle must REPLAY training, and the recursive-CTE replay's cost is
+#: linear in rule count (256 rules ≈ 6-7 min in DuckDB at sf0.01;
+#: 64 keeps the differential gate snappy while the 256-rule trainer
+#: stays separately value-checked by bpe_phrase_merges_sampled).
+_BPE_FERTILITY_MERGES = 64
+
+
+def _tokenizer_fertility_oracle(n: int = _BPE_FERTILITY_MERGES,
+                                sample_docs: int = _BPE_SAMPLE_DOCS) -> str:
+    """Training replay (sampled slice) + a SECOND recursive CTE applying
+    the learned rules to EVERY document — one replace per (iteration,
+    rule), the trainer's own merge mechanism — down to per-source token
+    accounting."""
+    return f"""{_bpe_phrase_ctes(n, sample_docs)},
+    docs_w AS (
+      SELECT doc_id, source, {_BPE_WORDS} AS w FROM documents
+    ),
+    ap(it, doc, seq) AS (
+      SELECT 0, doc_id,
+             chr(2) || array_to_string(w, chr(3) || chr(2)) || chr(3)
+      FROM docs_w WHERE len(w) >= 1
+      UNION ALL
+      SELECT ap.it + 1, ap.doc,
+             replace(ap.seq,
+                     chr(2) || r.a || chr(3) || chr(2) || r.b || chr(3),
+                     chr(2) || r.a || ' ' || r.b || chr(3))
+      FROM ap JOIN rules r ON r.rk = ap.it
+      WHERE ap.it < {n}
+    ),
+    fin AS (
+      SELECT doc, seq FROM ap
+      QUALIFY row_number() OVER (PARTITION BY doc ORDER BY it DESC) = 1
+    ),
+    doc_stats AS (
+      SELECT d.source, len(d.w) AS n_words,
+             len(array_to_string(d.w, ' ')) AS n_chars,
+             coalesce(len(f.seq) - len(replace(f.seq, chr(3), '')), 0)
+               AS n_tokens
+      FROM docs_w d LEFT JOIN fin f ON f.doc = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(sum(n_tokens) / CAST(nullif(sum(n_words), 0) AS DOUBLE), 6)
+             AS fertility_tokens_per_word,
+           round(sum(n_chars) / CAST(nullif(sum(n_tokens), 0) AS DOUBLE), 6)
+             AS bytes_per_token
+    FROM doc_stats GROUP BY source"""
+
+
+@register(
+    "tokenizer_fertility_by_source", _tokenizer_fertility_oracle(),
+    tags=("text", "X4", "tokenizer", "bpe", "evaluation"),
+)
+def tokenizer_fertility_by_source(spark, sf_dir):
+    """Tokenizer EVALUATION (r7 verdict #8a): fertility (tokens per
+    word) and compression (bytes per token) per source, under the
+    sample-trained sequence-BPE table at the ``_BPE_FERTILITY_MERGES``
+    vocab-size prefix (greedy BPE: the first 64 rules of a 256-rule fit
+    ARE the 64-rule fit) — the tokens-per-word/bytes-per-token report
+    every LLM data pipeline publishes for its tokenizer, split by
+    source because fertility skew across sources is how domain
+    under-representation in tokenizer training shows up (a source the
+    tokenizer never saw tokenizes long).
+
+    Train = `fit_bpe_sequences` on the deterministic
+    ``_BPE_SAMPLE_DOCS`` md5-slice (the bounded-sample regime);
+    encode = `text/bpe.encode_bpe_sequences` — ONE Arrow map pass over
+    the full corpus applying the rules in training order via the
+    trainer's own literal-replace mechanism (a training doc re-encodes
+    to its training segmentation exactly); aggregate = one partial-
+    aggregable groupBy(source). Nothing here scales with anything but
+    a corpus scan. The oracle replays training (recursive CTE, sampled
+    slice) AND re-encodes every document (second recursive CTE, one
+    replace per rule per iteration), so fertility numbers are
+    value-hash-checked end to end. For this lowercase ascii token
+    alphabet chars == bytes, so bytes_per_token is exact."""
+    from .text.bpe import encode_bpe_sequences, fit_bpe_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = fit_bpe_sequences(
+        docs, n_merges=_BPE_FERTILITY_MERGES, sample_docs=_BPE_SAMPLE_DOCS
+    )
+    enc = encode_bpe_sequences(docs, merges)
+    return enc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        pround(
+            F.sum("n_tokens")
+            / F.nullif(F.sum("n_words"), F.lit(0)).cast("double"), 6
+        ).alias("fertility_tokens_per_word"),
+        pround(
+            F.sum("n_chars")
+            / F.nullif(F.sum("n_tokens"), F.lit(0)).cast("double"), 6
+        ).alias("bytes_per_token"),
     )
 
 
@@ -2665,4 +2772,248 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
         ).alias("oov_rate"),
         "avg_seen_logprob",
     )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# round-8 registry growth: incremental cluster reconciliation
+# ---------------------------------------------------------------------------
+
+
+def _cluster_delta_oracle() -> str:
+    """Shares the admission oracle's banding preamble; adds the two
+    transitive closures (incumbent at-rest components, then the
+    batch-sized delta graph) as recursive CTEs."""
+    rows_per_band = _NUM_HASHES // _BANDS
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT id, inc, {b} AS band_idx, "
+        "md5(concat_ws('|', {parts})) AS band_hash FROM sig".format(
+            b=b,
+            parts=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    base AS (
+      SELECT doc_id AS id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS inc,
+             {_SHINGLES} AS sh
+      FROM toks_t
+    ),
+    sig AS (SELECT id, inc, sh, {sig_cols} FROM base),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    ),
+    ver AS (
+      SELECT c.id_a, c.id_b, ba.inc AS inc_a, bb.inc AS inc_b
+      FROM cand c
+      JOIN base ba ON ba.id = c.id_a
+      JOIN base bb ON bb.id = c.id_b
+      WHERE round(len(list_intersect(ba.sh, bb.sh))
+                  / CAST(nullif(len(list_distinct(list_concat(ba.sh, bb.sh))),
+                                0) AS DOUBLE), 6) >= {_JACCARD_T}
+    ),
+    inc_edges AS (
+      SELECT id_a AS a, id_b AS b FROM ver WHERE inc_a AND inc_b
+      UNION
+      SELECT id_b, id_a FROM ver WHERE inc_a AND inc_b
+    ),
+    inc_cc AS (
+      SELECT a AS id, a AS comp FROM inc_edges
+      UNION
+      SELECT e.b AS id, c.comp FROM inc_cc c JOIN inc_edges e ON e.a = c.id
+    ),
+    inc_labels AS (SELECT id, min(comp) AS component FROM inc_cc GROUP BY id),
+    comp_sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS n FROM inc_labels
+      GROUP BY component
+    ),
+    b2i AS (
+      SELECT CASE WHEN inc_a THEN id_b ELSE id_a END AS bid,
+             CASE WHEN inc_a THEN id_a ELSE id_b END AS iid
+      FROM ver WHERE inc_a <> inc_b
+    ),
+    delta_raw AS (
+      SELECT bid AS a, coalesce(l.component, b2i.iid) AS b
+      FROM b2i LEFT JOIN inc_labels l ON l.id = b2i.iid
+      UNION
+      SELECT id_a, id_b FROM ver WHERE NOT inc_a AND NOT inc_b
+    ),
+    delta_edges AS (
+      SELECT a, b FROM delta_raw UNION SELECT b, a FROM delta_raw
+    ),
+    delta_cc AS (
+      SELECT a AS id, a AS comp FROM delta_edges
+      UNION
+      SELECT e.b AS id, c.comp FROM delta_cc c JOIN delta_edges e ON e.a = c.id
+    ),
+    delta_labels AS (
+      SELECT id, min(comp) AS dcomp FROM delta_cc GROUP BY id
+    ),
+    nodes AS (
+      SELECT dl.id, dl.dcomp, b.inc FROM delta_labels dl
+      JOIN base b ON b.id = dl.id
+    )
+    SELECT dcomp AS component,
+           CAST(count(*) FILTER (WHERE NOT inc) AS BIGINT) AS n_new_members,
+           CAST(coalesce(sum(CASE WHEN inc THEN coalesce(cs.n, 1) END), 0)
+                AS BIGINT) AS n_incumbent_members,
+           CAST(count(*) FILTER (WHERE inc) AS BIGINT) AS n_merged_components
+    FROM nodes LEFT JOIN comp_sizes cs ON cs.component = nodes.id AND nodes.inc
+    GROUP BY dcomp
+    """
+
+
+@register(
+    "dedup_cluster_delta", _cluster_delta_oracle(),
+    tags=("text", "X2", "dedup", "incremental", "clusters"),
+)
+def dedup_cluster_delta(spark, sf_dir):
+    """INCREMENTAL cluster reconciliation (r7 verdict #8b — composes
+    `minhash_incremental_admission` with `near_dup_clusters`): after a
+    new batch (the md5-slice >= 'cd', ~20%) arrives against the
+    incumbent corpus's at-rest dedup clusters, reconcile the survivor
+    clusters WITHOUT re-clustering the corpus. New verified edges come
+    in two kinds — batch↔incumbent (each collapses to (batch_doc,
+    incumbent_COMPONENT) through the stored labels) and batch↔batch —
+    and the reconciliation graph built from them is BATCH-sized: its
+    nodes are batch docs plus the touched incumbent component labels,
+    never incumbent members. Label propagation over that delta graph
+    yields, per affected cluster: new members admitted into it, the
+    incumbent mass it already held, and how many formerly-separate
+    incumbent components the batch BRIDGED into one (n_merged_components
+    >= 2 is the merge event an incremental maintainer must detect —
+    the case where a new doc proves two old clusters were one).
+
+    Scale shape: in production the incumbent labels and band index are
+    AT REST (the sf-dir contract is read-only, so both are rebuilt
+    here — the same caveat as minhash_incremental_admission); the only
+    per-batch work is the banded collision probe, exact verification on
+    collision survivors, and a connected-components pass whose node set
+    is bounded by batch size + touched components. Incumbent component
+    ids are their min member ids and the id domains are disjoint, so
+    the delta graph reuses `text/clusters.connected_components`
+    unchanged, and the merged cluster's label (min over node ids) IS
+    the min over all true members. The oracle replays both closures as
+    recursive CTEs."""
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_signature, shingles
+
+    rows_per_band = _NUM_HASHES // _BANDS
+    docs = _t(spark, sf_dir, "documents")
+    incumbent = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        incumbent.alias("inc"),
+        shingles(F.col("text"), 3).alias("sh"),
+    ).select(
+        "id", "inc",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
+        F.array(*minhash_signature(F.col("sh"), _NUM_HASHES)).alias("mh"),
+    ).persist()
+    base.count()  # cache barrier (see minhash_banding_sweep)
+
+    band_cols = []
+    for b in range(_BANDS):
+        parts = [
+            F.element_at("mh", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+        ))
+    banded = base.select(
+        "id", "inc", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "inc", "band.band_idx", "band.band_hash")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("id", "inc")).alias("ents"))
+        .filter(F.size("ents") >= 2)
+    )
+    ents = F.array_sort(F.col("ents"))  # struct sort: id asc first
+    pair_structs = F.flatten(F.transform(
+        ents,
+        lambda x, i: F.transform(
+            F.slice(ents, i + 2, F.size(ents)),
+            lambda y: F.struct(
+                x["id"].alias("id_a"), x["inc"].alias("inc_a"),
+                y["id"].alias("id_b"), y["inc"].alias("inc_b"),
+            ),
+        ),
+    ))
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.inc_a", "p.id_b", "p.inc_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    fa = base.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    fb = base.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    inter = F.size(F.array_intersect("fp_a", "fp_b"))
+    union = F.size(F.array_union("fp_a", "fp_b"))
+    jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
+    # exact verification on collision survivors only, over 8-byte
+    # shingle fingerprints (the banding-sweep idiom: text stays in the
+    # map stage; only counts feed the threshold)
+    ver = (
+        cand.join(fa, "id_a").join(fb, "id_b")
+        .filter(jac >= _JACCARD_T)
+        .select("id_a", "inc_a", "id_b", "inc_b")
+        .localCheckpoint(eager=True)  # feeds 3 edge classes + 2 CC loops
+    )
+    inc_pairs = ver.filter(F.col("inc_a") & F.col("inc_b"))
+    inc_labels = connected_components(inc_pairs)  # id -> component
+    comp_sizes = (
+        inc_labels.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumnRenamed("component", "cs_comp")
+    )
+
+    b2i = ver.filter(F.col("inc_a") != F.col("inc_b")).select(
+        F.when(F.col("inc_a"), F.col("id_b")).otherwise(F.col("id_a")).alias("bid"),
+        F.when(F.col("inc_a"), F.col("id_a")).otherwise(F.col("id_b")).alias("iid"),
+    )
+    b2i_c = (
+        b2i.join(
+            inc_labels.select(F.col("id").alias("iid"), "component"),
+            "iid", "left",
+        )
+        .select(
+            F.col("bid").alias("id_a"),
+            F.coalesce("component", F.col("iid")).alias("id_b"),
+        )
+    )
+    b2b = ver.filter(~F.col("inc_a") & ~F.col("inc_b")).select("id_a", "id_b")
+    delta_labels = connected_components(b2i_c.unionByName(b2b))
+
+    nodes = delta_labels.join(base.select("id", "inc"), "id")
+    enriched = nodes.join(
+        comp_sizes,
+        (nodes.id == comp_sizes.cs_comp) & nodes.inc,
+        "left",
+    )
+    out = enriched.groupBy("component").agg(
+        F.count(F.when(~F.col("inc"), 1)).cast("long").alias("n_new_members"),
+        F.coalesce(
+            F.sum(F.when(F.col("inc"), F.coalesce(F.col("n"), F.lit(1)))),
+            F.lit(0),
+        ).cast("long").alias("n_incumbent_members"),
+        F.count(F.when(F.col("inc"), 1)).cast("long").alias("n_merged_components"),
+    ).localCheckpoint(eager=True)
+    base.unpersist()
     return out

@@ -277,6 +277,74 @@ def fit_bpe_sequences(
     return merges
 
 
+def encode_bpe_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Map-only sequence-BPE ENCODE: apply a learned phrase-merge table
+    (`fit_bpe_sequences`) to every document, in training order, and
+    report per-document token accounting — the tokenizer-eval pass
+    behind fertility/compression metrics.
+
+    Adds three columns:
+      ``n_words``  — pre-merge word count (the trainer's tokenization);
+      ``n_chars``  — length of the space-joined tokenized text (for the
+                     lowercase ``[a-z0-9']+`` alphabet this IS the byte
+                     count);
+      ``n_tokens`` — post-merge sequence length.
+
+    The merge application is the trainer's own mechanism verbatim: the
+    sentinel-delimited state string (``_SO``/``_SC``) with one literal
+    left-to-right non-overlapping ``str.replace`` per rule — Python's
+    ``str.replace`` scan is exactly the JVM ``replace()`` scan the
+    trainer uses, so a training document always re-encodes to its
+    training segmentation. Runs as ONE Arrow pandas pass (the 256-rule
+    chain stays in the executor, one batch of docs at a time); the
+    driver ships only the ≤n_merges rule table in the closure. Unlike
+    the trainer this is a pure map — no shuffle, no session confs, safe
+    to run concurrently."""
+    rules = [
+        (_SO + a + _SC + _SO + b + _SC, _SO + a + " " + b + _SC)
+        for a, b in merges
+    ]
+
+    @pandas_udf("long")
+    def _n_tokens(seqs: pd.Series) -> pd.Series:
+        def enc(seq: str) -> int:
+            if not seq:
+                return 0
+            for pat, rep in rules:
+                if pat in seq:
+                    seq = seq.replace(pat, rep)
+            return seq.count(_SC)
+
+        return seqs.map(enc)
+
+    toks = F.expr(
+        f"filter(split(lower(coalesce({text_col}, '')), "
+        f"'[^a-z0-9\\']+'), t -> t <> '')"
+    )
+    seq = F.when(
+        F.size("__syms") > 0,
+        F.concat_ws(
+            "",
+            F.transform(
+                "__syms", lambda s: F.concat(F.lit(_SO), s, F.lit(_SC))
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        df.withColumn("__syms", toks)
+        .withColumn("n_words", F.size("__syms").cast("long"))
+        .withColumn(
+            "n_chars", F.length(F.concat_ws(" ", F.col("__syms"))).cast("long")
+        )
+        .withColumn("n_tokens", _n_tokens(seq))
+        .drop("__syms")
+    )
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],
