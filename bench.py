@@ -240,6 +240,16 @@ SWEEP_QUERIES = [
     # same idiom bigram_logprob_score uses).
     "minhash_incremental_admission", "embedding_drift_by_label",
     "heldout_bigram_fit_by_source",
+    # r8 registrations, measured before listing (tools/sweep_one, ×10):
+    # fertility 9.5 s vs DuckDB 182 s (0.05×) — the per-doc recursive
+    # re-encode is where a SQL engine stops scaling and the Arrow map
+    # pass doesn't; cluster delta 12.3 s vs 117 s (0.11×) — two
+    # closures, the delta one batch-sized. bpe_phrase_merges_sampled is
+    # deliberately NOT swept: its cost is CONSTANT by construction
+    # (bounded 256-doc slice, 31 s of per-iteration floor at any scale
+    # — measured, recorded in BENCHMARKS.md), so sweeping it would
+    # spend 40 s/run to restate exponent ≈ 0.
+    "tokenizer_fertility_by_source", "dedup_cluster_delta",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -255,6 +265,16 @@ SWEEP_ORACLE_SKIP = {
     "minhash_banding_sweep":
         "oracle materializes the full bucket-pair expansion: OOM at "
         ">125 GB RSS on the x10 replica; Spark side completes in ~12 s",
+}
+
+#: oracles that are feasible but MINUTES-slow at ×10 (measured:
+#: fertility 182 s — per-doc recursive re-encode; cluster delta 117 s —
+#: two transitive closures): timed with ONE run, no warm-up. The
+#: crossover these exist to record (Spark 19× / 9× faster) does not
+#: need min-of-2 precision, and 3 runs each would double the whole
+#: sweep's wall time.
+SWEEP_ORACLE_ONCE = {
+    "tokenizer_fertility_by_source", "dedup_cluster_delta",
 }
 
 
@@ -373,11 +393,12 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
             if sql is None or name in SWEEP_ORACLE_SKIP:
                 continue
             best = float("inf")
+            runs = 1 if name in SWEEP_ORACLE_ONCE else SWEEP_RUNS + 1
             try:
-                for i in range(SWEEP_RUNS + 1):  # +1 warm-up, as above
+                for i in range(runs):  # +1 warm-up unless single-run tier
                     t0 = time.time()
                     con.execute(sql).fetchall()
-                    if i:
+                    if i or runs == 1:
                         best = min(best, time.time() - t0)
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 duck_skipped[name] = f"oracle failed at x{factor}: {e}"[:200]

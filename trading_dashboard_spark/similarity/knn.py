@@ -267,6 +267,20 @@ def _blocked_pair_scan(
     NaN here — both fail ``>= threshold``), each unordered pair emitted
     once with ``keep_id < drop_id``. Chunking bounds gram memory at
     512 × block rows, so a skewed block costs time, not heap.
+
+    Determinism (ADVICE r7): BLAS uses blocked/pairwise summation while
+    the join lane's ``F.aggregate`` fold accumulates LEFT TO RIGHT, so a
+    raw cosine can differ by ~1 ULP between lanes — harmless except for
+    a value sitting essentially ON a 6dp rounding boundary, where 1 ULP
+    flips the rounded output. Summation-order drift for a dim-d dot of
+    unit-scale vectors is bounded by ~d·eps ≈ 1.4e-14 absolute at d=64;
+    cells whose pre-rounded value lies within 1e-12 of a boundary
+    (1e-6 micro-units — two orders above that bound, vanishingly rare
+    on real data) are therefore RECOMPUTED with the join lane's exact
+    left-to-right accumulation (dot and both norms) before rounding,
+    making the two lanes bit-equal by construction rather than
+    empirically at one scale. Threshold comparison happens after
+    rounding, so it inherits the same guarantee.
     """
     from ..io.readers import spread
 
@@ -288,12 +302,31 @@ def _blocked_pair_scan(
             return empty
         M = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         norms = np.linalg.norm(M, axis=1)
+
+        def _fold_cosine(i: int, j: int) -> float:
+            """The join lane's exact arithmetic: left-to-right fold for
+            the dot and both squared norms (F.aggregate order)."""
+            a, b = M[i], M[j]
+            d = na = nb = 0.0
+            for t in range(a.shape[0]):
+                d += a[t] * b[t]
+                na += a[t] * a[t]
+                nb += b[t] * b[t]
+            den = np.sqrt(na) * np.sqrt(nb)
+            return d / den if den else np.nan
+
         out = []
         for lo in range(0, n, 512):
             hi = min(lo + 512, n)
             den = norms[lo:hi, None] * norms[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 C = M[lo:hi] @ M.T / den
+            # re-fold cells within 1e-12 of a 6dp rounding boundary so
+            # lane outputs are bit-equal (see docstring)
+            frac = np.abs(np.mod(C * 1e6, 1.0) - 0.5)
+            ri, rj = np.nonzero(frac < 1e-6)
+            for i_, j_ in zip(ri, rj):
+                C[i_, j_] = _fold_cosine(lo + i_, j_)
             C = np.floor(C * 1e6 + 0.5) / 1e6  # pround(x, 6)
             ii, jj = np.nonzero(C >= threshold)  # NaN (zero norm) fails
             a, b = ids[lo + ii], ids[jj]
