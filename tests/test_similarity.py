@@ -417,6 +417,65 @@ def test_lsh_bucket_topk_lane_equals_join_lane(spark, sf_dir):
     assert len(fast) > 0 and fast == slow
 
 
+def test_lsh_multi_probe_lanes_agree_and_raise_coverage(spark, sf_dir):
+    """Multi-probe (n_probes>0): the asymmetric bucket kernel must equal
+    the generalized query×resident join lane row-for-row, and probing
+    must strictly enlarge the answered-id set / never worsen any
+    vector's best cosine (candidates only grow)."""
+    from trading_dashboard_spark.similarity.lsh import lsh_knn
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    fast = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+            for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
+                             seed=42, n_probes=2, bucket_topk=True).collect()}
+    slow = {(r["id"], r["rnk"]): (r["neighbor_id"], r["cosine"])
+            for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
+                             seed=42, n_probes=2, bucket_topk=False).collect()}
+    assert len(fast) > 0 and fast == slow
+
+    base = {(r["id"], r["rnk"]): r["cosine"]
+            for r in lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2,
+                             seed=42, n_probes=0).collect()}
+    probed_best = {k[0]: v[1] for k, v in fast.items() if k[1] == 1}
+    base_best = {k[0]: v for k, v in base.items() if k[1] == 1}
+    assert set(base_best) <= set(probed_best)
+    assert all(probed_best[i] >= base_best[i] for i in base_best)
+
+
+def test_lsh_adaptive_grid_publishes_resolution_and_warns(spark, sf_dir):
+    """ADVICE r7: an adaptive call must expose its resolved grid and
+    emit a runtime warning when (and only when) it diverges from the
+    static literals a SQL oracle would replay."""
+    import warnings
+
+    from trading_dashboard_spark.similarity import lsh
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(256)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh.lsh_knn(emb, dim=64, k=3, n_planes=6, n_tables=2, seed=42,
+                    n_probes=2, adaptive_planes=True)
+        assert lsh.LAST_RESOLVED_GRID == {
+            "n_planes": 6, "n_tables": 2, "n_probes": 2,
+            "adaptive_engaged": False,
+        }
+        assert not [w for w in caught if "adaptive grid" in str(w.message)]
+
+    big = emb.sparkSession.range(70_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) - F.lit(0.5)) for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        lsh.lsh_knn(big, dim=4, k=1, n_planes=6, n_tables=2, seed=42,
+                    n_probes=2, adaptive_planes=True)
+        grid = lsh.LAST_RESOLVED_GRID
+        assert grid["adaptive_engaged"] and grid["n_planes"] > 6
+        assert [w for w in caught if "adaptive grid" in str(w.message)]
+
+
 def test_pq_at_rest_coded_scan_prunes_columns(spark, sf_dir, tmp_path):
     """The serving layout: corpus encoded ONCE at ingest and written
     partitioned by IVF cell with the code column alongside. A probe's
