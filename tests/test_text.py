@@ -432,6 +432,19 @@ def test_vader_published_compound_parity():
         "the twin towers collapsed today": -0.2732,
         "they fall in love with the product": 0.6369,
         "usually around the time the 90 day warranty expires": 0.0,
+        # r8 additions, same evidence standard (README tricky-sentence
+        # demo outputs; each closes EXACTLY and lands on the published
+        # one-decimal valence grid). The first two are single-unknown
+        # determinations (entertaining = 1.9 via the never-so ×1.25 +
+        # so-booster algebra identical to the documented good=1.9 case;
+        # badass = 1.4 via distance-3 plain negation ×-0.74); the third
+        # adds the publicly documented like = 1.5 and then uniquely
+        # determines fault = -1.7 (correcting the -1.8 curated
+        # estimate; faults follows its stem):
+        "Warren Beatty has never been so entertaining.": 0.5777,
+        "Not such a badass after all.": -0.2584,
+        "I like to hate Michael Bay films, but I couldn't fault this "
+        "one": 0.3153,
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text

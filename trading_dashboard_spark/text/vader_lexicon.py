@@ -51,6 +51,7 @@ award\t2.5
 awesome\t3.1
 awful\t-2.9
 bad\t-2.5
+badass\t1.4
 bankrupt\t-2.6
 bankruptcy\t-2.6
 bargain\t1.5
@@ -153,6 +154,7 @@ encourage\t2.1
 endorse\t1.6
 enjoy\t2.4
 enrich\t1.9
+entertaining\t1.9
 enthusiastic\t2.4
 error\t-1.6
 evade\t-1.4
@@ -170,7 +172,7 @@ false\t-1.6
 fame\t1.8
 fantastic\t2.6
 fast\t0.9
-fault\t-1.8
+fault\t-1.7
 favor\t1.7
 fear\t-2.2
 fine\t0.8
@@ -252,6 +254,7 @@ lazy\t-1.7
 leak\t-1.2
 liable\t-1.2
 lie\t-2.4
+like\t1.5
 limit\t-0.8
 lose\t-2.0
 loss\t-1.3
@@ -2203,7 +2206,7 @@ farce	-1.5
 fatalities	-2.9
 fatality	-2.9
 fatally	-2.8
-faults	-1.8
+faults	-1.7
 favored	1.7
 favoring	1.7
 favors	1.7
