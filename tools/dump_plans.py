@@ -170,12 +170,28 @@ COMMENTARY = {
         "extra exchange."
     ),
     "lsh_ann_top3": (
-        "LSH per-vector top-k, r6 bucket-local lane: one exchange to "
-        "group (table, bucket), each bucket's local top-k computed "
-        "inside a single FlatMapGroupsInPandas (chunked BLAS gram, "
+        "LSH per-vector top-k, r6 bucket-local lane + r8 multi-probe: "
+        "one exchange to group (table, bucket) — with n_probes=2 each "
+        "vector emits 3 fixed-width rows per table (resident + 2 "
+        "low-margin flips, decoded from one flat posexplode; no struct "
+        "UDF) — each bucket's local top-k computed inside a single "
+        "FlatMapGroupsInPandas (asymmetric query×resident BLAS gram, "
         "exact int64 composite ordering), then a k·tables-per-id merge "
         "— the candidate PAIR shuffle (O(n²/2^planes) rows) that "
         "previously dominated at scale no longer exists in the plan."
+    ),
+    # (minhash_banding_sweep and dedup_cluster_delta return eagerly
+    # materialized results — their final "plan" is a checkpoint scan, so
+    # plan evidence for them lives in BENCHMARKS.md's measured tables
+    # instead of here)
+    "tokenizer_fertility_by_source": (
+        "Tokenizer eval (r8): training state is the bounded md5-slice "
+        "(TakeOrderedAndProject — a map-side top-N heap, no full "
+        "sort), the corpus-wide encode is ONE ArrowEvalPython applying "
+        "the learned rules as literal string replaces, and the "
+        "fertility aggregate is a single partial-aggregable "
+        "groupBy(source) — nothing in the plan scales beyond a corpus "
+        "scan."
     ),
     "bpe_packed_shards": (
         "Tokenizer→curation composition: the encode is ONE "
