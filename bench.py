@@ -250,6 +250,14 @@ SWEEP_QUERIES = [
     # — measured, recorded in BENCHMARKS.md), so sweeping it would
     # spend 40 s/run to restate exponent ≈ 0.
     "tokenizer_fertility_by_source", "dedup_cluster_delta",
+    # r8 late registrations (tools/sweep_one, ×10): the bit-slice-blocked
+    # Hamming pair scan (Arrow fingerprint lane) 2.5 s vs the EXACT
+    # quadratic oracle's 70 s (0.04×) — first measured at 181 s when the
+    # fingerprints were interpreted per-(bit×token) HOF lambdas, the
+    # sweep-before-listing discipline catching its third scale defect;
+    # the source×source dup matrix rides the LSH pair relation at 4.4 s
+    # vs 4.7 s (0.95×).
+    "simhash_hamming_pairs", "cross_source_dup_matrix",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -275,6 +283,9 @@ SWEEP_ORACLE_SKIP = {
 #: sweep's wall time.
 SWEEP_ORACLE_ONCE = {
     "tokenizer_fertility_by_source", "dedup_cluster_delta",
+    # exact-quadratic Hamming ground truth: 70 s at ×10 (the crossover
+    # vs Spark's 2.5 s blocked scan needs no min-of-2 precision)
+    "simhash_hamming_pairs",
 }
 
 

@@ -14,6 +14,7 @@ from trading_dashboard_spark.text.dedup import (
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_hamming_pairs,
 )
 from trading_dashboard_spark.text.sentiment import sentiment_score
 
@@ -60,6 +61,96 @@ def test_simhash_locality(spark):
         return bin(x ^ y).count("1")
 
     assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_simhash_hamming_pairs_matches_exact_quadratic(spark):
+    """The blocked pair scan must equal the exact O(n²) Hamming join —
+    the 4x16-bit pigeonhole guarantee, checked on a corpus with planted
+    near-identical docs plus unrelated filler."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = [
+        (1, base),
+        (2, base + " nu"),          # near-dup of 1
+        (3, base.replace("mu", "xi")),  # near-dup of 1
+        (4, "totally different words about spark shuffles and catalyst plans"),
+        (5, "another unrelated document mentioning parquet files and arrow"),
+        (6, base),                  # exact dup of 1 -> hamming 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    # exact ground truth via the fingerprint columns themselves
+    fps = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "doc_id",
+            simhash64(F.col("text")).alias("lo"),
+            simhash64(F.col("text"), md5_offset=9).alias("hi"),
+        ).collect()
+    }
+    exact = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                fps[a][1] ^ fps[b][1]
+            ).count("1")
+            if d <= 3:
+                exact[(a, b)] = d
+    assert got == exact
+    assert got[(1, 6)] == 0  # the planted exact dup survives with distance 0
+
+
+def test_simhash_arrow_lane_equals_hof_lane(spark):
+    """The vectorized fingerprint lane must be VALUE-IDENTICAL to the
+    pure-expression lane the SQL oracle replays — including the exact
+    trim/split/lower edge semantics (space-only trim, leading-empty
+    kept, trailing-empty dropped, ASCII whitespace class)."""
+    from trading_dashboard_spark.text.dedup import _simhash_parts_arrow
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "\tleading tab token"),
+        (5, "trailing space "),
+        (6, "MiXeD Case DUP dup mixed case"),
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (8, "repeated repeated repeated distinct"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = _simhash_parts_arrow()(F.col("text"))
+    arrow = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in df.select("doc_id", p["lo"].alias("lo"), p["hi"].alias("hi")).collect()
+    }
+    hof = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "doc_id",
+            simhash64(F.col("text")).alias("lo"),
+            simhash64(F.col("text"), md5_offset=9).alias("hi"),
+        ).collect()
+    }
+    assert arrow == hof
+    # and the pair scan agrees across lanes end-to-end
+    a = sorted(
+        tuple(r) for r in simhash_hamming_pairs(df, lane="arrow").collect()
+    )
+    b = sorted(
+        tuple(r) for r in simhash_hamming_pairs(df, lane="hof").collect()
+    )
+    assert a == b
+
+
+def test_simhash_hamming_pairs_radius_guard(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_hamming=4)
 
 
 def test_language_id_und_and_markers(spark):

@@ -253,6 +253,66 @@ def minhash_near_dup_pairs_q(spark, sf_dir):
 
 
 @register(
+    "cross_source_dup_matrix",
+    f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    j AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 6) AS avg_jaccard
+    FROM j GROUP BY source_a, source_b
+    """,
+    tags=("text", "X2", "dedup", "contamination"),
+)
+def cross_source_dup_matrix(spark, sf_dir):
+    """X2 composition — the source×source DUPLICATION MATRIX: near-dup
+    pair volume and mean Jaccard between every (unordered) pair of
+    sources, from the banded-MinHash pair relation. The report a corpus
+    curator reads to find which feeds copy from which (off-diagonal
+    mass = cross-source contamination; diagonal mass = within-feed
+    templating) before deciding survivor policy.
+
+    Scale shape: the pair relation is LSH-sized (dup-rate-bounded, two
+    8-byte ids + a double), and the enrichment joins attach the 2-column
+    (doc_id, source) projection — column-pruned at the scan — keyed on
+    ids; the final groupBy lands on a ≤|sources|² cell grid. Nothing in
+    the plan is quadratic in corpus size and no join carries text."""
+    from .text.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+        persist=True,
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            pround(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+    )
+
+
+@register(
     "ngram_jaccard_near_dups",
     f"""
     WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -340,6 +400,69 @@ def simhash_fingerprints(spark, sf_dir):
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def _simhash_hamming_oracle() -> str:
+    # EXACT quadratic ground truth: both 32-bit simhash halves (md5 hex
+    # offsets 1 and 9 — text/dedup.simhash64(md5_offset=...)) for every
+    # document, then the full O(n²) Hamming self-join. Independent of the
+    # engine's bit-slice blocking, so a value match at sf scale witnesses
+    # the 4x16-bit pigeonhole recall guarantee itself.
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
+                    ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                                        x -> lower(x)) END) AS toks
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hlo,
+             list_transform(toks, x -> ('0x' || substr(md5(x), 9, 8))::BIGINT) AS hhi
+      FROM t
+    ),
+    fp AS (
+      SELECT doc_id,
+        list_sum(list_transform(range(0, 32), b ->
+          CASE WHEN list_sum(list_transform(hlo, h ->
+                 CASE WHEN CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END)) > 0
+               THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END))::BIGINT AS lo,
+        list_sum(list_transform(range(0, 32), b ->
+          CASE WHEN list_sum(list_transform(hhi, h ->
+                 CASE WHEN CAST(floor(h / pow(2.0, b)) AS BIGINT) % 2 = 1
+                      THEN 1 ELSE -1 END)) > 0
+               THEN CAST(pow(2.0, b) AS BIGINT) ELSE 0 END))::BIGINT AS hi
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """
+
+
+@register(
+    "simhash_hamming_pairs",
+    _simhash_hamming_oracle(),
+    tags=("text", "X2", "dedup"),
+)
+def simhash_hamming_pairs_q(spark, sf_dir):
+    """X2 — SimHash near-dup PAIRS at Hamming distance ≤ 3 over a 64-bit
+    (two independent 32-bit halves) fingerprint, via bit-slice blocking
+    (Manku et al. WWW'07): 4 contiguous 16-bit blocks, pigeonhole recall
+    guarantee, equi-join candidate generation — the O(n²) comparison
+    never runs. The oracle IS the exact quadratic join, so the hash
+    match verifies the blocking's completeness, not just its arithmetic.
+    Completes the SimHash lane from fingerprints (simhash_fingerprints)
+    to the pair report the dedup pipeline consumes."""
+    from .io.readers import spread
+    from .text.dedup import simhash_hamming_pairs
+
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return simhash_hamming_pairs(docs)
 
 
 @register(

@@ -12,5 +12,6 @@ from .dedup import (  # noqa: F401
     minhash_near_dup_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_hamming_pairs,
 )
 from .sentiment import sentiment_score  # noqa: F401

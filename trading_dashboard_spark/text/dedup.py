@@ -21,6 +21,7 @@ scale. Design constraints for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves the arrow lane's string type hints)
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import pround
@@ -253,17 +254,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column, bits: int = 32) -> Column:
+def simhash64(text: Column, bits: int = 32, md5_offset: int = 1) -> Column:
     """SimHash fingerprint (default 32-bit for portable integer math).
 
-    Per token: md5 → first 8 hex chars → uint32; bit b contributes +1/-1 to
-    position b; fingerprint bit b = sign of the sum. Near-dups then differ
-    in few bits (Hamming distance via bit_count(xor)).
+    Per token: md5 → 8 hex chars starting at ``md5_offset`` (1-based) →
+    uint32; bit b contributes +1/-1 to position b; fingerprint bit b =
+    sign of the sum. Near-dups then differ in few bits (Hamming distance
+    via bit_count(xor)).
+
+    ``md5_offset`` selects which slice of the token's md5 feeds the
+    votes, so two calls (offsets 1 and 9) yield two INDEPENDENT 32-bit
+    halves — a portable 64-bit fingerprint as two BIGINT columns, each
+    staying within double-exact integer range (the reason the packer
+    can't emit one 64-bit value directly).
 
     Pure higher-order-function SQL (transform/aggregate/conv) — JVM-side.
     """
     toks = F.array_distinct(F.transform(tokenize(text), lambda x: F.lower(x)))
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), md5_offset, 8), 16, 10).cast("long"),
+    )
 
     def bit_of(h, b):  # (h >> b) & 1 without shift-by-column: h < 2^32 is double-exact
         return (h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
@@ -284,4 +295,189 @@ def simhash64(text: Column, bits: int = 32) -> Column:
             F.element_at(bit_votes, b + 1) > 0,
             F.pow(F.lit(2.0), b.cast("double")).cast("long"),
         ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def _simhash_parts_arrow():
+    """Arrow-vectorized BOTH-HALVES SimHash — value-identical to
+    ``simhash64(text)`` / ``simhash64(text, md5_offset=9)`` but ~70×
+    faster (measured 181 s → 2.5 s whole-query at the ×10 sweep): the per-bit HOF
+    vote expression is interpreted per (bit × token × half) ≈ 64
+    lambda evaluations per token, while this lane md5s each distinct
+    token once (hashlib — bit-identical to the JVM/DuckDB md5) and does
+    ALL vote arithmetic as three numpy batch ops (unpackbits →
+    add.reduceat per doc segment → majority-pack).
+
+    Exact-semantics notes (each one is load-bearing for the oracle
+    match): Spark ``trim`` strips 0x20 only; Java ``split`` keeps a
+    LEADING empty token when the string starts with whitespace but
+    drops TRAILING empties; Java ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``
+    (not the Unicode class Python defaults to); votes run over DISTINCT
+    lowercased tokens; fingerprint bit b = 1 iff strictly more than
+    half the tokens set bit b (the +1/-1 sum is > 0)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # unpackbits(bitorder='little') index of value-bit b in 4 big-endian
+    # bytes: byte (3 - b//8), bit (b % 8)
+    bit_ix = np.array([(3 - b // 8) * 8 + b % 8 for b in range(32)])
+    weights = (1 << np.arange(32, dtype=np.int64))
+
+    @pandas_udf(
+        StructType(
+            [StructField("lo", LongType()), StructField("hi", LongType())]
+        )
+    )
+    def parts(texts: pd.Series) -> pd.DataFrame:
+        digests: list[bytes] = []
+        seg_ends: list[int] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        n_tok = 0
+        for i, t in enumerate(texts):
+            s = (t or "").strip(" ")
+            if s:
+                toks = ws.split(s)
+                if toks and toks[-1] == "":
+                    toks.pop()
+                uniq = list(dict.fromkeys(tok.lower() for tok in toks))
+            else:
+                uniq = []
+            for tok in uniq:
+                digests.append(hashlib.md5(tok.encode("utf-8")).digest()[:8])
+            counts[i] = len(uniq)
+            n_tok += len(uniq)
+            seg_ends.append(n_tok)
+        if n_tok == 0:
+            z = np.zeros(len(texts), dtype=np.int64)
+            return pd.DataFrame({"lo": z, "hi": z})
+        bits = np.unpackbits(
+            np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        )
+        lo_bits = bits[:, bit_ix].astype(np.int64)
+        hi_bits = bits[:, bit_ix + 32].astype(np.int64)
+        seg_starts = np.concatenate(
+            ([0], np.asarray(seg_ends[:-1], dtype=np.int64))
+        ).astype(np.int64)
+        # reduceat needs strictly valid start offsets; empty docs (start
+        # == next start) produce the previous segment's sum — mask after
+        safe_starts = np.minimum(seg_starts, n_tok - 1)
+        lo_sum = np.add.reduceat(lo_bits, safe_starts, axis=0)
+        hi_sum = np.add.reduceat(hi_bits, safe_starts, axis=0)
+        nonempty = (counts > 0)[:, None]
+        lo_fp = ((2 * lo_sum > counts[:, None]) & nonempty) @ weights
+        hi_fp = ((2 * hi_sum > counts[:, None]) & nonempty) @ weights
+        return pd.DataFrame({"lo": lo_fp, "hi": hi_fp})
+
+    return parts
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    lane: str = "arrow",
+) -> DataFrame:
+    """X2 — all document pairs whose 64-bit SimHash differs in at most
+    ``max_hamming`` bits, found by BIT-SLICE BLOCKING (Manku/Jain/Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the
+    fingerprint into 4 contiguous 16-bit blocks; by pigeonhole, any pair
+    within Hamming distance 3 agrees EXACTLY on at least one block, so
+    candidate generation is a plain equi-join on (block_index,
+    block_value) and the O(n²) Hamming comparison never runs — only the
+    verify on block-collision survivors does.
+
+    Requires ``max_hamming <= 3`` (the recall guarantee is exactly the
+    4-block pigeonhole; a larger radius would need more/narrower blocks).
+
+    ``lane``: ``"arrow"`` (default) computes both fingerprint halves
+    with the vectorized `_simhash_parts_arrow` UDF — value-identical to
+    the HOF expressions and ~70× faster at the ×10 sweep (181 s →
+    2.5 s; the per-(bit×token×half) interpreted lambda was the entire
+    cost). ``"hof"`` keeps the pure-built-in expression lane — the
+    formulation the SQL oracle replays term-for-term — and the lane
+    equality is pinned by a unit test on planted docs plus the
+    sf-corpus oracle match.
+
+    100 TB design: the fingerprint relation is eagerly checkpointed
+    FIRST — three BIGINTs per document (~24 B/row), never text — so the
+    per-document vote work runs once instead of being re-derived
+    through the 4-way block explode × both self-join sides (measured
+    50× on the prototype). The join shuffles ~28-byte rows keyed by
+    16-bit block values; uniform fingerprints put n²/65536 candidates
+    per block (quadratic only in the collision rate), and real
+    near-dup clusters — the rows you want — dominate the survivors.
+    The registered oracle is the EXACT quadratic Hamming self-join, so
+    the sf-scale value match empirically witnesses the pigeonhole
+    recall guarantee, not just the arithmetic.
+    """
+    if max_hamming > 3:
+        raise ValueError("4x16-bit blocking guarantees recall only for max_hamming <= 3")
+    if lane == "arrow":
+        parts = _simhash_parts_arrow()(F.col(text_col))
+        fp_cols = [
+            F.col("__p.lo").alias("lo"),
+            F.col("__p.hi").alias("hi"),
+        ]
+        fps = (
+            df.select(F.col(id_col).alias("id"), parts.alias("__p"))
+            .select("id", *fp_cols)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        fps = (
+            df.select(
+                F.col(id_col).alias("id"),
+                simhash64(F.col(text_col)).alias("lo"),
+                simhash64(F.col(text_col), md5_offset=9).alias("hi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    blk = fps.select(
+        "id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("lo") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    F.floor(F.col("lo") / 65536).cast("long").alias("bv"),
+                ),
+                F.struct(F.lit(2).alias("bi"), (F.col("hi") % 65536).alias("bv")),
+                F.struct(
+                    F.lit(3).alias("bi"),
+                    F.floor(F.col("hi") / 65536).cast("long").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "lo", "hi", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    a, b = blk.alias("a"), blk.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
