@@ -116,7 +116,12 @@ def build_replica(spark, tmp: str, factor: int) -> None:
 #: oracles whose candidate-pair space is bucket-quadratic with FIXED LSH
 #: parameters — infeasible in DuckDB at ×100 (the Spark side is timed;
 #: the oracle skip is recorded, not silent)
-DUCK_SKIP_AT_100 = {"lsh_ann_top3", "semantic_dedup_survivors"}
+DUCK_SKIP_AT_100 = {
+    "lsh_ann_top3", "semantic_dedup_survivors",
+    # exact-quadratic Hamming ground truth: 70 s at ×10 scales ×100 to
+    # ~125B bit_count pairs (hours) — the crossover is already decided
+    "simhash_hamming_pairs",
+}
 
 #: oracles infeasible at ANY replica factor: the banding sweep's oracle
 #: materializes the full per-config bucket-pair expansion and blows past

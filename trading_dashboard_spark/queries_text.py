@@ -1155,6 +1155,83 @@ def vocabulary_growth_by_source(spark, sf_dir):
 
 
 @register(
+    "zipf_slope_by_source",
+    f"""
+    WITH toks_t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    flat AS (SELECT source, unnest(toks) AS tok FROM toks_t),
+    cnt AS (SELECT source, tok, count(*) AS c FROM flat GROUP BY source, tok),
+    rk AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS r
+      FROM cnt
+    ),
+    top AS (
+      SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM rk WHERE r <= 100
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0),
+                 4) AS zipf_slope
+    FROM top GROUP BY source
+    """,
+    tags=("text", "X4", "stats", "quality"),
+)
+def zipf_slope_by_source(spark, sf_dir):
+    """Zipf-law fit per source: least-squares slope of ln(frequency) vs
+    ln(rank) over each source's top-100 terms. Natural text sits near
+    slope −1; templated or machine-generated feeds flatten (repetitive
+    head) or steepen (boilerplate-dominated) — the corpus-quality
+    diagnostic that reads distribution SHAPE where
+    vocabulary_growth_by_source reads volume.
+
+    Scale shape: occurrences collapse to the vocabulary-sized
+    (source, term) count relation with map-side combine before any
+    exchange; ranking is a per-source window over that vocab relation
+    (never occurrences), and the regression runs on ≤100 points per
+    source with the closed-form sums — no ML stage, no collect. At
+    extreme per-source vocabularies the rank window would pre-prune
+    with a frequency threshold (only the top-100 can matter) before
+    sorting."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "source", F.explode(tokenize(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = cnt.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+        ),
+    ).filter(F.col("r") <= 100)
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    n = F.count(F.lit(1)).cast("double")
+    return (
+        rk.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            pround(
+                (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+                / F.nullif(
+                    n * F.sum(F.col("x") * F.col("x"))
+                    - F.sum("x") * F.sum("x"),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
+@register(
     "bm25_keyword_search",
     f"""
     WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -193,9 +193,19 @@ def minhash_near_dup_pairs(
     # matters more than row-pruning the shingle recompute. At corpus scale,
     # persist `cand` (or pass an LSH bucket as `block_col` to
     # ngram_jaccard_pairs) so verification scans only candidate ids.
+    #
+    # The verify joins are pinned to SORT-MERGE: `cand` grows with
+    # dup-rate × corpus (UNBOUNDED), but its size ESTIMATE after
+    # dropDuplicates routinely sits under the broadcast threshold, so
+    # Catalyst/AQE picks a driver broadcast that works at sf scale and
+    # OOMs the driver at corpus scale (first observed at the ×100
+    # replica: 'Not enough memory to build and broadcast' building the
+    # HashedRelation inside an 8 GB driver crowded with checkpoint
+    # blocks). SMJ is fully spillable on both sides; the sort cost on
+    # sf-scale data is noise (re-measured ×10 below).
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    pairs = cand.hint("merge").join(sh_a, "id_a").hint("merge").join(sh_b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter / F.when(union != 0, union).cast("double")
