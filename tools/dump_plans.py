@@ -45,7 +45,25 @@ COMMENTARY = {
         "Banded LSH: candidate generation is a groupBy on 32-hex band "
         "digests (shuffle carries ids + digests, never text), pair "
         "expansion happens inside bucket arrays, and exact verification "
-        "joins back by id — bounded FileScans, no CartesianProduct."
+        "joins back by id via SortMergeJoin — pinned, because the "
+        "candidate relation is unbounded (dup-rate x corpus) and its "
+        "under-threshold size estimate made Catalyst pick a driver "
+        "broadcast that OOM'd at the x100 replica. Bounded FileScans, "
+        "no CartesianProduct, no broadcast of anything corpus-growing."
+    ),
+    "simhash_hamming_pairs": (
+        "Bit-slice blocked Hamming scan (Manku WWW'07): the Arrow "
+        "fingerprint lane materializes (id, lo, hi) via localCheckpoint "
+        "— the plan shows an RDD scan feeding the 4-way block explode, "
+        "then a self-equi-join on (block_idx, block_value) 16-bit keys "
+        "and a bit_count verify. No O(n^2) operator anywhere; shuffle "
+        "rows are ~28 bytes."
+    ),
+    "cross_source_dup_matrix": (
+        "Composition over the LSH pair relation: the enrichment joins "
+        "attach a 2-column (doc_id, source) projection — ReadSchema "
+        "shows the documents scan pruned to two columns, text never "
+        "read — and the final aggregate lands on a <=|sources|^2 grid."
     ),
     "event_sessionization": (
         "Sessionize + two rollups on ONE Exchange: the window shuffles on "
