@@ -853,6 +853,50 @@ def near_dup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+@register(
+    "simhash_dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_simhash_hamming_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id)
+    SELECT component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed,
+           max(id) AS max_member
+    FROM labeled GROUP BY component
+    """,
+    tags=("text", "X2", "dedup", "clusters", "simhash"),
+)
+def simhash_dedup_clusters(spark, sf_dir):
+    """SimHash dedup clusters — the Hamming-neighbor pair relation
+    (simhash_hamming_pairs, bit-slice blocked) collapsed into survivor
+    groups by the same min-label-propagation components pass the
+    MinHash lane uses, completing the SimHash lane to full dedup parity
+    (fingerprints → pairs → clusters). Oracle recomputes the components
+    with a recursive transitive-closure CTE over the exact quadratic
+    pair ground truth — both the blocking's recall AND the fixpoint
+    labeling are value-checked in one query."""
+    from .text.clusters import dedup_clusters
+    from .text.dedup import simhash_hamming_pairs
+
+    from .io.readers import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    return dedup_clusters(simhash_hamming_pairs(docs))
+
+
 def _pii_oracle() -> str:
     """Generated from text/analysis.PII_PATTERNS so the two lanes share
     one pattern table (replacement order matters and is preserved)."""
@@ -1305,16 +1349,20 @@ def bm25_keyword_search(spark, sf_dir):
     base = toks.select(
         "doc_id", F.size("toks").alias("dl"),
         *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(terms)],
-    )
+    ).persist()
     # The slim (doc_id, dl, tf…) relation feeds BOTH the corpus-stats
     # aggregate and the scoring pass. The stats side is ONE row; pulling
     # it to the driver and re-entering as literals is operationally the
     # broadcast-cross-join idiom minus a duplicated plan subtree (the
     # broadcast build job re-tokenized the corpus — tokenize is ~80% of
-    # this query at the ×10 sweep; an eager localCheckpoint of base was
-    # measured SLOWER than the second pass, 0.98 s vs 0.30 s, because
-    # checkpointing trades codegen for row serialization). The collect
-    # is bounded by construction: exactly one row, four doubles.
+    # this query at the ×10 sweep). r8: `persist()` on the 5-numbers/doc
+    # relation lets the scoring pass read the columnar cache instead of
+    # re-tokenizing — measured 2.21 s → 1.24 s same-conditions at ×10
+    # (the r6 localCheckpoint attempt was slower, 0.98 vs 0.30 s,
+    # because checkpointing serializes ROWS; the columnar cache keeps
+    # the codegen'd scan). Cache is call-scoped: the 20-row result is
+    # eagerly checkpointed below, then the cache is released. The
+    # collect is bounded by construction: exactly one row, four doubles.
     srow = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -1342,7 +1390,7 @@ def bm25_keyword_search(spark, sf_dir):
     total = per_term[0]
     for t in per_term[1:]:
         total = total + t
-    return (
+    out = (
         scored.filter(hit > 0)
         .select(
             "doc_id",
@@ -1351,7 +1399,10 @@ def bm25_keyword_search(spark, sf_dir):
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
-    )
+        .localCheckpoint(eager=True)  # 20 rows — executes the scoring
+    )                                 # pass so the cache can release now
+    base.unpersist()
+    return out
 
 
 @register(
