@@ -272,3 +272,48 @@ def test_pq_encode_lanes_random_battery(spark):
     slow = {r["vec_id"]: list(r["pq_codes"])
             for r in encode_pq_expr(df, books, vectorized=False).collect()}
     assert fast == slow and len(fast) == n
+
+
+def test_simhash_arrow_lane_random_battery(spark):
+    """Arrow fingerprint lane == HOF expression lane on 200 adversarial
+    texts: random token soups, duplicate-heavy docs, mixed case, runs of
+    every ASCII whitespace the Java \\s class covers, leading/trailing
+    separators, null/empty — the exact trim/split/lower semantics the
+    SQL oracle replays. A drift here would hash-fail both
+    simhash_hamming_pairs and simhash_dedup_clusters at once."""
+    from trading_dashboard_spark.text.dedup import _simhash_parts_arrow, simhash64
+
+    rng = random.Random(1234)
+    words = ["alpha", "Beta", "GAMMA", "delta'", "x1", "Y2", "zzz", "a"]
+    ws_chars = [" ", "\t", "\n", "\x0b", "\f", "\r"]
+    rows = [(0, None), (1, ""), (2, "   "), (3, "".join(ws_chars))]
+    for i in range(3, 200):
+        n = rng.randint(1, 12)
+        parts = []
+        for _ in range(n):
+            w = rng.choice(words)
+            if rng.random() < 0.3:
+                w = w * rng.randint(1, 2)
+            parts.append(w)
+            parts.append("".join(rng.choice(ws_chars) for _ in range(rng.randint(1, 3))))
+        txt = "".join(parts)
+        if rng.random() < 0.3:
+            txt = rng.choice(ws_chars) + txt
+        if rng.random() < 0.5:
+            txt = txt.rstrip() if rng.random() < 0.5 else txt
+        rows.append((i + 10, txt))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = _simhash_parts_arrow()(F.col("text"))
+    arrow = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in df.select("doc_id", p["lo"].alias("lo"), p["hi"].alias("hi")).collect()
+    }
+    hof = {
+        r["doc_id"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "doc_id",
+            simhash64(F.col("text")).alias("lo"),
+            simhash64(F.col("text"), md5_offset=9).alias("hi"),
+        ).collect()
+    }
+    assert arrow == hof

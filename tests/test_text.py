@@ -106,8 +106,9 @@ def test_simhash_hamming_pairs_matches_exact_quadratic(spark):
 def test_simhash_arrow_lane_equals_hof_lane(spark):
     """The vectorized fingerprint lane must be VALUE-IDENTICAL to the
     pure-expression lane the SQL oracle replays — including the exact
-    trim/split/lower edge semantics (space-only trim, leading-empty
-    kept, trailing-empty dropped, ASCII whitespace class)."""
+    trim/split/lower edge semantics (space-only trim, limit −1 split
+    keeping BOTH leading and trailing empty tokens, ASCII whitespace
+    class)."""
     from trading_dashboard_spark.text.dedup import _simhash_parts_arrow
 
     rows = [

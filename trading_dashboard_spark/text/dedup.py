@@ -319,12 +319,16 @@ def _simhash_parts_arrow():
     add.reduceat per doc segment → majority-pack).
 
     Exact-semantics notes (each one is load-bearing for the oracle
-    match): Spark ``trim`` strips 0x20 only; Java ``split`` keeps a
-    LEADING empty token when the string starts with whitespace but
-    drops TRAILING empties; Java ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``
-    (not the Unicode class Python defaults to); votes run over DISTINCT
-    lowercased tokens; fingerprint bit b = 1 iff strictly more than
-    half the tokens set bit b (the +1/-1 sum is > 0)."""
+    match): Spark ``trim`` strips 0x20 only; Spark ``split`` uses
+    limit −1, so BOTH a leading and a trailing empty token survive
+    when the trimmed string starts/ends with non-space whitespace
+    (unlike Java's default limit 0, which drops trailing empties —
+    ``re.split`` matches Spark here, caught by the random battery in
+    tests/test_cross_engine_properties.py); Java ``\\s`` is ASCII
+    ``[ \\t\\n\\x0B\\f\\r]`` (not the Unicode class Python defaults to);
+    votes run over DISTINCT lowercased tokens; fingerprint bit b = 1
+    iff strictly more than half the tokens set bit b (the +1/-1 sum
+    is > 0)."""
     import hashlib
     import re
 
@@ -353,10 +357,7 @@ def _simhash_parts_arrow():
         for i, t in enumerate(texts):
             s = (t or "").strip(" ")
             if s:
-                toks = ws.split(s)
-                if toks and toks[-1] == "":
-                    toks.pop()
-                uniq = list(dict.fromkeys(tok.lower() for tok in toks))
+                uniq = list(dict.fromkeys(tok.lower() for tok in ws.split(s)))
             else:
                 uniq = []
             for tok in uniq:
