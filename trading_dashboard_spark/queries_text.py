@@ -2842,6 +2842,105 @@ def minhash_incremental_admission(spark, sf_dir):
     )
 
 
+@register(
+    "split_drift_chi2_by_source",
+    f"""
+    WITH toks_t AS (
+      SELECT source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    cells AS (
+      SELECT source, tok,
+             sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS c_tr,
+             sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS c_ho
+      FROM (SELECT source, is_train, unnest(toks) AS tok FROM toks_t)
+      GROUP BY source, tok
+    ),
+    rk AS (
+      SELECT source, c_tr, c_ho,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c_tr + c_ho DESC, tok) AS r
+      FROM cells
+    ),
+    top AS (
+      SELECT source, c_tr, c_ho,
+             sum(c_tr) OVER (PARTITION BY source) AS t_tot,
+             sum(c_ho) OVER (PARTITION BY source) AS h_tot
+      FROM rk WHERE r <= 50
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(
+             pow(c_tr - (c_tr + c_ho) * t_tot / CAST(nullif(t_tot + h_tot, 0) AS DOUBLE), 2)
+               / nullif((c_tr + c_ho) * t_tot / CAST(nullif(t_tot + h_tot, 0) AS DOUBLE), 0)
+             + pow(c_ho - (c_tr + c_ho) * h_tot / CAST(nullif(t_tot + h_tot, 0) AS DOUBLE), 2)
+               / nullif((c_tr + c_ho) * h_tot / CAST(nullif(t_tot + h_tot, 0) AS DOUBLE), 0)
+           ), 4) AS chi2
+    FROM top GROUP BY source
+    """,
+    tags=("text", "X4", "quality", "drift", "evaluation"),
+)
+def split_drift_chi2_by_source(spark, sf_dir):
+    """Two-sample chi² drift between the train and held-out splits, per
+    source, over each source's top-50 terms — the DISTRIBUTIONAL drift
+    test beside heldout_bigram_fit_by_source's OOV/log-prob view (a
+    templated or shifting source shows high chi² even when every term
+    is in-vocabulary). Splits are the corpus-wide md5-deterministic
+    ~80/20 slice every split query shares.
+
+    Scale shape: the corpus pays ONE occurrence shuffle — the
+    (source, term) groupBy with map-side combine carrying both splits'
+    counts (the heldout-LM cells idiom) — and everything downstream
+    (rank window, expected-count windows, chi² aggregate) runs on the
+    vocabulary-sized then ≤50-rows-per-source relation."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    cells = (
+        docs.select(
+            "source", is_train.alias("is_train"),
+            F.explode(tokenize(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("c_tr"),
+            F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).alias("c_ho"),
+        )
+    )
+    rk = cells.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                (F.col("c_tr") + F.col("c_ho")).desc(), "tok"
+            )
+        ),
+    ).filter(F.col("r") <= 50)
+    w_s = W.partitionBy("source")
+    top = rk.select(
+        "source", "c_tr", "c_ho",
+        F.sum("c_tr").over(w_s).alias("t_tot"),
+        F.sum("c_ho").over(w_s).alias("h_tot"),
+    )
+    tot = F.nullif(
+        (F.col("t_tot") + F.col("h_tot")).cast("double"), F.lit(0.0)
+    )
+    e_tr = (F.col("c_tr") + F.col("c_ho")) * F.col("t_tot") / tot
+    e_ho = (F.col("c_tr") + F.col("c_ho")) * F.col("h_tot") / tot
+    term = (
+        F.pow(F.col("c_tr") - e_tr, F.lit(2.0)) / F.nullif(e_tr, F.lit(0.0))
+        + F.pow(F.col("c_ho") - e_ho, F.lit(2.0)) / F.nullif(e_ho, F.lit(0.0))
+    )
+    return top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        pround(F.sum(term), 4).alias("chi2"),
+    )
+
+
 def _heldout_lm_oracle() -> str:
     return f"""
     WITH toks_t AS (
