@@ -321,10 +321,16 @@ def test_bm25_has_no_token_explode(spark, sf_dir):
     """BM25 over a fixed query vocabulary never materializes token rows:
     per-term tf is a map-only array fold (zero Generate operators), the
     only aggregates are the single-row corpus stats, and the result is
-    a TakeOrderedAndProject."""
-    plan = _plan(spark, sf_dir, "bm25_keyword_search")
+    a TakeOrderedAndProject. The registered fn eagerly checkpoints its
+    20-row result to scope the r8 persist (the checkpointed plan is an
+    RDD scan); `_lazy=True` exposes the scoring plan this test reads."""
+    from trading_dashboard_spark.queries_text import bm25_keyword_search
+
+    df = bm25_keyword_search(spark, sf_dir, _lazy=True)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, plan
     assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan  # scoring reads the columnar cache
 
 
 def test_sweep_line_windows_are_day_partitioned(spark, sf_dir):

@@ -1305,7 +1305,7 @@ def zipf_slope_by_source(spark, sf_dir):
     """,
     tags=("text", "X4", "retrieval", "bm25", "top-k"),
 )
-def bm25_keyword_search(spark, sf_dir):
+def bm25_keyword_search(spark, sf_dir, _lazy=False):
     """BM25 keyword retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed
     query term set — the lexical half of a retrieval stack next to the
     kNN/ANN dense half (X3). For a FIXED small query vocabulary the
@@ -1390,7 +1390,7 @@ def bm25_keyword_search(spark, sf_dir):
     total = per_term[0]
     for t in per_term[1:]:
         total = total + t
-    out = (
+    out_lazy = (
         scored.filter(hit > 0)
         .select(
             "doc_id",
@@ -1399,9 +1399,11 @@ def bm25_keyword_search(spark, sf_dir):
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
-        .localCheckpoint(eager=True)  # 20 rows — executes the scoring
-    )                                 # pass so the cache can release now
-    base.unpersist()
+    )
+    if _lazy:
+        return out_lazy  # plan-test hook: cache stays owned by caller
+    out = out_lazy.localCheckpoint(eager=True)  # 20 rows — executes the
+    base.unpersist()  # scoring pass so the cache can release now
     return out
 
 

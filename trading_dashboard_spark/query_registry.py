@@ -55,9 +55,9 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str
 
 
 def _with_confs(fn):
-    def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def inner(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
         apply_runtime_confs(spark)
-        return fn(spark, sf_dir)
+        return fn(spark, sf_dir, **kw)
 
     inner.__doc__ = fn.__doc__
     inner.__name__ = getattr(fn, "__name__", "query")
