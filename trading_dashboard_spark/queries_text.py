@@ -3009,7 +3009,10 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
     shifting, or contaminated. OOV is reported, not smoothed away — no
     smoothing constant to argue about, and both engines agree exactly.
 
-    Scale shape (r8 rewrite — was 4.1 s / 10.1x at the x10 sweep): the
+    Scale shape (r8 rewrite — was 4.1 s / 10.1x at the x10 sweep; after
+    it, 2.0 s / 4.5x at x10 and **4.6 s / 1.36x at x100** with scaling
+    exponent 0.36 — the residual x10 gap is job floor and amortizes
+    exactly as a linear plan predicts): the
     corpus pays exactly ONE occurrence-level shuffle, a
     groupBy(hb, hb1, source) whose map-side combine collapses repeated
     bigrams before the exchange and which carries BOTH the train and
