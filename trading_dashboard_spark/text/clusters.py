@@ -68,6 +68,16 @@ def connected_components(
         # iteration — now costs zero extra jobs. Measured ×10:
         # simhash_dedup_clusters 20.2 → 17.5 s, dedup_cluster_delta
         # (two CC loops) 12.3 → 6.8 s.
+        #
+        # Pointer jumping (Shiloach-Vishkin shortcutting: each node also
+        # adopts its new label's current label) was implemented and
+        # MEASURED: it halves rounds on the diameter-7 Hamming-pair
+        # graph (8 → 4) but the extra per-round label-lookup shuffle
+        # costs what the saved rounds saved (17.5 → 17.0 s) and
+        # REGRESSES the 2-round MinHash graphs (delta 6.8 → 7.9 s) —
+        # reverted; near-dup cluster graphs are short-diameter by
+        # construction, so rounds don't grow with corpus size and the
+        # linear loop is the right default.
         new_comp = F.least(
             F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
         )
