@@ -317,3 +317,64 @@ def test_simhash_arrow_lane_random_battery(spark):
         ).collect()
     }
     assert arrow == hof
+
+
+def test_connected_components_equals_union_find_random_battery(spark):
+    """The min-label-propagation fixpoint == a reference union-find on
+    random graphs spanning the shapes dedup emits: singleton pairs,
+    chains (worst-case diameter), stars, dense cliques, and sparse
+    random edges. Guards every cluster-family query at once (the four
+    oracle checks only see the corpus's actual graph shapes)."""
+    from trading_dashboard_spark.text.clusters import connected_components
+
+    rng = random.Random(99)
+    edges = []
+    # chains: the diameter stressor
+    base = 0
+    for length in (2, 5, 9):
+        edges += [(base + i, base + i + 1) for i in range(length)]
+        base += length + 1
+    # star
+    edges += [(base, base + i) for i in range(1, 6)]
+    base += 10
+    # clique
+    clique = list(range(base, base + 5))
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    base += 10
+    # random sparse edges over a fresh id range
+    ids = list(range(base, base + 40))
+    edges += [tuple(sorted(rng.sample(ids, 2))) for _ in range(25)]
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = find(x)
+    # normalize: component label = min member id
+    comp_min: dict = {}
+    for x, r in expected.items():
+        comp_min.setdefault(r, x)
+        comp_min[r] = min(comp_min[r], x)
+    expected = {x: comp_min[r] for x, r in expected.items()}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df, max_iter=30).collect()
+    }
+    assert got == expected
