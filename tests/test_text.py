@@ -154,6 +154,24 @@ def test_simhash_hamming_pairs_radius_guard(spark):
         simhash_hamming_pairs(df, max_hamming=4)
 
 
+def test_simhash_hamming_max_block_drops_degenerate_flood(spark):
+    """A flood of identical docs (one degenerate fingerprint) explodes
+    the pair space quadratically; max_block caps it. Distinct near-dups
+    with uncrowded blocks are unaffected."""
+    flood = [(i, "same exact words everywhere") for i in range(30)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    distinct = [(100, base), (101, base)]  # hamming-0 twins, pop-2 blocks
+    df = spark.createDataFrame(flood + distinct, ["doc_id", "text"])
+    uncapped = simhash_hamming_pairs(df).collect()
+    assert len(uncapped) >= 30 * 29 // 2  # the flood dominates
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_hamming_pairs(df, max_block=10).collect()
+    }
+    assert (100, 101) in capped      # real near-dup survives
+    assert len(capped) == 1          # flood blocks (pop 30 > 10) dropped
+
+
 def test_language_id_und_and_markers(spark):
     df = spark.createDataFrame(
         [(1, "the cat is on the mat"), (2, "der hund ist nicht da"), (3, "xyzzy plugh")],

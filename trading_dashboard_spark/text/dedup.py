@@ -397,6 +397,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     lane: str = "arrow",
+    max_block: int | None = None,
 ) -> DataFrame:
     """X2 — all document pairs whose 64-bit SimHash differs in at most
     ``max_hamming`` bits, found by BIT-SLICE BLOCKING (Manku/Jain/Sarma,
@@ -430,6 +431,17 @@ def simhash_hamming_pairs(
     The registered oracle is the EXACT quadratic Hamming self-join, so
     the sf-scale value match empirically witnesses the pigeonhole
     recall guarantee, not just the arithmetic.
+
+    ``max_block`` (corpus-scale hygiene, default off — the registered
+    query keeps exact semantics): a DEGENERATE block value — empty or
+    boilerplate documents all hashing to the same fingerprint — turns
+    the candidate equi-join quadratic in that block's population.
+    Setting a cap drops (block_idx, block_value) cells above it before
+    the join, the same `max_bucket` escape the MinHash lane exposes.
+    Pairs whose ONLY agreeing block was dropped lose the recall
+    guarantee, so run `exact_dedup` FIRST (identical-fingerprint
+    floods are exact dups; after collapsing them no natural block
+    should exceed a small multiple of the cluster size).
     """
     if max_hamming > 3:
         raise ValueError("4x16-bit blocking guarantees recall only for max_hamming <= 3")
@@ -472,6 +484,14 @@ def simhash_hamming_pairs(
             )
         ).alias("b"),
     ).select("id", "lo", "hi", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+    if max_block is not None:
+        pop = (
+            blk.groupBy("bi", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_block)
+            .select("bi", "bv")
+        )
+        blk = blk.join(pop, ["bi", "bv"])
     a, b = blk.alias("a"), blk.alias("b")
     hamming = (
         F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
