@@ -121,6 +121,10 @@ DUCK_SKIP_AT_100 = {
     # exact-quadratic Hamming ground truth: 70 s at ×10 scales ×100 to
     # ~125B bit_count pairs (hours) — the crossover is already decided
     "simhash_hamming_pairs",
+    # recursive-closure oracles: the Hamming-cluster one was killed
+    # after 35 min at a mere ×10; delta's two closures read 115 s at
+    # ×10 single-run — neither is informative at ×100
+    "simhash_dedup_clusters", "dedup_cluster_delta",
 }
 
 #: oracles infeasible at ANY replica factor: the banding sweep's oracle
