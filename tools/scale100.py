@@ -57,13 +57,24 @@ def build_replica(spark, tmp: str, factor: int) -> None:
 
     from trading_dashboard_spark.io.readers import load_table
 
-    for t in ("documents", "embeddings"):
+    for t in ("documents", "embeddings", "events"):
         df = load_table(spark, t, SF_DIR)
-        id_col = {"documents": "doc_id", "embeddings": "vec_id"}[t]
+        id_col = {
+            "documents": "doc_id", "embeddings": "vec_id",
+            "events": "event_id",
+        }[t]
         offset = df.agg(F.max(id_col)).first()[0] + 1
         copies = []
         for i in range(factor):
             c = df.withColumn(id_col, F.col(id_col) + F.lit(i * offset))
+            if t == "events":
+                # +1h per copy, same as bench.py's ×10 sweep — keeps the
+                # per-hour event density ~constant instead of stacking
+                # 100 copies into the same timestamps (a hot-window skew
+                # pathology for session/interval-join state)
+                c = c.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {i} HOUR")
+                )
             if t == "documents" and i:
                 r1 = SALT1[i % 10:] + SALT1[: i % 10]
                 r2 = SALT2[(i // 10) % 10:] + SALT2[: (i // 10) % 10]
@@ -105,11 +116,14 @@ def build_replica(spark, tmp: str, factor: int) -> None:
         for c in copies[1:]:
             out = out.unionByName(c)
         # ~one file per copy keeps the write parallel and the read split
+        if t == "events":
+            # write through the raw-int64 ts form the reader expects
+            out = out.withColumn("ts", F.unix_micros("ts") * 1000)
         out.repartition(max(32, factor)).write.mode("overwrite").parquet(
             f"{tmp}/{t}.parquet"
         )
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"):
+              "orders", "lineitem"):
         shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
 
 
@@ -153,6 +167,16 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
             duck_con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
             )
+        # replica events carry raw-int64 ns timestamps (the form the
+        # engine's reader normalizes); oracles expect TIMESTAMP — same
+        # view bench.py's ×10 sweep builds
+        esrc = f"{data_dir}/events.parquet"
+        eglob = f"{esrc}/*.parquet" if os.path.isdir(esrc) else esrc
+        duck_con.execute(
+            "CREATE VIEW events AS SELECT event_id, "
+            "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, user_id, "
+            f"event_type, value, props FROM read_parquet('{eglob}')"
+        )
     for name in names:
         ent = registry[name]
         best = float("inf")
