@@ -691,6 +691,82 @@ def source_mixture_plan(spark, sf_dir):
 
 
 @register(
+    "temperature_mixture_plan",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    planned AS (
+      SELECT source, n_docs,
+             round(pow(n_docs, 0.3)
+                   / (SELECT sum(pow(n_docs, 0.3)) FROM counts), 6) AS weight,
+             round(least(1.0,
+                   ({_MIX_BUDGET} * pow(n_docs, 0.3)
+                    / (SELECT sum(pow(n_docs, 0.3)) FROM counts))
+                   / n_docs), 6) AS rate
+      FROM counts
+    ),
+    sampled AS (
+      SELECT d.source, count(*) AS n_sampled
+      FROM documents d JOIN planned p USING (source)
+      WHERE {_hash_frac_sql('d.doc_id')} < p.rate
+      GROUP BY d.source
+    )
+    SELECT p.source,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           p.weight, p.rate,
+           CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM planned p LEFT JOIN sampled s USING (source)
+    """,
+    tags=("training", "sampling", "mixture"),
+)
+def temperature_mixture_plan(spark, sf_dir):
+    """TEMPERATURE-scaled mixture (p_i ∝ n_i^α, α = 0.3 — the
+    mT5/multilingual-pretraining sampling rule, Xue et al. 2021 §3.1):
+    up-weights small sources and damps head sources relative to
+    natural frequency, where `source_mixture_plan` is the equal-share
+    (α = 0) endpoint. Same machinery: weights from the count profile,
+    per-source Bernoulli rates against the shared 2000-doc budget,
+    deterministic md5-fraction sampling — the plan broadcasts onto the
+    corpus scan, the sample is a map-only filter, nothing scales with
+    anything but the source count. Rates/weights are 6dp-rounded
+    BEFORE the sampling comparison on both engines, so ulp-level
+    pow/partial-sum differences cannot flip a document's membership
+    (the md5 fraction is an exact 32-bit rational on both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wpow = F.pow(F.col("n_docs").cast("double"), F.lit(0.3))
+    wsum = counts.agg(F.sum(wpow).alias("wsum"))
+    planned = (
+        counts.crossJoin(F.broadcast(wsum))
+        .withColumn("weight", pround(wpow / F.col("wsum"), 6))
+        .withColumn(
+            "rate",
+            pround(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(_MIX_BUDGET) * (wpow / F.col("wsum")) / F.col("n_docs"),
+                ),
+                6,
+            ),
+        )
+    )
+    sampled = (
+        docs.join(F.broadcast(planned.select("source", "rate")), "source")
+        .filter(_hash_frac(F.col("doc_id")) < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return planned.join(sampled, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "weight",
+        "rate",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+    )
+
+
+@register(
     "curation_funnel",
     f"""
     WITH base AS (
