@@ -1944,6 +1944,116 @@ def bpe_token_stats(spark, sf_dir):
     )
 
 
+#: bounded training slice for the sampled word-level BPE regime (the
+#: production tokenizer shape: TRAIN on a constant-size deterministic
+#: sample, ENCODE the whole corpus)
+_BPE_STATS_SAMPLE_DOCS = 100
+
+
+def _bpe_sampled_stats_oracle() -> str:
+    """Training replay over the md5-deterministic ``_BPE_STATS_SAMPLE_DOCS``
+    slice, apply chain + stats over the FULL corpus — the sampled twin
+    of `_bpe_stats_oracle` (new CTE names; the shared layer generators
+    are reused as-is since they only reference vocab/s{{k}}/a{{k}})."""
+    layers = ",".join(_bpe_train_layer(k) for k in range(_BPE_N_MERGES))
+    apply_layers = ",".join(
+        _bpe_apply_layer(
+            k, f"(SELECT a FROM best{k})", f"(SELECT b FROM best{k})", "a"
+        )
+        for k in range(_BPE_N_MERGES)
+    )
+    return f"""
+    WITH strain AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_BPE_STATS_SAMPLE_DOCS}
+    ),
+    toks_tr AS MATERIALIZED (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '[^a-z0-9'']+'),
+                    t -> t <> '')) AS w
+      FROM strain
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks_tr GROUP BY w
+      ORDER BY n DESC, w LIMIT {_BPE_MAX_VOCAB}
+    ),
+    s0 AS MATERIALIZED (
+      SELECT w, unnest(range(1, len(cs) + 1)) AS pos,
+             cs[unnest(range(1, len(cs) + 1))] AS sym
+      FROM (SELECT w, list_concat(regexp_extract_all(w, '.'), ['</w>']) AS cs
+            FROM vocab)
+    ),
+    {layers},
+    toks AS MATERIALIZED (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                      '[^a-z0-9'']+'),
+                    t -> t <> '')) AS w
+      FROM documents
+    ),
+    a0 AS MATERIALIZED (
+      SELECT w, unnest(range(1, len(cs) + 1)) AS pos,
+             cs[unnest(range(1, len(cs) + 1))] AS sym
+      FROM (SELECT w, list_concat(regexp_extract_all(w, '.'), ['</w>']) AS cs
+            FROM (SELECT DISTINCT w FROM toks))
+    ),
+    {apply_layers},
+    wstats AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_toks,
+             CAST(count(*) FILTER (WHERE sym LIKE '%</w>') AS BIGINT) AS n_eow
+      FROM a{_BPE_N_MERGES} GROUP BY w
+    ),
+    doc_tok AS (
+      SELECT t.doc_id, sum(ws.n_toks) AS n_toks, sum(ws.n_eow) AS n_eow
+      FROM toks t JOIN wstats ws ON ws.w = t.w GROUP BY t.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(dt.n_toks, 0)) AS BIGINT) AS total_tokens,
+           CAST(sum(coalesce(dt.n_eow, 0)) AS BIGINT) AS n_word_end_tokens,
+           round(CAST(sum(coalesce(dt.n_toks, 0)) AS DOUBLE) / count(*), 6)
+             AS avg_tokens_per_doc
+    FROM documents d LEFT JOIN doc_tok dt ON dt.doc_id = d.doc_id
+    GROUP BY d.lang"""
+
+
+@register(
+    "bpe_sampled_token_stats", _bpe_sampled_stats_oracle(),
+    tags=("text", "X4", "tokenizer", "bpe", "sampling"),
+)
+def bpe_sampled_token_stats(spark, sf_dir):
+    """The PRODUCTION word-level tokenizer regime: TRAIN on a bounded
+    deterministic sample (the 100-doc smallest-(md5(id), id) slice —
+    the fit_bpe_sequences/ivf/pq `sample_n` discipline), ENCODE the
+    full corpus, report per-language subword stats. `bpe_token_stats`
+    trains on everything — the right correctness exercise, but at
+    100 TB nobody scans the corpus to fit a tokenizer; this registers
+    the shape where training cost is CONSTANT in corpus size and only
+    the map-only memoized Arrow encode scales. The oracle replays the
+    sampled training AND the full-corpus apply chain, so the
+    train-on-slice/apply-everywhere contract itself is value-checked
+    (a slice-leak into vocab selection would hash-fail)."""
+    from .text.bpe import apply_bpe, fit_bpe, word_frequencies
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).limit(_BPE_STATS_SAMPLE_DOCS)
+    vocab = word_frequencies(train, max_vocab=_BPE_MAX_VOCAB)
+    merges = fit_bpe(vocab, n_merges=_BPE_N_MERGES)
+    enc = apply_bpe(docs, merges, ordered=True)
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("bpe_tokens")).cast("long").alias("total_tokens"),
+        F.sum(
+            F.size(F.filter("bpe_tokens", lambda t: t.endswith("</w>")))
+        ).cast("long").alias("n_word_end_tokens"),
+        pround(
+            F.sum(F.size("bpe_tokens")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens_per_doc"),
+    )
+
+
 #: sequence-level (phrase) BPE depth — 256 rules is past the point where
 #: the corpus's 31-word surface vocabulary saturates word-level BPE
 #: (~120 char merges exhaust it), so every rule is a learned PHRASE.
