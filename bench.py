@@ -258,6 +258,14 @@ SWEEP_QUERIES = [
     # the source×source dup matrix rides the LSH pair relation at 4.4 s
     # vs 4.7 s (0.95×).
     "simhash_hamming_pairs", "cross_source_dup_matrix",
+    # the production tokenizer regime (r8): constant-cost sampled train,
+    # full-corpus encode — the encode is the data-bound term (1.5 s vs
+    # 0.86 s at ×10 measured before listing; full-trained stats 3.2 s).
+    # simhash_dedup_clusters is NOT swept: its cost decomposes into the
+    # already-swept pair scan + the CC loop dedup_cluster_delta prices,
+    # and its recursive-closure oracle is infeasible at the replica
+    # (killed after 35 min).
+    "bpe_sampled_token_stats",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
