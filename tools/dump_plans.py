@@ -284,7 +284,11 @@ def main() -> None:
         "",
     ]
     for name, note in COMMENTARY.items():
-        df = QUERY_REGISTRY[name].fn(spark, SF_DIR)
+        # queries that eagerly checkpoint their (tiny) result to scope a
+        # persist expose the SCORING plan via _lazy=True — the registered
+        # path's executed plan is just an RDD scan of the checkpoint
+        kwargs = {"_lazy": True} if name in {"bm25_keyword_search"} else {}
+        df = QUERY_REGISTRY[name].fn(spark, SF_DIR, **kwargs)
         plan = df._jdf.queryExecution().explainString(mode)
         out += [f"## {name}", "", note, "", "```", plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
