@@ -130,8 +130,10 @@ COMMENTARY = {
         "Lexical retrieval with ZERO token explode (plan test asserts no "
         "Generate): per-term tf is a map-only size(filter(toks, ...)) "
         "array fold per query term, so the corpus scan emits one "
-        "fixed-width row per doc; the single-row df/corpus-stats "
-        "aggregate broadcasts back; top-20 is TakeOrderedAndProject."
+        "fixed-width row per doc; corpus stats re-enter as driver "
+        "literals, and the scoring pass reads the persisted 5-numbers/doc "
+        "relation (InMemoryTableScan — the r8 cut that stopped the "
+        "double tokenize); top-20 is TakeOrderedAndProject."
     ),
     "pca_top_component_power_iteration": (
         "Iterative tier: the corpus pass is MapInPandas (Arrow Gram "
