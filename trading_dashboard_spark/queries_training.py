@@ -900,6 +900,87 @@ def curation_funnel(spark, sf_dir):
 
 
 @register(
+    "token_budget_selection",
+    """
+    WITH t AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(txt) / 4.0) AS BIGINT) AS est_tokens,
+             round(coalesce(
+               CAST(len(list_filter(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE list_transform(string_split_regex(trim(txt), '\\s+'),
+                                          x -> lower(x)) END,
+                 x -> x IN ('the','a','an','and','or','of','to','is','in','it')))
+                 AS DOUBLE)
+               / nullif(len(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(txt), '\\s+') END), 0),
+               0.0), 6) AS q
+      FROM t
+    ),
+    ranked AS (
+      SELECT *, sum(est_tokens) OVER (ORDER BY q DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM scored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cum <= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           CAST(sum(CASE WHEN cum <= 50000 THEN est_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_admitted
+    FROM ranked GROUP BY source
+    """,
+    tags=("training", "curation", "selection", "budget"),
+)
+def token_budget_selection(spark, sf_dir):
+    """BUDGETED corpus selection: rank every document by a quality score
+    (stopword ratio — the same signal the curation gate thresholds) and
+    admit the ranked prefix whose running token estimate fits a 50k
+    budget, reporting per-source admitted volume. This is the
+    'best data under a compute budget' op — selection where
+    `token_budget_shards` is layout and `curation_funnel`'s gate is a
+    fixed threshold: the budget, not a score cutoff, decides admission,
+    so the cutoff FLOATS with corpus quality.
+
+    The ranked prefix sum here is a global ORDER BY (exact contract,
+    shared with the oracle). At 100 TB the same contract is served by
+    threshold selection: aggregate (score-bucket → token totals), scan
+    the KB-scale bucket histogram for the budget boundary bucket, then
+    one map-only filter on score > cutoff plus an intra-bucket ranked
+    topoff — two passes, no global sort; the window form is kept
+    registered because it is the form a value oracle can replay
+    row-for-row. Scores are 6dp-rounded BEFORE ranking on both engines
+    so ordering cannot hinge on a ulp."""
+    from .text.analysis import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / 4.0
+        ).cast("long").alias("est_tokens"),
+        pround(F.coalesce(q["stopword_ratio"], F.lit(0.0)), 6).alias("q"),
+    )
+    w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = scored.withColumn("cum", F.sum("est_tokens").over(w))
+    admit = F.col("cum") <= 50000
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(admit, 1).otherwise(0)).cast("bigint").alias("n_admitted"),
+        F.sum(F.when(admit, F.col("est_tokens")).otherwise(0))
+        .cast("bigint").alias("tokens_admitted"),
+    )
+
+
+@register(
     "grouped_heavy_hitters",
     """
     SELECT event_type, user_id AS item, est, rk FROM (
