@@ -369,3 +369,63 @@ def test_adaptive_ntile_queries_distributed_parity(spark, monkeypatch):
     plan = tiled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     ranks.release_rank_cache(tiled)
+
+
+def test_global_prefix_sum_matches_window(spark):
+    """ranks.global_prefix_sum == the unpartitioned running-sum window
+    on a unique total order — including negative values (the partition
+    total must be sum(value), not max(cumsum)), ties broken by the key,
+    and more partitions than rows (empty partitions contribute zero
+    offsets)."""
+    from pyspark.sql import Window as W, functions as F
+
+    from trading_dashboard_spark.operators import ranks
+
+    rows = [(i, v) for i, v in enumerate([5, -3, 0, 7, -10, 2, 2, 9, -1, 4])]
+    df = spark.createDataFrame(rows, "k int, v long").repartition(7)
+
+    got = ranks.global_prefix_sum(df, [F.col("v"), F.col("k")], "v", "cum")
+    w = W.orderBy(F.col("v"), F.col("k")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert (
+        sorted(map(tuple, got.collect()))
+        == sorted(map(tuple, want.collect()))
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    ranks.release_rank_cache(got)
+
+    # more partitions than rows
+    tiny = spark.createDataFrame(rows[:2], "k int, v long")
+    got2 = ranks.global_prefix_sum(
+        tiny, [F.col("v"), F.col("k")], "v", "cum", partitions=9
+    )
+    assert sorted(map(tuple, got2.collect())) == [(0, 5, 2), (1, -3, -3)]
+    ranks.release_rank_cache(got2)
+
+
+def test_token_budget_selection_distributed_parity(spark, monkeypatch):
+    """r8 verdict #2: forcing the row threshold to 0 routes
+    token_budget_selection through the bucket-histogram threshold path
+    — per-source admissions must equal the exact global-window path,
+    and the boundary-bucket prefix-sum plan must contain no
+    single-partition exchange (asserted in
+    test_global_prefix_sum_matches_window; here we additionally check
+    the histogram decomposition on real sf data)."""
+    from trading_dashboard_spark.operators import ranks
+    from trading_dashboard_spark.queries_training import (
+        token_budget_selection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {tuple(r) for r in token_budget_selection(spark, sf).collect()}
+
+    monkeypatch.setattr(ranks, "NTILE_EXACT_MAX_ROWS", 0)
+    dist = {tuple(r) for r in token_budget_selection(spark, sf).collect()}
+    assert dist == exact and len(exact) > 0
+    # the budget must actually bind at this SF for the parity to be
+    # meaningful (otherwise both paths trivially admit everything)
+    assert any(r[1] > r[2] for r in exact), "budget did not bind"

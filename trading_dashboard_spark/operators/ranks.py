@@ -108,6 +108,79 @@ def _with_global_rank(
     return ranked, acc
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    sort_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` over a global total
+    order, with no ``Exchange SinglePartition`` stage — the prefix-sum
+    generalization of :func:`_with_global_rank` (a global row number is
+    the prefix sum of 1s).
+
+    Same two-stage shape: range-partition on ``sort_cols`` (partition
+    i's rows all order before partition i+1's), stamp within-partition
+    running sums in one Arrow pass, then lift per-partition totals to
+    the driver (bounded by the PARTITION count, a cluster constant) and
+    add the prefix offset as a plan literal indexed by partition id.
+    ``sort_cols`` must be a unique total order for ties to resolve
+    identically to the window form.
+
+    Eagerly checkpoints the stamped relation (same reason as
+    _with_global_rank: the range partitioner samples boundaries per
+    execution, so the totals job and the returned plan must read ONE
+    frozen partitioning).  The CALLER owns the cache lifetime — after
+    materializing every derived output, call :func:`release_rank_cache`
+    on the returned DataFrame."""
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n_parts, *sort_cols).sortWithinPartitions(*sort_cols)
+
+    val_type = df.schema[value_col].dataType
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__lsum", val_type, False),
+        ]
+    )
+
+    def stamp(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            if len(pdf):
+                cs = pdf[value_col].cumsum() + acc
+                pdf["__lsum"] = cs
+                acc = cs.iloc[-1]
+            else:
+                pdf["__lsum"] = pdf[value_col]
+            yield pdf
+
+    stamped = rp.mapInPandas(stamp, out_schema).localCheckpoint(eager=True)
+    totals = {
+        r["__pid"]: r["t"]
+        for r in stamped.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_parts):
+        offsets.append(acc)
+        acc += totals.get(pid, 0) or 0
+    arr = F.array(*[F.lit(o).cast(val_type) for o in offsets])
+    return stamped.withColumn(
+        out_col,
+        (F.element_at(arr, F.col("__pid") + 1) + F.col("__lsum")).cast(val_type),
+    ).drop("__pid", "__lsum")
+
+
 def release_rank_cache(df: DataFrame) -> bool:
     """Free the eager localCheckpoint blocks backing a two-stage rank
     result (``exact=False`` paths checkpoint the full stamped relation

@@ -929,9 +929,9 @@ def curation_funnel(spark, sf_dir):
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN cum <= 50000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_admitted,
-           CAST(sum(CASE WHEN cum <= 50000 THEN est_tokens ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN cum <= 20000 THEN est_tokens ELSE 0 END) AS BIGINT)
              AS tokens_admitted
     FROM ranked GROUP BY source
     """,
@@ -940,22 +940,39 @@ def curation_funnel(spark, sf_dir):
 def token_budget_selection(spark, sf_dir):
     """BUDGETED corpus selection: rank every document by a quality score
     (stopword ratio — the same signal the curation gate thresholds) and
-    admit the ranked prefix whose running token estimate fits a 50k
-    budget, reporting per-source admitted volume. This is the
+    admit the ranked prefix whose running token estimate fits a 20k
+    budget (sized to BIND at the sf-dir corpora, so the floating cutoff
+    is actually exercised by the value oracle), reporting per-source admitted volume. This is the
     'best data under a compute budget' op — selection where
     `token_budget_shards` is layout and `curation_funnel`'s gate is a
     fixed threshold: the budget, not a score cutoff, decides admission,
     so the cutoff FLOATS with corpus quality.
 
-    The ranked prefix sum here is a global ORDER BY (exact contract,
-    shared with the oracle). At 100 TB the same contract is served by
-    threshold selection: aggregate (score-bucket → token totals), scan
-    the KB-scale bucket histogram for the budget boundary bucket, then
-    one map-only filter on score > cutoff plus an intra-bucket ranked
-    topoff — two passes, no global sort; the window form is kept
-    registered because it is the form a value oracle can replay
-    row-for-row. Scores are 6dp-rounded BEFORE ranking on both engines
-    so ordering cannot hinge on a ulp."""
+    Adaptive plan policy (mirrors operators/ranks): at/below
+    ranks.NTILE_EXACT_MAX_ROWS documents the ranked prefix sum runs as
+    the global ORDER BY window (exact contract, the form a value oracle
+    replays row-for-row; one few-MB single-task sort is cheaper than
+    distributed machinery at that size).  ABOVE it the same admitted
+    set is computed with NO single-partition stage — threshold
+    selection (r8 verdict #2):
+
+    1. aggregate (6dp score bucket → token total): the histogram is
+       bounded by the score DOMAIN (≤ 1e6+1 buckets for a ratio in
+       [0,1]), not the corpus, so the driver-side boundary scan is a
+       bounded collect of the ivf-fit-sample class;
+    2. walk the histogram best-score-first for the boundary bucket (the
+       admitted set is a prefix of the (q desc, doc_id) order because
+       the running sum is monotone, so whole buckets above the boundary
+       are admitted, whole buckets below rejected);
+    3. map-only ``q > cutoff`` flag for the mass of rows, plus an
+       intra-bucket ranked topoff on the boundary bucket only via the
+       two-stage ranks.global_prefix_sum (no SinglePartition exchange
+       even when the boundary bucket is degenerate-large).
+
+    Both paths return identical rows (tests force the threshold path on
+    sf data and compare).  Scores are 6dp-rounded BEFORE ranking on
+    both engines so ordering cannot hinge on a ulp."""
+    from .operators import ranks
     from .text.analysis import quality_features
 
     docs = _t(spark, sf_dir, "documents")
@@ -967,17 +984,74 @@ def token_budget_selection(spark, sf_dir):
         ).cast("long").alias("est_tokens"),
         pround(F.coalesce(q["stopword_ratio"], F.lit(0.0)), 6).alias("q"),
     )
-    w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    budget = 20000
+
+    def summarize(flagged):
+        return flagged.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("admit"), 1).otherwise(0))
+            .cast("bigint").alias("n_admitted"),
+            F.sum(F.when(F.col("admit"), F.col("est_tokens")).otherwise(0))
+            .cast("bigint").alias("tokens_admitted"),
+        )
+
+    if docs.count() <= ranks.NTILE_EXACT_MAX_ROWS:
+        w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return summarize(scored.withColumn(
+            "admit", F.sum("est_tokens").over(w) <= budget
+        ))
+    flagged, boundary = _budget_threshold_flags(scored, budget)
+    out = summarize(flagged)
+    rows = out.collect()  # one row per source — bounded by design
+    if boundary is not None:
+        ranks.release_rank_cache(boundary)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _budget_threshold_flags(scored, budget):
+    """Scale path for token_budget_selection: flag the budgeted ranked
+    prefix of the (q desc, doc_id) order without a global sort.
+    Returns (flagged_df, boundary_df_or_None) — the boundary relation
+    carries a ranks.global_prefix_sum checkpoint whose lifetime the
+    caller owns (release after materializing, see release_rank_cache).
+
+    The admitted set is a PREFIX (the running token sum is monotone
+    non-decreasing), so it decomposes into whole score-buckets above a
+    boundary score plus a ranked prefix INSIDE the boundary bucket.
+    The histogram walk runs on the driver over at most |score domain|
+    rows (6dp ratio → ≤ 1e6+1; KB–MB scale, corpus-size independent);
+    everything row-scaled stays distributed: one partial-agg shuffle
+    for the histogram, a map-only flag for non-boundary rows, and the
+    two-stage prefix sum confined to the boundary bucket."""
+    from .operators import ranks
+
+    hist = (
+        scored.groupBy("q")
+        .agg(F.sum("est_tokens").alias("toks"))
+        .collect()
     )
-    ranked = scored.withColumn("cum", F.sum("est_tokens").over(w))
-    admit = F.col("cum") <= 50000
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(admit, 1).otherwise(0)).cast("bigint").alias("n_admitted"),
-        F.sum(F.when(admit, F.col("est_tokens")).otherwise(0))
-        .cast("bigint").alias("tokens_admitted"),
+    acc = 0
+    cutoff = None  # boundary score; None = whole corpus fits
+    rem = 0  # budget left for the boundary bucket's ranked prefix
+    for row in sorted(hist, key=lambda r: -r["q"]):
+        if acc + row["toks"] <= budget:
+            acc += row["toks"]
+        else:
+            cutoff, rem = row["q"], budget - acc
+            break
+    if cutoff is None:
+        return scored.withColumn("admit", F.lit(True)), None
+    rest = scored.filter(F.col("q") != cutoff).withColumn(
+        "admit", F.col("q") > cutoff
     )
+    boundary = ranks.global_prefix_sum(
+        scored.filter(F.col("q") == cutoff),
+        [F.col("doc_id")], "est_tokens", "bcum",
+    )
+    flagged = boundary.withColumn("admit", F.col("bcum") <= rem).drop("bcum")
+    return rest.unionByName(flagged), boundary
 
 
 @register(
