@@ -378,3 +378,48 @@ def test_connected_components_equals_union_find_random_battery(spark):
         for r in connected_components(df, max_iter=30).collect()
     }
     assert got == expected
+
+
+def test_oracle_tokenizer_class_matches_java_ws_battery(spark):
+    """The shared _TOKS oracle fragment (explicit [ \\t\\n\\x0b\\f\\r]+
+    class — ADVICE r8) == text/analysis.tokenize + lower on 200 texts
+    saturated with every Java \\s character, INCLUDING vertical tab,
+    which RE2's '\\s' excludes: a plain '\\s+' oracle would split
+    '\\x0b'-joined words differently from every engine lane. Also pins
+    the empty-doc guard (DuckDB splits '' to [''], tokenize() to [])."""
+    from trading_dashboard_spark.queries_text import _TOKS
+    from trading_dashboard_spark.text.analysis import tokenize
+
+    rng = random.Random(99)
+    words = ["Alpha", "beta", "GAMMA", "d'lta", "x1", "Y2"]
+    ws_chars = [" ", "\t", "\n", "\x0b", "\f", "\r"]
+    rows = [(0, None), (1, ""), (2, "   "), (3, "a\x0bb"), (4, "\x0b")]
+    for i in range(5, 200):
+        parts = []
+        for _ in range(rng.randint(1, 10)):
+            parts.append(rng.choice(words))
+            parts.append(
+                "".join(rng.choice(ws_chars) for _ in range(rng.randint(1, 3)))
+            )
+        txt = "".join(parts)
+        if rng.random() < 0.5:
+            txt = rng.choice(ws_chars) + txt
+        rows.append((i, txt))
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    eng = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id",
+            F.transform(tokenize(F.col("text")), F.lower).alias("toks"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        d: t for d, t in con.execute(
+            f"SELECT doc_id, {_TOKS} AS toks FROM documents"
+        ).fetchall()
+    }
+    assert eng == duck

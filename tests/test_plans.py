@@ -326,11 +326,14 @@ def test_bm25_has_no_token_explode(spark, sf_dir):
     RDD scan); `_lazy=True` exposes the scoring plan this test reads."""
     from trading_dashboard_spark.queries_text import bm25_keyword_search
 
-    df = bm25_keyword_search(spark, sf_dir, _lazy=True)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Generate" not in plan, plan
-    assert "TakeOrderedAndProject" in plan
-    assert "InMemoryTableScan" in plan  # scoring reads the columnar cache
+    df, base = bm25_keyword_search(spark, sf_dir, _lazy=True)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan, plan
+        assert "TakeOrderedAndProject" in plan
+        assert "InMemoryTableScan" in plan  # scoring reads the columnar cache
+    finally:
+        base.unpersist()
 
 
 def test_sweep_line_windows_are_day_partitioned(spark, sf_dir):

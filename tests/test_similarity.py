@@ -554,3 +554,22 @@ def test_cosine_pair_scan_lane_equals_join_lane(spark, sf_dir):
                                            **kw).collect()}
     assert scan == join
     assert len(scan) > 0  # non-vacuous: threshold low enough to emit
+
+
+def test_lsh_knn_rejects_overflowing_probe_count(spark, sf_dir):
+    """ADVICE r8: only n_planes distinct lowest-margin flips exist, so
+    n_probes > n_planes must raise a clear ValueError at call time, not
+    an opaque numpy reshape error inside the pandas UDF at job time.
+    n_probes == n_planes (probe every plane) stays legal."""
+    import pytest
+
+    from trading_dashboard_spark.similarity.lsh import lsh_knn
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(64)
+    with pytest.raises(ValueError, match="n_probes=4 exceeds the 3"):
+        lsh_knn(emb, dim=64, k=1, n_planes=3, n_tables=2, n_probes=4)
+    # boundary: flipping all planes is a valid (if exhaustive) probe set
+    got = lsh_knn(
+        emb, dim=64, k=1, n_planes=3, n_tables=2, n_probes=3
+    ).collect()
+    assert len(got) > 0

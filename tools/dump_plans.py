@@ -291,7 +291,12 @@ def main() -> None:
         # path's executed plan is just an RDD scan of the checkpoint
         kwargs = {"_lazy": True} if name in {"bm25_keyword_search"} else {}
         df = QUERY_REGISTRY[name].fn(spark, SF_DIR, **kwargs)
+        cache = None
+        if kwargs:  # _lazy returns (df, persisted-base) — caller releases
+            df, cache = df
         plan = df._jdf.queryExecution().explainString(mode)
+        if cache is not None:
+            cache.unpersist()
         out += [f"## {name}", "", note, "", "```", plan.rstrip(), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(path, "w") as f:

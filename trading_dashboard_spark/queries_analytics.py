@@ -2824,7 +2824,7 @@ def value_psi_drift(spark, sf_dir):
       SELECT doc_id,
              len(CASE WHEN len(trim(coalesce(text, ''))) = 0
                       THEN []::VARCHAR[]
-                      ELSE string_split_regex(trim(text), '\\s+') END)
+                      ELSE string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') END)
                AS n_tok
       FROM documents
     ),

@@ -1016,7 +1016,7 @@ def pca_top_component_power_iteration(spark, sf_dir):
     WITH toks_t AS (
       SELECT doc_id,
              (CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-                   ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                   ELSE list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                        t -> lower(t)) END) AS toks
       FROM documents
     ),

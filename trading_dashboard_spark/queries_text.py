@@ -21,9 +21,13 @@ from .text.analysis import LANG_MARKERS
 #: The empty/whitespace-only guard matters: DuckDB's string_split_regex
 #: returns [''] (len 1) for empty input where tokenize() returns an empty
 #: array — latent divergence on any corpus containing empty docs.
+#: The explicit character class spells out Java's \s ([ \t\n\x0B\f\r]) —
+#: RE2's \s EXCLUDES vertical tab, so a plain '\s+' oracle would split
+#: differently from every engine lane on any \x0B-containing document
+#: (ADVICE r8); the same class is used in every oracle regexp_replace.
 _TOKS = (
     "(CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[] "
-    "ELSE list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) END)"
+    "ELSE list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), t -> lower(t)) END)"
 )
 
 #: word 3-gram shingle set (matches text/dedup.shingles, n=3)
@@ -81,7 +85,7 @@ def _minhash_oracle() -> str:
     """
     SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
     FROM documents
-    GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+    GROUP BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
     """,
     tags=("text", "X1", "dedup"),
 )
@@ -207,7 +211,7 @@ def language_id_counts(spark, sf_dir):
     """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+           CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))) AS BIGINT)
              AS n_unique
     FROM documents GROUP BY source
     """,
@@ -370,7 +374,7 @@ def _simhash_oracle() -> str:
       SELECT doc_id,
              list_distinct(
                CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-                    ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                    ELSE list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                         x -> lower(x)) END) AS toks
       FROM documents
     ),
@@ -413,7 +417,7 @@ def _simhash_hamming_oracle() -> str:
       SELECT doc_id,
              list_distinct(
                CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-                    ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                    ELSE list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                         x -> lower(x)) END) AS toks
       FROM documents
     ),
@@ -887,14 +891,21 @@ def simhash_dedup_clusters(spark, sf_dir):
     (fingerprints → pairs → clusters). Oracle recomputes the components
     with a recursive transitive-closure CTE over the exact quadratic
     pair ground truth — both the blocking's recall AND the fixpoint
-    labeling are value-checked in one query."""
-    from .text.clusters import dedup_clusters
-    from .text.dedup import simhash_hamming_pairs
+    labeling are value-checked in one query.
+
+    r9 (verdict #5): runs the EXACT-COLLAPSE form — identical
+    fingerprints become one weighted representative node before the CC
+    loop, shrinking the iterated graph by the corpus dup-rate (a
+    k-flood is 1 node, not a k²/2-edge clique); structurally
+    equivalent to the uncollapsed rollup (see
+    text/dedup.simhash_cluster_summary), pinned by test and by this
+    unchanged full-graph oracle."""
+    from .text.dedup import simhash_cluster_summary
 
     from .io.readers import spread
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    return dedup_clusters(simhash_hamming_pairs(docs))
+    return simhash_cluster_summary(docs)
 
 
 def _pii_oracle() -> str:
@@ -969,7 +980,7 @@ def doc_pii_redaction(spark, sf_dir):
     WITH toks_t AS (
       SELECT doc_id,
              CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-                  ELSE list_transform(string_split_regex(trim(text), '\\s+'),
+                  ELSE list_transform(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                       t -> lower(t)) END AS tks
       FROM documents
     ),
@@ -1401,7 +1412,11 @@ def bm25_keyword_search(spark, sf_dir, _lazy=False):
         .limit(20)
     )
     if _lazy:
-        return out_lazy  # plan-test hook: cache stays owned by caller
+        # plan-test hook: hand the caller BOTH the lazy scoring plan and
+        # the persisted base so it can unpersist after reading the plan
+        # (ADVICE r8: returning only the df leaked the cache for the
+        # session lifetime)
+        return out_lazy, base
     out = out_lazy.localCheckpoint(eager=True)  # 20 rows — executes the
     base.unpersist()  # scoring pass so the cache can release now
     return out
@@ -1713,7 +1728,7 @@ def verbatim_overlap_pairs(spark, sf_dir):
     WITH clusters AS (
       SELECT count(*) AS sz
       FROM documents
-      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      GROUP BY md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))
     )
     SELECT CAST(sz AS INT) AS cluster_size,
            CAST(count(*) AS BIGINT) AS n_clusters,
@@ -2506,8 +2521,11 @@ def minhash_banding_sweep(spark, sf_dir):
     no min-rank shuffle). Scoring runs over 8-byte xxhash64 shingle
     FINGERPRINTS (the cross-lingual idiom: shingle text never leaves
     the map stage; only counts surface, so the engine may fingerprint
-    where the oracle keeps strings — identical equivalence classes),
-    and each pair fans out to its candidate ranks via a 4-bounded
+    where the oracle keeps strings — equivalence classes identical
+    ABSENT a 64-bit collision between two distinct shingles of the
+    same document pair, an assumption (P ≈ pairs·shingles²/2⁶⁵, not a
+    structural guarantee — ADVICE r8) the oracle's rounded-Jaccard
+    hash check inherits), and each pair fans out to its candidate ranks via a 4-bounded
     sequence explode. One linear job; shuffle rows are
     (16-byte band hash, id) and fixed-width pair rows. Measured at the
     ×10 sweep: 10.6 s (sequential 4-branch form) → ~6 s."""
@@ -3373,7 +3391,11 @@ def dedup_cluster_delta(spark, sf_dir):
     the delta graph reuses `text/clusters.connected_components`
     unchanged, and the merged cluster's label (min over node ids) IS
     the min over all true members. The oracle replays both closures as
-    recursive CTEs."""
+    recursive CTEs over exact shingle STRINGS where the engine scores
+    xxhash64 shingle fingerprints — equivalence classes identical
+    absent a 64-bit collision within a compared pair (probabilistic
+    assumption, not structural; see minhash_banding_sweep — ADVICE
+    r8)."""
     from .text.clusters import connected_components
     from .text.dedup import minhash_signature, shingles
 

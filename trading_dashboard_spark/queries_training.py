@@ -225,7 +225,7 @@ def token_budget_shards(spark, sf_dir):
                WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
                WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
                ELSE 'test' END AS split,
-             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
       FROM documents
     ),
     train_fps AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train')
@@ -354,7 +354,7 @@ def stratified_sample_by_lang(spark, sf_dir):
       SELECT doc_id,
              CASE WHEN length(trim(coalesce(text, ''))) = 0
                   THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+                  ELSE string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') END AS toks
       FROM documents
     ),
     n AS (
@@ -773,9 +773,9 @@ def temperature_mixture_plan(spark, sf_dir):
       SELECT doc_id, source, text,
              CAST(ceil(length(trim(coalesce(text, ''))) / 4.0) AS BIGINT) AS est_tokens,
              CASE WHEN len(trim(coalesce(text, ''))) = 0 THEN []::VARCHAR[]
-                  ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                  ELSE list_transform(string_split_regex(trim(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+'),
                                       t -> lower(t)) END AS toks,
-             md5(regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g')) AS fp
+             md5(regexp_replace(lower(trim(coalesce(text, ''))), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS fp
       FROM documents
     ),
     feats AS (
@@ -912,13 +912,13 @@ def curation_funnel(spark, sf_dir):
              round(coalesce(
                CAST(len(list_filter(
                  CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE list_transform(string_split_regex(trim(txt), '\\s+'),
+                      ELSE list_transform(string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+'),
                                           x -> lower(x)) END,
                  x -> x IN ('the','a','an','and','or','of','to','is','in','it')))
                  AS DOUBLE)
                / nullif(len(
                  CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE string_split_regex(trim(txt), '\\s+') END), 0),
+                      ELSE string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+') END), 0),
                0.0), 6) AS q
       FROM t
     ),

@@ -200,6 +200,15 @@ def lsh_knn(
                 # (9pl, 2tb, 5pr) reads 0.225 — barely the baseline.
                 n_probes += (2 * delta) // 3
             n_planes = target
+    if n_probes > n_planes:
+        # each probe flips a distinct lowest-|margin| plane, so at most
+        # n_planes probes exist; past that the UDF's reshape would fail
+        # with an opaque numpy error at job time (ADVICE r8)
+        raise ValueError(
+            f"lsh_knn: n_probes={n_probes} exceeds the {n_planes} "
+            "hyperplanes available to flip (resolved grid); "
+            "lower n_probes or raise n_planes"
+        )
     global LAST_RESOLVED_GRID
     LAST_RESOLVED_GRID = {
         "n_planes": n_planes, "n_tables": n_tables, "n_probes": n_probes,

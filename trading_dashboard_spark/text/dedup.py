@@ -28,6 +28,14 @@ from ..functions import pround
 
 from .analysis import fingerprint, tokenize
 
+#: Candidate-pair COUNT (not estimate) at or below which the LSH verify
+#: joins may broadcast the (id_a, id_b) relation: 1M pairs ≈ 16 MB of
+#: key payload, a hashed relation comfortably inside any driver/executor
+#: at defaults. Above it the joins stay pinned sort-merge — the ×100
+#: sweep showed Catalyst's under-threshold ESTIMATE broadcasting an
+#: unbounded dup-rate × corpus relation into a driver OOM (r8).
+MINHASH_BROADCAST_MAX_PAIRS = 1_000_000
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """X1 — exact dedup: one survivor per canonicalized text, smallest id
@@ -194,18 +202,42 @@ def minhash_near_dup_pairs(
     # persist `cand` (or pass an LSH bucket as `block_col` to
     # ngram_jaccard_pairs) so verification scans only candidate ids.
     #
-    # The verify joins are pinned to SORT-MERGE: `cand` grows with
-    # dup-rate × corpus (UNBOUNDED), but its size ESTIMATE after
-    # dropDuplicates routinely sits under the broadcast threshold, so
-    # Catalyst/AQE picks a driver broadcast that works at sf scale and
+    # Verify-join strategy is SIZE-AWARE (r8 verdict #7): `cand` grows
+    # with dup-rate × corpus (UNBOUNDED), and its size ESTIMATE after
+    # dropDuplicates routinely sits under the broadcast threshold, so an
+    # unpinned plan picks a driver broadcast that works at sf scale and
     # OOMs the driver at corpus scale (first observed at the ×100
     # replica: 'Not enough memory to build and broadcast' building the
     # HashedRelation inside an 8 GB driver crowded with checkpoint
-    # blocks). SMJ is fully spillable on both sides; the sort cost on
-    # sf-scale data is noise (re-measured ×10 below).
+    # blocks). The r8 unconditional `hint("merge")` pin fixed ×100 but
+    # cost ~0.6 s of needless sorts at sf0.1 (driver reading 1.48 →
+    # 2.07 s). On the scoped-cache path we now persist `cand` (two
+    # longs/row) and COUNT it — one extra banding job over the already
+    # cached shingle relation — and the count, unlike the estimate, is
+    # a provable bound: at or below MINHASH_BROADCAST_MAX_PAIRS the
+    # verify joins run broadcast (shuffle- and sort-free over the
+    # cached shingles); above it, spillable sort-merge. Un-scoped
+    # callers (plan tests, cluster pipelines that checkpoint the pairs
+    # themselves) keep the single lazy SMJ-pinned plan — no hidden
+    # action inside the builder.
     sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = cand.hint("merge").join(sh_a, "id_a").hint("merge").join(sh_b, "id_b")
+    cand_cached = False
+    if persist and scope_cache:
+        cand = cand.persist()
+        cand_cached = True
+        if cand.count() <= MINHASH_BROADCAST_MAX_PAIRS:
+            pairs = F.broadcast(cand).join(sh_a, "id_a").join(sh_b, "id_b")
+        else:
+            pairs = (
+                cand.hint("merge").join(sh_a, "id_a")
+                .hint("merge").join(sh_b, "id_b")
+            )
+    else:
+        pairs = (
+            cand.hint("merge").join(sh_a, "id_a")
+            .hint("merge").join(sh_b, "id_b")
+        )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     jac = inter / F.when(union != 0, union).cast("double")
@@ -217,6 +249,8 @@ def minhash_near_dup_pairs(
     if persist and scope_cache:
         out = out.localCheckpoint(eager=True)
         base.unpersist()
+        if cand_cached:
+            cand.unpersist()
     return out
 
 
@@ -445,26 +479,41 @@ def simhash_hamming_pairs(
     """
     if max_hamming > 3:
         raise ValueError("4x16-bit blocking guarantees recall only for max_hamming <= 3")
+    fps = _simhash_fps(df, id_col, text_col, lane)
+    return _hamming_block_pairs(fps, max_hamming, max_block)
+
+
+def _simhash_fps(
+    df: DataFrame, id_col: str, text_col: str, lane: str
+) -> DataFrame:
+    """(id, lo, hi) 2×32-bit SimHash fingerprint relation, eagerly
+    checkpointed (~24 B/row — the per-document vote work runs once, not
+    re-derived through the block explode × both self-join sides)."""
     if lane == "arrow":
         parts = _simhash_parts_arrow()(F.col(text_col))
         fp_cols = [
             F.col("__p.lo").alias("lo"),
             F.col("__p.hi").alias("hi"),
         ]
-        fps = (
+        return (
             df.select(F.col(id_col).alias("id"), parts.alias("__p"))
             .select("id", *fp_cols)
             .localCheckpoint(eager=True)
         )
-    else:
-        fps = (
-            df.select(
-                F.col(id_col).alias("id"),
-                simhash64(F.col(text_col)).alias("lo"),
-                simhash64(F.col(text_col), md5_offset=9).alias("hi"),
-            )
-            .localCheckpoint(eager=True)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            simhash64(F.col(text_col)).alias("lo"),
+            simhash64(F.col(text_col), md5_offset=9).alias("hi"),
         )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _hamming_block_pairs(
+    fps: DataFrame, max_hamming: int, max_block: int | None
+) -> DataFrame:
+    """Pigeonhole-blocked Hamming pairs over an (id, lo, hi) relation."""
     blk = fps.select(
         "id",
         "lo",
@@ -511,4 +560,68 @@ def simhash_hamming_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def simhash_cluster_summary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    lane: str = "arrow",
+    max_block: int | None = None,
+) -> DataFrame:
+    """SimHash dedup clusters with EXACT-DUPLICATE COLLAPSE before the
+    components pass (r8 verdict #5): identical fingerprints — exact or
+    near-exact duplicate floods — are first grouped to one
+    representative node (min id) carrying the group's weight, and the
+    Hamming blocking + min-label CC loop runs over REPRESENTATIVES
+    only. A k-duplicate flood contributes one node instead of a
+    k-member clique (k²/2 edges dragged through every CC round), so
+    the graph shrinks by the corpus dup-rate before the iterative
+    stage — the dominant ×100 cost — ever starts.
+
+    Semantics-preserving BY CONSTRUCTION, not probabilistically:
+    members of a fingerprint group are pairwise Hamming-0 (one
+    component), a member-level Hamming distance equals its groups'
+    fingerprint distance (members carry exactly their group's bits),
+    and the component label (min rep id) is the min member id because
+    each rep is its group's minimum. Equality with the uncollapsed
+    ``dedup_clusters(simhash_hamming_pairs(...))`` rollup is pinned by
+    test on flood-planted corpora.
+
+    Output schema matches dedup_clusters: (component, n_members,
+    n_removed, max_member), where counts are weighted by group size and
+    groups of weight ≥ 2 with no inter-group edge still surface (their
+    members were pairs in the uncollapsed graph).
+    """
+    from .clusters import connected_components
+
+    if max_hamming > 3:
+        raise ValueError("4x16-bit blocking guarantees recall only for max_hamming <= 3")
+    fps = _simhash_fps(df, id_col, text_col, lane)
+    groups = (
+        fps.groupBy("lo", "hi")
+        .agg(
+            F.min("id").alias("id"),
+            F.count(F.lit(1)).alias("w"),
+            F.max("id").alias("grp_max"),
+        )
+        .localCheckpoint(eager=True)  # reps feed blocking AND the rollup
+    )
+    pairs = _hamming_block_pairs(
+        groups.select("id", "lo", "hi"), max_hamming, max_block
+    )
+    cc = connected_components(pairs)
+    labeled = (
+        groups.join(cc, "id", "left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+        # groups untouched by any edge are clusters only if they carry
+        # an exact-dup flood of their own (w >= 2)
+        .filter(cc["component"].isNotNull() | (F.col("w") >= 2))
+    )
+    return labeled.groupBy("component").agg(
+        F.sum("w").alias("n_members"),
+        (F.sum("w") - 1).alias("n_removed"),
+        F.max("grp_max").alias("max_member"),
     )
