@@ -555,9 +555,29 @@ def test_vader_published_compound_parity():
         "Not such a badass after all.": -0.2584,
         "I like to hate Michael Bay films, but I couldn't fault this "
         "one": 0.3153,
+        # r9 expansion attempt — NEGATIVE RESULT, recorded per the
+        # evidence standard: the remaining README tricky sentences
+        # ("neither that funny, nor super witty", "Uwe Boll", "won't
+        # say ... astounding ... banal", "ugly meanings in beautiful
+        # things", "slow and repetitive parts, BUT ... spice") were
+        # each scored and NONE closed against a recalled published
+        # compound, so none were added. The analysis surfaced WHY for
+        # one: vaderSentiment-HEAD added "super" to BOOSTER_DICT after
+        # the NLTK port froze, so its demo scores the neither/nor
+        # sentence with super-as-booster (≈-0.62) while NLTK (our
+        # parity target, and the reference's download source) scores
+        # super as a 2.9 lexicon token under nor-negation — our
+        # -0.7881 is the NLTK-semantics value, pinned below.
     }
     for text, expected in published.items():
         assert abs(round(vader_score(text), 4) - expected) < 5e-5, text
+    # NLTK-semantics pin for the version-drift case documented above
+    # (NOT a published anchor — it guards against silently adopting the
+    # vaderSentiment-HEAD "super" booster, which would break parity
+    # with the NLTK port the reference downloads):
+    assert abs(round(vader_score(
+        "This movie was actually neither that funny, nor super witty."
+    ), 4) - (-0.7881)) < 5e-5
 
 
 def test_vader_distance3_so_this_precedence_quirk():

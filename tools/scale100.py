@@ -139,6 +139,10 @@ DUCK_SKIP_AT_100 = {
     # after 35 min at a mere ×10; delta's two closures read 115 s at
     # ×10 single-run — neither is informative at ×100
     "simhash_dedup_clusters", "dedup_cluster_delta",
+    # per-doc recursive BPE re-encode: 182 s at ×10 (measured, bench.py
+    # SWEEP_ORACLE_ONCE) — ×100 extrapolates to ~30+ min for a crossover
+    # already decided a decade down
+    "tokenizer_fertility_by_source",
 }
 
 #: oracles infeasible at ANY replica factor: the banding sweep's oracle
