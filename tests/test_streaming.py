@@ -351,3 +351,54 @@ def test_interval_full_outer_emits_both_unmatched_sides(spark, tmp_path):
     # matched pair; abandoned click; orphan purchase; horizon-miss pair
     # decomposes into BOTH unmatched emissions
     assert got == {(1, 2), (3, None), (None, 4), (5, None), (None, 6)}
+
+
+def test_streaming_admission_rejects_against_grown_index(spark, tmp_path):
+    """r8 verdict #9a: the foreachBatch admission screens each trigger
+    against incumbent ∪ PREVIOUSLY ADMITTED — a wave-2 near-dup of a
+    wave-0 admission is rejected even though neither is incumbent (the
+    case the static minhash_incremental_admission cannot catch), while
+    the wave-0 original admits. Ids chosen by md5 for their
+    (incumbent, wave) slots: 1=incumbent, 40=wave0, 34=wave1, 3=wave2."""
+    from trading_dashboard_spark.queries_streaming import (
+        streaming_minhash_admission,
+    )
+    from trading_dashboard_spark.queries_text import (
+        minhash_incremental_admission,
+    )
+
+    uniq = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    dup = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "incumbent corpus text totally unrelated words here", "en",
+         "feedA", 48),
+        (40, dup, "en", "feedA", len(dup)),           # wave 0 — admits
+        (34, uniq, "en", "feedB", len(uniq)),         # wave 1 — admits
+        (3, dup + " thirteen", "en", "feedB", len(dup) + 9),  # wave 2
+    ]
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["n_batch"], r["n_flagged"], r["n_rejected"],
+                      r["n_admitted"])
+        for r in streaming_minhash_admission(spark, str(tmp_path)).collect()
+    }
+    # feedA: wave-0 dup admits (index had only the incumbent);
+    # feedB: the unique wave-1 doc admits, the wave-2 near-dup of the
+    # ADMITTED wave-0 doc is flagged and rejected
+    assert got == {"feedA": (1, 0, 0, 1), "feedB": (2, 1, 1, 1)}
+
+    # the static gate (incumbent-only index) admits all three — the
+    # growing index is what catches the cross-wave duplicate
+    static = {
+        r["source"]: (r["n_rejected"], r["n_admitted"])
+        for r in minhash_incremental_admission(spark, str(tmp_path)).collect()
+    }
+    assert static == {"feedA": (0, 1), "feedB": (0, 2)}

@@ -122,3 +122,44 @@ def test_grouped_heavy_hitters_exact_and_bounded(spark, sf_dir):
         assert r["est"] <= true_n
         # merged undercount: each partition loses <= its n_g share/(cap+1)
         assert true_n - r["est"] <= n_g / (2 + 1) + n_parts
+
+
+def test_post_dedup_rebalance_shifts_weight_off_dup_heavy_source(spark, tmp_path):
+    """r8 verdict #9b: a source whose volume is near-dup inflation loses
+    mixture share after dedup; a clean source gains. Dup cluster keeps
+    the longest member (cluster_survivor_selection policy), so the
+    dup-heavy source retains exactly one survivor from its flood."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the band plays on")
+    rows = []
+    for i in range(6):  # near-identical flood, all in feedDup
+        txt = base + (" encore" * (i == 5))  # one longest member -> survivor
+        rows.append((100 + i, txt, "en", "feedDup", len(txt)))
+    for i in range(4):  # distinct docs in feedClean
+        txt = f"completely distinct document number {i} about topic_{i} " \
+              f"with unique vocabulary item_{i} token_{i} thing_{i}"
+        rows.append((200 + i, txt, "en", "feedClean", len(txt)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_training import (
+        post_dedup_mixture_rebalance,
+    )
+
+    got = {r["source"]: r for r in
+           post_dedup_mixture_rebalance(spark, str(tmp_path)).collect()}
+    assert got["feedDup"]["n_raw"] == 6
+    assert got["feedDup"]["n_dedup"] == 1          # flood -> one survivor
+    assert got["feedClean"]["n_dedup"] == 4
+    assert got["feedDup"]["weight_shift"] < 0      # loses share
+    assert got["feedClean"]["weight_shift"] > 0    # gains share
+    # weights are a distribution on both sides (6dp rounding tolerance)
+    assert abs(sum(r["weight_raw"] for r in got.values()) - 1.0) < 1e-5
+    assert abs(sum(r["weight_dedup"] for r in got.values()) - 1.0) < 1e-5

@@ -1091,6 +1091,32 @@ def quality_gate_summary(spark, sf_dir):
     )
 
 
+def longest_wins_key():
+    """Sortable scalar encoding the (n_chars DESC, id ASC) survivor
+    preference in one max_by key, identical on both engines (DuckDB
+    arg_max rejects struct ordering keys): n_chars major, inverted id
+    minor. Order-preserving only while n_chars * 1e10 stays inside
+    int64 (n_chars < ~9.2e8) and ids fit the inverted-minor term
+    (id <= 9 999 999 999); outside that domain it would silently invert
+    the survivor preference, so the bounds raise LOUDLY — at a wider
+    domain, re-derive the constants from the corpus max. Shared by
+    cluster_survivor_selection and post_dedup_mixture_rebalance."""
+    in_domain = (
+        (F.col("n_chars") >= 0) & (F.col("n_chars") < F.lit(900_000_000))
+        & (F.col("id") >= 0) & (F.col("id") <= F.lit(9_999_999_999))
+    )
+    packed = F.col("n_chars") * F.lit(10_000_000_000) + (
+        F.lit(9_999_999_999) - F.col("id")
+    )
+    return F.when(in_domain, packed).otherwise(
+        F.raise_error(
+            F.lit("longest_wins_key: n_chars/doc_id outside the packed "
+                  "keep_key domain (n_chars < 9e8, id <= 9 999 999 999)"
+                  " — survivor preference would silently invert")
+        ).cast("long")
+    )
+
+
 @register(
     "cluster_survivor_selection",
     f"""
@@ -1142,28 +1168,7 @@ def cluster_survivor_selection(spark, sf_dir):
     )
     cc = connected_components(pairs)
     members = cc.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
-    # sortable scalar (n_chars major, inverted id minor) — encodes
-    # (n_chars DESC, id ASC) preference in one max_by key, identical on
-    # both engines (DuckDB arg_max rejects struct ordering keys). The
-    # packing is order-preserving only while n_chars * 1e10 stays inside
-    # int64 (n_chars < ~9.2e8) and ids fit the inverted-minor term
-    # (id <= 9 999 999 999); outside that domain it would silently
-    # invert the survivor preference, so the bounds raise LOUDLY — at a
-    # wider domain, re-derive the constants from the corpus max.
-    in_domain = (
-        (F.col("n_chars") >= 0) & (F.col("n_chars") < F.lit(900_000_000))
-        & (F.col("id") >= 0) & (F.col("id") <= F.lit(9_999_999_999))
-    )
-    packed = F.col("n_chars") * F.lit(10_000_000_000) + (
-        F.lit(9_999_999_999) - F.col("id")
-    )
-    keep_key = F.when(in_domain, packed).otherwise(
-        F.raise_error(
-            F.lit("cluster_survivor_selection: n_chars/doc_id outside the "
-                  "packed keep_key domain (n_chars < 9e8, id <= 9 999 999 999)"
-                  " — survivor preference would silently invert")
-        ).cast("long")
-    )
+    keep_key = longest_wins_key()  # (n_chars DESC, id ASC), domain-guarded
     return members.groupBy("component").agg(
         F.max_by("id", keep_key).alias("survivor_id"),
         F.count(F.lit(1)).alias("n_members"),

@@ -1090,3 +1090,144 @@ def grouped_heavy_hitters(spark, sf_dir):
         F.col("est").cast("long").alias("est"),
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+def _post_dedup_rebalance_oracle() -> str:
+    """The temperature law re-fit on the DEDUPED corpus: recursive-CTE
+    components over the minhash pair relation, longest-wins survivor
+    per cluster (cluster_survivor_selection's arg_max), removal
+    anti-join, then the mT5 p∝n^0.3 weights on both the raw and the
+    deduped per-source counts."""
+    from .queries_text import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+    members AS (
+      SELECT l.component, l.id, d.n_chars,
+             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
+      FROM labeled l JOIN documents d ON l.id = d.doc_id
+    ),
+    survivors AS (
+      SELECT component, arg_max(id, keep_key) AS survivor_id
+      FROM members GROUP BY component
+    ),
+    removed AS (
+      SELECT m.id FROM members m
+      JOIN survivors s ON m.component = s.component
+      WHERE m.id <> s.survivor_id
+    ),
+    counts_raw AS (
+      SELECT source, count(*) AS n_raw FROM documents GROUP BY source
+    ),
+    counts_dd AS (
+      SELECT d.source, count(*) AS n_dedup
+      FROM documents d LEFT JOIN removed r ON d.doc_id = r.id
+      WHERE r.id IS NULL GROUP BY d.source
+    ),
+    both_c AS (
+      SELECT cr.source, cr.n_raw, coalesce(cd.n_dedup, 0) AS n_dedup
+      FROM counts_raw cr LEFT JOIN counts_dd cd ON cr.source = cd.source
+    )
+    SELECT source,
+           CAST(n_raw AS BIGINT) AS n_raw,
+           CAST(n_dedup AS BIGINT) AS n_dedup,
+           round(pow(n_raw, 0.3)
+                 / (SELECT sum(pow(n_raw, 0.3)) FROM both_c), 6)
+             AS weight_raw,
+           round(pow(n_dedup, 0.3)
+                 / (SELECT sum(pow(n_dedup, 0.3)) FROM both_c), 6)
+             AS weight_dedup,
+           round(round(pow(n_dedup, 0.3)
+                       / (SELECT sum(pow(n_dedup, 0.3)) FROM both_c), 6)
+                 - round(pow(n_raw, 0.3)
+                         / (SELECT sum(pow(n_raw, 0.3)) FROM both_c), 6), 6)
+             AS weight_shift
+    FROM both_c
+    """
+
+
+@register(
+    "post_dedup_mixture_rebalance", _post_dedup_rebalance_oracle(),
+    tags=("training", "sampling", "mixture", "dedup"),
+)
+def post_dedup_mixture_rebalance(spark, sf_dir):
+    """POST-DEDUP mixture rebalance (r8 verdict #9b) — the real pipeline
+    ordering: dedup first, THEN fit the sampling law. Near-dup cluster
+    non-survivors (longest-wins policy, cluster_survivor_selection's
+    key) are removed from the per-source counts before the temperature
+    weights (p ∝ n^0.3, the mT5 rule temperature_mixture_plan applies
+    to the RAW profile) are recomputed; `weight_shift` is the signed
+    reallocation — sources whose volume was dup-inflated lose share,
+    clean sources gain. Composes two green operators (minhash pair
+    relation → components → survivor policy; temperature law) into the
+    curation step that decides what a training run actually samples.
+
+    Scale shape: pairs are LSH-sized; CC is the checkpointed min-label
+    loop (node set = docs in ≥1 pair, dup-rate-bounded); the removal
+    set is (members − survivors), applied as an anti-join keyed on
+    doc_id; per-source counting is one partial-agg shuffle and the
+    weight arithmetic runs on a ≤|sources| relation (broadcast
+    cross-join of the 1-row pow-sum). Weights are 6dp-rounded before
+    the shift subtraction on both engines (the ulp discipline)."""
+    from .queries_text import _BANDS, _JACCARD_T, _NUM_HASHES, longest_wins_key
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+    cc = connected_components(pairs)
+    members = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    survivors = members.groupBy("component").agg(
+        F.max_by("id", longest_wins_key()).alias("survivor_id")
+    )
+    removed = (
+        members.join(survivors, "component")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    deduped = docs.join(
+        removed, docs["doc_id"] == removed["id"], "left_anti"
+    )
+    counts_raw = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    counts_dd = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup")
+    )
+    both_c = counts_raw.join(counts_dd, "source", "left").fillna(
+        0, subset=["n_dedup"]
+    )
+    w_raw = F.pow(F.col("n_raw").cast("double"), F.lit(0.3))
+    w_dd = F.pow(F.col("n_dedup").cast("double"), F.lit(0.3))
+    sums = both_c.agg(
+        F.sum(w_raw).alias("sum_raw"), F.sum(w_dd).alias("sum_dd")
+    )
+    weight_raw = pround(w_raw / F.col("sum_raw"), 6)
+    weight_dedup = pround(w_dd / F.col("sum_dd"), 6)
+    return both_c.crossJoin(F.broadcast(sums)).select(
+        "source",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.col("n_dedup").cast("long").alias("n_dedup"),
+        weight_raw.alias("weight_raw"),
+        weight_dedup.alias("weight_dedup"),
+        pround(weight_dedup - weight_raw, 6).alias("weight_shift"),
+    )
