@@ -266,6 +266,12 @@ SWEEP_QUERIES = [
     # and its recursive-closure oracle is infeasible at the replica
     # (killed after 35 min).
     "bpe_sampled_token_stats",
+    # r9 registrations, measured before listing (tools/scale100, ×10):
+    # the threshold-path token budget selection, the growing-index
+    # streaming admission (3 wave triggers), and the post-dedup mixture
+    # refit (pairs + CC + anti-join + weight law).
+    "token_budget_selection", "streaming_minhash_admission",
+    "post_dedup_mixture_rebalance",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -294,6 +300,9 @@ SWEEP_ORACLE_ONCE = {
     # exact-quadratic Hamming ground truth: 70 s at ×10 (the crossover
     # vs Spark's 2.5 s blocked scan needs no min-of-2 precision)
     "simhash_hamming_pairs",
+    # recursive transitive closure over the minhash pair relation (the
+    # dedup_cluster_delta class) feeding the post-dedup weight refit
+    "post_dedup_mixture_rebalance",
 }
 
 

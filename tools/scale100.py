@@ -143,14 +143,26 @@ DUCK_SKIP_AT_100 = {
     # SWEEP_ORACLE_ONCE) — ×100 extrapolates to ~30+ min for a crossover
     # already decided a decade down
     "tokenizer_fertility_by_source",
+    # same recursive-closure class as dedup_cluster_delta
+    "post_dedup_mixture_rebalance",
 }
 
 #: oracles infeasible at ANY replica factor: the banding sweep's oracle
 #: materializes the full per-config bucket-pair expansion and blows past
 #: even DuckDB's own memory_limit (the limit does not track the list
 #: intermediates — measured 127 GB RSS/host OOM-kill at a mere ×10 with
-#: memory_limit=60GB set)
-DUCK_SKIP_ALWAYS = {"minhash_banding_sweep"}
+#: memory_limit=60GB set); the Hamming-cluster recursive closure over
+#: the exact quadratic pair subquery was killed after 35 min at ×10 —
+#: sf-scale oracle rows check the same semantics in seconds
+DUCK_SKIP_ALWAYS = {"minhash_banding_sweep", "simhash_dedup_clusters"}
+
+#: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE
+#: policy): one timed run, no warm-up — the crossover they record does
+#: not need min-of-2 precision
+DUCK_ONCE = {
+    "tokenizer_fertility_by_source", "dedup_cluster_delta",
+    "simhash_hamming_pairs", "post_dedup_mixture_rebalance",
+}
 
 
 def time_queries(spark, registry, data_dir: str, names, runs: int,
@@ -197,11 +209,16 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
         elif duck_con is not None and ent.oracle:
             d = float("inf")
             try:
-                for i in range(2):
+                if name in DUCK_ONCE:  # minutes-slow: one timed run
                     t0 = time.time()
                     duck_con.execute(ent.oracle).fetchall()
-                    if i:
-                        d = min(d, time.time() - t0)
+                    d = time.time() - t0
+                else:
+                    for i in range(2):
+                        t0 = time.time()
+                        duck_con.execute(ent.oracle).fetchall()
+                        if i:
+                            d = min(d, time.time() - t0)
                 rec["duck"] = round(d, 3)
             except Exception as e:  # noqa: BLE001 — record, keep timing
                 rec["duck"] = f"failed: {e}"[:160]
