@@ -213,6 +213,24 @@ COMMENTARY = {
         "groupBy(source) — nothing in the plan scales beyond a corpus "
         "scan."
     ),
+    "token_budget_selection": (
+        "Budgeted selection (r9): at sf scale the adaptive policy "
+        "(ranks.NTILE_EXACT_MAX_ROWS) keeps the exact global ORDER BY "
+        "window the oracle replays; above it the same admitted set is "
+        "computed via the score-bucket histogram threshold (one "
+        "partial-agg shuffle, driver walk bounded by the 6dp score "
+        "DOMAIN) plus ranks.global_prefix_sum confined to the boundary "
+        "bucket — the two-stage range-partitioned prefix sum with no "
+        "Exchange SinglePartition (plan pinned in "
+        "test_global_prefix_sum_matches_window)."
+    ),
+    "post_dedup_mixture_rebalance": (
+        "Dedup→mixture composition (r9): the minhash pair relation is "
+        "LSH-sized, the CC loop is the checkpointed min-label fixpoint "
+        "(this plan shows only the checkpoint scans), removal is a "
+        "left_anti join keyed on doc_id, and the weight law runs on a "
+        "<=|sources| relation via one broadcast 1-row pow-sum."
+    ),
     "bpe_packed_shards": (
         "Tokenizer→curation composition: the encode is ONE "
         "ArrowEvalPython over the corpus (memoized per-word), the "
