@@ -196,13 +196,22 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
     for name in names:
         ent = registry[name]
         best = float("inf")
-        for i in range(runs + 1):  # +1 untimed warm-up
-            t0 = time.time()
-            ent.fn(spark, data_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            if i:
-                best = min(best, time.time() - t0)
+        try:
+            for i in range(runs + 1):  # +1 untimed warm-up
+                t0 = time.time()
+                ent.fn(spark, data_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                if i:
+                    best = min(best, time.time() - t0)
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            # a flaky infra failure (e.g. a py4j callback-socket drop
+            # inside foreachBatch under a GC-heavy 48g JVM — observed
+            # once at the ×10 replica) must not discard the whole run
+            out[name] = {"spark": f"failed: {e}"[:200]}
+            print(json.dumps({name: out[name], "tier": data_dir}),
+                  file=sys.stderr, flush=True)
+            continue
         rec: dict = {"spark": round(best, 3)}
         if name in duck_skip:
             rec["duck"] = "skipped:bucket-quadratic-oracle"
@@ -223,6 +232,11 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
             except Exception as e:  # noqa: BLE001 — record, keep timing
                 rec["duck"] = f"failed: {e}"[:160]
         out[name] = rec
+        # incremental progress on stderr: a crash mid-suite must not
+        # discard every already-measured row (r9 lesson — the first run
+        # died on query 25/26 with only the final print)
+        print(json.dumps({name: rec, "tier": data_dir}),
+              file=sys.stderr, flush=True)
     return out
 
 

@@ -843,11 +843,14 @@ def streaming_minhash_admission(spark, sf_dir):
     # at-rest index state, advanced per trigger; eagerly checkpointed so
     # (a) trigger k+1 doesn't replay triggers 0..k through lineage and
     # (b) the incumbent featurization runs once, not once per trigger
-    state = {
-        "sh": inc_base.select("id", "sh").localCheckpoint(eager=True),
-        "bands": inc_bands.localCheckpoint(eager=True),
-        "decisions": [],
-    }
+    def fresh_state():
+        return {
+            "sh": inc_base.select("id", "sh").localCheckpoint(eager=True),
+            "bands": inc_bands.localCheckpoint(eager=True),
+            "decisions": [],
+        }
+
+    state = fresh_state()
 
     def admit_batch(batch_df, batch_id):
         b_base, b_bands = featurize(batch_df)
@@ -911,17 +914,30 @@ def streaming_minhash_admission(spark, sf_dir):
                 for fn in files:
                     os.utime(os.path.join(root, fn),
                              (time.time() + 10 * k,) * 2)
-        stream = (
-            spark.readStream.schema(batch_docs.drop("wave").schema)
-            .option("maxFilesPerTrigger", "1")
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(f"{landing}/w*")
-        )
-        q = stream.writeStream.foreachBatch(admit_batch).outputMode(
-            "update"
-        ).start()
-        q.processAllAvailable()
-        q.stop()
+        # one clean retry with FRESH state: a py4j callback-socket drop
+        # inside foreachBatch (observed once under a GC-heavy 48 GB JVM
+        # at the ×10 replica) is infra flakiness, not semantics — but a
+        # half-run state dict must never be resumed, so the whole
+        # stream restarts from the incumbent-only index
+        for attempt in (0, 1):
+            stream = (
+                spark.readStream.schema(batch_docs.drop("wave").schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(f"{landing}/w*")
+            )
+            q = stream.writeStream.foreachBatch(admit_batch).outputMode(
+                "update"
+            ).start()
+            try:
+                q.processAllAvailable()
+                q.stop()
+                break
+            except Exception:
+                q.stop()
+                if attempt:
+                    raise
+                state = fresh_state()
         out = state["decisions"][0]
         for d in state["decisions"][1:]:
             out = out.unionByName(d)
