@@ -287,6 +287,12 @@ SWEEP_ORACLE_SKIP = {
     "minhash_banding_sweep":
         "oracle materializes the full bucket-pair expansion: OOM at "
         ">125 GB RSS on the x10 replica; Spark side completes in ~12 s",
+    # r9: measured, not assumed — the recursive pair-closure feeding the
+    # post-dedup weight refit exhausted DuckDB's 60 GB memory_limit at
+    # x10 ('failed to allocate block'); Spark side completes in ~5 s
+    "post_dedup_mixture_rebalance":
+        "recursive transitive-closure oracle OOMs DuckDB (60 GB limit) "
+        "on the x10 replica; Spark side completes in ~5 s",
 }
 
 #: oracles that are feasible but MINUTES-slow at ×10 (measured:
@@ -300,9 +306,6 @@ SWEEP_ORACLE_ONCE = {
     # exact-quadratic Hamming ground truth: 70 s at ×10 (the crossover
     # vs Spark's 2.5 s blocked scan needs no min-of-2 precision)
     "simhash_hamming_pairs",
-    # recursive transitive closure over the minhash pair relation (the
-    # dedup_cluster_delta class) feeding the post-dedup weight refit
-    "post_dedup_mixture_rebalance",
 }
 
 

@@ -154,7 +154,14 @@ DUCK_SKIP_AT_100 = {
 #: memory_limit=60GB set); the Hamming-cluster recursive closure over
 #: the exact quadratic pair subquery was killed after 35 min at ×10 —
 #: sf-scale oracle rows check the same semantics in seconds
-DUCK_SKIP_ALWAYS = {"minhash_banding_sweep", "simhash_dedup_clusters"}
+DUCK_SKIP_ALWAYS = {
+    "minhash_banding_sweep", "simhash_dedup_clusters",
+    # the post-dedup refit closure OOM'd DuckDB (60 GB limit, 'failed
+    # to allocate block' — list intermediates again) at a mere ×10,
+    # and the dead connection then poisoned the process for the ×100
+    # phase; same class as the banding sweep
+    "post_dedup_mixture_rebalance",
+}
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE
 #: policy): one timed run, no warm-up — the crossover they record does
@@ -237,6 +244,10 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
         # died on query 25/26 with only the final print)
         print(json.dumps({name: rec, "tier": data_dir}),
               file=sys.stderr, flush=True)
+    if duck_con is not None:
+        duck_con.close()  # a 60 GB-limit connection left open poisons
+        # the next tier's allocations (observed: x100 view DDL OOM +
+        # segfault after an x10 oracle OOM)
     return out
 
 
