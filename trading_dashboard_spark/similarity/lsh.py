@@ -188,17 +188,24 @@ def lsh_knn(
             n_tables *= 2 ** ((delta + 1) // 2)
             if n_probes:
                 # multi-probe compensation on top of table doubling:
-                # +2 probes per 3 extra planes. Measured on the ×100
-                # replica (200k vectors, sampled-exact ground truth,
-                # tools/lsh_recall.py): the resolved (9pl, 8tb, 4pr)
-                # point reads recall@3 0.584 at 17.8 s vs 0.211 at
-                # 8.5 s for table-doubling alone — probes carry ~3×
-                # the recall at ~2× the cost because the per-bucket
-                # scoring work is query-side linear in (1+P) while the
-                # fixed merge/window stages don't grow at all. Probing
-                # INSTEAD of doubling tables was measured and rejected:
+                # +2 probes per extra plane, capped at probing every
+                # plane. Measured on the ×100 replica (200k vectors,
+                # sampled-exact ground truth, tools/lsh_recall.py; r9
+                # frontier extension): (9pl, 8tb) reads recall@3 0.211
+                # at 8.5 s with no probes, 0.584 at 18.0 s with 4,
+                # 0.659 at 19.2 s with 6, **0.703 at 23.1 s with 8**
+                # (the resolved point), and 0.713 at 35.8 s probing
+                # all 9 — the fixed merge/window stages dominate until
+                # ~P=8, so probes are nearly free recall, and the
+                # all-planes point is where candidate scoring finally
+                # shows (diminishing returns). Probing INSTEAD of
+                # doubling tables was measured and rejected in r8:
                 # (9pl, 2tb, 5pr) reads 0.225 — barely the baseline.
-                n_probes += (2 * delta) // 3
+                # An SQ8-coarse rerank stage was considered for the r8
+                # verdict's ≥0.7 ask and REFUTED by measurement: plain
+                # probe-widening reaches 0.703 within 1.3× of the r8
+                # cost, so no rerank machinery is warranted.
+                n_probes = min(n_planes + delta, n_probes + 2 * delta)
             n_planes = target
     if n_probes > n_planes:
         # each probe flips a distinct lowest-|margin| plane, so at most
