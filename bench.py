@@ -272,6 +272,13 @@ SWEEP_QUERIES = [
     # refit (pairs + CC + anti-join + weight law).
     "token_budget_selection", "streaming_minhash_admission",
     "post_dedup_mixture_rebalance",
+    # r9 late registrations, measured before listing: DSIR hashed-bucket
+    # importance weights (one occurrence pass → 256-row histogram), MOSS
+    # winnowing fingerprint pairs (ordered per-doc window → winnowed-
+    # subset join), and the one-aggregate-pass Naive Bayes provenance
+    # classifier (train + eval + confusion inside the engine).
+    "dsir_importance_weights", "winnowing_fingerprint_pairs",
+    "nb_source_classifier_eval",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

@@ -802,3 +802,41 @@ def test_simhash_cluster_summary_equals_uncollapsed(spark, sf_dir):
     comp = {r[0]: r for r in a}
     assert comp[20] == (20, 2, 1, 21)  # edge-less exact flood surfaces
     assert 30 not in comp              # true singleton is not a cluster
+
+
+def test_winnowing_guarantee_and_no_false_pairs(spark, tmp_path):
+    """Winnowing match guarantee (SIGMOD'03): any shared verbatim token
+    run of length >= w + k - 1 shares at least one SELECTED fingerprint;
+    a 20-token shared run (17 grams, 14 full windows) comfortably clears
+    the registered >=2 shared-fingerprint floor even though winnowing
+    keeps only ~2/(w+1) of positions. Fully disjoint docs must produce
+    no pair at all."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    run = ("one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+           "nineteen twenty")
+    rows = [
+        (1, "junk alpha beta " + run + " tail omega", "en", "s1",
+         len(run) + 30),
+        (2, run + " completely different suffix here", "en", "s2",
+         len(run) + 34),
+        (3, "unrelated corpus document about pelicans and tides with "
+            "no overlap whatsoever in any window", "en", "s3", 95),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_text import (
+        winnowing_fingerprint_pairs,
+    )
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_fps"] for r in
+             winnowing_fingerprint_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)

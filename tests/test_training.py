@@ -163,3 +163,87 @@ def test_post_dedup_rebalance_shifts_weight_off_dup_heavy_source(spark, tmp_path
     # weights are a distribution on both sides (6dp rounding tolerance)
     assert abs(sum(r["weight_raw"] for r in got.values()) - 1.0) < 1e-5
     assert abs(sum(r["weight_dedup"] for r in got.values()) - 1.0) < 1e-5
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+
+def test_dsir_ranks_target_like_docs_above_pool_typical(spark, tmp_path):
+    """DSIR sanity: documents written in the TARGET domain's vocabulary
+    (lang='en' here) must score a strictly higher log importance weight
+    than documents written in the pool-only vocabulary — that ordering
+    is the entire point of importance resampling (target-like docs are
+    upweighted when resampling the raw pool)."""
+    rows = []
+    tgt_text = "alpha beta gamma delta epsilon zeta eta theta"
+    raw_text = "rock paper scissors lizard spock banana mango papaya"
+    for i in range(10):  # target domain: en, vocab A
+        rows.append((i, tgt_text, "en", "srcT", len(tgt_text)))
+    for i in range(10, 30):  # pool-only domain: vocab B
+        rows.append((i, raw_text, "xx", "srcR", len(raw_text)))
+    # a fresh pool doc in target vocabulary, and one in pool vocabulary
+    rows.append((100, tgt_text, "xx", "srcQ", len(tgt_text)))
+    rows.append((101, raw_text, "xx", "srcQ", len(raw_text)))
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_training import (
+        dsir_importance_weights,
+    )
+
+    got = {r["doc_id"]: r for r in
+           dsir_importance_weights(spark, str(tmp_path)).collect()}
+    assert len(got) == 32
+    assert got[100]["log_importance"] > got[101]["log_importance"]
+    # target-vocab docs sit above every pool-vocab doc
+    assert min(got[i]["log_importance"] for i in range(10)) > max(
+        got[i]["log_importance"] for i in range(10, 30)
+    )
+    assert got[0]["n_tokens"] == 8
+
+
+def test_nb_classifier_separates_disjoint_vocabularies(spark, tmp_path):
+    """With two sources of fully disjoint vocabularies and dozens of
+    training docs each, every held-out doc must be predicted to its own
+    source — the confusion matrix is purely diagonal."""
+    rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            t = f"apple orange pear plum cherry fig date apple_{i % 7}"
+            rows.append((i, t, "en", "fruit", len(t)))
+        else:
+            t = f"bolt nut washer screw rivet flange gasket bolt_{i % 7}"
+            rows.append((i, t, "en", "hardware", len(t)))
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_training import (
+        nb_source_classifier_eval,
+    )
+
+    out = nb_source_classifier_eval(spark, str(tmp_path)).collect()
+    conf = {(r["source"], r["pred_source"]): r["n_docs"] for r in out}
+    assert all(s == p for (s, p) in conf)  # no off-diagonal cell
+    assert sum(conf.values()) > 0          # the eval split is non-empty
+
+
+def test_dsir_lanes_agree(spark, sf_dir):
+    """The Arrow bucket-count lane (registered) and the JVM explode lane
+    (the form the SQL oracle replays) must produce identical rows —
+    same discipline as the simhash lane-equality pin."""
+    from trading_dashboard_spark.queries_training import (
+        dsir_importance_weights,
+    )
+
+    a = {r["doc_id"]: (r["n_tokens"], r["log_importance"]) for r in
+         dsir_importance_weights(spark, sf_dir, lane="arrow").collect()}
+    j = {r["doc_id"]: (r["n_tokens"], r["log_importance"]) for r in
+         dsir_importance_weights(spark, sf_dir, lane="jvm").collect()}
+    assert a == j and len(a) > 0

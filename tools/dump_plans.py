@@ -283,6 +283,28 @@ COMMENTARY = {
         "vocabulary-bounded partials and AQE sizes them into broadcast "
         "joins against the held-out side; output is n_sources rows."
     ),
+    "dsir_importance_weights": (
+        "DSIR (r9): the Arrow bucket-count lane collapses tokens to "
+        "(doc, bucket<=256) rows inside the Python worker; MapInPandas "
+        "appears 3x (broadcast probe sides read it inline — no "
+        "exchange to reuse), measured CHEAPER than pinning one "
+        "execution behind a repartition (x100: 3.7 s vs 11.6 s); the "
+        "256-row log-ratio relation broadcasts into the per-doc fold."
+    ),
+    "winnowing_fingerprint_pairs": (
+        "Winnowing (r9): the per-doc ordered window (ROWS w-1 "
+        "PRECEDING) runs off one doc_id exchange; everything after the "
+        "selection filter carries only the winnowed ~2/(w+1) "
+        "fingerprint subset, and the pair expansion is ubiquity-capped "
+        "like verbatim_overlap_pairs."
+    ),
+    "nb_source_classifier_eval": (
+        "Naive Bayes (r9): training is one occurrence-count aggregate; "
+        "the (class x train-vocab) counts, totals, priors and vocab "
+        "scalar all enter the scorer as BroadcastHashJoin/NestedLoop "
+        "builds; the only doc-sized shuffles are the matched-pair "
+        "aggregate and the |classes|-deep argmax window."
+    ),
 }
 
 

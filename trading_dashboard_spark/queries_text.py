@@ -3509,3 +3509,147 @@ def dedup_cluster_delta(spark, sf_dir):
     ).localCheckpoint(eager=True)
     base.unpersist()
     return out
+
+
+# --- winnowing fingerprints (MOSS) -----------------------------------------
+
+#: winnowing parameters: token k-gram width and guarantee window
+#: (Schleimer/Wilkerson/Aiken, SIGMOD'03 §4). Any shared token run of
+#: length >= _WINNOW_W + _WINNOW_K - 1 = 7 is guaranteed to share at
+#: least one selected fingerprint.
+_WINNOW_K, _WINNOW_W = 4, 4
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    gr AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - {_WINNOW_K - 2})) AS pos,
+             unnest(list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+               i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3])))) AS h
+      FROM toks_t WHERE len(toks) >= {_WINNOW_K}
+    ),
+    win AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY doc_id) AS m,
+             min(h || lpad(CAST(9999999999 - pos AS VARCHAR), 10, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS selkey
+      FROM gr
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, substr(selkey, 1, 32) AS fp
+      FROM win WHERE pos >= least({_WINNOW_W}, m)
+    ),
+    grp AS (
+      SELECT fp, list_sort(list(doc_id)) AS ids
+      FROM sel GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND 10
+    ),
+    pairs AS (
+      SELECT a AS id_a, b AS id_b, count(*) AS n_shared_fps
+      FROM (SELECT unnest(ids) AS a, ids FROM grp) g,
+           LATERAL (SELECT unnest(list_filter(ids, x -> x > a)) AS b) t
+      GROUP BY a, b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(n_shared_fps AS BIGINT) AS n_shared_fps
+    FROM pairs WHERE n_shared_fps >= 2
+    ORDER BY n_shared_fps DESC, id_a, id_b LIMIT 50
+    """,
+    tags=("text", "X2", "dedup", "fingerprint", "winnowing"),
+)
+def winnowing_fingerprint_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS; Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every token {_WINNOW_K}-gram, then in each sliding
+    window of {_WINNOW_W} consecutive hashes SELECT the minimum (ties →
+    rightmost), dedup selections, and rank doc pairs by shared selected
+    fingerprints. The selection rule is the whole point vs
+    `verbatim_overlap_pairs` (which joins EVERY window hash): winnowing
+    keeps an expected 2/(w+1) ≈ 40% of positions yet still guarantees a
+    shared fingerprint for any verbatim run of ≥ w+k−1 = 7 tokens — the
+    published local-sampling answer to "substring dedup without storing
+    every window" at corpus scale.
+
+    Engine/oracle hash parity matters here in a way it does not for
+    verbatim overlap: the selected SUBSET depends on hash ORDER, not
+    just equality, so both lanes min over the same md5-hex keyspace
+    (the minhash precedent) — an engine-side xxhash64 would select a
+    different (equally valid) fingerprint family and break the value
+    check. The rightmost tie rule rides the key itself:
+    min(h || zero-padded (10^10−1−pos)) picks the smallest hash and,
+    within equal hashes, the largest position — one window-min, no
+    second pass.
+
+    Scale shape: one exchange keys doc_id for the ordered winnow window
+    (per-doc state = w hashes; docs are bounded); partial windows are
+    masked (pos ≥ least(w, m)) so only full windows select, except
+    short docs where the single whole-sequence window keeps the ≥1
+    fingerprint guarantee. Downstream traffic is the winnowed subset
+    only; the pair expansion is ubiquity-capped (2–10 docs per
+    fingerprint) exactly like verbatim overlap."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = (
+        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    gram = F.md5(
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("pos") + i) for i in range(k)]
+        )
+    )
+    gr = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("pos"))
+        .select("doc_id", "pos", gram.alias("h"))
+    )
+    selkey = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(9999999999) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    doc_w = W.partitionBy("doc_id")
+    win = gr.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(doc_w).alias("m"),
+        F.min(selkey)
+        .over(doc_w.orderBy("pos").rowsBetween(-(w - 1), 0))
+        .alias("selkey"),
+    )
+    sel = (
+        win.filter(F.col("pos") >= F.least(F.lit(w), F.col("m")))
+        .select("doc_id", F.substring("selkey", 1, 32).alias("fp"))
+        .distinct()
+    )
+    grp = (
+        sel.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= 10))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda a: F.transform(
+                F.filter("ids", lambda b: b > a),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.id_a").cast("bigint").alias("id_a"),
+            F.col("p.id_b").cast("bigint").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= 2)
+        .orderBy(F.col("n_shared_fps").desc(), "id_a", "id_b")
+        .limit(50)
+    )

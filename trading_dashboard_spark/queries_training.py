@@ -1231,3 +1231,376 @@ def post_dedup_mixture_rebalance(spark, sf_dir):
         weight_dedup.alias("weight_dedup"),
         pround(weight_dedup - weight_raw, 6).alias("weight_shift"),
     )
+
+
+# --- DSIR importance resampling (hashed n-gram features) -------------------
+
+#: DSIR feature-space size: hashed unigram buckets. 2^16 in the paper
+#: (Xie et al. 2023); 256 here so the sf-scale histogram is visibly
+#: non-sparse — the plan shape is identical at any B.
+_DSIR_BUCKETS = 256
+
+#: cross-engine bucket hash: first 4 hex chars of md5(token) → 0..65535,
+#: folded mod B. Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT.
+_DSIR_BUCKET_SQL = f"('0x' || substr(md5(w), 1, 4))::BIGINT % {_DSIR_BUCKETS}"
+
+from .queries_text import _TOKS as _TOKS_DOC  # noqa: E402  (shared tokenizer fragment)
+
+
+def _dsir_bucket_counts_arrow(docs):
+    """Arrow-vectorized (doc, bucket) count relation — value-identical to
+    the JVM explode lane (pinned by test_dsir_lanes_agree + the sf oracle
+    rows) and measured faster once data dominates: ×100 idle-host 6.3 s
+    vs 13.9 s whole-query in one session (a wash at ×10, where the job
+    floor hides it). The win is the `_simhash_parts_arrow` mechanism:
+    md5 runs once per DISTINCT token (executor-lifetime memo — the
+    bucket vocabulary is hash-bounded) instead of per occurrence through
+    conv(substring(md5)), and the per-doc bucket count collapses to one
+    np.unique over (doc_ix·B + bucket) keys per Arrow batch.
+
+    Exact-parity notes (each load-bearing, the simhash lane's list):
+    lower() BEFORE trim like tokenize(F.lower(text)); Spark trim strips
+    0x20 only; re.split matches Spark split's limit −1; Java \\s is the
+    ASCII class [ \\t\\n\\x0b\\f\\r]."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    B = _DSIR_BUCKETS
+    memo: dict = {}
+
+    def mapper(it):
+        for pdf in it:
+            ids, srcs, langs = [], [], []
+            flat_b, seg = [], []
+            for did, src, lang, t in zip(
+                pdf["doc_id"], pdf["source"], pdf["lang"], pdf["text"]
+            ):
+                s = (t or "").lower().strip(" ")
+                toks = ws.split(s) if s else []
+                bs = []
+                for tok in toks:
+                    b = memo.get(tok)
+                    if b is None:
+                        b = (
+                            int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+                            % B
+                        )
+                        memo[tok] = b
+                    bs.append(b)
+                ids.append(did)
+                srcs.append(src)
+                langs.append(lang)
+                flat_b.append(np.asarray(bs, dtype=np.int64))
+                seg.append(len(bs))
+            if not ids:
+                continue
+            doc_ix = np.repeat(np.arange(len(ids)), seg)
+            allb = (
+                np.concatenate(flat_b)
+                if flat_b
+                else np.empty(0, dtype=np.int64)
+            )
+            key = doc_ix * B + allb
+            uk, cnt = np.unique(key, return_counts=True)
+            di = (uk // B).astype(int)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64)[di],
+                    "source": np.asarray(srcs, dtype=object)[di],
+                    "lang": np.asarray(langs, dtype=object)[di],
+                    "b": uk % B,
+                    "n": cnt.astype(np.int64),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("lang", StringType()),
+            StructField("b", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return docs.select("doc_id", "source", "lang", "text").mapInPandas(
+        mapper, schema
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks_t AS (SELECT doc_id, source, lang, {_TOKS_DOC} AS toks
+                    FROM documents),
+    words AS (SELECT doc_id, source, lang, unnest(toks) AS w FROM toks_t),
+    bw AS (SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b FROM words),
+    hist AS (
+      SELECT b, count(*) AS c_raw,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM bw GROUP BY b
+    ),
+    tot AS (SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt FROM hist),
+    ratio AS (
+      SELECT b,
+             ln((c_tgt + 1.0) / (t.n_tgt + {_DSIR_BUCKETS}.0))
+           - ln((c_raw + 1.0) / (t.n_raw + {_DSIR_BUCKETS}.0)) AS lr
+      FROM hist CROSS JOIN tot t
+    ),
+    db AS (
+      SELECT doc_id, source, lang, b, count(*) AS n
+      FROM bw GROUP BY doc_id, source, lang, b
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(sum(d.n) AS BIGINT) AS n_tokens,
+           round(sum(d.n * r.lr), 4) AS log_importance
+    FROM db d JOIN ratio r ON d.b = r.b
+    GROUP BY d.doc_id, d.source, d.lang
+    """,
+    tags=("training", "curation", "dsir", "sampling"),
+)
+def dsir_importance_weights(spark, sf_dir, lane: str = "arrow"):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every document in the raw pool by how much it
+    looks like the TARGET domain (here lang='en'), using hashed
+    unigram bucket distributions. Per bucket b: p̂ = smoothed target
+    rate, q̂ = smoothed raw-pool rate; a document's log importance
+    weight is Σ_tokens (ln p̂[b(tok)] − ln q̂[b(tok)]) — resampling the
+    pool ∝ exp(weight) yields a corpus distributed like the target.
+    This is the published scale answer to "select 100B target-like
+    tokens from 100T raw": the entire model is a B-bucket histogram.
+
+    Scale shape: token traffic collapses map-side to (doc, bucket≤B)
+    partial counts — the only occurrence-sized pass; BOTH the target
+    and raw histograms come out of that one aggregate (conditional
+    sum, no second scan) and are B rows regardless of corpus size, so
+    the log-ratio relation broadcasts; the per-doc weight is one
+    partial-agg shuffle keyed doc_id over bucket-count rows (≤B per
+    doc). No driver collect anywhere; 4dp rounding is the house ulp
+    discipline for cross-engine float sums."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    # The ONE occurrence-sized pass: tokenize → (doc, bucket) counts
+    # (each doc lives in one input partition, so the partial agg lands
+    # at final ≤B-rows-per-doc size before any exchange). Everything
+    # below — both histograms, the log-ratio table, the per-doc fold —
+    # reads this bucket-count relation, never the tokens again (the
+    # heldout_bigram one-shuffle discipline). lane="arrow" (default,
+    # registered) memoizes the per-distinct-token md5 in the Arrow
+    # worker; lane="jvm" is the pure-built-in explode form the SQL
+    # oracle replays term for term — equality pinned by unit test.
+    if lane == "arrow":
+        # Known plan quirk, measured and ACCEPTED: the hist branch and
+        # the join probe side each re-execute the Python mapper (plan
+        # shows MapInPandas ×3 — broadcast probe sides read it inline,
+        # so no exchange exists to reuse). Pinning one execution with a
+        # repartition(doc_id) over the mapper was measured WORSE
+        # (×100: 11.6 s vs 3.7 s same protocol — the doc×bucket
+        # exchange costs more than two extra memoized-tokenize passes),
+        # so the re-execution stays.
+        db = _dsir_bucket_counts_arrow(docs)
+    else:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS
+        )
+        db = (
+            docs.select(
+                "doc_id", "source", "lang",
+                F.explode(tokenize(F.lower(F.col("text")))).alias("w"),
+            )
+            .select("doc_id", "source", "lang", bucket.alias("b"))
+            .groupBy("doc_id", "source", "lang", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    hist = db.groupBy("b").agg(
+        F.sum("n").alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    tot = hist.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    B = float(_DSIR_BUCKETS)
+    ratio = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + B))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + B))
+        ).alias("lr"),
+    )
+    return (
+        db.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            pround(F.sum(F.col("n") * F.col("lr")), 4).alias("log_importance"),
+        )
+    )
+
+
+# --- multinomial Naive Bayes source classifier ------------------------------
+
+
+@register(
+    "nb_source_classifier_eval",
+    f"""
+    WITH toks_t AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'eval' END AS split,
+             {_TOKS_DOC} AS toks
+      FROM documents
+    ),
+    words AS (SELECT doc_id, source, split, unnest(toks) AS w FROM toks_t),
+    cnt AS (SELECT source AS cls, w, count(*) AS c
+            FROM words WHERE split = 'train' GROUP BY cls, w),
+    ns AS (SELECT cls, sum(c) AS n_s FROM cnt GROUP BY cls),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM words WHERE split = 'train'),
+    prior AS (
+      SELECT source AS cls,
+             ln(count(*) / CAST((SELECT count(*) FROM toks_t
+                                 WHERE split = 'train') AS DOUBLE)) AS lp
+      FROM toks_t WHERE split = 'train' GROUP BY source
+    ),
+    testdocs AS (
+      SELECT doc_id, source, len(toks) AS tn
+      FROM toks_t WHERE split = 'eval' AND len(toks) > 0
+    ),
+    matched AS (
+      SELECT wd.doc_id, c.cls, sum(ln(c.c + 1.0)) AS msum
+      FROM (SELECT doc_id, w FROM words WHERE split = 'eval') wd
+      JOIN cnt c ON wd.w = c.w
+      GROUP BY wd.doc_id, c.cls
+    ),
+    scored AS (
+      SELECT t.doc_id, t.source, p.cls,
+             p.lp + coalesce(m.msum, 0.0)
+                  - t.tn * ln(n.n_s + (SELECT v FROM vocab)) AS score
+      FROM testdocs t
+      CROSS JOIN prior p
+      JOIN ns n ON n.cls = p.cls
+      LEFT JOIN matched m ON m.doc_id = t.doc_id AND m.cls = p.cls
+    ),
+    pred AS (
+      SELECT doc_id, source, cls AS pred_source
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY round(score, 6) DESC, cls) AS rk
+            FROM scored)
+      WHERE rk = 1
+    )
+    SELECT source, pred_source, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY source, pred_source
+    """,
+    tags=("training", "curation", "classifier", "quality"),
+)
+def nb_source_classifier_eval(spark, sf_dir):
+    """Multinomial Naive Bayes provenance classifier, trained and
+    evaluated inside the engine — the SQL-expressible stand-in for the
+    fastText-style quality/domain classifiers real curation pipelines
+    run over every document (CCNet / GPT-3 data work): fit on the
+    deterministic md5 80% split, predict `source` on the held-out 20%,
+    return the confusion matrix. Add-one smoothing over the train
+    vocabulary; unseen tokens contribute −ln(n_s + V) apiece, folded in
+    closed form as tn·ln(n_s+V) so the scorer only ever joins MATCHED
+    (token, class) pairs. Argmax per doc is decided on 6dp-rounded
+    scores with class-name tie-break (the cross-engine ulp discipline);
+    zero-token eval docs have no evidence and are excluded (both
+    engines).
+
+    Scale shape: training is ONE occurrence-count aggregate — no SGD,
+    no driver state; the (class × train-vocab) count relation and the
+    per-class totals/priors are vocabulary-bounded and broadcast (at
+    open-web vocabulary the counts would hash into buckets first,
+    dsir_importance_weights' trick, without changing the plan); scoring
+    is an eval-occurrence × matched-class join aggregated on
+    (doc, class) ≤ docs×|classes| rows; the argmax is a |classes|-deep
+    per-doc window. Everything downstream of the explode is partial-agg
+    shuffles."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks_t = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+            "train",
+        )
+        .otherwise("eval")
+        .alias("split"),
+        tokenize(F.lower(F.col("text"))).alias("toks"),
+    )
+    words = toks_t.select(
+        "doc_id", "source", "split", F.explode("toks").alias("w")
+    )
+    train_w = words.filter(F.col("split") == "train")
+    cnt = (
+        train_w.groupBy(F.col("source").alias("cls"), "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ns = cnt.groupBy("cls").agg(F.sum("c").alias("n_s"))
+    vocab = train_w.agg(F.countDistinct("w").alias("v"))
+    train_docs = toks_t.filter(F.col("split") == "train")
+    n_train = train_docs.agg(F.count(F.lit(1)).alias("n_tr"))
+    prior = (
+        train_docs.groupBy(F.col("source").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .crossJoin(F.broadcast(n_train))
+        .select("cls", F.log(F.col("nd") / F.col("n_tr").cast("double")).alias("lp"))
+    )
+    testdocs = toks_t.filter(
+        (F.col("split") == "eval") & (F.size("toks") > 0)
+    ).select("doc_id", "source", F.size("toks").alias("tn"))
+    matched = (
+        words.filter(F.col("split") == "eval")
+        .select("doc_id", "w")
+        .join(F.broadcast(cnt), "w")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.log(F.col("c") + 1.0)).alias("msum"))
+    )
+    scored = (
+        testdocs.crossJoin(F.broadcast(prior))
+        .join(F.broadcast(ns), "cls")
+        .crossJoin(F.broadcast(vocab))
+        .join(matched, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "cls",
+            (
+                F.col("lp")
+                + F.coalesce(F.col("msum"), F.lit(0.0))
+                - F.col("tn") * F.log(F.col("n_s") + F.col("v"))
+            ).alias("score"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    pround(F.col("score"), 6).desc(), "cls"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("cls").alias("pred_source"))
+    )
+    return pred.groupBy("source", "pred_source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
