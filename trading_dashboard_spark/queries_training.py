@@ -1554,7 +1554,11 @@ def nb_source_classifier_eval(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     ns = cnt.groupBy("cls").agg(F.sum("c").alias("n_s"))
-    vocab = train_w.agg(F.countDistinct("w").alias("v"))
+    # |V| from the (class × vocab) count relation, NOT a second pass
+    # over train occurrences — same support (a train token appears in
+    # ≥1 class row), input is vocabulary-bounded instead of corpus-
+    # sized (measured: removes one of the plan's tokenize Generates).
+    vocab = cnt.agg(F.countDistinct("w").alias("v"))
     train_docs = toks_t.filter(F.col("split") == "train")
     n_train = train_docs.agg(F.count(F.lit(1)).alias("n_tr"))
     prior = (
