@@ -279,6 +279,9 @@ SWEEP_QUERIES = [
     # classifier (train + eval + confusion inside the engine).
     "dsir_importance_weights", "winnowing_fingerprint_pairs",
     "nb_source_classifier_eval",
+    # and their compositions: the winnowed train->eval contamination
+    # audit and the Gumbel-top-k resampling draw over DSIR weights.
+    "winnowing_decontamination", "dsir_gumbel_resample",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

@@ -840,3 +840,51 @@ def test_winnowing_guarantee_and_no_false_pairs(spark, tmp_path):
              winnowing_fingerprint_pairs(spark, str(tmp_path)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert all(3 not in p for p in pairs)
+
+
+def test_winnowing_decontamination_flags_planted_copy(spark, tmp_path):
+    """Plant a 20-token verbatim run from a train-split doc inside an
+    eval-split doc (split membership computed with the same md5 rule the
+    query uses) — the eval doc must surface with n_hit > 0; an eval doc
+    with no overlap must not appear."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def split_of(doc_id):
+        return ("train"
+                if hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "cd"
+                else "eval")
+
+    train_id = next(i for i in range(1000) if split_of(i) == "train")
+    eval_ids = [i for i in range(1000) if split_of(i) == "eval"]
+    eval_hit, eval_clean = eval_ids[0], eval_ids[1]
+
+    run = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+           "juliet kilo lima mike november oscar papa quebec romeo "
+           "sierra tango")
+    rows = [
+        (train_id, "prefix words here " + run + " suffix words", "en",
+         "s1", 120),
+        (eval_hit, run + " some unrelated continuation text", "en", "s2", 90),
+        (eval_clean, "entirely different content about volcanic rocks and "
+                     "maritime navigation charts with unique terms", "en",
+         "s3", 100),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_text import (
+        winnowing_decontamination,
+    )
+
+    got = {r["doc_id"]: r for r in
+           winnowing_decontamination(spark, str(tmp_path)).collect()}
+    assert eval_hit in got and got[eval_hit]["n_hit"] > 0
+    assert eval_clean not in got
+    assert train_id not in got  # train docs are never audited rows

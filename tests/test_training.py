@@ -247,3 +247,27 @@ def test_dsir_lanes_agree(spark, sf_dir):
     j = {r["doc_id"]: (r["n_tokens"], r["log_importance"]) for r in
          dsir_importance_weights(spark, sf_dir, lane="jvm").collect()}
     assert a == j and len(a) > 0
+
+
+def test_dsir_gumbel_key_replays_outside_spark(spark, sf_dir):
+    """The resample key must be exactly round(lw + Gumbel(md5-uniform),
+    6) — recomputed here with hashlib/math, no Spark — pinning the
+    deterministic-noise contract (any engine or backfill replays the
+    same draw)."""
+    import hashlib
+    import math
+
+    from trading_dashboard_spark.queries_training import (
+        dsir_gumbel_resample, dsir_importance_weights,
+    )
+
+    lw = {r["doc_id"]: r["log_importance"] for r in
+          dsir_importance_weights(spark, sf_dir).collect()}
+    out = dsir_gumbel_resample(spark, sf_dir).collect()
+    assert len(out) == 50
+    for r in out:
+        u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8],
+                16) / 4294967296.0
+        expect = round(lw[r["doc_id"]] - math.log(-math.log(max(u, 1e-12))),
+                       6)
+        assert abs(r["gkey"] - expect) < 1e-9

@@ -3519,11 +3519,10 @@ def dedup_cluster_delta(spark, sf_dir):
 #: least one selected fingerprint.
 _WINNOW_K, _WINNOW_W = 4, 4
 
-
-@register(
-    "winnowing_fingerprint_pairs",
-    f"""
-    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+#: the toks→grams→window-min→selected-fingerprints CTE chain, shared by
+#: the pair query and the winnowed decontamination audit.
+_WINNOW_SEL_CTES = f"""
+    toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     gr AS (
       SELECT doc_id,
              unnest(range(1, len(toks) - {_WINNOW_K - 2})) AS pos,
@@ -3544,7 +3543,54 @@ _WINNOW_K, _WINNOW_W = 4, 4
     sel AS (
       SELECT DISTINCT doc_id, substr(selkey, 1, 32) AS fp
       FROM win WHERE pos >= least({_WINNOW_W}, m)
-    ),
+    )"""
+
+
+def _winnowed_sel(docs):
+    """Spark side of `_WINNOW_SEL_CTES`: the DISTINCT (doc_id, fp)
+    winnowing selection — one doc_id exchange for the ordered window,
+    fingerprint traffic ~2/(w+1) of gram positions downstream."""
+    from .text.analysis import tokenize
+
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = (
+        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= k)
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
+    gram = F.md5(
+        F.concat_ws(
+            " ", *[F.element_at("toks", F.col("pos") + i) for i in range(k)]
+        )
+    )
+    gr = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("pos"))
+        .select("doc_id", "pos", gram.alias("h"))
+    )
+    selkey = F.concat(
+        F.col("h"),
+        F.lpad((F.lit(9999999999) - F.col("pos")).cast("string"), 10, "0"),
+    )
+    doc_w = W.partitionBy("doc_id")
+    win = gr.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(doc_w).alias("m"),
+        F.min(selkey)
+        .over(doc_w.orderBy("pos").rowsBetween(-(w - 1), 0))
+        .alias("selkey"),
+    )
+    return (
+        win.filter(F.col("pos") >= F.least(F.lit(w), F.col("m")))
+        .select("doc_id", F.substring("selkey", 1, 32).alias("fp"))
+        .distinct()
+    )
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    f"""
+    WITH {_WINNOW_SEL_CTES},
     grp AS (
       SELECT fp, list_sort(list(doc_id)) AS ids
       FROM sel GROUP BY fp
@@ -3592,42 +3638,8 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
     fingerprint guarantee. Downstream traffic is the winnowed subset
     only; the pair expansion is ubiquity-capped (2–10 docs per
     fingerprint) exactly like verbatim overlap."""
-    from .text.analysis import tokenize
-
     docs = _t(spark, sf_dir, "documents")
-    k, w = _WINNOW_K, _WINNOW_W
-    toks = (
-        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
-        .filter(F.size("toks") >= k)
-    )
-    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
-    gram = F.md5(
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("pos") + i) for i in range(k)]
-        )
-    )
-    gr = (
-        toks.select("doc_id", "toks", F.explode(idx).alias("pos"))
-        .select("doc_id", "pos", gram.alias("h"))
-    )
-    selkey = F.concat(
-        F.col("h"),
-        F.lpad((F.lit(9999999999) - F.col("pos")).cast("string"), 10, "0"),
-    )
-    doc_w = W.partitionBy("doc_id")
-    win = gr.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(doc_w).alias("m"),
-        F.min(selkey)
-        .over(doc_w.orderBy("pos").rowsBetween(-(w - 1), 0))
-        .alias("selkey"),
-    )
-    sel = (
-        win.filter(F.col("pos") >= F.least(F.lit(w), F.col("m")))
-        .select("doc_id", F.substring("selkey", 1, 32).alias("fp"))
-        .distinct()
-    )
+    sel = _winnowed_sel(docs)
     grp = (
         sel.groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -3652,4 +3664,97 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
         .filter(F.col("n_shared_fps") >= 2)
         .orderBy(F.col("n_shared_fps").desc(), "id_a", "id_b")
         .limit(50)
+    )
+
+@register(
+    "winnowing_decontamination",
+    f"""
+    WITH {_WINNOW_SEL_CTES},
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM documents
+    ),
+    train_fps AS (
+      SELECT DISTINCT s.fp
+      FROM sel s JOIN tagged g ON s.doc_id = g.doc_id
+      WHERE g.split = 'train'
+    ),
+    eval_sel AS (
+      SELECT s.doc_id, s.fp
+      FROM sel s JOIN tagged g ON s.doc_id = g.doc_id
+      WHERE g.split = 'eval'
+    ),
+    per_doc AS (
+      SELECT e.doc_id,
+             count(*) AS n_fps,
+             count(*) FILTER (WHERE t.fp IS NOT NULL) AS n_hit
+      FROM eval_sel e LEFT JOIN train_fps t ON e.fp = t.fp
+      GROUP BY e.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_fps AS BIGINT) AS n_fps,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_fps, 4) AS contamination
+    FROM per_doc WHERE n_hit > 0
+    ORDER BY contamination DESC, doc_id LIMIT 100
+    """,
+    tags=("text", "X2", "dedup", "winnowing", "decontamination", "split"),
+)
+def winnowing_decontamination(spark, sf_dir):
+    """Train→eval decontamination audit on WINNOWED fingerprints: for
+    every held-out document (the md5 ≥'cd' tail of the house split),
+    the fraction of its selected winnowing fingerprints that also
+    appear anywhere in the train split. Sits between
+    `cross_split_contamination` (whole-doc exact hash — misses partial
+    copying entirely) and `eval_window_decontamination` (EVERY 8-token
+    window — the full-cost sliding audit): winnowing's guarantee means
+    any shared verbatim run of ≥ w+k−1 = 7 tokens still surfaces, at
+    ~2/(w+1) ≈ 40% of the fingerprint volume — the published way to
+    keep a contamination audit affordable when the eval suite is
+    large and the corpus is 100 TB.
+
+    Scale shape: the winnow selection is the shared `_winnowed_sel`
+    relation; because the split tag is a doc_id-only predicate,
+    Catalyst pushes it BELOW the winnow window (the window partitions
+    by doc_id), so the train branch winnows only train docs and the
+    eval branch only eval docs — the plan's two Generate nodes cover
+    disjoint subsets, one full winnow pass in total (verified in the
+    executed plan). Train fingerprints dedup to a set that joins the
+    eval side on 32-hex fp keys — text never moves; output is
+    eval-doc-bounded, top-100 by contamination via
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = _winnowed_sel(docs)
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
+        "train",
+    ).otherwise("eval")
+    tagged = sel.withColumn("split", split)
+    train_fps = (
+        tagged.filter(F.col("split") == "train").select("fp").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_sel = tagged.filter(F.col("split") == "eval").select("doc_id", "fp")
+    per_doc = (
+        eval_sel.join(train_fps, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_hit") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("n_fps").cast("bigint").alias("n_fps"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            pround(F.col("n_hit") / F.col("n_fps").cast("double"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy(F.col("contamination").desc(), "doc_id")
+        .limit(100)
     )

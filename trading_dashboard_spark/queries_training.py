@@ -1337,10 +1337,11 @@ def _dsir_bucket_counts_arrow(docs):
     )
 
 
-@register(
-    "dsir_importance_weights",
-    f"""
-    WITH toks_t AS (SELECT doc_id, source, lang, {_TOKS_DOC} AS toks
+#: the full DSIR scoring pipeline as a CTE chain ending in `weights`
+#: (doc_id, source, lang, n_tokens, 4dp log_importance) — shared by the
+#: weight query and the Gumbel-top-k resample.
+_DSIR_WEIGHTS_CTES = f"""
+    toks_t AS (SELECT doc_id, source, lang, {_TOKS_DOC} AS toks
                     FROM documents),
     words AS (SELECT doc_id, source, lang, unnest(toks) AS w FROM toks_t),
     bw AS (SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b FROM words),
@@ -1359,12 +1360,21 @@ def _dsir_bucket_counts_arrow(docs):
     db AS (
       SELECT doc_id, source, lang, b, count(*) AS n
       FROM bw GROUP BY doc_id, source, lang, b
-    )
-    SELECT d.doc_id, d.source, d.lang,
-           CAST(sum(d.n) AS BIGINT) AS n_tokens,
-           round(sum(d.n * r.lr), 4) AS log_importance
-    FROM db d JOIN ratio r ON d.b = r.b
-    GROUP BY d.doc_id, d.source, d.lang
+    ),
+    weights AS (
+      SELECT d.doc_id, d.source, d.lang,
+             CAST(sum(d.n) AS BIGINT) AS n_tokens,
+             round(sum(d.n * r.lr), 4) AS log_importance
+      FROM db d JOIN ratio r ON d.b = r.b
+      GROUP BY d.doc_id, d.source, d.lang
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, source, lang, n_tokens, log_importance FROM weights
     """,
     tags=("training", "curation", "dsir", "sampling"),
 )
@@ -1608,3 +1618,52 @@ def nb_source_classifier_eval(spark, sf_dir):
     return pred.groupBy("source", "pred_source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+@register(
+    "dsir_gumbel_resample",
+    f"""
+    WITH {_DSIR_WEIGHTS_CTES},
+    keyed AS (
+      SELECT doc_id, source, log_importance,
+             round(log_importance
+                   - ln(-ln(greatest({_hash_frac_sql('doc_id')}, 1e-12))),
+                   6) AS gkey
+      FROM weights
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, log_importance, gkey
+    FROM keyed
+    ORDER BY gkey DESC, doc_id LIMIT 50
+    """,
+    tags=("training", "curation", "dsir", "sampling", "gumbel"),
+)
+def dsir_gumbel_resample(spark, sf_dir):
+    """The RESAMPLING half of DSIR (the paper's step 3): draw the
+    training subset ∝ exp(log importance weight) via the Gumbel-top-k
+    trick — key = log_weight + Gumbel(0,1) noise, take the k largest
+    keys, and the draw is distributed exactly like weighted sampling
+    without replacement (Efraimidis–Spirakis; the Gumbel-max identity).
+    The noise is the house deterministic-random: u = md5-derived
+    uniform of doc_id, Gumbel = −ln(−ln(u)) — replayable bit-for-bit
+    on any engine, re-run, or backfill, like every sampling query in
+    this tier.
+
+    Cross-engine discipline: the key is built from the 4dp-ROUNDED
+    log weight (both engines round identically) and is itself
+    6dp-rounded BEFORE the top-k ordering with doc_id tiebreak, so the
+    selected set cannot flip on a last-ulp ln() divergence between
+    libm implementations.
+
+    Scale shape: everything upstream is dsir_importance_weights' plan
+    (one Arrow bucket-count pass + 256-row broadcast); the key is a
+    map-only expression and the top-50 is TakeOrderedAndProject — no
+    global sort, no single-partition window, no collect."""
+    weights = dsir_importance_weights(spark, sf_dir)
+    gumbel = -F.log(-F.log(F.greatest(_hash_frac(F.col("doc_id")), F.lit(1e-12))))
+    keyed = weights.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "log_importance",
+        pround(F.col("log_importance") + gumbel, 6).alias("gkey"),
+    )
+    return keyed.orderBy(F.col("gkey").desc(), "doc_id").limit(50)
