@@ -280,8 +280,10 @@ SWEEP_QUERIES = [
     "dsir_importance_weights", "winnowing_fingerprint_pairs",
     "nb_source_classifier_eval",
     # and their compositions: the winnowed train->eval contamination
-    # audit and the Gumbel-top-k resampling draw over DSIR weights.
+    # audit, the Gumbel-top-k resampling draw over DSIR weights, and
+    # the growing-histogram streaming admission gate.
     "winnowing_decontamination", "dsir_gumbel_resample",
+    "streaming_dsir_admission",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -303,6 +305,14 @@ SWEEP_ORACLE_SKIP = {
     "post_dedup_mixture_rebalance":
         "recursive transitive-closure oracle OOMs DuckDB (60 GB limit) "
         "on the x10 replica; Spark side completes in ~5 s",
+    # r9 late: measured 325 s at x10 (the 3-wave unrolled CTE chain with
+    # per-wave scalar subqueries over the growing histogram), and at
+    # x100 DuckDB spilled until the DISK filled ('Could not write file
+    # .tmp/duckdb_temp_storage: No space left on device'); sf-scale
+    # oracle rows value-check the same wave semantics in seconds
+    "streaming_dsir_admission":
+        "growing-histogram oracle: 325 s at x10, disk-full spill at "
+        "x100; Spark side completes in ~6 s / ~32 s",
 }
 
 #: oracles that are feasible but MINUTES-slow at ×10 (measured:

@@ -387,3 +387,28 @@ def test_ivf_refresh_broadcasts_centroids(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ivf_codebook_refresh")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_decon_splits_work_not_duplicates_it(spark, sf_dir):
+    """The doc_id-only split predicate must push BELOW the winnow window
+    so the train and eval branches each winnow only their own split —
+    the plan's Generate nodes sit above md5-filtered scans, i.e. one
+    full winnow pass split across branches, never two full passes."""
+    plan = _plan(spark, sf_dir, "winnowing_decontamination")
+    gens = plan.count("Generate explode")
+    assert gens == 2                      # one per split branch
+    # each branch's scan-side Filter carries the split predicate (the
+    # md5-of-doc_id comparison) below its Generate — i.e. below the
+    # winnow window that consumes it
+    assert plan.count("substring(md5(cast(cast(doc_id") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_is_topk_not_global_sort(spark, sf_dir):
+    """The Gumbel resample must end in TakeOrderedAndProject — no
+    global Sort, no single-partition exchange for the top-50."""
+    plan = _plan(spark, sf_dir, "dsir_gumbel_resample")
+    assert "TakeOrderedAndProject" in plan
+    # the only SinglePartition exchange allowed is the 256-row histogram
+    # total (KB-scale); the output key must never be globally sorted
+    assert "Sort [gkey" not in plan

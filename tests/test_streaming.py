@@ -402,3 +402,44 @@ def test_streaming_admission_rejects_against_grown_index(spark, tmp_path):
         for r in minhash_incremental_admission(spark, str(tmp_path)).collect()
     }
     assert static == {"feedA": (0, 1), "feedB": (0, 2)}
+
+
+def test_streaming_dsir_admission_model_drifts_with_admissions(spark, tmp_path):
+    """The growing-histogram property: a wave-0 doc in UNSEEN vocabulary
+    admits (unseen tokens lean slightly target-ward while raw > target
+    volume), and because it is lang='xx' its counts fold into the RAW
+    histogram only — so a wave-2 doc in the SAME vocabulary is rejected
+    (now pool-typical, still target-absent). The admission gate's answer
+    changes between waves with no change in the arriving text: that is
+    the drift the static dsir_importance_weights model cannot express.
+    Ids picked by md5 slot (1,2=incumbent; 40=wave0; 34=wave1; 3=wave2);
+    token buckets verified pairwise collision-free."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    G = "good clean quality prose text"            # incumbent target vocab
+    Bv = "spam junk noise garbage filler"          # incumbent pool vocab
+    M = "mystery moose marble melon mango mocha"   # unseen drift vocab
+    rows = [
+        (1, G, "en", "incT", len(G)),
+        (2, Bv, "xx", "incR", len(Bv)),
+        (40, M, "xx", "feedM", len(M)),        # wave 0: admits (+drift)
+        (34, G, "xx", "feedG", len(G)),        # wave 1: target-like, admits
+        (3, M, "xx", "feedM2", len(M)),        # wave 2: REJECTED post-drift
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_streaming import (
+        streaming_dsir_admission,
+    )
+
+    got = {r["source"]: r for r in
+           streaming_dsir_admission(spark, str(tmp_path)).collect()}
+    assert got["feedM"]["n_admitted"] == 1 and got["feedM"]["mean_lw"] > 0
+    assert got["feedG"]["n_admitted"] == 1 and got["feedG"]["mean_lw"] > 0
+    assert got["feedM2"]["n_admitted"] == 0 and got["feedM2"]["mean_lw"] < 0

@@ -298,6 +298,18 @@ COMMENTARY = {
         "fingerprint subset, and the pair expansion is ubiquity-capped "
         "like verbatim_overlap_pairs."
     ),
+    "winnowing_decontamination": (
+        "Winnowed contamination audit (r9): the doc_id-only split "
+        "predicate pushes below the winnow window, so the two Generate "
+        "branches cover DISJOINT splits — one full winnow pass total; "
+        "the train fingerprint set joins the eval side on 32-hex fp "
+        "keys, text never shuffles."
+    ),
+    "dsir_gumbel_resample": (
+        "DSIR resampling draw (r9): dsir's plan plus a map-only "
+        "Gumbel key and TakeOrderedAndProject top-50 — the only "
+        "SinglePartition exchange is the 256-row histogram total."
+    ),
     "nb_source_classifier_eval": (
         "Naive Bayes (r9): training is one occurrence-count aggregate; "
         "the (class x train-vocab) counts, totals, priors and vocab "

@@ -956,3 +956,258 @@ def streaming_minhash_admission(spark, sf_dir):
         )
     finally:
         shutil.rmtree(landing, ignore_errors=True)
+
+
+def _streaming_dsir_oracle(waves: int = 3) -> str:
+    """Unrolls the growing-histogram DSIR admission: wave k is scored
+    against the bucket histograms of (incumbent ∪ admitted waves < k),
+    and admitted docs' bucket counts fold into the model before the
+    next wave — the batch-boundary-deterministic replay of the
+    foreachBatch loop below."""
+    from .queries_training import _DSIR_BUCKET_SQL, _DSIR_BUCKETS
+    from .queries_text import _TOKS
+
+    B = _DSIR_BUCKETS
+    ctes = [
+        f"toks_t AS (SELECT doc_id, source, lang, {_TOKS} AS toks FROM documents)",
+        """base AS (
+      SELECT doc_id AS id, source, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS incumbent,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN NULL
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '6' THEN 0
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < 'b' THEN 1
+                  ELSE 2 END AS wave,
+             toks
+      FROM toks_t
+    )""",
+        f"""bw AS (
+      SELECT b.id, b.incumbent, b.wave, b.lang, {_DSIR_BUCKET_SQL} AS bk,
+             count(*) AS n
+      FROM base b, LATERAL (SELECT unnest(toks) AS w) t
+      GROUP BY b.id, b.incumbent, b.wave, b.lang, bk
+    )""",
+        """hist0 AS (
+      SELECT bk, sum(n) AS c_raw,
+             sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) AS c_tgt
+      FROM bw WHERE incumbent GROUP BY bk
+    )""",
+    ]
+    for k in range(waves):
+        ctes.append(
+            f"""scored{k} AS (
+      SELECT w.id, round(sum(w.n * (
+               ln((coalesce(h.c_tgt, 0) + 1.0)
+                  / ((SELECT sum(c_tgt) FROM hist{k}) + {B}.0))
+             - ln((coalesce(h.c_raw, 0) + 1.0)
+                  / ((SELECT sum(c_raw) FROM hist{k}) + {B}.0))
+             )), 4) AS lw
+      FROM bw w LEFT JOIN hist{k} h ON w.bk = h.bk
+      WHERE w.wave = {k}
+      GROUP BY w.id
+    )"""
+        )
+        ctes.append(
+            f"""adm{k} AS (
+      SELECT b.id FROM base b LEFT JOIN scored{k} s ON s.id = b.id
+      WHERE b.wave = {k} AND coalesce(s.lw, 0.0) > 0
+    )"""
+        )
+        ctes.append(
+            f"""hist{k + 1} AS (
+      SELECT bk, sum(c_raw) AS c_raw, sum(c_tgt) AS c_tgt FROM (
+        SELECT bk, c_raw, c_tgt FROM hist{k}
+        UNION ALL
+        SELECT w.bk, w.n AS c_raw,
+               CASE WHEN w.lang = 'en' THEN w.n ELSE 0 END AS c_tgt
+        FROM bw w JOIN adm{k} a ON a.id = w.id
+      ) GROUP BY bk
+    )"""
+        )
+    scores_union = "\n      UNION ALL\n      ".join(
+        f"SELECT id, lw FROM scored{k}" for k in range(waves)
+    )
+    adm_union = "\n      UNION\n      ".join(
+        f"SELECT id FROM adm{k}" for k in range(waves)
+    )
+    ctes.append(f"scores AS (\n      {scores_union}\n    )")
+    ctes.append(f"admitted AS (\n      {adm_union}\n    )")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_admitted,
+           round(avg(coalesce(s.lw, 0.0)), 4) AS mean_lw
+    FROM base b
+    LEFT JOIN scores s ON s.id = b.id
+    LEFT JOIN admitted a ON a.id = b.id
+    WHERE NOT b.incumbent
+    GROUP BY b.source
+    """
+
+
+@register(
+    "streaming_dsir_admission", _streaming_dsir_oracle(),
+    tags=("streaming", "training", "curation", "dsir", "admission"),
+)
+def streaming_dsir_admission(spark, sf_dir):
+    """CONTINUOUS target-domain admission — the DSIR counterpart of
+    `streaming_minhash_admission`: each arriving micro-batch is scored
+    against the AT-REST importance model (target/raw hashed-bucket
+    histograms over incumbent ∪ previously admitted docs), a document
+    is admitted iff its 4dp-rounded log importance weight is positive
+    (more target-like than pool-like), and admitted docs' bucket
+    counts fold into BOTH histograms before the next trigger — the
+    model drifts with what the gate lets in, which is exactly how a
+    continuously-curated ingest behaves (and why admission order is
+    part of the semantics). Composes the r9 DSIR primitive with the
+    r8/r9 admission harness: same md5 wave construction
+    (trigger k IS wave k via one landed file per wave +
+    maxFilesPerTrigger=1), same unrolled-CTE oracle discipline, same
+    fresh-state retry for py4j callback flakiness.
+
+    Scale shape: the ENTIRE model state is a 256-row histogram — the
+    state the band-index admission must grow per admitted doc is here
+    constant-size no matter how much is admitted (DSIR's scale
+    property); per trigger the batch runs one Arrow bucket-count pass,
+    joins the broadcast 256-row log-ratio relation, and folds a
+    ≤256-row delta into the checkpointed model. Decisions are
+    batch-sized; nothing corpus-proportional shuffles per trigger."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .queries_training import (
+        _DSIR_BUCKETS, _dsir_bucket_counts_arrow,
+    )
+
+    B = float(_DSIR_BUCKETS)
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    incumbent = F.substring(h, 1, 2) < "cd"
+    wv = F.substring(h, 3, 1)
+    wave = F.when(wv < "6", 0).when(wv < "b", 1).otherwise(2)
+
+    def bucket_counts(df):
+        """(doc_id, source, lang, b, n) via the shared Arrow lane."""
+        return _dsir_bucket_counts_arrow(df.select(
+            "doc_id", "source", "lang", "text"
+        ))
+
+    def to_hist(db):
+        return db.groupBy(F.col("b").alias("bk")).agg(
+            F.sum("n").alias("c_raw"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
+            ).alias("c_tgt"),
+        )
+
+    def fresh_state():
+        return {
+            "hist": to_hist(bucket_counts(docs.filter(incumbent)))
+            .localCheckpoint(eager=True),
+            "decisions": [],
+        }
+
+    state = fresh_state()
+
+    def admit_batch(batch_df, batch_id):
+        db = bucket_counts(batch_df).localCheckpoint(eager=True)
+        tots = state["hist"].agg(
+            F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+        )
+        # the model is DENSE by definition — all B buckets score, so a
+        # token whose bucket the model has never seen still gets the
+        # smoothed default ln(1/(n_tgt+B)) - ln(1/(n_raw+B)) instead of
+        # silently dropping out of the join (the first cut inner-joined
+        # the sparse histogram and treated unseen buckets as lw 0; the
+        # planted drift test caught it)
+        ratio = (
+            spark.range(_DSIR_BUCKETS).select(F.col("id").alias("bk"))
+            .join(state["hist"], "bk", "left")
+            .fillna(0, subset=["c_raw", "c_tgt"])
+            .crossJoin(F.broadcast(tots))
+            .select(
+                F.col("bk").alias("b"),
+                (
+                    F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + B))
+                    - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + B))
+                ).alias("lr"),
+            )
+        )
+        scored = (
+            db.join(F.broadcast(ratio), "b")
+            .groupBy("doc_id")
+            .agg(pround(F.sum(F.col("n") * F.col("lr")), 4).alias("lw"))
+        )
+        decisions = (
+            batch_df.select("doc_id", "source")
+            .join(scored, "doc_id", "left")
+            .select(
+                "doc_id", "source",
+                F.coalesce("lw", F.lit(0.0)).alias("lw"),
+            )
+            .withColumn("admitted", F.col("lw") > 0)
+            .localCheckpoint(eager=True)
+        )
+        state["decisions"].append(decisions)
+        delta = to_hist(
+            db.join(
+                decisions.filter("admitted").select("doc_id"), "doc_id"
+            )
+        )
+        state["hist"] = (
+            state["hist"].unionByName(delta)
+            .groupBy("bk")
+            .agg(F.sum("c_raw").alias("c_raw"), F.sum("c_tgt").alias("c_tgt"))
+            .localCheckpoint(eager=True)
+        )
+
+    landing = tempfile.mkdtemp(prefix="stream_dsir_")
+    try:
+        batch_docs = docs.filter(~incumbent).withColumn("wave", wave)
+        for k in range(3):
+            batch_docs.filter(F.col("wave") == k).drop("wave").coalesce(
+                1
+            ).write.mode("overwrite").parquet(f"{landing}/w{k}")
+            for root, _, files in os.walk(f"{landing}/w{k}"):
+                for fn in files:
+                    os.utime(os.path.join(root, fn),
+                             (time.time() + 10 * k,) * 2)
+        for attempt in (0, 1):
+            stream = (
+                spark.readStream.schema(batch_docs.drop("wave").schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(f"{landing}/w*")
+            )
+            q = stream.writeStream.foreachBatch(admit_batch).outputMode(
+                "update"
+            ).start()
+            try:
+                q.processAllAvailable()
+                q.stop()
+                break
+            except Exception:
+                q.stop()
+                if attempt:
+                    raise
+                state = fresh_state()
+        out = state["decisions"][0]
+        for d in state["decisions"][1:]:
+            out = out.unionByName(d)
+        return (
+            out.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_batch"),
+                F.sum(F.col("admitted").cast("int")).cast("long")
+                .alias("n_admitted"),
+                pround(F.avg("lw"), 4).alias("mean_lw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(landing, ignore_errors=True)
