@@ -423,3 +423,77 @@ def test_oracle_tokenizer_class_matches_java_ws_battery(spark):
         ).fetchall()
     }
     assert eng == duck
+
+
+def test_dsir_arrow_lane_random_battery(spark):
+    """DSIR's Arrow bucket-count lane == the JVM explode lane on 150
+    adversarial texts (whitespace soups covering the Java \\s class,
+    duplicate-heavy docs, mixed case, null/empty) — the same
+    trim/split/lower contract the simhash battery pins. A drift here
+    would hash-fail dsir_importance_weights, dsir_gumbel_resample AND
+    streaming_dsir_admission at once."""
+    from trading_dashboard_spark.queries_training import (
+        _DSIR_BUCKETS, _dsir_bucket_counts_arrow,
+    )
+    from trading_dashboard_spark.text.analysis import tokenize
+
+    rng = random.Random(4321)
+    words = ["alpha", "Beta", "GAMMA", "delta'", "x1", "Y2", "zzz", "a"]
+    ws_chars = [" ", "\t", "\n", "\x0b", "\f", "\r"]
+    rows = [(0, None), (1, ""), (2, "   "), (3, "".join(ws_chars))]
+    for i in range(3, 150):
+        n = rng.randint(1, 12)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(words) * rng.randint(1, 2))
+            parts.append("".join(
+                rng.choice(ws_chars) for _ in range(rng.randint(1, 3))
+            ))
+        rows.append((i + 10, "".join(parts)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        F.lit("s").alias("source"),
+        F.lit("en").alias("lang"),
+        "text",
+    )
+    arrow = {
+        (r["doc_id"], r["b"]): r["n"]
+        for r in _dsir_bucket_counts_arrow(df).collect()
+    }
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    jvm = {
+        (r["doc_id"], r["b"]): r["n"]
+        for r in df.select(
+            "doc_id", F.explode(tokenize(F.lower(F.col("text")))).alias("w")
+        )
+        .select("doc_id", bucket.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert arrow == jvm
+
+
+def test_winnowing_density_matches_theory(spark):
+    """Winnowing's published sampling rate: for random (tie-free) hash
+    sequences the expected selected fraction is 2/(w+1) of positions
+    (SIGMOD'03 §5). On 60 random 200-token docs the empirical density
+    must straddle 0.4 (w=4) well away from 1.0 — the storage claim the
+    decontamination audit's cost model rests on."""
+    from trading_dashboard_spark.queries_text import _winnowed_sel
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        toks = [f"t{rng.randrange(10**9)}" for _ in range(200)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sel = _winnowed_sel(df).groupBy("doc_id").count().collect()
+    n_grams = 200 - 4 + 1
+    densities = [r["count"] / n_grams for r in sel]
+    avg = sum(densities) / len(densities)
+    assert 0.3 < avg < 0.5          # theory: 2/(w+1) = 0.4
+    assert all(d < 0.7 for d in densities)

@@ -3611,8 +3611,8 @@ def _winnowed_sel(docs):
 )
 def winnowing_fingerprint_pairs(spark, sf_dir):
     """Winnowing document fingerprints (MOSS; Schleimer/Wilkerson/Aiken,
-    SIGMOD'03): hash every token {_WINNOW_K}-gram, then in each sliding
-    window of {_WINNOW_W} consecutive hashes SELECT the minimum (ties →
+    SIGMOD'03): hash every token k-gram (k=4), then in each sliding
+    window of w=4 consecutive hashes SELECT the minimum (ties →
     rightmost), dedup selections, and rank doc pairs by shared selected
     fingerprints. The selection rule is the whole point vs
     `verbatim_overlap_pairs` (which joins EVERY window hash): winnowing
