@@ -283,7 +283,7 @@ SWEEP_QUERIES = [
     # audit, the Gumbel-top-k resampling draw over DSIR weights, and
     # the growing-histogram streaming admission gate.
     "winnowing_decontamination", "dsir_gumbel_resample",
-    "streaming_dsir_admission",
+    "streaming_dsir_admission", "dedup_dsir_curation_pipeline",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -313,6 +313,11 @@ SWEEP_ORACLE_SKIP = {
     "streaming_dsir_admission":
         "growing-histogram oracle: 325 s at x10, disk-full spill at "
         "x100; Spark side completes in ~6 s / ~32 s",
+    # carries the same recursive pair-closure CTE that OOM'd DuckDB for
+    # post_dedup_mixture_rebalance at x10 (measured there, inherited)
+    "dedup_dsir_curation_pipeline":
+        "oracle embeds the post_dedup_mixture_rebalance recursive "
+        "closure (measured OOM at x10); sf rows check it in seconds",
 }
 
 #: oracles that are feasible but MINUTES-slow at ×10 (measured:

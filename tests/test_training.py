@@ -271,3 +271,35 @@ def test_dsir_gumbel_key_replays_outside_spark(spark, sf_dir):
         expect = round(lw[r["doc_id"]] - math.log(-math.log(max(u, 1e-12))),
                        6)
         assert abs(r["gkey"] - expect) < 1e-9
+
+
+def test_pipeline_scores_on_survivors_not_raw_pool(spark, tmp_path):
+    """Fit-after-dedup matters for SELECTION, not just the mixture law:
+    a near-identical flood inflates its own buckets in the raw-pool
+    histograms; after dedup the flood contributes one survivor, so the
+    selected set comes from the survivor relation and removed flood
+    members can never be drawn (they have no weight row at all)."""
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the band plays on")
+    rows = []
+    for i in range(6):  # flood: near-identical, one longest survivor
+        txt = base + (" encore" * (i == 5))
+        rows.append((100 + i, txt, "en", "feedDup", len(txt)))
+    for i in range(4):
+        txt = (f"completely distinct document number {i} about topic_{i} "
+               f"with unique vocabulary item_{i} token_{i} thing_{i}")
+        rows.append((200 + i, txt, "en", "feedClean", len(txt)))
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_training import (
+        dedup_dsir_curation_pipeline,
+    )
+
+    got = dedup_dsir_curation_pipeline(spark, str(tmp_path)).collect()
+    picked = {r["doc_id"] for r in got}
+    # exactly 5 candidates survive dedup (1 flood survivor + 4 clean),
+    # so the top-50 draw returns all of them and nothing else
+    assert len(got) == 5
+    assert picked & set(range(100, 105)) == set()   # removed flood members
+    assert 105 in picked                            # the longest survivor
+    assert picked >= {200, 201, 202, 203}

@@ -161,6 +161,13 @@ DUCK_SKIP_ALWAYS = {
     # and the dead connection then poisoned the process for the ×100
     # phase; same class as the banding sweep
     "post_dedup_mixture_rebalance",
+    # r9 late, measured: the 3-wave growing-histogram unroll read 325 s
+    # at ×10 and spilled until the DISK filled at ×100
+    "streaming_dsir_admission",
+    # embeds the post_dedup_mixture_rebalance recursive closure; its
+    # ×10 oracle OOM re-confirmed (then poisoned the ×100 view DDL,
+    # the recorded failure cascade) — skip at every factor
+    "dedup_dsir_curation_pipeline",
 }
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE

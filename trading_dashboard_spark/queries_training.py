@@ -1337,12 +1337,14 @@ def _dsir_bucket_counts_arrow(docs):
     )
 
 
-#: the full DSIR scoring pipeline as a CTE chain ending in `weights`
-#: (doc_id, source, lang, n_tokens, 4dp log_importance) — shared by the
-#: weight query and the Gumbel-top-k resample.
-_DSIR_WEIGHTS_CTES = f"""
+def _dsir_weights_ctes(src: str = "documents") -> str:
+    """The full DSIR scoring pipeline as a CTE chain ending in `weights`
+    (doc_id, source, lang, n_tokens, 4dp log_importance), parameterized
+    over the source relation — `documents` for the raw-pool queries, a
+    deduped CTE for the end-to-end curation pipeline."""
+    return f"""
     toks_t AS (SELECT doc_id, source, lang, {_TOKS_DOC} AS toks
-                    FROM documents),
+                    FROM {src}),
     words AS (SELECT doc_id, source, lang, unnest(toks) AS w FROM toks_t),
     bw AS (SELECT doc_id, source, lang, {_DSIR_BUCKET_SQL} AS b FROM words),
     hist AS (
@@ -1370,36 +1372,18 @@ _DSIR_WEIGHTS_CTES = f"""
     )"""
 
 
-@register(
-    "dsir_importance_weights",
-    f"""
-    WITH {_DSIR_WEIGHTS_CTES}
-    SELECT doc_id, source, lang, n_tokens, log_importance FROM weights
-    """,
-    tags=("training", "curation", "dsir", "sampling"),
-)
-def dsir_importance_weights(spark, sf_dir, lane: str = "arrow"):
-    """DSIR — Data Selection via Importance Resampling (Xie et al.,
-    NeurIPS 2023): score every document in the raw pool by how much it
-    looks like the TARGET domain (here lang='en'), using hashed
-    unigram bucket distributions. Per bucket b: p̂ = smoothed target
-    rate, q̂ = smoothed raw-pool rate; a document's log importance
-    weight is Σ_tokens (ln p̂[b(tok)] − ln q̂[b(tok)]) — resampling the
-    pool ∝ exp(weight) yields a corpus distributed like the target.
-    This is the published scale answer to "select 100B target-like
-    tokens from 100T raw": the entire model is a B-bucket histogram.
+#: the raw-pool instantiation, shared by the weight query and the
+#: Gumbel-top-k resample.
+_DSIR_WEIGHTS_CTES = _dsir_weights_ctes()
 
-    Scale shape: token traffic collapses map-side to (doc, bucket≤B)
-    partial counts — the only occurrence-sized pass; BOTH the target
-    and raw histograms come out of that one aggregate (conditional
-    sum, no second scan) and are B rows regardless of corpus size, so
-    the log-ratio relation broadcasts; the per-doc weight is one
-    partial-agg shuffle keyed doc_id over bucket-count rows (≤B per
-    doc). No driver collect anywhere; 4dp rounding is the house ulp
-    discipline for cross-engine float sums."""
+
+def _dsir_weights(docs, lane: str = "arrow"):
+    """The DSIR scoring pipeline over an arbitrary document relation —
+    shared by the raw-pool query, the Gumbel resample, and the
+    dedup-then-score curation pipeline. See dsir_importance_weights
+    for the full semantics/scale commentary."""
     from .text.analysis import tokenize
 
-    docs = _t(spark, sf_dir, "documents")
     # The ONE occurrence-sized pass: tokenize → (doc, bucket) counts
     # (each doc lives in one input partition, so the partial agg lands
     # at final ≤B-rows-per-doc size before any exchange). Everything
@@ -1460,6 +1444,36 @@ def dsir_importance_weights(spark, sf_dir, lane: str = "arrow"):
             pround(F.sum(F.col("n") * F.col("lr")), 4).alias("log_importance"),
         )
     )
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH {_DSIR_WEIGHTS_CTES}
+    SELECT doc_id, source, lang, n_tokens, log_importance FROM weights
+    """,
+    tags=("training", "curation", "dsir", "sampling"),
+)
+def dsir_importance_weights(spark, sf_dir, lane: str = "arrow"):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every document in the raw pool by how much it
+    looks like the TARGET domain (here lang='en'), using hashed
+    unigram bucket distributions. Per bucket b: p̂ = smoothed target
+    rate, q̂ = smoothed raw-pool rate; a document's log importance
+    weight is Σ_tokens (ln p̂[b(tok)] − ln q̂[b(tok)]) — resampling the
+    pool ∝ exp(weight) yields a corpus distributed like the target.
+    This is the published scale answer to "select 100B target-like
+    tokens from 100T raw": the entire model is a B-bucket histogram.
+
+    Scale shape: token traffic collapses map-side to (doc, bucket≤B)
+    partial counts — the only occurrence-sized pass; BOTH the target
+    and raw histograms come out of that one aggregate (conditional
+    sum, no second scan) and are B rows regardless of corpus size, so
+    the log-ratio relation broadcasts; the per-doc weight is one
+    partial-agg shuffle keyed doc_id over bucket-count rows (≤B per
+    doc). No driver collect anywhere; 4dp rounding is the house ulp
+    discipline for cross-engine float sums."""
+    return _dsir_weights(_t(spark, sf_dir, "documents"), lane)
 
 
 # --- multinomial Naive Bayes source classifier ------------------------------
@@ -1660,6 +1674,126 @@ def dsir_gumbel_resample(spark, sf_dir):
     global sort, no single-partition window, no collect."""
     weights = dsir_importance_weights(spark, sf_dir)
     gumbel = -F.log(-F.log(F.greatest(_hash_frac(F.col("doc_id")), F.lit(1e-12))))
+    keyed = weights.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "log_importance",
+        pround(F.col("log_importance") + gumbel, 6).alias("gkey"),
+    )
+    return keyed.orderBy(F.col("gkey").desc(), "doc_id").limit(50)
+
+
+def _dedup_dsir_oracle() -> str:
+    """Dedup (minhash pairs → recursive closure → longest-wins
+    survivors) THEN the DSIR chain over the deduped relation, then the
+    Gumbel-top-k draw — the post_dedup_mixture_rebalance closure CTEs
+    composed with the `_dsir_weights_ctes('deduped')` instantiation."""
+    from .queries_text import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+    members AS (
+      SELECT l.component, l.id, d.n_chars,
+             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
+      FROM labeled l JOIN documents d ON l.id = d.doc_id
+    ),
+    survivors AS (
+      SELECT component, arg_max(id, keep_key) AS survivor_id
+      FROM members GROUP BY component
+    ),
+    removed AS (
+      SELECT m.id FROM members m
+      JOIN survivors s ON m.component = s.component
+      WHERE m.id <> s.survivor_id
+    ),
+    deduped AS (
+      SELECT d.* FROM documents d
+      LEFT JOIN removed r ON d.doc_id = r.id
+      WHERE r.id IS NULL
+    ),
+    {_dsir_weights_ctes('deduped').strip()},
+    keyed AS (
+      SELECT doc_id, source, log_importance,
+             round(log_importance
+                   - ln(-ln(greatest({_hash_frac_sql('doc_id')}, 1e-12))),
+                   6) AS gkey
+      FROM weights
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source, log_importance, gkey
+    FROM keyed
+    ORDER BY gkey DESC, doc_id LIMIT 50
+    """
+
+
+@register(
+    "dedup_dsir_curation_pipeline", _dedup_dsir_oracle(),
+    tags=("training", "curation", "dsir", "dedup", "pipeline"),
+)
+def dedup_dsir_curation_pipeline(spark, sf_dir):
+    """The END-TO-END selection path in the order a real pipeline runs
+    it: near-dup dedup FIRST (minhash pairs → components →
+    longest-wins survivors), THEN fit the DSIR importance model on the
+    deduped corpus, THEN draw the training subset with the Gumbel
+    top-k. Scoring after dedup is not a detail: a duplicate flood
+    inflates its own buckets in both histograms, dragging every
+    document's weight toward the flood's vocabulary — fitting on
+    survivors is the same fit-after-dedup correction
+    post_dedup_mixture_rebalance applies to the mixture law, now
+    applied to the per-document selection itself. Composes three
+    green operators; each stage's semantics is individually
+    oracle-pinned by its own registration.
+
+    Scale shape: pairs are LSH-sized; CC is the checkpointed min-label
+    loop; the removal anti-join is doc_id-keyed; the DSIR stages run
+    `_dsir_weights` unchanged on the surviving relation (one Arrow
+    bucket-count pass + 256-row broadcast); the draw is map-only +
+    TakeOrderedAndProject. The oracle carries the recursive-closure
+    CTE, so like its siblings it is sf-scale-checked and
+    replica-skipped (the measured OOM class)."""
+    from .queries_text import (
+        _BANDS, _JACCARD_T, _NUM_HASHES, longest_wins_key,
+    )
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+    cc = connected_components(pairs)
+    members = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    survivors = members.groupBy("component").agg(
+        F.max_by("id", longest_wins_key()).alias("survivor_id")
+    )
+    removed = (
+        members.join(survivors, "component")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+    deduped = docs.join(
+        removed, docs["doc_id"] == removed["id"], "left_anti"
+    )
+    weights = _dsir_weights(deduped)
+    gumbel = -F.log(
+        -F.log(F.greatest(_hash_frac(F.col("doc_id")), F.lit(1e-12)))
+    )
     keyed = weights.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "source",
