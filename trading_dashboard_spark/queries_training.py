@@ -1554,7 +1554,14 @@ def nb_source_classifier_eval(spark, sf_dir):
     is an eval-occurrence × matched-class join aggregated on
     (doc, class) ≤ docs×|classes| rows; the argmax is a |classes|-deep
     per-doc window. Everything downstream of the explode is partial-agg
-    shuffles."""
+    shuffles.
+
+    Measured non-improvement (the DSIR repartition lesson repeating):
+    pinning ONE exchange-backed eval-word relation to serve both the
+    matched join and the token-count aggregate read 3.2 s vs 2.5 s at
+    ×10 and 8.5 s vs 7.0 s at ×100 same session — the occurrence-sized
+    exchange costs more than the duplicate map-side tokenize it
+    removes, so the two eval passes stay."""
     from .text.analysis import tokenize
 
     docs = _t(spark, sf_dir, "documents")
