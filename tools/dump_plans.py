@@ -310,6 +310,12 @@ COMMENTARY = {
         "Gumbel key and TakeOrderedAndProject top-50 — the only "
         "SinglePartition exchange is the 256-row histogram total."
     ),
+    "dedup_dsir_curation_pipeline": (
+        "End-to-end curation (r9): the minhash/CC/survivor stages keep "
+        "their audited shapes (banded digests, checkpointed min-label "
+        "loop, doc_id anti-join); the DSIR fit runs unchanged on the "
+        "surviving relation; the draw is TakeOrderedAndProject."
+    ),
     "nb_source_classifier_eval": (
         "Naive Bayes (r9): training is one occurrence-count aggregate; "
         "the (class x train-vocab) counts, totals, priors and vocab "

@@ -46,6 +46,13 @@ DEFAULT_QUERIES = [
     # fixes hold a further decade up
     "minhash_banding_sweep",
     "semantic_dedup_survivors",
+    # r9 late registrations: keep their ×100 rows refreshing with the
+    # artifact (oracle-side skip policies above handle the infeasible
+    # ones; Spark sides always run)
+    "dsir_importance_weights", "winnowing_fingerprint_pairs",
+    "nb_source_classifier_eval", "winnowing_decontamination",
+    "dsir_gumbel_resample", "streaming_dsir_admission",
+    "dedup_dsir_curation_pipeline",
 ]
 
 SALT1 = "etaoinshrd"

@@ -3724,7 +3724,12 @@ def winnowing_decontamination(spark, sf_dir):
     executed plan). Train fingerprints dedup to a set that joins the
     eval side on 32-hex fp keys — text never moves; output is
     eval-doc-bounded, top-100 by contamination via
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject. Production note: here eval is the md5 20%
+    tail (corpus-sized, so the fp join shuffles both sides — the ×100
+    exponent 0.81 is that join's growth); a real eval SUITE is KB–MB,
+    and the same plan then broadcasts the eval fingerprint side exactly
+    like eval_window_decontamination — the split is the sf-scale
+    stand-in, not the scale shape."""
     docs = _t(spark, sf_dir, "documents")
     sel = _winnowed_sel(docs)
     split = F.when(

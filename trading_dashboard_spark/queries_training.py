@@ -1276,7 +1276,12 @@ def _dsir_bucket_counts_arrow(docs):
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     B = _DSIR_BUCKETS
+    # Token→bucket digest memo, worker-lifetime. Vocabulary-bounded in
+    # practice, but an open-web corpus has no vocabulary bound — cap it
+    # and reset wholesale (a reset only costs recomputed md5s; values
+    # are pure functions of the token, so correctness is unaffected).
     memo: dict = {}
+    memo_cap = 2_000_000
 
     def mapper(it):
         for pdf in it:
@@ -1288,6 +1293,8 @@ def _dsir_bucket_counts_arrow(docs):
                 s = (t or "").lower().strip(" ")
                 toks = ws.split(s) if s else []
                 bs = []
+                if len(memo) > memo_cap:
+                    memo.clear()
                 for tok in toks:
                     b = memo.get(tok)
                     if b is None:
