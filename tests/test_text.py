@@ -888,3 +888,157 @@ def test_winnowing_decontamination_flags_planted_copy(spark, tmp_path):
     assert eval_hit in got and got[eval_hit]["n_hit"] > 0
     assert eval_clean not in got
     assert train_id not in got  # train docs are never audited rows
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+
+def test_gopher_rules_planted_per_rule_failures(spark, tmp_path):
+    """One doc per rule, each in its own source, each violating exactly
+    one Gopher rule — the per-source failure vector must attribute the
+    right rule and nothing else."""
+    def words(n, prefix="tok"):
+        return " ".join(f"{prefix}{i:03d}" for i in range(n))
+
+    pass_text = "the of " + words(53)
+    rows = [
+        (0, pass_text, "en", "s_pass", len(pass_text)),
+        # short words keep the top-bigram char fraction under 0.2 even in
+        # a tiny doc, so only the word-count rule trips
+        (1, "the of aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj",
+         "en", "s_short", 56),
+        (2, "the of " + " ".join(f"{'w' * 10}{i:04d}" for i in range(53)),
+         "en", "s_mwl", 700),
+        (3, "the of " + words(33) + " " + " ".join(f"{i:05d}" for i in range(20)),
+         "en", "s_alpha", 400),
+        (4, words(55, prefix="zz"), "en", "s_stop", 400),
+        (5, "the of " + words(43) + " " + " ".join(f"#tag{i}" for i in range(10)),
+         "en", "s_symbol", 400),
+        (6, "the of " + "spam ham " * 26 + "spam", "en", "s_rep", 250),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import gopher_quality_rules
+
+    got = {r["source"]: r.asDict() for r in
+           gopher_quality_rules(spark, str(tmp_path)).collect()}
+    fails = ["fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+             "fail_alpha_words", "fail_stopword", "fail_top_bigram"]
+    expected_fail = {
+        "s_pass": None,
+        "s_short": "fail_word_count",
+        "s_mwl": "fail_mean_word_len",
+        "s_alpha": "fail_alpha_words",
+        "s_stop": "fail_stopword",
+        "s_symbol": "fail_symbol_ratio",
+        "s_rep": "fail_top_bigram",
+    }
+    for source, bad_rule in expected_fail.items():
+        row = got[source]
+        for rule in fails:
+            want = 1 if rule == bad_rule else 0
+            assert row[rule] == want, (source, rule, row)
+        assert row["n_pass"] == (1 if bad_rule is None else 0)
+
+
+def test_ccnet_terciles_partition_each_language(spark, sf_dir):
+    """Bucket counts per language are the exact row_number thirds, they
+    sum to the number of SCORED docs, and the head bucket's floor is at
+    least the tail bucket's ceiling (scores are sorted before cutting)."""
+    from trading_dashboard_spark.queries_text import ccnet_perplexity_buckets
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        n = sum(r["n_docs"] for r in buckets.values())
+        assert buckets["head"]["n_docs"] == n // 3
+        assert buckets["middle"]["n_docs"] == (2 * n) // 3 - n // 3
+        assert buckets["tail"]["n_docs"] == n - (2 * n) // 3
+        assert buckets["head"]["min_logprob"] >= buckets["middle"]["max_logprob"]
+        assert buckets["middle"]["min_logprob"] >= buckets["tail"]["max_logprob"]
+
+
+def test_soft_dedup_planted_triplicate(spark, tmp_path):
+    """Three identical docs in one source collapse to one doc's worth of
+    effective tokens (inflation 3.0); a singleton source stays at 1.0."""
+    text = ("the quick brown fox jumps over the lazy dog again and again "
+            "today tomorrow yesterday")
+    other = "entirely different content about volcanic rocks and navigation"
+    rows = [
+        (1, text, "en", "dup_src", len(text)),
+        (2, text, "en", "dup_src", len(text)),
+        (3, text, "en", "dup_src", len(text)),
+        (4, other, "en", "solo_src", len(other)),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import (
+        soft_dedup_effective_tokens,
+    )
+
+    got = {r["source"]: r.asDict() for r in
+           soft_dedup_effective_tokens(spark, str(tmp_path)).collect()}
+    n_tok = len(text.split())
+    assert got["dup_src"]["raw_tokens"] == 3 * n_tok
+    assert got["dup_src"]["effective_tokens"] == float(n_tok)
+    assert got["dup_src"]["dup_inflation"] == 3.0
+    assert got["dup_src"]["n_clustered"] == 3
+    assert got["solo_src"]["dup_inflation"] == 1.0
+    assert got["solo_src"]["n_clustered"] == 0
+
+
+def test_contamination_span_measures_planted_run(spark, tmp_path):
+    """A 20-token verbatim run shared train->test must surface as
+    max_span_tokens == 20 (13 consecutive windows); an isolated 8-token
+    overlap measures exactly 8; a clean train doc never appears."""
+    import hashlib
+
+    def split_of(doc_id):
+        h2 = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if h2 < "cd" else ("valid" if h2 < "e6" else "test")
+
+    train_ids = [i for i in range(3000) if split_of(i) == "train"]
+    test_ids = [i for i in range(3000) if split_of(i) == "test"]
+    t_long, t_short, t_clean = train_ids[:3]
+    e_src = test_ids[0]
+
+    run20 = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango")
+    run8 = "uno dos tres cuatro cinco seis siete ocho"
+    filler = " ".join(f"pad{i:03d}" for i in range(12))
+    rows = [
+        (e_src, run20 + " " + run8, "en", "eval_src", 200),
+        (t_long, "lead words here then " + run20 + " trailing words after",
+         "en", "tr", 220),
+        (t_short, filler + " " + run8 + " " + filler.replace("pad", "qad"),
+         "en", "tr", 220),
+        (t_clean, "completely unrelated maritime navigation charts with "
+                  "unique vocabulary items spanning many distinct tokens",
+         "en", "tr", 120),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import (
+        contamination_span_lengths,
+    )
+
+    got = {r["doc_id"]: r.asDict() for r in
+           contamination_span_lengths(spark, str(tmp_path)).collect()}
+    assert got[t_long]["max_span_tokens"] == 20
+    assert got[t_long]["n_spans"] == 1
+    assert got[t_long]["n_hit_windows"] == 13
+    assert got[t_short]["max_span_tokens"] == 8
+    assert got[t_short]["n_hit_windows"] == 1
+    assert t_clean not in got
+    assert e_src not in got  # only train docs are audited

@@ -3763,3 +3763,557 @@ def winnowing_decontamination(spark, sf_dir):
         .orderBy(F.col("contamination").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# round-9 (late session) registry growth: published quality-rule sets,
+# perplexity bucketing, soft dedup, contamination span profiling
+# ---------------------------------------------------------------------------
+
+#: Gopher rule constants (Rae et al. 2021, "Scaling Language Models",
+#: Table A1 doc-filter thresholds), shared by both lanes. The two
+#: line-level rules (duplicate-line fraction, bullet/ellipsis line
+#: starts) are omitted: this corpus has no newlines, so they would be
+#: constant-true — the rule table extends, not the plan, when a corpus
+#: with lines arrives.
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 50, 100_000
+_GOPHER_MIN_MWL, _GOPHER_MAX_MWL = 3.0, 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_FRAC = 0.80
+_GOPHER_MIN_STOPS = 2
+_GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+
+
+def _gopher_oracle() -> str:
+    stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt, {_TOKS} AS toks
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             length(regexp_replace(txt, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_wchars,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+             len(list_distinct(list_intersect(toks, [{stops}]))) AS n_stops,
+             len(regexp_extract_all(txt, '\\.\\.\\.|…|#')) AS n_symbols,
+             CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+             END AS bigrams
+      FROM t
+    ),
+    bg AS (SELECT doc_id, unnest(bigrams) AS b FROM feats),
+    bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    top AS (
+      SELECT doc_id, b, c FROM (
+        SELECT doc_id, b, c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, b) AS rn
+        FROM bgc
+      ) WHERE rn = 1
+    ),
+    rules AS (
+      SELECT f.source,
+             (f.n_words < {_GOPHER_MIN_WORDS}
+              OR f.n_words > {_GOPHER_MAX_WORDS}) AS fail_word_count,
+             (f.n_words = 0
+              OR f.n_wchars / CAST(f.n_words AS DOUBLE) < {_GOPHER_MIN_MWL}
+              OR f.n_wchars / CAST(f.n_words AS DOUBLE) > {_GOPHER_MAX_MWL})
+               AS fail_mean_word_len,
+             (f.n_words = 0
+              OR f.n_symbols / CAST(f.n_words AS DOUBLE)
+                 > {_GOPHER_MAX_SYMBOL_RATIO}) AS fail_symbol_ratio,
+             (f.n_words = 0
+              OR f.n_alpha_words / CAST(f.n_words AS DOUBLE)
+                 < {_GOPHER_MIN_ALPHA_FRAC}) AS fail_alpha_words,
+             (f.n_stops < {_GOPHER_MIN_STOPS}) AS fail_stopword,
+             (coalesce(t.c * length(t.b), 0) / CAST(nullif(f.n_wchars + len(f.bigrams), 0) AS DOUBLE)
+                 > {_GOPHER_MAX_TOP2GRAM_FRAC}) AS fail_top_bigram
+      FROM feats f LEFT JOIN top t USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(sum(CASE WHEN fail_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(CASE WHEN fail_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(sum(CASE WHEN fail_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+           CAST(sum(CASE WHEN fail_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+           CAST(sum(CASE WHEN fail_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS fail_top_bigram,
+           CAST(sum(CASE WHEN NOT (fail_word_count OR fail_mean_word_len
+                          OR fail_symbol_ratio OR fail_alpha_words
+                          OR fail_stopword OR fail_top_bigram)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           round(sum(CASE WHEN NOT (fail_word_count OR fail_mean_word_len
+                          OR fail_symbol_ratio OR fail_alpha_words
+                          OR fail_stopword OR fail_top_bigram)
+                     THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+    FROM rules GROUP BY source
+    """
+
+
+@register(
+    "gopher_quality_rules", _gopher_oracle(),
+    tags=("text", "X4", "quality", "curation", "gopher"),
+)
+def gopher_quality_rules(spark, sf_dir):
+    """The GOPHER document-quality rule set (Rae et al. 2021, Table A1 —
+    the published filter battery MassiveWeb/RefinedWeb-class pipelines
+    run), evaluated per rule per source: word-count bounds [50, 100k],
+    mean word length [3, 10], symbol-to-word ratio (# / ellipsis) ≤ 0.1,
+    ≥80% of words containing an alphabetic character, the ≥2-distinct-
+    stop-words rule, and the repetition rule — fraction of characters
+    claimed by the most frequent word 2-gram ≤ 0.20. Unlike
+    `quality_gate_summary` (first-failing-rule attribution on 3 in-house
+    thresholds), this reports every rule's independent failure count —
+    the per-rule audit a curation run publishes before picking which
+    rules to enable.
+
+    Scale shape: five of six rules are pure map-side string/array
+    expressions folded into the scan. Only the repetition rule
+    aggregates: per-doc bigram counts (explode → count) then one
+    row_number window over the COUNTED relation (bigram-distinct per
+    doc, already far smaller than the occurrence stream) with a
+    deterministic (count DESC, bigram ASC) tie-break; the per-source
+    rollup is a 20-row aggregate. Nothing is driver-side; adding a rule
+    extends the projection, not the plan. The top-bigram char fraction
+    denominator is the doc's whitespace-free char count + (n_words−1)
+    separators — i.e. the canonical single-space render both engines
+    agree on, independent of raw whitespace runs."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = tokenize(F.lower(txt))
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.length(F.regexp_replace(txt, r"\s", "")).alias("n_wchars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).alias("n_alpha_words"),
+        F.size(F.array_distinct(F.array_intersect(toks, stop_arr))).alias("n_stops"),
+        F.regexp_count(txt, F.lit(r"\.\.\.|…|#")).alias("n_symbols"),
+        F.when(F.size(toks) < 2, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+            )
+        )
+        .alias("bigrams"),
+    )
+    bgc = (
+        feats.select("doc_id", F.explode("bigrams").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("c").desc(), "b")
+    )
+    top = bgc.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        "doc_id", "b", "c"
+    )
+    mwl = F.col("n_wchars") / F.col("n_words").cast("double")
+    top_frac = F.coalesce(F.col("c") * F.length("b"), F.lit(0)) / F.nullif(
+        F.col("n_wchars") + F.size("bigrams"), F.lit(0)
+    ).cast("double")
+    rules = feats.join(top, "doc_id", "left").select(
+        "source",
+        (
+            (F.col("n_words") < _GOPHER_MIN_WORDS)
+            | (F.col("n_words") > _GOPHER_MAX_WORDS)
+        ).alias("fail_word_count"),
+        (
+            (F.col("n_words") == 0)
+            | (mwl < _GOPHER_MIN_MWL)
+            | (mwl > _GOPHER_MAX_MWL)
+        ).alias("fail_mean_word_len"),
+        (
+            (F.col("n_words") == 0)
+            | (F.col("n_symbols") / F.col("n_words").cast("double")
+               > _GOPHER_MAX_SYMBOL_RATIO)
+        ).alias("fail_symbol_ratio"),
+        (
+            (F.col("n_words") == 0)
+            | (F.col("n_alpha_words") / F.col("n_words").cast("double")
+               < _GOPHER_MIN_ALPHA_FRAC)
+        ).alias("fail_alpha_words"),
+        (F.col("n_stops") < _GOPHER_MIN_STOPS).alias("fail_stopword"),
+        (top_frac > _GOPHER_MAX_TOP2GRAM_FRAC).alias("fail_top_bigram"),
+    )
+    fails = [
+        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+        "fail_alpha_words", "fail_stopword", "fail_top_bigram",
+    ]
+    all_pass = ~fails_or(fails)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias(c)
+        for c in fails
+    ]
+    aggs += [
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        pround(
+            F.sum(F.when(all_pass, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    ]
+    return rules.groupBy("source").agg(*aggs)
+
+
+def fails_or(cols):
+    """OR-fold a list of boolean column names (shared by the Gopher gate
+    lanes so the pass predicate is derived from the same rule list)."""
+    out = F.col(cols[0])
+    for c in cols[1:]:
+        out = out | F.col(c)
+    return out
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH toks_t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS b1
+      FROM toks_t
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+    pre AS (SELECT b1, count(*) AS cp FROM bg GROUP BY b1),
+    scored AS (
+      SELECT g.doc_id,
+             round(sum(round(ln(c.c / CAST(p.cp AS DOUBLE)), 8)) / count(*), 6)
+               AS score
+      FROM bg g JOIN cnt c USING (b) JOIN pre p USING (b1)
+      GROUP BY g.doc_id
+    ),
+    ranked AS (
+      SELECT t.lang, s.score,
+             row_number() OVER (PARTITION BY t.lang
+                                ORDER BY s.score DESC, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY t.lang) AS n
+      FROM scored s JOIN toks_t t USING (doc_id)
+    ),
+    bucketed AS (
+      SELECT lang, score,
+             CASE WHEN rn * 3 <= n THEN 'head'
+                  WHEN rn * 3 <= 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 4) AS avg_logprob,
+           round(min(score), 4) AS min_logprob,
+           round(max(score), 4) AS max_logprob
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    tags=("text", "X4", "quality", "lm", "curation", "ccnet"),
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    LANGUAGE, documents ranked by language-model score and cut into
+    head / middle / tail terciles — the curation primitive CCNet-class
+    pipelines use to keep the fluent third of each language and drop or
+    down-weight the tail. The LM is the engine's corpus bigram MLE
+    (`bigram_logprob_score`'s relation): score = mean conditional token
+    log-probability; higher = lower perplexity = head.
+
+    Determinism across engines: each per-bigram ln(c/cp) is rounded at
+    8dp BEFORE summing and the per-doc mean at 6dp before ranking (the
+    `logistic_purchase_model` libm-anchor discipline — both engines
+    evaluate ln on identical rationals, so 8dp absorbs the ≤1-ulp libm
+    divergence), and the tercile rank orders by (rounded score DESC,
+    doc_id) so ties cut identically. Tercile boundaries are the exact
+    row_number thirds (rn·3 ≤ n | ≤ 2n), not ntile(), so the rule is
+    one integer comparison both engines share. Docs with <2 tokens have
+    no bigrams and are excluded (no LM evidence — both lanes).
+
+    Scale shape: the bigram-count relations are vocabulary-bounded and
+    broadcast back over the occurrence stream (one corpus shuffle for
+    counts, one for the per-doc mean — the `bigram_logprob_score`
+    plan); ranking partitions by lang, so the only per-language serial
+    step is a window over doc-sized (doc_id, score) rows — at 100 TB
+    that window would move to the `operators/ranks.py` two-stage
+    bucketed form, the same policy `lorenz_curve_deciles` already
+    switches on."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokenize(F.lower(F.col("text")))
+    pairs = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, i: F.struct(
+            x.alias("b1"), F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b")
+        ),
+    )
+    bg = (
+        docs.select("doc_id", "text")
+        .repartition(n_shuffle, "doc_id")
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b").alias("b"))
+    )
+    cnt = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    pre = bg.groupBy("b1").agg(F.count(F.lit(1)).alias("cp"))
+    scored = (
+        bg.join(cnt, "b")
+        .join(pre, "b1")
+        .groupBy("doc_id")
+        .agg(
+            pround(
+                F.sum(pround(F.log(F.col("c") / F.col("cp").cast("double")), 8))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("score")
+        )
+    )
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "score",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("score"), 4).alias("avg_logprob"),
+            pround(F.min("score"), 4).alias("min_logprob"),
+            pround(F.max("score"), 4).alias("max_logprob"),
+        )
+    )
+
+
+@register(
+    "soft_dedup_effective_tokens",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({{minhash}})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+    sizes AS (
+      SELECT id, count(*) OVER (PARTITION BY component) AS csize
+      FROM labeled
+    ),
+    toks_t AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(s.csize) AS BIGINT) AS n_clustered,
+           CAST(sum(t.n_tok) AS BIGINT) AS raw_tokens,
+           round(sum(t.n_tok / CAST(coalesce(s.csize, 1) AS DOUBLE)), 4)
+             AS effective_tokens,
+           round(sum(t.n_tok)
+                 / nullif(sum(t.n_tok / CAST(coalesce(s.csize, 1) AS DOUBLE)), 0),
+                 6) AS dup_inflation
+    FROM toks_t t LEFT JOIN sizes s ON t.doc_id = s.id
+    GROUP BY t.source
+    """.format(minhash=_minhash_oracle().strip()),
+    tags=("text", "X2", "dedup", "clusters", "curation", "soft-dedup"),
+)
+def soft_dedup_effective_tokens(spark, sf_dir):
+    """SOFT deduplication — duplicate-aware DOWN-WEIGHTING instead of
+    removal (the SoftDeDup alternative curation pipelines weigh against
+    hard dropping: every member of a near-dup cluster keeps weight
+    1/|cluster|, so the cluster contributes one document's worth of
+    gradient mass while retaining intra-cluster diversity). Reports per
+    source: raw vs EFFECTIVE token counts (Σ n_tok·w) and the resulting
+    dup-inflation factor — the number a mixture designer needs to see
+    how much of a source's apparent volume is duplicate mass
+    (`post_dedup_mixture_rebalance` is the hard-removal counterpart
+    fitting the sampling law on survivors; this one feeds the weighted
+    variant).
+
+    Scale shape: composes two green primitives — the MinHash-LSH pair
+    relation (`text/dedup.minhash_near_dup_pairs`: banded signatures,
+    fingerprint shuffles, size-aware verify join) and min-label
+    connected components (`text/clusters`) — then one cluster-size
+    window over the LABEL relation (cluster members only, ≪ corpus)
+    and a broadcast-sized left join back onto per-doc token counts
+    folded into the scan. The per-source rollup is partial-aggregable.
+    Weights, not rows, change with the dup rate — output stays
+    source-bounded. Oracle recomputes the closure with the recursive
+    CTE and the same 1/|component| weights."""
+    from .text.analysis import tokenize
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+    cc = connected_components(pairs)
+    sizes = cc.select(
+        "id",
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("csize"),
+    )
+    toks = docs.select(
+        F.col("doc_id"), "source",
+        F.size(tokenize(F.lower(F.col("text")))).alias("n_tok"),
+    )
+    w = F.col("n_tok") / F.coalesce(F.col("csize"), F.lit(1)).cast("double")
+    return (
+        toks.join(F.broadcast(sizes), toks.doc_id == sizes.id, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("csize").alias("n_clustered"),
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            pround(F.sum(w), 4).alias("effective_tokens"),
+            pround(
+                F.sum("n_tok") / F.nullif(F.sum(w), F.lit(0.0)), 6
+            ).alias("dup_inflation"),
+        )
+    )
+
+
+@register(
+    "contamination_span_lengths",
+    f"""
+    WITH toks_t AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, split,
+             unnest(range(1, len(toks) - 6)) AS i,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4], toks[i+5],
+                                  toks[i+6], toks[i+7])))) AS w_fp
+      FROM toks_t WHERE len(toks) >= 8
+    ),
+    eval_fps AS (SELECT DISTINCT w_fp FROM wins WHERE split = 'test'),
+    hits AS (
+      SELECT w.doc_id, w.i
+      FROM wins w JOIN eval_fps e USING (w_fp)
+      WHERE w.split = 'train'
+    ),
+    islands AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM hits
+    ),
+    runs AS (
+      SELECT doc_id, grp, count(*) AS run_len
+      FROM islands GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             max(run_len) + 7 AS max_span_tokens,
+             count(*) AS n_spans,
+             sum(run_len) AS n_hit_windows
+      FROM runs GROUP BY doc_id
+    )
+    SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+           t.source,
+           CAST(p.max_span_tokens AS BIGINT) AS max_span_tokens,
+           CAST(p.n_spans AS BIGINT) AS n_spans,
+           CAST(p.n_hit_windows AS BIGINT) AS n_hit_windows
+    FROM per_doc p JOIN toks_t t USING (doc_id)
+    ORDER BY max_span_tokens DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "X2", "decontamination", "sliding-window", "training"),
+)
+def contamination_span_lengths(spark, sf_dir):
+    """Contamination SPAN profiling — the follow-up question after
+    `eval_window_decontamination` flags a doc: HOW LONG is the verbatim
+    overlap? Consecutive contaminated 8-token windows at positions
+    i..i+k−1 witness a verbatim run of k+7 tokens, so per train doc this
+    reports the maximum contaminated span, the number of distinct spans
+    (islands), and total hit windows — the difference between an
+    idiomatic 8-gram collision (span = 8, drop nothing) and a wholesale
+    eval-answer embedding (span ≈ doc length, drop the doc). Top-20 by
+    (max span, doc_id).
+
+    Scale shape: window fingerprints keep their POSITION through the
+    explode (the islands need i, so no per-doc distinct); the eval
+    fingerprint set broadcasts exactly as in the decontamination audit,
+    so the corpus-sized window stream meets it map-only and only HITS
+    survive. The islands trick (i − row_number per doc) runs on the
+    hit relation — contaminated-window-bounded, not corpus-bounded —
+    and the rollup + top-20 is TakeOrderedAndProject. A clean corpus
+    costs one broadcast-join scan and produces nothing."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "valid").otherwise("test")
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        split.alias("split"),
+        tokenize(F.lower(F.col("text"))).alias("toks"),
+    ).filter(F.size("toks") >= 8)
+    idx = F.sequence(F.lit(1), F.size("toks") - 7)
+    win = F.xxhash64(
+        *[F.element_at("toks", F.col("i") + k) for k in range(8)]
+    )
+    wins = toks.select(
+        "doc_id", "split", "toks", F.explode(idx).alias("i")
+    ).select("doc_id", "split", "i", win.alias("w_fp"))
+    eval_fps = (
+        wins.filter(F.col("split") == "test").select("w_fp").distinct()
+    )
+    hits = (
+        wins.filter(F.col("split") == "train")
+        .join(F.broadcast(eval_fps), "w_fp")
+        .select("doc_id", "i")
+    )
+    grp = F.col("i") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("i")
+    )
+    runs = (
+        hits.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        (F.max("run_len") + 7).cast("bigint").alias("max_span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("run_len").cast("bigint").alias("n_hit_windows"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "source", "max_span_tokens", "n_spans", "n_hit_windows",
+        )
+        .orderBy(F.col("max_span_tokens").desc(), "doc_id")
+        .limit(20)
+    )
