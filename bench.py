@@ -284,6 +284,16 @@ SWEEP_QUERIES = [
     # the growing-histogram streaming admission gate.
     "winnowing_decontamination", "dsir_gumbel_resample",
     "streaming_dsir_admission", "dedup_dsir_curation_pipeline",
+    # r9 continued, measured before listing (tools/sweep_one, ×10):
+    # first-occurrence n-gram attribution 2.3 s / 2.6× (the listing
+    # measurement caught TWO plan defects first: a HOF re-hash per
+    # window (44 s → the token-hash polynomial), then
+    # InferFiltersFromGenerate duplicating the window tree inside the
+    # explode guard (40.6 s vs 5.5 s — inline generator input); and the
+    # dedup→held-out-LM effect audit 18.9 s, removal-closure-bound
+    # (the shared nonsurvivor machinery is ~10 s of it), oracle in the
+    # measured closure-OOM skip class like its two siblings.
+    "ngram_novelty_by_source", "dedup_effect_on_heldout_lm",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -318,6 +328,12 @@ SWEEP_ORACLE_SKIP = {
     "dedup_dsir_curation_pipeline":
         "oracle embeds the post_dedup_mixture_rebalance recursive "
         "closure (measured OOM at x10); sf rows check it in seconds",
+    # same inherited closure class (shared _removal_ctes chain), plus
+    # four occurrence-level scoring joins on top
+    "dedup_effect_on_heldout_lm":
+        "oracle embeds the shared removal closure (measured OOM at "
+        "x10) plus dual-model scoring joins; sf rows check it in "
+        "seconds",
 }
 
 #: oracles that are feasible but MINUTES-slow at ×10 (measured:

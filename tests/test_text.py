@@ -1042,3 +1042,122 @@ def test_contamination_span_measures_planted_run(spark, tmp_path):
     assert got[t_short]["n_hit_windows"] == 1
     assert t_clean not in got
     assert e_src not in got  # only train docs are audited
+
+
+def test_ngram_novelty_attributes_first_occurrence(spark, tmp_path):
+    """Window fps are attributed to the min-doc_id introducer: a doc that
+    copies another's prefix introduces nothing for the shared windows;
+    within-doc repeats collapse (array_distinct) so a doc made of the
+    same phrase twice contributes each distinct window once."""
+    a_toks = [f"w{i:02d}" for i in range(20)]           # 13 windows
+    b_toks = a_toks[:12] + [f"u{i:02d}" for i in range(8)]  # 13 windows,
+    # 5 shared with A (those fully inside a_toks[:12])
+    c_phrase = [f"c{i}" for i in range(8)]
+    c_toks = c_phrase + c_phrase  # 9 window positions, 8 distinct
+    rows = [
+        (1, " ".join(a_toks), "en", "s1", 100),
+        (2, " ".join(b_toks), "en", "s2", 100),
+        (3, " ".join(c_toks), "en", "s1", 100),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import ngram_novelty_by_source
+
+    got = {r["source"]: r.asDict() for r in
+           ngram_novelty_by_source(spark, str(tmp_path)).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert s1["n_docs"] == 2 and s2["n_docs"] == 1
+    assert s1["n_window_fps"] == 13 + 8      # C's repeat collapsed
+    assert s2["n_window_fps"] == 13
+    assert s1["n_introduced"] == 21          # A:13 + C:8, all first-seen
+    assert s2["n_introduced"] == 8           # 5 windows pre-owned by A
+    assert s1["n_singletons"] == 8 + 8       # A's 5 shared ones excluded
+    assert s2["n_singletons"] == 8
+    assert s2["novelty_rate"] == round(8 / 13, 6)
+    # spread over s1's introduced fps: 5 live in two docs, 16 in one
+    assert s1["docs_per_introduced_fp"] == round((5 * 2 + 16) / 21, 4)
+    assert s2["docs_per_introduced_fp"] == 1.0
+
+
+def test_dedup_effect_on_heldout_lm_planted_shift(spark, tmp_path):
+    """A train near-dup cluster (A survivor, B removed) where B carries a
+    unique bigram and crowds a shared prefix: the held-out doc's OOV
+    count must RISE under the survivor model (B's bigram vanishes) and
+    the seen-logprob must move exactly as the hand-computed counts say.
+
+    B is built so its minhash signature EQUALS A's deterministically:
+    its one extra shingle (and A's two) are chosen, by searching over
+    candidate tokens with the same md5('i:shingle') family the engine
+    uses, to never win any of the 8 per-hash minimums — so every band
+    collides and the pair is guaranteed, not probabilistic."""
+    import hashlib
+    import math
+
+    def h(i, sh):
+        return hashlib.md5(f"{i}:{sh}".encode()).hexdigest()
+
+    w = [f"qq{i:02d}" for i in range(19)]  # shared prefix w0..w18
+    shared_sh = [" ".join(w[i:i + 3]) for i in range(17)]
+    shared_min = [min(h(i, s) for s in shared_sh) for i in range(8)]
+
+    def never_wins(shs):
+        return all(
+            all(h(i, s) > shared_min[i] for s in shs) for i in range(8)
+        )
+
+    u = next(
+        c for c in (f"zz{k:03d}" for k in range(2000))
+        if never_wins([f"{w[17]} {w[18]} " + c])
+    )
+    w19, w20 = next(
+        (a, b)
+        for k in range(2000)
+        for a, b in [(f"xx{k:03d}", f"yy{k:03d}")]
+        if never_wins([f"{w[17]} {w[18]} {a}", f"{w[18]} {a} {b}"])
+    )
+    a_toks = w + [w19, w20]          # 21 tokens, survivor (n_chars max)
+    b_toks = w + [u]                 # 20 tokens, removed
+    c_toks = [w[0]] + [f"cc{i}" for i in range(8)]  # crowds cp(w0)
+    h_toks = [w[18], u, w[0], w[1]]  # held-out: (w18,u),(u,w0),(w0,w1)
+
+    import hashlib as hl
+
+    def split_of(doc_id):
+        return hl.md5(str(doc_id).encode()).hexdigest()[:2]
+
+    ids = list(range(4000))
+    train_ids = [i for i in ids if split_of(i) < "cd"]
+    test_ids = [i for i in ids if split_of(i) >= "e6"]
+    ia, ib, ic = train_ids[:3]
+    ih = test_ids[0]
+    rows = [
+        (ia, " ".join(a_toks), "en", "tr", 300),
+        (ib, " ".join(b_toks), "en", "tr", 200),
+        (ic, " ".join(c_toks), "en", "tr", 100),
+        (ih, " ".join(h_toks), "en", "ho", 50),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import (
+        dedup_effect_on_heldout_lm,
+    )
+
+    got = {r["source"]: r.asDict() for r in
+           dedup_effect_on_heldout_lm(spark, str(tmp_path)).collect()}
+    assert list(got) == ["ho"]  # only sources with held-out docs appear
+    row = got["ho"]
+    pr = lambda x: math.floor(x * 10**4 + 0.5) / 10**4  # noqa: E731
+    assert row["n_docs"] == 1 and row["n_bigrams"] == 3
+    assert row["n_oov_full"] == 1      # (u,w0) only
+    assert row["n_oov_dedup"] == 2     # + (w18,u), gone with B
+    assert row["oov_rate_shift"] == pr(pr(2 / 3) - pr(1 / 3))
+    # full model: c(w18,u)=1/cp(w18)=2; c(w0,w1)=2/cp(w0)=3
+    assert row["avg_logprob_full"] == pr(
+        (math.log(1 / 2) + math.log(2 / 3)) / 2
+    )
+    # survivor model: only (w0,w1) seen — c=1, cp(w0)=2 (A + crowder C)
+    assert row["avg_logprob_dedup"] == pr(math.log(1 / 2))
+    assert row["logprob_shift"] == pr(
+        pr(math.log(1 / 2))
+        - pr((math.log(1 / 2) + math.log(2 / 3)) / 2)
+    )

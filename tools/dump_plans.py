@@ -323,6 +323,23 @@ COMMENTARY = {
         "builds; the only doc-sized shuffles are the matched-pair "
         "aggregate and the |classes|-deep argmax window."
     ),
+    "ngram_novelty_by_source": (
+        "First-occurrence attribution (r9): both window branches keep "
+        "the generator input INLINE — no Filter node re-evaluating the "
+        "window transform (the InferFiltersFromGenerate duplication "
+        "this query's listing measurement caught, 40.6 s vs 5.5 s at "
+        "x10); the totals branch aggregates sum(size(...)) without an "
+        "explode, and the attribution is one fp-keyed HashAggregate "
+        "(partial min_by/count before the exchange)."
+    ),
+    "dedup_effect_on_heldout_lm": (
+        "Dedup->eval audit (r9): the dup-rate-bounded removal set "
+        "joins the doc stream BEFORE the explode; one occurrence-level "
+        "exchange feeds the (hb, hb1, source) cells aggregate carrying "
+        "all three counts, and the four model-count window sums share "
+        "the (hb1)-compatible exchange+sort; everything after the "
+        "cells is vocabulary-sized."
+    ),
 }
 
 

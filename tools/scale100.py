@@ -53,6 +53,9 @@ DEFAULT_QUERIES = [
     "nb_source_classifier_eval", "winnowing_decontamination",
     "dsir_gumbel_resample", "streaming_dsir_admission",
     "dedup_dsir_curation_pipeline",
+    # r9 continued: first-occurrence attribution + the dedup→LM effect
+    # audit (the latter's oracle is in the closure skip class)
+    "ngram_novelty_by_source", "dedup_effect_on_heldout_lm",
 ]
 
 SALT1 = "etaoinshrd"
@@ -175,6 +178,9 @@ DUCK_SKIP_ALWAYS = {
     # ×10 oracle OOM re-confirmed (then poisoned the ×100 view DDL,
     # the recorded failure cascade) — skip at every factor
     "dedup_dsir_curation_pipeline",
+    # same recursive-closure class: the dedup→LM-effect oracle embeds
+    # the removal closure plus four occurrence-level scoring joins
+    "dedup_effect_on_heldout_lm",
 }
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE

@@ -29,6 +29,13 @@ DUCK_INFEASIBLE = {
     # pair subquery: killed after 35 min at ×10 (the sf-scale oracle
     # checks the same semantics in seconds)
     "simhash_dedup_clusters",
+    # the removal-closure class (scale100.DUCK_SKIP_ALWAYS): these
+    # oracles embed the recursive transitive closure that OOM'd DuckDB
+    # at ×10
+    "post_dedup_mixture_rebalance",
+    "dedup_dsir_curation_pipeline",
+    "dedup_effect_on_heldout_lm",
+    "streaming_dsir_admission",
 }
 
 

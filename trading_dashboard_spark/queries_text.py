@@ -1117,6 +1117,74 @@ def longest_wins_key():
     )
 
 
+def _removal_ctes() -> str:
+    """Oracle CTE chain ``pairs → edges → cc → labeled → members →
+    survivors → removed`` (minhash pair relation, recursive-closure
+    components, longest-wins survivor policy, non-survivor removal
+    set). Requires a ``WITH RECURSIVE`` prefix at the call site. Shared
+    verbatim by the dedup compositions' oracles
+    (post_dedup_mixture_rebalance, dedup_dsir_curation_pipeline,
+    dedup_effect_on_heldout_lm) — one copy, one place to audit."""
+    return f"""pairs AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    cc AS (
+      SELECT id, id AS comp FROM nodes
+      UNION
+      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
+    ),
+    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
+    members AS (
+      SELECT l.component, l.id, d.n_chars,
+             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
+      FROM labeled l JOIN documents d ON l.id = d.doc_id
+    ),
+    survivors AS (
+      SELECT component, arg_max(id, keep_key) AS survivor_id
+      FROM members GROUP BY component
+    ),
+    removed AS (
+      SELECT m.id FROM members m
+      JOIN survivors s ON m.component = s.component
+      WHERE m.id <> s.survivor_id
+    )"""
+
+
+def nonsurvivor_removed_ids(docs):
+    """Spark lane of :func:`_removal_ctes`: the dedup removal set as a
+    one-column ``id`` relation (near-dup cluster members that lost the
+    longest-wins survivor election). Pairs are LSH-sized, CC is the
+    checkpointed min-label loop over the pair-bounded node set, and the
+    survivor election is one component-keyed aggregate — everything is
+    dup-rate-bounded, nothing corpus-sized. Shared by the dedup
+    compositions (same call sites as the oracle fragment)."""
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+        jaccard_threshold=_JACCARD_T,
+    )
+    cc = connected_components(pairs)
+    members = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    survivors = members.groupBy("component").agg(
+        F.max_by("id", longest_wins_key()).alias("survivor_id")
+    )
+    return (
+        members.join(survivors, "component")
+        .filter(F.col("id") != F.col("survivor_id"))
+        .select("id")
+    )
+
+
 @register(
     "cluster_survivor_selection",
     f"""
@@ -4316,4 +4384,381 @@ def contamination_span_lengths(spark, sf_dir):
         )
         .orderBy(F.col("max_span_tokens").desc(), "doc_id")
         .limit(20)
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    f"""
+    WITH toks_t AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    fps AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+               i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4], toks[i+5],
+                                  toks[i+6], toks[i+7]))))) AS fp
+      FROM toks_t WHERE len(toks) >= 8
+    ),
+    ndocs AS (
+      SELECT source, count(*) AS n_docs
+      FROM toks_t WHERE len(toks) >= 8 GROUP BY source
+    ),
+    wintot AS (
+      SELECT source, count(*) AS n_window_fps FROM fps GROUP BY source
+    ),
+    per_fp AS (
+      SELECT fp, arg_min(source, doc_id) AS intro_source,
+             count(*) AS n_docs_with_fp
+      FROM fps GROUP BY fp
+    ),
+    intro AS (
+      SELECT intro_source AS source,
+             count(*) AS n_introduced,
+             sum(CASE WHEN n_docs_with_fp = 1 THEN 1 ELSE 0 END)
+               AS n_singletons,
+             avg(n_docs_with_fp) AS spread
+      FROM per_fp GROUP BY intro_source
+    )
+    SELECT n.source,
+           CAST(n.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_window_fps AS BIGINT) AS n_window_fps,
+           CAST(coalesce(i.n_introduced, 0) AS BIGINT) AS n_introduced,
+           CAST(coalesce(i.n_singletons, 0) AS BIGINT) AS n_singletons,
+           ROUND(coalesce(i.n_introduced, 0) / w.n_window_fps, 6)
+             AS novelty_rate,
+           ROUND(i.spread, 4) AS docs_per_introduced_fp
+    FROM ndocs n
+    JOIN wintot w USING (source)
+    LEFT JOIN intro i USING (source)
+    ORDER BY source
+    """,
+    tags=("text", "X2", "dedup", "training", "novelty"),
+)
+def ngram_novelty_by_source(spark, sf_dir):
+    """First-occurrence n-gram attribution — the corpus-level novelty
+    audit behind "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., ACL'22): every distinct 8-token window is
+    attributed to the document that INTRODUCES it (minimum doc_id over
+    the docs containing it), and each source is scored on how much of
+    its window mass is its own. Per source: docs audited, per-doc
+    distinct window fingerprints, fingerprints this source introduced,
+    introduced fingerprints seen nowhere else (singletons), the novelty
+    rate (introduced / window mass), and the mean number of docs an
+    introduced fingerprint spreads to — a crawl dump that mostly
+    re-serves boilerplate shows low novelty and high spread, a curated
+    source shows the opposite. Complements `eval_window_decontamination`
+    (train↔eval direction) and `cross_source_dup_matrix` (pairwise
+    volume) with the WHO-WAS-FIRST attribution neither answers.
+
+    Scale shape: windows collapse per-doc BEFORE the explode
+    (`array_distinct` on the map side), so the shuffled relation is
+    per-doc distinct fingerprints, never raw positions; each token is
+    hashed ONCE (`transform(toks, xxhash64)`) and windows combine the
+    8 token hashes with a wrapping polynomial fold instead of
+    re-hashing 8 strings per position — measured 2.3 s vs 8.5 s for
+    the per-window `xxhash64(8 strings)` HOF on the ×10 replica (the
+    r8 simhash lesson, same disease, smaller dose). Two aggregates
+    only: doc counts AND window totals ride one source-keyed partial
+    aggregate over the un-exploded per-doc relation
+    (`sum(size(wfps))` — no second explode branch), and the
+    attribution is ONE groupBy(fp) carrying `min_by(source, doc_id)`
+    + count — no join back to the window stream, so nothing
+    corpus-sized is joined or re-shuffled. The final join is
+    source-cardinality (KB). Both lanes fingerprint their own keyspace
+    (token-hash polynomial here, md5 window strings in the oracle);
+    attribution equality holds absent intra-keyspace collisions — the
+    same documented assumption as the banding-sweep Jaccard (ADVICE
+    r8 #4). Wrapping multiply requires non-ANSI arithmetic, which
+    `apply_runtime_confs` pins per query.
+    """
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", tokenize(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 8)
+    th = F.transform("toks", lambda t: F.xxhash64(t))
+
+    def _mix(i):
+        h = F.element_at("th", i)
+        for k in range(1, 8):
+            h = h * F.lit(-7046029254386353131) + F.element_at(
+                "th", i + F.lit(k)
+            )
+        return h
+
+    win = F.transform(F.sequence(F.lit(1), F.size("th") - F.lit(7)), _mix)
+    # Both branches keep the window expression INLINE in their own
+    # projection instead of sharing a named `wfps` column: explode over
+    # a column reference triggers InferFiltersFromGenerate's
+    # `size(wfps) > 0` guard, and projection collapse then duplicates
+    # the whole transform/array_distinct tree inside that Filter —
+    # evaluated twice per row, interpreted. Measured 40.6 s vs 5.5 s
+    # for the identical relation at ×10.
+    totals = (
+        toks.withColumn("th", th)
+        .select("source", F.size(F.array_distinct(win)).alias("nw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("n_window_fps"),
+        )
+    )
+    fps = toks.withColumn("th", th).select(
+        "doc_id", "source", F.explode(F.array_distinct(win)).alias("fp")
+    )
+    per_fp = fps.groupBy("fp").agg(
+        F.min_by("source", "doc_id").alias("source"),
+        F.count(F.lit(1)).alias("n_docs_with_fp"),
+    )
+    intro = (
+        per_fp.select("source", "n_docs_with_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_introduced"),
+            F.sum((F.col("n_docs_with_fp") == 1).cast("bigint")).alias(
+                "n_singletons"
+            ),
+            F.avg("n_docs_with_fp").alias("spread"),
+        )
+    )
+    return (
+        totals.join(intro, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_window_fps").cast("bigint").alias("n_window_fps"),
+            F.coalesce("n_introduced", F.lit(0))
+            .cast("bigint")
+            .alias("n_introduced"),
+            F.coalesce("n_singletons", F.lit(0))
+            .cast("bigint")
+            .alias("n_singletons"),
+            pround(
+                F.coalesce("n_introduced", F.lit(0))
+                / F.col("n_window_fps"),
+                6,
+            ).alias("novelty_rate"),
+            pround(F.col("spread"), 4).alias("docs_per_introduced_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_lm_effect_oracle() -> str:
+    """Removal-closure CTEs + the held-out bigram scoring chain carrying
+    TWO train-count models (full train slice vs dedup survivors)."""
+    return f"""
+    WITH RECURSIVE {_removal_ctes()},
+    toks_t AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' AS is_train,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, is_train,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS b,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS b1
+      FROM toks_t
+    ),
+    cnt AS (SELECT b, count(*) AS c FROM bg WHERE is_train GROUP BY b),
+    pre AS (SELECT b1, count(*) AS cp FROM bg WHERE is_train GROUP BY b1),
+    cnt_s AS (
+      SELECT b, count(*) AS c FROM bg g
+      LEFT JOIN removed r ON g.doc_id = r.id
+      WHERE g.is_train AND r.id IS NULL GROUP BY b
+    ),
+    pre_s AS (
+      SELECT b1, count(*) AS cp FROM bg g
+      LEFT JOIN removed r ON g.doc_id = r.id
+      WHERE g.is_train AND r.id IS NULL GROUP BY b1
+    ),
+    scored AS (
+      SELECT g.source,
+             c.c AS c_full, p.cp AS cp_full,
+             cs.c AS c_dd, ps.cp AS cp_dd
+      FROM bg g
+      LEFT JOIN cnt c ON g.b = c.b
+      LEFT JOIN pre p ON g.b1 = p.b1
+      LEFT JOIN cnt_s cs ON g.b = cs.b
+      LEFT JOIN pre_s ps ON g.b1 = ps.b1
+      WHERE NOT g.is_train
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN c_full IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov_full,
+             CAST(sum(CASE WHEN c_dd IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov_dedup,
+             round(sum(CASE WHEN c_full IS NOT NULL
+                            THEN ln(c_full / CAST(cp_full AS DOUBLE)) END)
+                   / nullif(sum(CASE WHEN c_full IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0), 4)
+               AS avg_logprob_full,
+             round(sum(CASE WHEN c_dd IS NOT NULL
+                            THEN ln(c_dd / CAST(cp_dd AS DOUBLE)) END)
+                   / nullif(sum(CASE WHEN c_dd IS NOT NULL
+                                     THEN 1 ELSE 0 END), 0), 4)
+               AS avg_logprob_dedup
+      FROM scored GROUP BY source
+    ),
+    docs_h AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM toks_t WHERE NOT is_train GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.n_oov_full, 0) AS n_oov_full,
+           coalesce(p.n_oov_dedup, 0) AS n_oov_dedup,
+           round(round(coalesce(p.n_oov_dedup, 0)
+                       / CAST(nullif(p.n_bigrams, 0) AS DOUBLE), 4)
+                 - round(coalesce(p.n_oov_full, 0)
+                         / CAST(nullif(p.n_bigrams, 0) AS DOUBLE), 4), 4)
+             AS oov_rate_shift,
+           p.avg_logprob_full,
+           p.avg_logprob_dedup,
+           round(p.avg_logprob_dedup - p.avg_logprob_full, 4)
+             AS logprob_shift
+    FROM docs_h d LEFT JOIN per_src p ON d.source = p.source
+    """
+
+
+@register(
+    "dedup_effect_on_heldout_lm", _dedup_lm_effect_oracle(),
+    tags=("text", "X2", "dedup", "lm", "evaluation", "pipeline"),
+)
+def dedup_effect_on_heldout_lm(spark, sf_dir):
+    """Does dedup CHANGE the measured model fit? — the in-engine form of
+    the Lee et al. (ACL'22) headline claim. Two bigram MLEs are fit on
+    the train slice: one on ALL train docs, one on the dedup SURVIVORS
+    (minhash pairs → components → longest-wins policy, the shared
+    removal set), and both score the SAME held-out slice — the eval
+    never moves, so every shift is attributable to the training-set
+    change. Per source: held-out volume, OOV count under each model,
+    the OOV-rate shift, the mean seen-bigram conditional log-prob
+    under each model, and its shift. A duplicate flood that inflated
+    its own conditionals deflates when collapsed; text the flood
+    crowded out regains probability mass — the signed per-source
+    answer to "what did dedup do to my eval?" that
+    post_dedup_mixture_rebalance gives for the mixture law and this
+    gives for the measured fit. Composes three green operators.
+
+    Scale shape: the removal set is dup-rate-bounded
+    (`nonsurvivor_removed_ids` — LSH pairs, checkpointed CC,
+    component-keyed election); the corpus then pays exactly ONE
+    occurrence-level shuffle exactly as `heldout_bigram_fit_by_source`
+    does — the survivor flag is a doc_id-keyed left join against the
+    removal set BEFORE the explode, and the cells aggregate carries
+    THREE counts (train-full, train-survivor, held-out) through the
+    same map-side combine. Both models' global counts ride the one
+    (hb1, hb)-partitioned window exchange (four window sums, same
+    sort), and the per-source rollup is source-cardinality. Rounding:
+    log-probs and rates are 4dp-rounded per model BEFORE the shift
+    subtraction (the ulp discipline). The oracle carries the
+    recursive-closure CTE, so like its siblings it is sf-scale-checked
+    and replica-skipped (the measured OOM class)."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    removed = nonsurvivor_removed_ids(docs).withColumnRenamed("id", "rm_id")
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
+    )
+    toks = F.col("toks")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("b1"), F.slice(toks, 2, n1).alias("b2")
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cells = (
+        docs.select(
+            "doc_id", "source", is_train.alias("is_train"), "text"
+        )
+        .join(removed, F.col("doc_id") == F.col("rm_id"), "left")
+        .withColumn("kept", F.col("rm_id").isNull())
+        .repartition(n_shuffle, "doc_id")
+        .select(
+            "source", "is_train", "kept",
+            tokenize(F.lower(F.col("text"))).alias("toks"),
+        )
+        .select("source", "is_train", "kept", F.explode(pairs).alias("p"))
+        .groupBy(
+            F.xxhash64("p.b1", "p.b2").alias("hb"),
+            F.xxhash64("p.b1").alias("hb1"),
+            F.col("source"),
+        )
+        .agg(
+            F.sum(F.when(F.col("is_train"), 1).otherwise(0)).alias("c_tr"),
+            F.sum(
+                F.when(F.col("is_train") & F.col("kept"), 1).otherwise(0)
+            ).alias("c_ts"),
+            F.sum(F.when(~F.col("is_train"), 1).otherwise(0)).alias("c_ho"),
+        )
+    )
+    w_b = W.partitionBy("hb1", "hb")
+    w_p = W.partitionBy("hb1")
+    seen_f = F.col("c_full") > 0
+    seen_d = F.col("c_dd") > 0
+
+    def _avg_lp(seen, c, cp):
+        return pround(
+            F.sum(
+                F.when(
+                    seen,
+                    F.col("c_ho")
+                    * F.log(F.col(c) / F.col(cp).cast("double")),
+                )
+            )
+            / F.nullif(
+                F.sum(F.when(seen, F.col("c_ho")).otherwise(0)), F.lit(0)
+            ).cast("double"),
+            4,
+        )
+
+    per_src = (
+        cells.withColumn("c_full", F.sum("c_tr").over(w_b))
+        .withColumn("c_dd", F.sum("c_ts").over(w_b))
+        .withColumn("cp_full", F.sum("c_tr").over(w_p))
+        .withColumn("cp_dd", F.sum("c_ts").over(w_p))
+        .filter(F.col("c_ho") > 0)
+        .groupBy("source")
+        .agg(
+            F.sum("c_ho").cast("bigint").alias("n_bigrams"),
+            F.sum(F.when(~seen_f, F.col("c_ho")).otherwise(0))
+            .cast("bigint").alias("n_oov_full"),
+            F.sum(F.when(~seen_d, F.col("c_ho")).otherwise(0))
+            .cast("bigint").alias("n_oov_dedup"),
+            _avg_lp(seen_f, "c_full", "cp_full").alias("avg_logprob_full"),
+            _avg_lp(seen_d, "c_dd", "cp_dd").alias("avg_logprob_dedup"),
+        )
+    )
+    docs_h = (
+        docs.filter(~is_train)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    nb = F.nullif(F.col("n_bigrams"), F.lit(0)).cast("double")
+    return docs_h.join(per_src, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_oov_full", F.lit(0))
+        .cast("bigint").alias("n_oov_full"),
+        F.coalesce("n_oov_dedup", F.lit(0))
+        .cast("bigint").alias("n_oov_dedup"),
+        pround(
+            pround(F.coalesce("n_oov_dedup", F.lit(0)) / nb, 4)
+            - pround(F.coalesce("n_oov_full", F.lit(0)) / nb, 4),
+            4,
+        ).alias("oov_rate_shift"),
+        "avg_logprob_full",
+        "avg_logprob_dedup",
+        pround(
+            F.col("avg_logprob_dedup") - F.col("avg_logprob_full"), 4
+        ).alias("logprob_shift"),
     )

@@ -1098,38 +1098,10 @@ def _post_dedup_rebalance_oracle() -> str:
     per cluster (cluster_survivor_selection's arg_max), removal
     anti-join, then the mT5 p∝n^0.3 weights on both the raw and the
     deduped per-source counts."""
-    from .queries_text import _minhash_oracle
+    from .queries_text import _removal_ctes
 
     return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    cc AS (
-      SELECT id, id AS comp FROM nodes
-      UNION
-      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
-    ),
-    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
-    members AS (
-      SELECT l.component, l.id, d.n_chars,
-             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
-      FROM labeled l JOIN documents d ON l.id = d.doc_id
-    ),
-    survivors AS (
-      SELECT component, arg_max(id, keep_key) AS survivor_id
-      FROM members GROUP BY component
-    ),
-    removed AS (
-      SELECT m.id FROM members m
-      JOIN survivors s ON m.component = s.component
-      WHERE m.id <> s.survivor_id
-    ),
+    WITH RECURSIVE {_removal_ctes()},
     counts_raw AS (
       SELECT source, count(*) AS n_raw FROM documents GROUP BY source
     ),
@@ -1183,27 +1155,10 @@ def post_dedup_mixture_rebalance(spark, sf_dir):
     weight arithmetic runs on a ≤|sources| relation (broadcast
     cross-join of the 1-row pow-sum). Weights are 6dp-rounded before
     the shift subtraction on both engines (the ulp discipline)."""
-    from .queries_text import _BANDS, _JACCARD_T, _NUM_HASHES, longest_wins_key
-    from .text.clusters import connected_components
-    from .text.dedup import minhash_near_dup_pairs
+    from .queries_text import nonsurvivor_removed_ids
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-        jaccard_threshold=_JACCARD_T,
-    )
-    cc = connected_components(pairs)
-    members = cc.join(
-        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
-    )
-    survivors = members.groupBy("component").agg(
-        F.max_by("id", longest_wins_key()).alias("survivor_id")
-    )
-    removed = (
-        members.join(survivors, "component")
-        .filter(F.col("id") != F.col("survivor_id"))
-        .select("id")
-    )
+    removed = nonsurvivor_removed_ids(docs)
     deduped = docs.join(
         removed, docs["doc_id"] == removed["id"], "left_anti"
     )
@@ -1702,38 +1657,10 @@ def _dedup_dsir_oracle() -> str:
     survivors) THEN the DSIR chain over the deduped relation, then the
     Gumbel-top-k draw — the post_dedup_mixture_rebalance closure CTEs
     composed with the `_dsir_weights_ctes('deduped')` instantiation."""
-    from .queries_text import _minhash_oracle
+    from .queries_text import _removal_ctes
 
     return f"""
-    WITH RECURSIVE pairs AS (
-      SELECT id_a, id_b FROM ({_minhash_oracle().strip()})
-    ),
-    edges AS (
-      SELECT id_a AS a, id_b AS b FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS id FROM edges),
-    cc AS (
-      SELECT id, id AS comp FROM nodes
-      UNION
-      SELECT e.b AS id, c.comp FROM cc c JOIN edges e ON e.a = c.id
-    ),
-    labeled AS (SELECT id, min(comp) AS component FROM cc GROUP BY id),
-    members AS (
-      SELECT l.component, l.id, d.n_chars,
-             d.n_chars * 10000000000 + (9999999999 - l.id) AS keep_key
-      FROM labeled l JOIN documents d ON l.id = d.doc_id
-    ),
-    survivors AS (
-      SELECT component, arg_max(id, keep_key) AS survivor_id
-      FROM members GROUP BY component
-    ),
-    removed AS (
-      SELECT m.id FROM members m
-      JOIN survivors s ON m.component = s.component
-      WHERE m.id <> s.survivor_id
-    ),
+    WITH RECURSIVE {_removal_ctes()},
     deduped AS (
       SELECT d.* FROM documents d
       LEFT JOIN removed r ON d.doc_id = r.id
@@ -1778,29 +1705,10 @@ def dedup_dsir_curation_pipeline(spark, sf_dir):
     TakeOrderedAndProject. The oracle carries the recursive-closure
     CTE, so like its siblings it is sf-scale-checked and
     replica-skipped (the measured OOM class)."""
-    from .queries_text import (
-        _BANDS, _JACCARD_T, _NUM_HASHES, longest_wins_key,
-    )
-    from .text.clusters import connected_components
-    from .text.dedup import minhash_near_dup_pairs
+    from .queries_text import nonsurvivor_removed_ids
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-        jaccard_threshold=_JACCARD_T,
-    )
-    cc = connected_components(pairs)
-    members = cc.join(
-        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
-    )
-    survivors = members.groupBy("component").agg(
-        F.max_by("id", longest_wins_key()).alias("survivor_id")
-    )
-    removed = (
-        members.join(survivors, "component")
-        .filter(F.col("id") != F.col("survivor_id"))
-        .select("id")
-    )
+    removed = nonsurvivor_removed_ids(docs)
     deduped = docs.join(
         removed, docs["doc_id"] == removed["id"], "left_anti"
     )
