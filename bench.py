@@ -294,6 +294,14 @@ SWEEP_QUERIES = [
     # (the shared nonsurvivor machinery is ~10 s of it), oracle in the
     # measured closure-OOM skip class like its two siblings.
     "ngram_novelty_by_source", "dedup_effect_on_heldout_lm",
+    # the published-filter battery (measured before listing; the
+    # measurement caught and fixed a HOF bigram lambda + an
+    # array-column shuffle in gopher [23.2 → 4.6 s] and the
+    # two-count-shuffles-two-joins shape in ccnet [11.9 → 3.4 s —
+    # rewritten to heldout_bigram's one-pass cells + shared window
+    # form]; soft dedup rides the removal closure, oracle-skipped)
+    "gopher_quality_rules", "ccnet_perplexity_buckets",
+    "soft_dedup_effective_tokens", "contamination_span_lengths",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured
@@ -334,6 +342,10 @@ SWEEP_ORACLE_SKIP = {
         "oracle embeds the shared removal closure (measured OOM at "
         "x10) plus dual-model scoring joins; sf rows check it in "
         "seconds",
+    # rides the same closure for its cluster sizes
+    "soft_dedup_effective_tokens":
+        "oracle embeds the removal closure (measured OOM class); sf "
+        "rows check it in seconds",
 }
 
 #: oracles that are feasible but MINUTES-slow at ×10 (measured:

@@ -340,6 +340,20 @@ COMMENTARY = {
         "the (hb1)-compatible exchange+sort; everything after the "
         "cells is vocabulary-sized."
     ),
+    "gopher_quality_rules": (
+        "Published rule battery (r9): five rules are projections "
+        "folded into the scan; the repetition rule's bigram explode is "
+        "arrays_zip-based (no interpreted lambda) and the rules join "
+        "carries scalars only — no array column crosses an exchange "
+        "(the two defects the x10 listing measurement caught)."
+    ),
+    "ccnet_perplexity_buckets": (
+        "CCNet terciles (r9): heldout_bigram's one-pass LM shape — "
+        "ONE occurrence exchange to per-doc (hb, hb1) cells, both "
+        "global counts as window sums on the shared hb1 exchange, "
+        "then a doc-sized per-lang ranking window (ranks.py two-stage "
+        "form is the 100 TB path, as for lorenz_curve_deciles)."
+    ),
 }
 
 

@@ -56,6 +56,9 @@ DEFAULT_QUERIES = [
     # r9 continued: first-occurrence attribution + the dedup→LM effect
     # audit (the latter's oracle is in the closure skip class)
     "ngram_novelty_by_source", "dedup_effect_on_heldout_lm",
+    # and the published-filter battery
+    "gopher_quality_rules", "ccnet_perplexity_buckets",
+    "soft_dedup_effective_tokens", "contamination_span_lengths",
 ]
 
 SALT1 = "etaoinshrd"
@@ -181,6 +184,9 @@ DUCK_SKIP_ALWAYS = {
     # same recursive-closure class: the dedup→LM-effect oracle embeds
     # the removal closure plus four occurrence-level scoring joins
     "dedup_effect_on_heldout_lm",
+    # and the soft-dedup weighting rides the same closure for cluster
+    # sizes
+    "soft_dedup_effective_tokens",
 }
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE

@@ -35,6 +35,7 @@ DUCK_INFEASIBLE = {
     "post_dedup_mixture_rebalance",
     "dedup_dsir_curation_pipeline",
     "dedup_effect_on_heldout_lm",
+    "soft_dedup_effective_tokens",
     "streaming_dsir_admission",
 }
 
