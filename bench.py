@@ -302,6 +302,11 @@ SWEEP_QUERIES = [
     # form]; soft dedup rides the removal closure, oracle-skipped)
     "gopher_quality_rules", "ccnet_perplexity_buckets",
     "soft_dedup_effective_tokens", "contamination_span_lengths",
+    # published_curation_pipeline is deliberately NOT swept: its 26.3 s
+    # ×10 reading decomposes into three stages the sweep already prices
+    # (the removal closure via the dedup compositions, the Gopher gate,
+    # the ccnet LM shape), and its oracle is in the closure-OOM skip
+    # class — a ×100 row lives in BENCH_X100.json instead.
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

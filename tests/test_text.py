@@ -1161,3 +1161,45 @@ def test_dedup_effect_on_heldout_lm_planted_shift(spark, tmp_path):
         pr(math.log(1 / 2))
         - pr((math.log(1 / 2) + math.log(2 / 3)) / 2)
     )
+
+
+def test_published_pipeline_funnel_stages(spark, tmp_path):
+    """Stage attribution: an exact-dup triple loses two docs at dedup
+    (not at quality), a 3-word doc dies at the Gopher gate (not at
+    dedup), and the tercile stage keeps exactly floor(2n/3) of the
+    quality population."""
+
+    def passing_text(prefix):
+        # 62 words, ~6-char mean, 2 distinct stop words buried in
+        # doc-specific trigram contexts, no repeated bigram
+        ws = [f"{prefix}word{i:02d}" for i in range(60)]
+        return " ".join(ws[:10] + ["the"] + ws[10:20] + ["of"] + ws[20:])
+
+    rows = [
+        (1, passing_text("dup"), "en", "dup", 300),
+        (2, passing_text("dup"), "en", "dup", 300),
+        (3, passing_text("dup"), "en", "dup", 300),
+        (4, "too short text", "en", "bad", 20),
+        (5, passing_text("ga"), "en", "good", 300),
+        (6, passing_text("gb"), "en", "good", 300),
+        (7, passing_text("gc"), "en", "good", 300),
+        (8, passing_text("gd"), "en", "good", 300),
+    ]
+    _write_docs(tmp_path, rows)
+
+    from trading_dashboard_spark.queries_text import (
+        published_curation_pipeline,
+    )
+
+    got = {r["source"]: r.asDict() for r in
+           published_curation_pipeline(spark, str(tmp_path)).collect()}
+    assert got["dup"]["n_raw"] == 3
+    assert got["dup"]["n_dedup"] == 1      # dedup, not quality, ate two
+    assert got["dup"]["n_quality"] == 1
+    assert got["bad"]["n_dedup"] == 1      # survived dedup...
+    assert got["bad"]["n_quality"] == 0    # ...died at the Gopher gate
+    assert got["bad"]["n_final"] == 0
+    assert got["good"]["n_quality"] == 4
+    # quality population = 5 docs in one lang -> tercile keeps rn*3<=10
+    assert sum(r["n_final"] for r in got.values()) == 3
+    assert got["bad"]["retention"] == 0.0

@@ -187,6 +187,8 @@ DUCK_SKIP_ALWAYS = {
     # and the soft-dedup weighting rides the same closure for cluster
     # sizes
     "soft_dedup_effective_tokens",
+    # the end-to-end published pipeline opens with the same closure
+    "published_curation_pipeline",
 }
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE

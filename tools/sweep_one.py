@@ -36,6 +36,7 @@ DUCK_INFEASIBLE = {
     "dedup_dsir_curation_pipeline",
     "dedup_effect_on_heldout_lm",
     "soft_dedup_effective_tokens",
+    "published_curation_pipeline",
     "streaming_dsir_admission",
 }
 

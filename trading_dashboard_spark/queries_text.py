@@ -3853,12 +3853,16 @@ _GOPHER_MIN_STOPS = 2
 _GOPHER_MAX_TOP2GRAM_FRAC = 0.20
 
 
-def _gopher_oracle() -> str:
+def _gopher_rules_ctes(src: str = "documents") -> str:
+    """CTE chain ``t → feats → bg → bgc → top → rules`` over ``src``:
+    per-doc Gopher features, the top-bigram election, and the six rule
+    booleans at (doc_id, source) grain. Shared by the registered
+    per-source audit and the published-pipeline composition (which
+    instantiates it on the deduped relation)."""
     stops = ", ".join(f"'{w}'" for w in _GOPHER_STOPS)
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id, source, coalesce(text, '') AS txt, {_TOKS} AS toks
-      FROM documents
+      FROM {src}
     ),
     feats AS (
       SELECT doc_id, source,
@@ -3884,7 +3888,7 @@ def _gopher_oracle() -> str:
       ) WHERE rn = 1
     ),
     rules AS (
-      SELECT f.source,
+      SELECT f.doc_id, f.source,
              (f.n_words < {_GOPHER_MIN_WORDS}
               OR f.n_words > {_GOPHER_MAX_WORDS}) AS fail_word_count,
              (f.n_words = 0
@@ -3901,7 +3905,12 @@ def _gopher_oracle() -> str:
              (coalesce(t.c * length(t.b), 0) / CAST(nullif(f.n_wchars + len(f.bigrams), 0) AS DOUBLE)
                  > {_GOPHER_MAX_TOP2GRAM_FRAC}) AS fail_top_bigram
       FROM feats f LEFT JOIN top t USING (doc_id)
-    )
+    )"""
+
+
+def _gopher_oracle() -> str:
+    return f"""
+    WITH {_gopher_rules_ctes()}
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN fail_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
@@ -3957,9 +3966,35 @@ def gopher_quality_rules(spark, sf_dir):
     pinned) AND the rules join shuffling the full bigram ARRAY column
     when only its length is needed. Now the explode is zip-based and
     the join side carries scalars only (`n_bigrams` = n_words−1)."""
+    rules = _gopher_rules_df(_t(spark, sf_dir, "documents"))
+    fails = [
+        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+        "fail_alpha_words", "fail_stopword", "fail_top_bigram",
+    ]
+    all_pass = ~fails_or(fails)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias(c)
+        for c in fails
+    ]
+    aggs += [
+        F.sum(F.when(all_pass, 1).otherwise(0)).cast("bigint").alias("n_pass"),
+        pround(
+            F.sum(F.when(all_pass, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pass_rate"),
+    ]
+    return rules.groupBy("source").agg(*aggs)
+
+
+def _gopher_rules_df(docs):
+    """Spark lane of :func:`_gopher_rules_ctes`: the six Gopher rule
+    booleans at (doc_id, source) grain over any documents-shaped
+    relation. Map-side projections plus the repetition rule's
+    zip-explode/count/window; the rules join carries scalars only."""
     from .text.analysis import tokenize
 
-    docs = _t(spark, sf_dir, "documents")
     txt = F.coalesce(F.col("text"), F.lit(""))
     toks = tokenize(F.lower(txt))
     stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPS])
@@ -3993,7 +4028,8 @@ def gopher_quality_rules(spark, sf_dir):
     top_frac = F.coalesce(F.col("c") * F.length("b"), F.lit(0)) / F.nullif(
         F.col("n_wchars") + F.col("n_bigrams"), F.lit(0)
     ).cast("double")
-    rules = feats.join(top, "doc_id", "left").select(
+    return feats.join(top, "doc_id", "left").select(
+        "doc_id",
         "source",
         (
             (F.col("n_words") < _GOPHER_MIN_WORDS)
@@ -4017,25 +4053,6 @@ def gopher_quality_rules(spark, sf_dir):
         (F.col("n_stops") < _GOPHER_MIN_STOPS).alias("fail_stopword"),
         (top_frac > _GOPHER_MAX_TOP2GRAM_FRAC).alias("fail_top_bigram"),
     )
-    fails = [
-        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
-        "fail_alpha_words", "fail_stopword", "fail_top_bigram",
-    ]
-    all_pass = ~fails_or(fails)
-    aggs = [F.count(F.lit(1)).alias("n_docs")]
-    aggs += [
-        F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias(c)
-        for c in fails
-    ]
-    aggs += [
-        F.sum(F.when(all_pass, 1).otherwise(0)).cast("bigint").alias("n_pass"),
-        pround(
-            F.sum(F.when(all_pass, 1).otherwise(0))
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("pass_rate"),
-    ]
-    return rules.groupBy("source").agg(*aggs)
 
 
 def fails_or(cols):
@@ -4047,32 +4064,89 @@ def fails_or(cols):
     return out
 
 
-@register(
-    "ccnet_perplexity_buckets",
-    f"""
-    WITH toks_t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
-    bg AS (
+def _ccnet_scored_df(spark, docs):
+    """Spark lane of :func:`_ccnet_scored_ctes`: per-doc bigram-MLE
+    score over any documents-shaped relation, in the one-pass cells +
+    shared-window shape (arrays_zip bigrams, ONE occurrence shuffle to
+    per-doc (hb, hb1) cells, both global counts as window sums on the
+    hb1-compatible exchange; xxhash64 keys — MLE counts only need key
+    equality)."""
+    from .text.analysis import tokenize
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = tokenize(F.lower(F.col("text")))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n1).alias("b1"), F.slice(toks, 2, n1).alias("b2")
+    )
+    cells = (
+        docs.select("doc_id", "text")
+        .repartition(n_shuffle, "doc_id")
+        .select("doc_id", F.explode(zipped).alias("p"))
+        .groupBy(
+            F.xxhash64("p.b1", "p.b2").alias("hb"),
+            F.xxhash64("p.b1").alias("hb1"),
+            F.col("doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w_b = W.partitionBy("hb1", "hb")
+    w_p = W.partitionBy("hb1")
+    return (
+        cells.withColumn("c", F.sum("k").over(w_b))
+        .withColumn("cp", F.sum("k").over(w_p))
+        .groupBy("doc_id")
+        .agg(
+            pround(
+                F.sum(
+                    F.col("k")
+                    * pround(
+                        F.log(F.col("c") / F.col("cp").cast("double")), 8
+                    )
+                )
+                / F.sum("k"),
+                6,
+            ).alias("score")
+        )
+    )
+
+
+def _ccnet_scored_ctes(src: str = "documents") -> str:
+    """CTE chain ``ctoks → cbg → ccnt → cpre → scored`` over ``src``:
+    the corpus bigram MLE fit on ``src`` itself and each of its docs'
+    mean conditional log-prob (8dp per-bigram, 6dp per-doc — the libm
+    anchor discipline) as ``scored(doc_id, score)``. Docs with <2
+    tokens have no bigrams and no score row. Shared by the registered
+    tercile audit and the published-pipeline composition."""
+    return f"""ctoks AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+    cbg AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(toks)),
                                    i -> toks[i] || ' ' || toks[i+1])) AS b,
              unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS b1
-      FROM toks_t
+      FROM ctoks
     ),
-    cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
-    pre AS (SELECT b1, count(*) AS cp FROM bg GROUP BY b1),
+    ccnt AS (SELECT b, count(*) AS c FROM cbg GROUP BY b),
+    cpre AS (SELECT b1, count(*) AS cp FROM cbg GROUP BY b1),
     scored AS (
       SELECT g.doc_id,
              round(sum(round(ln(c.c / CAST(p.cp AS DOUBLE)), 8)) / count(*), 6)
                AS score
-      FROM bg g JOIN cnt c USING (b) JOIN pre p USING (b1)
+      FROM cbg g JOIN ccnt c USING (b) JOIN cpre p USING (b1)
       GROUP BY g.doc_id
-    ),
+    )"""
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH {_ccnet_scored_ctes()},
     ranked AS (
       SELECT t.lang, s.score,
              row_number() OVER (PARTITION BY t.lang
                                 ORDER BY s.score DESC, s.doc_id) AS rn,
              count(*) OVER (PARTITION BY t.lang) AS n
-      FROM scored s JOIN toks_t t USING (doc_id)
+      FROM scored s JOIN documents t USING (doc_id)
     ),
     bucketed AS (
       SELECT lang, score,
@@ -4124,45 +4198,8 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     (doc_id, score) rows — at 100 TB that window would move to the
     `operators/ranks.py` two-stage bucketed form, the same policy
     `lorenz_curve_deciles` already switches on."""
-    from .text.analysis import tokenize
-
     docs = _t(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = tokenize(F.lower(F.col("text")))
-    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
-    zipped = F.arrays_zip(
-        F.slice(toks, 1, n1).alias("b1"), F.slice(toks, 2, n1).alias("b2")
-    )
-    cells = (
-        docs.select("doc_id", "text")
-        .repartition(n_shuffle, "doc_id")
-        .select("doc_id", F.explode(zipped).alias("p"))
-        .groupBy(
-            F.xxhash64("p.b1", "p.b2").alias("hb"),
-            F.xxhash64("p.b1").alias("hb1"),
-            F.col("doc_id"),
-        )
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    w_b = W.partitionBy("hb1", "hb")
-    w_p = W.partitionBy("hb1")
-    scored = (
-        cells.withColumn("c", F.sum("k").over(w_b))
-        .withColumn("cp", F.sum("k").over(w_p))
-        .groupBy("doc_id")
-        .agg(
-            pround(
-                F.sum(
-                    F.col("k")
-                    * pround(
-                        F.log(F.col("c") / F.col("cp").cast("double")), 8
-                    )
-                )
-                / F.sum("k"),
-                6,
-            ).alias("score")
-        )
-    )
+    scored = _ccnet_scored_df(spark, docs)
     ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "lang",
         "score",
@@ -4781,4 +4818,136 @@ def dedup_effect_on_heldout_lm(spark, sf_dir):
         pround(
             F.col("avg_logprob_dedup") - F.col("avg_logprob_full"), 4
         ).alias("logprob_shift"),
+    )
+
+
+def _published_pipeline_oracle() -> str:
+    """Removal closure → Gopher rules on the deduped relation → bigram
+    MLE terciles on the quality survivors — each stage its own shared
+    fragment, instantiated on the previous stage's CTE."""
+    return f"""
+    WITH RECURSIVE {_removal_ctes()},
+    deduped AS (
+      SELECT d.* FROM documents d
+      LEFT JOIN removed r ON d.doc_id = r.id
+      WHERE r.id IS NULL
+    ),
+    {_gopher_rules_ctes('deduped')},
+    quality AS (
+      SELECT d.doc_id, d.source, d.lang, d.text
+      FROM deduped d JOIN rules g ON d.doc_id = g.doc_id
+      WHERE NOT (g.fail_word_count OR g.fail_mean_word_len
+                 OR g.fail_symbol_ratio OR g.fail_alpha_words
+                 OR g.fail_stopword OR g.fail_top_bigram)
+    ),
+    {_ccnet_scored_ctes('quality')},
+    ranked AS (
+      SELECT q.doc_id, q.source,
+             row_number() OVER (PARTITION BY q.lang
+                                ORDER BY s.score DESC, s.doc_id) AS rn,
+             count(*) OVER (PARTITION BY q.lang) AS n
+      FROM scored s JOIN quality q USING (doc_id)
+    ),
+    final AS (SELECT doc_id, source FROM ranked WHERE rn * 3 <= 2 * n),
+    raw_c AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    dd_c AS (SELECT source, count(*) AS n_dedup FROM deduped GROUP BY source),
+    q_c AS (SELECT source, count(*) AS n_quality FROM quality GROUP BY source),
+    f_c AS (SELECT source, count(*) AS n_final FROM final GROUP BY source)
+    SELECT r.source,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(coalesce(d.n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(q.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(f.n_final, 0) AS BIGINT) AS n_final,
+           ROUND(coalesce(f.n_final, 0) / CAST(r.n_raw AS DOUBLE), 6)
+             AS retention
+    FROM raw_c r
+    LEFT JOIN dd_c d USING (source)
+    LEFT JOIN q_c q USING (source)
+    LEFT JOIN f_c f USING (source)
+    ORDER BY source
+    """
+
+
+@register(
+    "published_curation_pipeline", _published_pipeline_oracle(),
+    tags=("text", "training", "curation", "pipeline", "gopher", "ccnet"),
+)
+def published_curation_pipeline(spark, sf_dir):
+    """The PUBLISHED web-curation recipe end-to-end, in CCNet's stage
+    order (Wenzek et al. 2020: dedup FIRST, then the language-model
+    quality cut; the Gopher rule battery sits between them as
+    RefinedWeb-class pipelines run it): (1) minhash near-dup removal —
+    corpus-wide survivor election, the shared `nonsurvivor_removed_ids`
+    machinery; (2) the six-rule Gopher gate evaluated ON the deduped
+    relation; (3) bigram-MLE perplexity terciles per language fit on
+    the quality survivors themselves, keeping head+middle (CCNet keeps
+    the fluent two-thirds). Output is the per-source funnel — raw →
+    deduped → quality → final with the retention rate — i.e. what each
+    upstream source actually contributes to the training corpus after
+    the published filters run in order. Composes three green operators;
+    each stage's semantics is individually oracle-pinned by its own
+    registration (`gopher_quality_rules`, `ccnet_perplexity_buckets`,
+    the dedup family). Docs with <2 tokens have no LM evidence and are
+    dropped at stage 3 on both engines.
+
+    Scale shape: the removal set is dup-rate-bounded; the Gopher gate
+    is map-side rules + the bigram-distinct repetition election; the LM
+    stage is the one-pass cells + shared-window shape; the tercile
+    window ranks doc-sized (lang, score) rows (`operators/ranks.py`'s
+    two-stage form is the 100 TB path); the funnel is four
+    source-keyed partial aggregates joined on a ≤|sources| relation.
+    The oracle embeds the removal closure → inherits the measured
+    ×10 OOM skip; sf tiers are hash-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    removed = nonsurvivor_removed_ids(docs)
+    deduped = docs.join(
+        removed, docs["doc_id"] == removed["id"], "left_anti"
+    )
+    rules = _gopher_rules_df(deduped)
+    fails = [
+        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+        "fail_alpha_words", "fail_stopword", "fail_top_bigram",
+    ]
+    quality = deduped.select("doc_id", "source", "lang", "text").join(
+        rules.filter(~fails_or(fails)).select("doc_id"), "doc_id"
+    )
+    scored = _ccnet_scored_df(spark, quality)
+    w_l = W.partitionBy("lang")
+    ranked = scored.join(
+        quality.select("doc_id", "source", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w_l.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_l).alias("n"),
+    )
+    final = ranked.filter(F.col("rn") * 3 <= 2 * F.col("n"))
+    raw_c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    dd_c = deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_dedup")
+    )
+    q_c = quality.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_quality")
+    )
+    f_c = final.groupBy("source").agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        raw_c.join(dd_c, "source", "left")
+        .join(q_c, "source", "left")
+        .join(f_c, "source", "left")
+        .select(
+            "source",
+            F.col("n_raw").cast("bigint").alias("n_raw"),
+            F.coalesce("n_dedup", F.lit(0)).cast("bigint").alias("n_dedup"),
+            F.coalesce("n_quality", F.lit(0))
+            .cast("bigint").alias("n_quality"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            pround(
+                F.coalesce("n_final", F.lit(0))
+                / F.col("n_raw").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+        .orderBy("source")
     )
