@@ -307,6 +307,13 @@ SWEEP_QUERIES = [
     # (the removal closure via the dedup compositions, the Gopher gate,
     # the ccnet LM shape), and its oracle is in the closure-OOM skip
     # class — a ×100 row lives in BENCH_X100.json instead.
+    # image dedup through the real pixel path (measured before listing:
+    # 17.1 → 6.7 s at ×10 once the id-only projection is repartitioned
+    # — the residual IS the pure-python JPEG DCT, embarrassingly
+    # parallel). The ratio column is NOT an engine comparison here: the
+    # oracle is the external-gate congruence arithmetic (SQL never
+    # decodes), so the duck number prices the gate, not the work.
+    "media_phash_dedup",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

@@ -703,3 +703,101 @@ class TestPngExtendedDecode:
         )
         with pytest.raises(NotImplementedError, match="tRNS"):
             decode_png(payload)
+
+
+def test_media_phash_dedup_finds_congruent_classes(spark, tmp_path):
+    """doc_ids congruent mod lcm(48, 31, 17) = 25 296 generate
+    byte-identical JPEGs and must surface as one verified duplicate
+    class through decode -> dHash -> Hamming blocking -> md5 verify; an
+    id sharing (w, h) and one phase but not the other (816 = 48*17,
+    816 % 31 = 10) must be EXCLUDED by the exact verify even if its
+    dHash lands within the Hamming radius."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = [0, 25296, 50592, 816, 6, 9]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [f"doc {i}" for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [10] * len(ids),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_multimodal import media_phash_dedup
+
+    got = {(r["width"], r["height"]): r.asDict() for r in
+           media_phash_dedup(spark, str(tmp_path)).collect()}
+    # ids 0/25296/50592/816 are all (w=8, h=8); 816 is its own class
+    cell = got[(8, 8)]
+    assert cell["n_images"] == 4
+    assert cell["n_dup_pairs"] == 3      # C(3,2) verified via blocking
+    assert cell["n_dup_classes"] == 1
+    assert cell["max_class_size"] == 3
+    assert got[(14, 14)]["n_dup_pairs"] == 0   # id 6, singleton
+    assert got[(17, 17)]["n_images"] == 1      # id 9
+
+
+def test_media_phash_near_pairs_match_direct_computation(spark, tmp_path):
+    """include_near=True counts representative pairs at Hamming <= 3
+    with DIFFERENT payloads; the expected count is computed here by
+    running the same codec + dHash directly on each planted class
+    representative."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from trading_dashboard_spark.queries_multimodal import (
+        _dhash64,
+        _gradient_image,
+        media_phash_dedup,
+    )
+
+    ids = [0, 25296, 816, 6, 9]   # (8,8): class {0,25296} + {816}
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [f"doc {i}" for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [10] * len(ids),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    def fp(d):
+        return _dhash64(decode_jpeg(encode_jpeg(_gradient_image(d))))
+
+    # distinct-payload representatives (dHash is size-invariant by
+    # design, so near pairs may cross sizes; each pair is attributed
+    # to the LOWER id's (w, h) — the id_a side of the blocking join)
+    reps = {d: fp(d) for d in (0, 6, 9, 816)}
+    sizes = {d: (8 + d % 24, 8 + d % 16) for d in reps}
+    expected = {}
+    rep_ids = sorted(reps)
+    for i, a in enumerate(rep_ids):
+        for b in rep_ids[i + 1:]:
+            (la, ha), (lb, hb) = reps[a], reps[b]
+            dist = bin((la ^ lb) | ((ha ^ hb) << 32)).count("1")
+            if dist <= 3:
+                wh = sizes[a]
+                expected[wh] = expected.get(wh, 0) + 1
+
+    got = {(r["width"], r["height"]): r.asDict() for r in
+           media_phash_dedup(spark, str(tmp_path), include_near=True)
+           .collect()}
+    cell = got[(8, 8)]
+    assert cell["n_dup_pairs"] == 1          # the {0, 25296} class
+    for wh, row in got.items():
+        assert row["n_near_rep_pairs"] == expected.get(wh, 0), wh
+    assert sum(expected.values()) >= 1  # the fixture must exercise it

@@ -297,3 +297,231 @@ def media_jpeg_roundtrip(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return docs.select("doc_id").mapInPandas(run, schema)
+
+
+def _gradient_image(doc_id: int):
+    """The deterministic doc_id-seeded test image every real-codec query
+    shares (same arithmetic as media_jpeg_roundtrip's inline generator):
+    dimensions from doc_id mod 24/16, phases from mod 31/17. Two image
+    docs produce byte-identical JPEGs iff all four residues agree
+    (i.e. doc_id ≡ mod lcm(48, 31, 17) = 25 296): for distinct phases
+    the amplitude of the pixel difference is ≥ 60·2·sin(1/14)·|cos|
+    (≈ 8.6·|cos|, and |cos| > 0.4 somewhere in every ≥8-column span),
+    several uint8 quantization levels — so phase classes can never
+    collide after rounding."""
+    import numpy as np
+
+    w = 8 + doc_id % 24
+    h = 8 + doc_id % 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        128.0
+        + 60.0 * np.sin((xx + doc_id % 31) / 7.0)
+        + 50.0 * np.cos((yy + doc_id % 17) / 5.0)
+    ).clip(0, 255).astype(np.uint8)
+
+
+def _dhash64(dec) -> tuple[int, int]:
+    """64-bit difference hash of a decoded grayscale array as two
+    int32-range halves: 8 rows × 9 sampled columns, bit = left sample >
+    right neighbor. Sampling (not cell means) so every width ≥ 8 is
+    well-defined; deterministic integer arithmetic end to end."""
+    h2, w2 = dec.shape
+    cs = [(j * (w2 - 1)) // 8 for j in range(9)]
+    rs = [(i * (h2 - 1)) // 7 for i in range(8)]
+    lo = hi = 0
+    for i, r in enumerate(rs):
+        for j in range(8):
+            if int(dec[r, cs[j]]) > int(dec[r, cs[j + 1]]):
+                k = i * 8 + j
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return lo, hi
+
+
+@register(
+    "media_phash_dedup",
+    """
+    WITH img AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 24 AS INT) AS width,
+             CAST(8 + doc_id % 16 AS INT) AS height,
+             doc_id % 31 AS p1, doc_id % 17 AS p2
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    cls AS (
+      SELECT width, height, p1, p2, count(*) AS n
+      FROM img GROUP BY width, height, p1, p2
+    )
+    SELECT width, height,
+           CAST(sum(n) AS BIGINT) AS n_images,
+           CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_dup_pairs,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_classes,
+           CAST(max(n) AS INT) AS max_class_size
+    FROM cls GROUP BY width, height ORDER BY width, height
+    """,
+    tags=("multimodal", "X5", "dedup", "phash", "jpeg"),
+)
+def media_phash_dedup(spark, sf_dir, include_near: bool = False):
+    """IMAGE dedup via perceptual hashing — the multimodal twin of the
+    text near-dup family, run through the REAL pixel path: each image
+    doc's payload goes JPEG encode → decode (the r4 codec), the decoded
+    pixels produce a 64-bit dHash (9×8 sampled grid, bit = left pixel >
+    right neighbor — the standard difference hash), candidates come
+    from the SAME 4×16-bit pigeonhole Hamming blocking the SimHash text
+    lane uses (`text/dedup._hamming_block_pairs`, Manku WWW'07), and
+    collision survivors are verified by payload md5 equality. Output is
+    the per-(width, height) dedup profile: images, VERIFIED duplicate
+    pairs, duplicate classes, largest class.
+
+    Correctness gate (the media_jpeg_roundtrip external-gate pattern —
+    SQL never replays a DCT): byte-identical payloads arise exactly
+    when the generator's four residues agree (see `_gradient_image` —
+    distinct phases are provably ≥ several quantization levels apart),
+    so the oracle derives every class from doc_id arithmetic alone. A
+    missing image in a class is a hole in the codec/fingerprint path
+    and surfaces as a value mismatch.
+
+    Scale shape (restructured at its ×100 listing measurement): the
+    first cut materialized every within-class pair through the block
+    equi-join — C(n,2) per duplicate class, and classes GROW with the
+    corpus, measured 274 s / exponent 1.74 at ×100 — the exact-
+    duplicate-flood pathology `simhash_cluster_summary` documents for
+    the text lane (r8). Now payload classes COLLAPSE first (one md5
+    groupBy; pair counts are the closed form Σ C(n,2), never rows),
+    and the Hamming machinery runs over class REPRESENTATIVES only —
+    a relation bounded by the number of distinct payloads. The
+    perceptual NEAR-pair path (Hamming ≤ 3 across different payloads —
+    the recall the hash exists for, inherently not SQL-predictable) is
+    behind ``include_near=True``, checked by a unit test that computes
+    the expected dHash distances itself through the same codec; the
+    registered form keeps every output column deterministic. One Arrow
+    `mapInPandas` pass per image (tiny decodes, stateless, retry-safe),
+    eagerly checkpointed as a ~40 B/row fingerprint relation — payloads
+    never shuffle; the rollup is a ≤(24×16)-cell aggregate."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .multimodal.codecs import decode_jpeg, encode_jpeg
+    from .text.dedup import _hamming_block_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("lo", T.LongType()),
+            T.StructField("hi", T.LongType()),
+            T.StructField("payload_md5", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = encode_jpeg(_gradient_image(d))
+                dec = decode_jpeg(payload)
+                h2, w2 = dec.shape
+                lo, hi = _dhash64(dec)
+                rows.append(
+                    (
+                        d,
+                        lo,
+                        hi,
+                        hashlib.md5(payload).hexdigest(),
+                        w2,
+                        h2,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "lo", "hi", "payload_md5", "width",
+                    "height",
+                ],
+            )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    # the id-only projection is KBs — without an explicit repartition
+    # the whole corpus' encode/decode work lands on one input split
+    # (measured 17.1 s -> 6.7 s at x10 on local[32]; the residual is
+    # the pure-python DCT itself, embarrassingly parallel)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fps = (
+        docs.select("doc_id")
+        .repartition(n_shuffle, "doc_id")
+        .mapInPandas(run, schema)
+        .localCheckpoint(eager=True)
+    )
+    cls = fps.groupBy("width", "height", "payload_md5").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("media_id").alias("rep"),
+        F.min("lo").alias("lo"),   # constant within a payload class
+        F.min("hi").alias("hi"),
+    )
+    out = (
+        cls.groupBy("width", "height")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_images"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("n_dup_pairs"),
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_classes"),
+            F.max("n").cast("int").alias("max_class_size"),
+        )
+        .orderBy("width", "height")
+    )
+    if not include_near:
+        return out
+    # perceptual near-dups ACROSS payload classes: blocking over the
+    # payload-bounded representative relation, never raw images
+    near = _hamming_block_pairs(
+        cls.select(F.col("rep").alias("id"), "lo", "hi"),
+        max_hamming=3,
+        max_block=None,
+    )
+    rep_meta = cls.select(
+        F.col("rep").alias("id"), "payload_md5", "width", "height"
+    )
+    near_pairs = (
+        near.join(
+            rep_meta.select(
+                F.col("id").alias("id_a"),
+                F.col("payload_md5").alias("m_a"),
+                "width",
+                "height",
+            ),
+            "id_a",
+        )
+        .join(
+            rep_meta.select(
+                F.col("id").alias("id_b"), F.col("payload_md5").alias("m_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("m_a") != F.col("m_b"))
+        .groupBy("width", "height")
+        .agg(F.count(F.lit(1)).alias("n_near_rep_pairs"))
+    )
+    return (
+        out.join(near_pairs, ["width", "height"], "left")
+        .select(
+            "width", "height", "n_images", "n_dup_pairs",
+            "n_dup_classes", "max_class_size",
+            F.coalesce("n_near_rep_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_near_rep_pairs"),
+        )
+        .orderBy("width", "height")
+    )
