@@ -303,3 +303,46 @@ def test_pipeline_scores_on_survivors_not_raw_pool(spark, tmp_path):
     assert picked & set(range(100, 105)) == set()   # removed flood members
     assert 105 in picked                            # the longest survivor
     assert picked >= {200, 201, 202, 203}
+
+
+def test_budgeted_manifest_binds_on_curated_survivors(spark, tmp_path):
+    """The manifest ranks only PIPELINE SURVIVORS and the 8k budget must
+    bind: with three tercile survivors of ~5.5k/~0.1k tokens the ranked
+    prefix can never admit all of them, and admitted token volume stays
+    within budget."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def text_of(prefix, n_words):
+        ws = [f"{prefix}word{i:04d}" for i in range(n_words)]
+        return " ".join(ws[:10] + ["the"] + ws[10:20] + ["of"] + ws[20:])
+
+    rows = [
+        (1, text_of("du", 60), "en", "dup", 300),   # 2-char prefix:
+        (2, text_of("du", 60), "en", "dup", 300),   # 10-char words keep
+        (3, text_of("du", 60), "en", "dup", 300),   # mean word len < 10
+        (4, "too short text", "en", "bad", 20),
+        (5, text_of("ga", 2000), "en", "good", 300),
+        (6, text_of("gb", 2000), "en", "good", 300),
+        (7, text_of("gc", 2000), "en", "good", 300),
+        (8, text_of("gd", 2000), "en", "good", 300),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    from trading_dashboard_spark.queries_training import (
+        budgeted_curation_manifest,
+    )
+
+    got = budgeted_curation_manifest(spark, str(tmp_path)).collect()
+    n_docs = sum(r["n_docs"] for r in got)
+    n_adm = sum(r["n_admitted"] for r in got)
+    toks = sum(r["tokens_admitted"] for r in got)
+    assert n_docs == 3            # tercile keeps floor(2*5/3) survivors
+    assert 1 <= n_adm < n_docs    # the budget BINDS
+    assert toks <= 8000
+    assert all(r["source"] != "bad" for r in got)  # gate death upstream

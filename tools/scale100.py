@@ -187,8 +187,10 @@ DUCK_SKIP_ALWAYS = {
     # and the soft-dedup weighting rides the same closure for cluster
     # sizes
     "soft_dedup_effective_tokens",
-    # the end-to-end published pipeline opens with the same closure
+    # the end-to-end published pipeline opens with the same closure,
+    # as does the budgeted manifest composed on its survivors
     "published_curation_pipeline",
+    "budgeted_curation_manifest",
 }
 
 #: feasible but MINUTES-slow oracles (bench.py's SWEEP_ORACLE_ONCE

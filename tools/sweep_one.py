@@ -37,6 +37,7 @@ DUCK_INFEASIBLE = {
     "dedup_effect_on_heldout_lm",
     "soft_dedup_effective_tokens",
     "published_curation_pipeline",
+    "budgeted_curation_manifest",
     "streaming_dsir_admission",
 }
 

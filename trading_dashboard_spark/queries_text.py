@@ -4821,12 +4821,53 @@ def dedup_effect_on_heldout_lm(spark, sf_dir):
     )
 
 
-def _published_pipeline_oracle() -> str:
-    """Removal closure → Gopher rules on the deduped relation → bigram
-    MLE terciles on the quality survivors — each stage its own shared
-    fragment, instantiated on the previous stage's CTE."""
-    return f"""
-    WITH RECURSIVE {_removal_ctes()},
+def _published_pipeline_stage_dfs(spark, docs):
+    """Spark lane of :func:`_published_pipeline_ctes`: the (deduped,
+    quality, final) stage relations of the published CCNet-ordered
+    pipeline — shared by the funnel query and the budgeted-manifest
+    composition."""
+    removed = nonsurvivor_removed_ids(docs)
+    deduped = docs.join(
+        removed, docs["doc_id"] == removed["id"], "left_anti"
+    )
+    rules = _gopher_rules_df(deduped)
+    # the pipeline gate composes the five VOCABULARY-FREE Gopher rules:
+    # the published ≥2-distinct-stop-words rule is vocabulary-bound and
+    # on a corpus whose token distribution lacks the English stop list
+    # it degenerates to reject-all (measured: 500/500 docs fail it at
+    # every sf tier) — it stays in the standalone gopher_quality_rules
+    # audit, where reporting the failure IS the point.
+    fails = [
+        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
+        "fail_alpha_words", "fail_top_bigram",
+    ]
+    quality = deduped.select("doc_id", "source", "lang", "text").join(
+        rules.filter(~fails_or(fails)).select("doc_id"), "doc_id"
+    )
+    scored = _ccnet_scored_df(spark, quality)
+    w_l = W.partitionBy("lang")
+    ranked = scored.join(
+        quality.select("doc_id", "source", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w_l.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w_l).alias("n"),
+    )
+    final = ranked.filter(F.col("rn") * 3 <= 2 * F.col("n")).select(
+        "doc_id", "source"
+    )
+    return deduped, quality, final
+
+
+def _published_pipeline_ctes() -> str:
+    """CTE chain through ``final`` — dedup removal → Gopher rules on the
+    deduped relation → bigram-MLE terciles fit on the quality survivors,
+    head+middle kept. Requires a ``WITH RECURSIVE`` prefix. Shared by
+    the funnel query and the budgeted-manifest composition."""
+    return f"""{_removal_ctes()},
     deduped AS (
       SELECT d.* FROM documents d
       LEFT JOIN removed r ON d.doc_id = r.id
@@ -4838,7 +4879,7 @@ def _published_pipeline_oracle() -> str:
       FROM deduped d JOIN rules g ON d.doc_id = g.doc_id
       WHERE NOT (g.fail_word_count OR g.fail_mean_word_len
                  OR g.fail_symbol_ratio OR g.fail_alpha_words
-                 OR g.fail_stopword OR g.fail_top_bigram)
+                 OR g.fail_top_bigram)
     ),
     {_ccnet_scored_ctes('quality')},
     ranked AS (
@@ -4848,7 +4889,13 @@ def _published_pipeline_oracle() -> str:
              count(*) OVER (PARTITION BY q.lang) AS n
       FROM scored s JOIN quality q USING (doc_id)
     ),
-    final AS (SELECT doc_id, source FROM ranked WHERE rn * 3 <= 2 * n),
+    final AS (SELECT doc_id, source FROM ranked WHERE rn * 3 <= 2 * n)"""
+
+
+def _published_pipeline_oracle() -> str:
+    """Pipeline CTE chain + the per-source funnel rollup."""
+    return f"""
+    WITH RECURSIVE {_published_pipeline_ctes()},
     raw_c AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
     dd_c AS (SELECT source, count(*) AS n_dedup FROM deduped GROUP BY source),
     q_c AS (SELECT source, count(*) AS n_quality FROM quality GROUP BY source),
@@ -4878,8 +4925,11 @@ def published_curation_pipeline(spark, sf_dir):
     quality cut; the Gopher rule battery sits between them as
     RefinedWeb-class pipelines run it): (1) minhash near-dup removal —
     corpus-wide survivor election, the shared `nonsurvivor_removed_ids`
-    machinery; (2) the six-rule Gopher gate evaluated ON the deduped
-    relation; (3) bigram-MLE perplexity terciles per language fit on
+    machinery; (2) the Gopher gate evaluated ON the deduped relation —
+    the five vocabulary-free rules (the published stop-word rule
+    rejects 100% of this synthetic-vocabulary corpus, so it is reported
+    by the standalone audit but not composed into the gate; see the
+    in-code note); (3) bigram-MLE perplexity terciles per language fit on
     the quality survivors themselves, keeping head+middle (CCNet keeps
     the fluent two-thirds). Output is the per-source funnel — raw →
     deduped → quality → final with the retention rate — i.e. what each
@@ -4899,31 +4949,7 @@ def published_curation_pipeline(spark, sf_dir):
     The oracle embeds the removal closure → inherits the measured
     ×10 OOM skip; sf tiers are hash-checked."""
     docs = _t(spark, sf_dir, "documents")
-    removed = nonsurvivor_removed_ids(docs)
-    deduped = docs.join(
-        removed, docs["doc_id"] == removed["id"], "left_anti"
-    )
-    rules = _gopher_rules_df(deduped)
-    fails = [
-        "fail_word_count", "fail_mean_word_len", "fail_symbol_ratio",
-        "fail_alpha_words", "fail_stopword", "fail_top_bigram",
-    ]
-    quality = deduped.select("doc_id", "source", "lang", "text").join(
-        rules.filter(~fails_or(fails)).select("doc_id"), "doc_id"
-    )
-    scored = _ccnet_scored_df(spark, quality)
-    w_l = W.partitionBy("lang")
-    ranked = scored.join(
-        quality.select("doc_id", "source", "lang"), "doc_id"
-    ).select(
-        "doc_id",
-        "source",
-        F.row_number()
-        .over(w_l.orderBy(F.col("score").desc(), "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(w_l).alias("n"),
-    )
-    final = ranked.filter(F.col("rn") * 3 <= 2 * F.col("n"))
+    deduped, quality, final = _published_pipeline_stage_dfs(spark, docs)
     raw_c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
     dd_c = deduped.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_dedup")

@@ -899,6 +899,22 @@ def curation_funnel(spark, sf_dir):
     )
 
 
+def _budget_scored(docs):
+    """(doc_id, source, est_tokens, 6dp stopword-ratio score) — the
+    budgeted-selection ranking relation, shared by
+    token_budget_selection and the curated-manifest composition."""
+    from .text.analysis import quality_features
+
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id", "source",
+        F.ceil(
+            F.length(F.coalesce(F.col("text"), F.lit(""))) / 4.0
+        ).cast("long").alias("est_tokens"),
+        pround(F.coalesce(q["stopword_ratio"], F.lit(0.0)), 6).alias("q"),
+    )
+
+
 @register(
     "token_budget_selection",
     """
@@ -973,17 +989,9 @@ def token_budget_selection(spark, sf_dir):
     sf data and compare).  Scores are 6dp-rounded BEFORE ranking on
     both engines so ordering cannot hinge on a ulp."""
     from .operators import ranks
-    from .text.analysis import quality_features
 
     docs = _t(spark, sf_dir, "documents")
-    q = quality_features(F.col("text"))
-    scored = docs.select(
-        "doc_id", "source",
-        F.ceil(
-            F.length(F.coalesce(F.col("text"), F.lit(""))) / 4.0
-        ).cast("long").alias("est_tokens"),
-        pround(F.coalesce(q["stopword_ratio"], F.lit(0.0)), 6).alias("q"),
-    )
+    scored = _budget_scored(docs)
     budget = 20000
 
     def summarize(flagged):
@@ -1723,3 +1731,103 @@ def dedup_dsir_curation_pipeline(spark, sf_dir):
         pround(F.col("log_importance") + gumbel, 6).alias("gkey"),
     )
     return keyed.orderBy(F.col("gkey").desc(), "doc_id").limit(50)
+
+
+_MANIFEST_BUDGET = 8000
+
+
+def _budgeted_manifest_oracle() -> str:
+    from .queries_text import _published_pipeline_ctes
+
+    return f"""
+    WITH RECURSIVE {_published_pipeline_ctes()},
+    manifest AS (
+      SELECT d.doc_id, d.source, coalesce(d.text, '') AS txt
+      FROM documents d JOIN final f ON d.doc_id = f.doc_id
+    ),
+    mscored AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(txt) / 4.0) AS BIGINT) AS est_tokens,
+             round(coalesce(
+               CAST(len(list_filter(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE list_transform(string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+'),
+                                          x -> lower(x)) END,
+                 x -> x IN ('the','a','an','and','or','of','to','is','in','it')))
+                 AS DOUBLE)
+               / nullif(len(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+') END), 0),
+               0.0), 6) AS q
+      FROM manifest
+    ),
+    mranked AS (
+      SELECT *, sum(est_tokens) OVER (ORDER BY q DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+      FROM mscored
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cum <= {_MANIFEST_BUDGET} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN cum <= {_MANIFEST_BUDGET} THEN est_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_admitted
+    FROM mranked GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "budgeted_curation_manifest", _budgeted_manifest_oracle(),
+    tags=("training", "curation", "pipeline", "budget", "selection"),
+)
+def budgeted_curation_manifest(spark, sf_dir):
+    """The LAST stage of the curation story: the published pipeline's
+    survivors (dedup → Gopher gate → perplexity terciles, the
+    `published_curation_pipeline` stages) ranked by quality and cut to
+    a token BUDGET — what actually ships to the trainer when compute,
+    not corpus size, is the binding constraint. Per source: curated
+    docs, budget-admitted docs, admitted token volume. The budget (8k,
+    sized to BIND on the sf-dir curated populations) floats the
+    admission cutoff with corpus quality exactly as
+    `token_budget_selection` does on the raw corpus — composing it on
+    curated survivors is the ordering a real run uses (filter first,
+    then spend the budget on the best of what's left).
+
+    Scale shape: the pipeline stages are the shared fragment relations
+    (closure dup-bounded, gate map-side, LM one-pass); the manifest
+    join is doc_id-keyed; ranking follows token_budget_selection's
+    adaptive policy — the exact global window at/below
+    ranks.NTILE_EXACT_MAX_ROWS curated docs (the form the oracle
+    replays), the bucket-histogram threshold path with NO
+    SinglePartition exchange above it. Oracle embeds the removal
+    closure → the measured ×10 OOM skip class; sf tiers hash-checked."""
+    from .operators import ranks
+    from .queries_text import _published_pipeline_stage_dfs
+
+    docs = _t(spark, sf_dir, "documents")
+    _, _, final = _published_pipeline_stage_dfs(spark, docs)
+    manifest = docs.join(final.select("doc_id"), "doc_id")
+    scored = _budget_scored(manifest)
+
+    def summarize(flagged):
+        return flagged.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("admit"), 1).otherwise(0))
+            .cast("bigint").alias("n_admitted"),
+            F.sum(F.when(F.col("admit"), F.col("est_tokens")).otherwise(0))
+            .cast("bigint").alias("tokens_admitted"),
+        ).orderBy("source")
+
+    if manifest.count() <= ranks.NTILE_EXACT_MAX_ROWS:
+        w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        return summarize(scored.withColumn(
+            "admit", F.sum("est_tokens").over(w) <= _MANIFEST_BUDGET
+        ))
+    flagged, boundary = _budget_threshold_flags(scored, _MANIFEST_BUDGET)
+    out = summarize(flagged)
+    rows = out.collect()  # one row per source — bounded by design
+    if boundary is not None:
+        ranks.release_rank_cache(boundary)
+    return spark.createDataFrame(rows, out.schema)
