@@ -497,3 +497,86 @@ def test_winnowing_density_matches_theory(spark):
     avg = sum(densities) / len(densities)
     assert 0.3 < avg < 0.5          # theory: 2/(w+1) = 0.4
     assert all(d < 0.7 for d in densities)
+
+
+def test_r9_curation_lanes_adversarial_corpus_battery(spark, tmp_path):
+    """Full-query Spark↔DuckDB equality for the r9 curation lanes on a
+    whitespace-adversarial corpus: empty / whitespace-only docs, \\x0B
+    (in Java's \\s but not RE2's), tab/formfeed/CR runs, single-token
+    and exactly-8-token docs, exact duplicates, repeated-token docs —
+    the fixture classes that have historically split the engines'
+    tokenizers. Guards the shared _TOKS/_removal/_gopher/_ccnet
+    fragments end to end, not per-helper."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(909)
+    words = [f"w{i:02d}" for i in range(30)] + ["the", "of", "and", "to"]
+    seps = [" ", "  ", "\t", "\x0b", "\f", "\r", " \t "]
+
+    def doc(n):
+        return rng.choice(seps).join(
+            rng.choice(words) for _ in range(n)
+        )
+
+    rows = []
+    for i in range(36):
+        n = rng.choice([0, 1, 2, 7, 8, 9, 20, 60, 80])
+        t = {0: "", 1: "   ", 2: "\x0b\x0b"}.get(n) if n <= 2 else None
+        if t is None:
+            t = doc(n)
+        rows.append(
+            (i, t, rng.choice(["en", "fr"]), f"s{i % 3}", len(t))
+        )
+    rows.append((36, rows[20][1], "en", "s0", len(rows[20][1])))  # dup
+    rows.append((37, "tok " * 50, "en", "s1", 200))  # repeated token
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    import duckdb
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+
+    for name in (
+        "ngram_novelty_by_source",
+        "gopher_quality_rules",
+        "ccnet_perplexity_buckets",
+        "dedup_effect_on_heldout_lm",
+        "published_curation_pipeline",
+        "budgeted_curation_manifest",
+    ):
+        ent = QUERY_REGISTRY[name]
+        got = ent.fn(spark, str(tmp_path)).toPandas()
+        exp = con.execute(ent.oracle).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        exp = exp[sorted(exp.columns)].sort_values(
+            by=sorted(exp.columns), ignore_index=True
+        )
+        assert list(got.columns) == list(exp.columns), name
+        assert len(got) == len(exp), (name, len(got), len(exp))
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if g.dtype.kind == "f" or e.dtype.kind == "f":
+                ok = (
+                    (g.isna() & e.isna())
+                    | (g.astype(float) == e.astype(float))
+                )
+            else:
+                ok = (g.isna() & e.isna()) | (
+                    g.astype(object) == e.astype(object)
+                )
+            assert ok.all(), (name, c, got[~ok], exp[~ok])

@@ -1203,3 +1203,33 @@ def test_published_pipeline_funnel_stages(spark, tmp_path):
     # quality population = 5 docs in one lang -> tercile keeps rn*3<=10
     assert sum(r["n_final"] for r in got.values()) == 3
     assert got["bad"]["retention"] == 0.0
+
+
+def test_shingles_zero_token_docs_have_no_evidence(spark):
+    """Empty / whitespace-only / \\x0B-only docs produce an EMPTY shingle
+    set (no near-dup evidence) — matching the SQL oracle, where
+    array_to_string([], ' ') is NULL and list_distinct([NULL]) is [];
+    the old [\"\"] sentinel paired every empty doc with every other at
+    Jaccard 1 while the oracle paired none (found by the adversarial
+    battery)."""
+    from trading_dashboard_spark.text.dedup import (
+        minhash_near_dup_pairs,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\x0b\x0b"), (4, "one"),
+         (5, "a b c d")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.sh for r in
+           df.select("doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    assert got[1] == [] and got[2] == []
+    # \x0b-only text trims to TWO empty tokens on both engines (trim
+    # strips 0x20 only), so its shingle is the joined " " — identical
+    # cross-engine, and caught by exact dedup as byte-equal anyway
+    assert got[3] == [" "]
+    assert got[4] == ["one"]          # <n tokens: one joined shingle
+    assert got[5] == ["a b c", "b c d"]
+    pairs = minhash_near_dup_pairs(df, jaccard_threshold=0.3).collect()
+    assert pairs == []                # empties never pair

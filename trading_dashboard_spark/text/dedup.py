@@ -57,6 +57,18 @@ def shingles(text: Column, n: int = 3) -> Column:
     slicing per position: higher-order functions are interpreted (outside
     whole-stage codegen), so n-1 linear ``zip_with`` passes beat k
     ``slice``+``concat_ws`` lambda evaluations ~7× on real documents.
+
+    ZERO-token documents (empty / whitespace-only text) get an EMPTY
+    shingle set — no evidence, never a near-dup candidate. The previous
+    ``[""]`` sentinel silently made every empty document an exact
+    MinHash twin of every other (Jaccard 1 through a [""]∩[""] set),
+    while the SQL oracle's ``array_to_string([], ' ')`` is NULL and
+    ``list_distinct([NULL])`` is [] — so the two lanes disagreed on any
+    corpus containing ≥2 empty docs. Found by the r9 adversarial-corpus
+    battery (tests/test_cross_engine_properties.py); the sf corpora
+    have no empty docs, which is why five rounds of hash-green checks
+    never saw it. Empty docs belong to exact dedup (fingerprint
+    equality), not the similarity path.
     """
     toks = tokenize(F.lower(text))
     k = F.size(toks)
@@ -67,8 +79,10 @@ def shingles(text: Column, n: int = 3) -> Column:
             F.slice(toks, j, k),
             lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
         )
-    grams = F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.slice(grams, 1, k - (n - 1))
+    grams = (
+        F.when(k == 0, F.array().cast("array<string>"))
+        .when(k < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.slice(grams, 1, k - (n - 1)))
     )
     return F.array_distinct(grams)
 
