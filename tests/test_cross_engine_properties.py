@@ -556,6 +556,11 @@ def test_r9_curation_lanes_adversarial_corpus_battery(spark, tmp_path):
         "dedup_effect_on_heldout_lm",
         "published_curation_pipeline",
         "budgeted_curation_manifest",
+        # the two the 84-query discovery sweep caught diverging on this
+        # corpus (zero-shingle docs in the candidate/pair relations) —
+        # pinned here so the no-evidence rule can't regress
+        "blocked_jaccard_within_source",
+        "minhash_banding_sweep",
     ):
         ent = QUERY_REGISTRY[name]
         got = ent.fn(spark, str(tmp_path)).toPandas()

@@ -480,6 +480,9 @@ def simhash_hamming_pairs_q(spark, sf_dir):
                    / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) AS DOUBLE),
                    6) AS jaccard
       FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id
+      -- no-evidence rule: a pair of two ZERO-shingle docs has NULL
+      -- jaccard and is not a pair in the engine lane either
+      WHERE len(a.sh) + len(b.sh) > 0
     )
     SELECT blk AS source,
            CAST(count(*) AS BIGINT) AS n_pairs,
@@ -2561,7 +2564,8 @@ def _banding_sweep_oracle() -> str:
     )
     return f"""
     WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    base AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM toks_t),
+    base AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM toks_t
+              WHERE len(toks) > 0),  -- no-evidence rule (matches the engine's size(sh) > 0)
     sig AS (SELECT id, sh, {sig_cols} FROM base),
     {",".join(per_cfg)}
     {unions}"""
@@ -2608,7 +2612,7 @@ def minhash_banding_sweep(spark, sf_dir):
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     feat = docs.select(
         F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
-    ).select(
+    ).filter(F.size("sh") > 0).select(
         "id",
         F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
         F.array(*minhash_signature(F.col("sh"), _NUM_HASHES)).alias("mh"),

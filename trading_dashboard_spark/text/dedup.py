@@ -158,7 +158,13 @@ def minhash_near_dup_pairs(
     raw = spread(df, id_col).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("__txt")
     )
-    base = raw.select("id", shingles(F.col("__txt"), shingle_n).alias("sh"))
+    # no-evidence rule: zero-token docs have empty shingle sets and can
+    # never verify >= threshold — dropping them BEFORE banding also kills
+    # the degenerate all-empties bucket (C(k,2) wasted candidates on a
+    # corpus with k empty docs)
+    base = raw.select(
+        "id", shingles(F.col("__txt"), shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
     if persist:
         base = base.persist()
     sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
