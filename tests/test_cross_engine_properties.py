@@ -585,3 +585,77 @@ def test_r9_curation_lanes_adversarial_corpus_battery(spark, tmp_path):
                     g.astype(object) == e.astype(object)
                 )
             assert ok.all(), (name, c, got[~ok], exp[~ok])
+
+
+def test_adversarial_embeddings_battery(spark, tmp_path):
+    """Full-query Spark↔DuckDB equality for the similarity lanes on a
+    degenerate-vector corpus: zero-norm vectors (cosine 0/0), 1e-30
+    subnormal-adjacent norms, one-hot axes, exact duplicates. The first
+    run of this probe found three divergences: the LSH lane scored
+    zero-norm pairs 0.0 (its zero→unit-vector normalization) while the
+    oracle's NULL cosine sorted FIRST under DuckDB's DESC null order;
+    and the int8/sq8 oracles built per-element-NULL dequantized lists
+    that crash DuckDB's list_dot_product. Oracles now carry the
+    zero-cosine convention / whole-list-NULL guards / NULLS LAST."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(1234)
+    vecs, labels = [], []
+    for i in range(40):
+        kind = i % 8
+        if kind == 0:
+            v = np.zeros(64, dtype=np.float32)
+        elif kind == 1:
+            v = np.full(64, 1e-30, dtype=np.float32)
+        elif kind == 2:
+            v = np.eye(64, dtype=np.float32)[i % 64]
+        elif kind == 3 and i > 8:
+            v = vecs[i - 8].copy()
+        else:
+            v = rng.randn(64).astype(np.float32)
+        vecs.append(v)
+        labels.append(i % 5)
+    pdf = pd.DataFrame(
+        {"vec_id": range(40), "embedding": [v.tolist() for v in vecs],
+         "label": labels}
+    )
+    t = pa.Table.from_pandas(pdf, schema=pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("label", pa.int32()),
+    ]))
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    import duckdb
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    for name in (
+        "lsh_ann_top3",
+        "embedding_int8_quantization",
+        "sq8_rerank_top5",
+        "knn_per_vector_top3",
+        "label_centroids",
+    ):
+        ent = QUERY_REGISTRY[name]
+        got = ent.fn(spark, str(tmp_path)).toPandas()
+        exp = con.execute(ent.oracle).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        exp = exp[sorted(exp.columns)].sort_values(
+            by=sorted(exp.columns), ignore_index=True
+        )
+        assert got.shape == exp.shape, (name, got.shape, exp.shape)
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            ok = (g.isna() & e.isna()) | (g == e)
+            assert ok.all(), (name, c)

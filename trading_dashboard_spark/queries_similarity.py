@@ -316,9 +316,9 @@ def _lsh_oracle(dim: int = 64, k: int = 3, n_planes: int = 6,
     ),
     scored AS (
       SELECT c.id, c.neighbor_id,
-             round(list_dot_product(x.v, y.v)
+             round(coalesce(list_dot_product(x.v, y.v)
                    / nullif(sqrt(list_dot_product(x.v, x.v))
-                            * sqrt(list_dot_product(y.v, y.v)), 0), 6)
+                            * sqrt(list_dot_product(y.v, y.v)), 0), 0.0), 6)
                AS cosine
       FROM cands c
       JOIN v x ON x.vec_id = c.id
@@ -403,7 +403,9 @@ def lsh_ann_top3(spark, sf_dir):
     ),
     r AS (
       SELECT vec_id, label, v, scale,
-             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+             CASE WHEN scale IS NULL THEN NULL
+                  ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+             END AS dq
       FROM q
     ),
     m AS (
@@ -1161,7 +1163,9 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     ),
     dq AS (
       SELECT vec_id, v,
-             list_transform(v, x -> floor(x / scale + 0.5) * scale) AS vq
+             CASE WHEN scale IS NULL THEN NULL
+                  ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+             END AS vq
       FROM q
     ),
     probe AS (SELECT v, vq FROM dq WHERE vec_id = 0),
@@ -1175,7 +1179,8 @@ def hybrid_rrf_retrieval(spark, sf_dir):
     ),
     cand AS (
       SELECT vec_id, coarse_cos,
-             row_number() OVER (ORDER BY coarse_cos DESC, vec_id) AS cr
+             row_number() OVER (ORDER BY coarse_cos DESC NULLS LAST,
+                                vec_id) AS cr
       FROM coarse QUALIFY cr <= 50
     ),
     rerank AS (
@@ -1187,7 +1192,8 @@ def hybrid_rrf_retrieval(spark, sf_dir):
       FROM cand c JOIN dq a ON a.vec_id = c.vec_id CROSS JOIN probe p
     )
     SELECT vec_id, exact_cos, coarse_cos,
-           CAST(row_number() OVER (ORDER BY exact_cos DESC, vec_id) AS INT)
+           CAST(row_number() OVER (ORDER BY exact_cos DESC NULLS LAST,
+                                   vec_id) AS INT)
              AS rnk
     FROM rerank QUALIFY rnk <= 5
     """,
