@@ -25,6 +25,11 @@ def test_pround_matches_duckdb_portable_round_battery(spark):
     vals = [0.0, -0.0, 1.5, -1.5, 2.5, 0.125, -0.125, 1e12 + 0.5]
     vals += [round(rng.uniform(-1e6, 1e6), rng.randint(0, 6)) for _ in range(200)]
     vals += [rng.randint(-10**9, 10**9) / 2**k for k in range(1, 10) for _ in [0]]
+    # the long-overflow regime: Spark's floor() clamps at 2^63 while
+    # DuckDB's stays a double — the magnitude guard must keep the lanes
+    # bit-equal across the boundary (adversarial events battery find)
+    vals += [7.050093e22, -7.050093e22, 9.3e18, -9.3e18, 2.0**53 + 1,
+             2.0**62, 1e300, -1e300, 4.5e14, 9.2e14]
     digits = [-3, -1, 0, 1, 2, 4, 6]
 
     df = spark.createDataFrame([(v,) for v in vals], ["x"])

@@ -46,14 +46,32 @@ def pround(c: Column | str, n: int) -> Column:
 
     Negative ``n`` rounds to tens/hundreds/... via the division form
     ``floor(x / 10⁻ⁿ + 0.5) · 10⁻ⁿ`` — multiplying by the inexact double
-    0.1 and dividing back would not round-trip bit-for-bit."""
+    0.1 and dividing back would not round-trip bit-for-bit.
+
+    MAGNITUDE GUARD: Spark's ``floor`` returns LONG and silently clamps
+    at ±2⁶³ (the adversarial events battery caught a 7.05e22 sum of
+    squares collapsing to 9.223372e14 at 4dp), while DuckDB's ``floor``
+    stays a double, where above 2⁵³ every value is an integer and floor
+    is the identity. When the scaled value leaves the long range, this
+    returns the SAME double arithmetic DuckDB's form reduces to —
+    ``(x·f + 0.5) / f`` with no floor — so the lanes stay bit-equal on
+    both sides of the boundary (below 2⁶³ the double add + long floor
+    already match DuckDB's double floor exactly; rounding at these
+    magnitudes is vacuous anyway, ulp ≥ 1024)."""
     if isinstance(c, str):
         c = F.col(c)
+    lim = F.lit(9.223372036854776e18)  # 2^63
     if n < 0:
         p = float(10 ** (-n))
-        return F.floor(c / F.lit(p) + F.lit(0.5)) * F.lit(p)
+        y = c / F.lit(p) + F.lit(0.5)
+        return F.when(F.abs(y) < lim, F.floor(y) * F.lit(p)).otherwise(
+            y * F.lit(p)
+        )
     f = float(10**n)
-    return F.floor(c * F.lit(f) + F.lit(0.5)) / F.lit(f)
+    y = c * F.lit(f) + F.lit(0.5)
+    return F.when(F.abs(y) < lim, F.floor(y) / F.lit(f)).otherwise(
+        y / F.lit(f)
+    )
 
 
 def _find_unquoted(sql: str, low: str, needle: str, start: int) -> int:

@@ -1448,7 +1448,8 @@ def _logreg_oracle(iters: int = 3, lr: float = 0.5) -> str:
     SELECT round(w.a, 6) AS w_bias,
            round(w.b, 6) AS w_value,
            round(w.c, 6) AS w_hour,
-           round(avg(-f.y * ln({p}) - (1.0 - f.y) * ln(1.0 - ({p}))), 6)
+           round(avg(-f.y * ln(greatest({p}, 1e-15))
+                     - (1.0 - f.y) * ln(greatest(1.0 - ({p}), 1e-15))), 6)
              AS log_loss,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM f CROSS JOIN w{iters} w
@@ -1506,8 +1507,15 @@ def logistic_purchase_model(spark, sf_dir):
         .groupBy("a", "b", "c")
         .agg(
             pround(
+                # 1e-15 floor: a saturated sigmoid (perfect separation /
+                # extreme z) makes p hit exactly 0/1 in double; Spark's
+                # log(0) is NULL but DuckDB's ln(0) ERRORS, so both
+                # lanes clamp identically (inactive on any non-separable
+                # input — p stays strictly inside (0,1))
                 F.avg(
-                    -F.col("y") * F.log(p) - (1.0 - F.col("y")) * F.log(1.0 - p)
+                    -F.col("y") * F.log(F.greatest(p, F.lit(1e-15)))
+                    - (1.0 - F.col("y"))
+                    * F.log(F.greatest(1.0 - p, F.lit(1e-15)))
                 ),
                 6,
             ).alias("log_loss"),

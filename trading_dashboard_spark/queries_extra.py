@@ -499,7 +499,9 @@ def event_sessionization(spark, sf_dir):
     "props_json_value_buckets",
     """
     SELECT event_type,
-           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10 AS INT)
+           CAST(CAST(CASE WHEN json_valid(props)
+                          THEN json_extract_string(props, '$.k') END
+                     AS INTEGER) // 10 AS INT)
              AS k_decade,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS total_value
@@ -1124,11 +1126,18 @@ def daily_new_vs_returning(spark, sf_dir):
     """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
-           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS INTEGER) // 25)
+           round(avg(CAST(CASE WHEN json_valid(props)
+                               THEN json_extract(props, '$.k') END
+                          AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract(props, '$.k') END
+                         AS INTEGER)) AS INT) AS max_k,
+           CAST(count(DISTINCT CAST(CASE WHEN json_valid(props)
+                                         THEN json_extract(props, '$.k') END
+                                    AS INTEGER) // 25)
                 AS BIGINT) AS n_k_bands,
-           CAST(sum(CASE WHEN json_extract(props, '$.q') IS NULL
+           CAST(sum(CASE WHEN (CASE WHEN json_valid(props)
+                                    THEN json_extract(props, '$.q') END) IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_q
     FROM events
     GROUP BY event_type
@@ -1148,7 +1157,10 @@ def variant_props_stats(spark, sf_dir):
     ingestion tier wants. Oracle replays the same typed extractions
     with DuckDB's JSON reads."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    # try_parse_json: malformed / empty props rows contribute NULL
+    # variants instead of failing the job — matching get_json_object's
+    # NULL-on-malformed behavior and the oracle's json_valid guard
+    v = F.try_parse_json(F.col("props"))
     ev = ev.select("event_type", v.alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "int")
     q = F.try_variant_get(F.col("v"), "$.q", "string")

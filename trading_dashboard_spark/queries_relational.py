@@ -530,7 +530,9 @@ def finished_only_customers_except(spark, sf_dir):
            upper(event_type) AS type_upper,
            concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS type_user,
            round(value * 1.1, 2) AS value_taxed,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CAST(CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END
+                AS BIGINT) AS k_value,
            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
            strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day_str
     FROM events WHERE event_id < 500

@@ -1364,7 +1364,9 @@ def donchian_channels(spark, sf_dir):
     """
     WITH sized AS (
       SELECT user_id, CAST(ts AS DATE) AS d, value,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS sz
+             CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS sz
       FROM events
     )
     SELECT user_id, strftime(d, '%Y-%m-%d') AS trade_date,
