@@ -762,7 +762,11 @@ def test_media_phash_near_pairs_match_direct_computation(spark, tmp_path):
         media_phash_dedup,
     )
 
-    ids = [0, 25296, 816, 6, 9]   # (8,8): class {0,25296} + {816}
+    # (8,8): class {0,25296} + {816}; {6, 2022} are distinct-payload
+    # 14x14 images whose FIXED dHashes (the r10 wraparound grid for
+    # width 8 changed width-8 hashes, retiring the old planted pair)
+    # sit at Hamming 1 -- the near path's planted positive
+    ids = [0, 25296, 816, 6, 9, 2022]
     pdf = pd.DataFrame(
         {
             "doc_id": ids,
@@ -781,7 +785,7 @@ def test_media_phash_near_pairs_match_direct_computation(spark, tmp_path):
     # distinct-payload representatives (dHash is size-invariant by
     # design, so near pairs may cross sizes; each pair is attributed
     # to the LOWER id's (w, h) — the id_a side of the blocking join)
-    reps = {d: fp(d) for d in (0, 6, 9, 816)}
+    reps = {d: fp(d) for d in (0, 6, 9, 816, 2022)}
     sizes = {d: (8 + d % 24, 8 + d % 16) for d in reps}
     expected = {}
     rep_ids = sorted(reps)
@@ -801,3 +805,56 @@ def test_media_phash_near_pairs_match_direct_computation(spark, tmp_path):
     for wh, row in got.items():
         assert row["n_near_rep_pairs"] == expected.get(wh, 0), wh
     assert sum(expected.values()) >= 1  # the fixture must exercise it
+
+
+def test_media_phash_oracle_residue_classes_are_md5_distinct():
+    """The media_phash_dedup oracle equates duplicate classes with
+    doc_id residue classes mod lcm(48, 31, 17) = 25 296 — sound only if
+    DISTINCT residue classes always yield DISTINCT encoded payload
+    BYTES (the docstring argues this in pixel space; two phase classes
+    quantizing to identical JPEG coefficients would merge engine
+    classes and fail the gate as a false alarm — ADVICE r9). This pins
+    the claim exhaustively: every residue class the registered query
+    can realize (doc_id % 3 == 0 → 8 432 classes) is encoded once and
+    all payload md5s must be pairwise distinct."""
+    import hashlib
+
+    from trading_dashboard_spark.multimodal.codecs import encode_jpeg
+    from trading_dashboard_spark.queries_multimodal import _gradient_image
+
+    seen: dict[str, int] = {}
+    for d in range(0, 25296, 3):
+        h = hashlib.md5(encode_jpeg(_gradient_image(d))).hexdigest()
+        assert h not in seen, (
+            f"residue classes {seen[h]} and {d} encode byte-identically"
+        )
+        seen[h] = d
+    assert len(seen) == 8432
+
+
+def test_dhash64_width8_bits_all_carry_signal():
+    """Width-8 images previously compared two pixels with themselves
+    per row (the degenerate (j*(w-1))//8 grid — ADVICE r9); the
+    wraparound grid must make every bit position attainable. A planted
+    8-wide image with a strictly descending row makes bits 0..6 fire
+    via adjacent comparisons and bit 7 via the col-7 > col-0 wrap being
+    FALSE (descending), so instead plant the wrap case explicitly."""
+    import numpy as np
+
+    from trading_dashboard_spark.queries_multimodal import _dhash64
+
+    # descending rows: cols 0..7 = 200,190,...,130 — every adjacent
+    # comparison (bits j=0..6) fires; wrap bit (7 vs 0) is 130 > 200 = 0
+    img = np.tile(np.arange(200, 120, -10, dtype=np.uint8), (8, 1))
+    lo, hi = _dhash64(img)
+    word = (hi << 32) | lo
+    for row in range(8):
+        assert (word >> (row * 8)) & 0x7F == 0x7F  # bits 0..6 set
+        assert (word >> (row * 8 + 7)) & 1 == 0    # wrap bit clear
+    # ascending rows flip it: adjacent bits clear, wrap bit set
+    img2 = np.tile(np.arange(120, 200, 10, dtype=np.uint8), (8, 1))
+    lo2, hi2 = _dhash64(img2)
+    word2 = (hi2 << 32) | lo2
+    for row in range(8):
+        assert (word2 >> (row * 8)) & 0x7F == 0
+        assert (word2 >> (row * 8 + 7)) & 1 == 1

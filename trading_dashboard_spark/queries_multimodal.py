@@ -277,14 +277,7 @@ def media_jpeg_roundtrip(spark, sf_dir):
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
-                w = 8 + int(doc_id) % 24
-                h = 8 + int(doc_id) % 16
-                yy, xx = np.mgrid[0:h, 0:w]
-                img = (
-                    128.0
-                    + 60.0 * np.sin((xx + int(doc_id) % 31) / 7.0)
-                    + 50.0 * np.cos((yy + int(doc_id) % 17) / 5.0)
-                ).clip(0, 255).astype(np.uint8)
+                img = _gradient_image(int(doc_id))
                 dec = decode_jpeg(encode_jpeg(img))
                 mae = float(np.abs(dec.astype(float) - img).mean())
                 if mae < 4.0:
@@ -301,14 +294,22 @@ def media_jpeg_roundtrip(spark, sf_dir):
 
 def _gradient_image(doc_id: int):
     """The deterministic doc_id-seeded test image every real-codec query
-    shares (same arithmetic as media_jpeg_roundtrip's inline generator):
-    dimensions from doc_id mod 24/16, phases from mod 31/17. Two image
-    docs produce byte-identical JPEGs iff all four residues agree
-    (i.e. doc_id ≡ mod lcm(48, 31, 17) = 25 296): for distinct phases
-    the amplitude of the pixel difference is ≥ 60·2·sin(1/14)·|cos|
-    (≈ 8.6·|cos|, and |cos| > 0.4 somewhere in every ≥8-column span),
-    several uint8 quantization levels — so phase classes can never
-    collide after rounding."""
+    shares: dimensions from doc_id mod 24/16, phases from mod 31/17.
+    Two image docs produce byte-identical JPEGs iff all four residues
+    agree (doc_id ≡ mod lcm(48, 31, 17) = 25 296) — the invariant every
+    media oracle's doc_id arithmetic rests on.
+
+    That invariant is pinned by EXHAUSTIVE ENUMERATION, not an
+    amplitude argument: the original unit-step phases carried a prose
+    proof ("pixel differences ≥ several quantization levels") that the
+    r10 enumeration test refuted — classes 15984 and 21408 differed by
+    ≤3 pixel levels (the sin and cos phase shifts partially cancel) and
+    QUANTIZED TO IDENTICAL JPEG BYTES, silently merging two oracle
+    classes. The phase multipliers (3.1, 2.3) were chosen so all 8 432
+    realizable classes encode to pairwise-distinct payloads
+    (test_media_phash_oracle_residue_classes_are_md5_distinct walks
+    every class; worst roundtrip MAE 1.84, far under the roundtrip
+    gate's 4.0)."""
     import numpy as np
 
     w = 8 + doc_id % 24
@@ -316,8 +317,8 @@ def _gradient_image(doc_id: int):
     yy, xx = np.mgrid[0:h, 0:w]
     return (
         128.0
-        + 60.0 * np.sin((xx + doc_id % 31) / 7.0)
-        + 50.0 * np.cos((yy + doc_id % 17) / 5.0)
+        + 60.0 * np.sin((xx + 3.1 * (doc_id % 31)) / 7.0)
+        + 50.0 * np.cos((yy + 2.3 * (doc_id % 17)) / 5.0)
     ).clip(0, 255).astype(np.uint8)
 
 
@@ -325,14 +326,28 @@ def _dhash64(dec) -> tuple[int, int]:
     """64-bit difference hash of a decoded grayscale array as two
     int32-range halves: 8 rows × 9 sampled columns, bit = left sample >
     right neighbor. Sampling (not cell means) so every width ≥ 8 is
-    well-defined; deterministic integer arithmetic end to end."""
+    well-defined; deterministic integer arithmetic end to end.
+
+    For width ≥ 9 the sampled column grid (j·(w−1))//8 is strictly
+    increasing, so all 8 comparisons per row carry signal. At width 8
+    that grid degenerates (cs[0]==cs[1] and cs[7]==cs[8] — two bits per
+    row compare a pixel with itself and are constant 0, ADVICE r9), so
+    the 8-wide case compares adjacent columns with one wraparound pair
+    (col 7 vs col 0) instead — every bit is a real pixel comparison.
+    Affects only Hamming-based NEAR-dup recall on the smallest images
+    (the ``include_near`` path); exact-duplicate classes come from
+    payload md5, not the hash."""
     h2, w2 = dec.shape
-    cs = [(j * (w2 - 1)) // 8 for j in range(9)]
+    if w2 >= 9:
+        cs = [(j * (w2 - 1)) // 8 for j in range(9)]
+        col_pairs = [(cs[j], cs[j + 1]) for j in range(8)]
+    else:
+        col_pairs = [(j, (j + 1) % w2) for j in range(8)]
     rs = [(i * (h2 - 1)) // 7 for i in range(8)]
     lo = hi = 0
     for i, r in enumerate(rs):
-        for j in range(8):
-            if int(dec[r, cs[j]]) > int(dec[r, cs[j + 1]]):
+        for j, (a, b) in enumerate(col_pairs):
+            if int(dec[r, a]) > int(dec[r, b]):
                 k = i * 8 + j
                 if k < 32:
                     lo |= 1 << k

