@@ -664,3 +664,85 @@ def test_adversarial_embeddings_battery(spark, tmp_path):
             g, e = got[c], exp[c]
             ok = (g.isna() & e.isna()) | (g == e)
             assert ok.all(), (name, c)
+
+
+def test_adversarial_relational_battery(spark, tmp_path):
+    """Full-query Spark↔DuckDB equality for the relational/window
+    families on the r10 adversarial corpus (tools/adversarial_relational
+    — duplicate timestamps, all-NULL value users, single-row groups,
+    empty groups, referential breaks, rounding-boundary decimals,
+    negative JSON fields, epoch-adjacent / far-future dates, sort-key
+    ties). The discovery sweep over all 174 qualifying queries found 25
+    divergences + 2 crashes on first run:
+
+    - every `max_by(value, ts)` lane (15 queries) was tie-UNDETERMINED
+      on duplicate timestamps AND null-divergent (DuckDB max_by skips
+      NULL args, Spark's doesn't) → the canonical close is now the last
+      NON-NULL value by the unique (ts, event_id) key on both lanes;
+    - rolling_median_value crashed (element_at index 0) on an all-NULL
+      window; ml_next_day_prediction crashed MLlib's summarizer on an
+      empty train split — both now degrade to NULL like their oracles;
+    - DuckDB integer `//` truncates toward zero where the engine floors
+      (negative JSON k landed in different decades);
+    - percent_rank/cume_dist shifted by one on a NULL total (Spark ASC
+      orders NULLS FIRST, DuckDB defaults LAST) — oracle pins FIRST.
+
+    This test pins the finds via one representative per fix family;
+    the tool sweeps everything."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from adversarial_relational import (
+        RELATIONAL_TABLES,
+        build_adversarial_relational,
+    )
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    out = str(tmp_path / "adv")
+    build_adversarial_relational(out)
+    con = duckdb.connect()
+    for t in RELATIONAL_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{out}/{t}.parquet'")
+
+    for name in (
+        # the daily-close (ts, event_id)-key + non-NULL contract
+        "daily_pct_change", "ema_indicator", "scd2_price_history",
+        # inline OHLC lanes (hourly + candlestick pattern)
+        "hourly_ohlc_candles", "bullish_engulfing_days",
+        # crash guards
+        "rolling_median_value", "ml_next_day_prediction",
+        # floor-vs-truncate on negative JSON fields
+        "props_json_value_buckets", "variant_props_stats",
+        # NULL-total rank ordering
+        "user_value_distribution_ranks",
+        # representative untouched lanes (regression canaries)
+        "top_gainers", "latest_event_per_user", "priority_buckets",
+    ):
+        ent = QUERY_REGISTRY[name]
+        got = ent.fn(spark, out).toPandas()
+        exp = con.execute(ent.oracle).df()
+        got = got[sorted(got.columns)].sort_values(
+            by=sorted(got.columns), ignore_index=True
+        )
+        exp = exp[sorted(exp.columns)].sort_values(
+            by=sorted(exp.columns), ignore_index=True
+        )
+        assert list(got.columns) == list(exp.columns), name
+        assert len(got) == len(exp), (name, len(got), len(exp))
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if g.dtype.kind == "f" or e.dtype.kind == "f":
+                ok = (
+                    (g.isna() & e.isna())
+                    | (g.astype(float) == e.astype(float))
+                )
+            else:
+                ok = (g.isna() & e.isna()) | (
+                    g.astype(object) == e.astype(object)
+                )
+            assert ok.all(), (name, c, got[~ok], exp[~ok])

@@ -7,7 +7,14 @@ reference's literal SQL surface (SURVEY.md §2.4 note, §2.8 F2, §3.3).
 
 from pyspark.sql import Window as W, functions as F
 
-from .query_registry import DAILY_SQL, _daily_close, _t, pround, register
+from .query_registry import (
+    DAILY_SQL,
+    EVENT_ORDER_KEY_SQL,
+    _daily_close,
+    _t,
+    pround,
+    register,
+)
 
 
 @register(
@@ -319,8 +326,28 @@ def ml_next_day_prediction(spark, sf_dir):
 
     daily = _daily_close(spark, sf_dir)
     feats = build_features(daily)
-    model = train_next_value_model(feats)
-    out = predict_next_value(model, feats)
+    # Degenerate-training guard (r10 adversarial relational battery: a
+    # corpus whose users each span ≤2 active days has rows with a lag
+    # OR a lead but none with both, so the train split is EMPTY and
+    # MLlib's summarizer throws 'Nothing has been added'). The oracle's
+    # closed-form solve returns NULL predictions in that regime (empty
+    # aggregates → NULL stats/det), and with ONE train row its
+    # stddev_samp is NULL likewise — so below 2 train rows the engine
+    # emits the latest slice with NULL predicted_close instead of
+    # fitting. The count is over the already-windowed per-user-day
+    # relation (bounded by active user-days, never raw events).
+    if feats.na.drop(subset=["label"]).count() < 2:
+        from .operators.relational import latest_per_key
+
+        out = latest_per_key(feats, ["user_id"], "d").select(
+            "user_id",
+            F.date_add("d", 1).alias("prediction_date"),
+            F.col("close").alias("latest_close"),
+            F.lit(None).cast("double").alias("predicted_close"),
+        )
+    else:
+        model = train_next_value_model(feats)
+        out = predict_next_value(model, feats)
     return out.select(
         "user_id",
         F.date_format("prediction_date", "yyyy-MM-dd").alias("prediction_date"),
@@ -499,9 +526,13 @@ def event_sessionization(spark, sf_dir):
     "props_json_value_buckets",
     """
     SELECT event_type,
-           CAST(CAST(CASE WHEN json_valid(props)
+           -- floor division stated explicitly: DuckDB's integer //
+           -- TRUNCATES toward zero (-5 // 10 = 0) while the engine's
+           -- floor(k / 10) puts -5 in decade -1 (r10 adversarial
+           -- relational battery find on a negative JSON field)
+           CAST(floor(CAST(CAST(CASE WHEN json_valid(props)
                           THEN json_extract_string(props, '$.k') END
-                     AS INTEGER) // 10 AS INT)
+                     AS INTEGER) AS DOUBLE) / 10) AS INT)
              AS k_decade,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS total_value
@@ -571,9 +602,15 @@ def type_dow_grouping_sets(spark, sf_dir):
     WITH totals AS (
       SELECT user_id, sum(value) AS total FROM events GROUP BY user_id
     )
+    -- NULLS FIRST pins the engine convention: a user whose every value
+    -- is NULL has a NULL total, which Spark's ASC window orders FIRST
+    -- and DuckDB's default orders LAST — every rank shifted by one on
+    -- such a corpus (r10 adversarial relational battery find)
     SELECT user_id, round(total, 2) AS total,
-           round(percent_rank() OVER (ORDER BY total, user_id), 6) AS pct_rank,
-           round(cume_dist()    OVER (ORDER BY total, user_id), 6) AS cum_dist
+           round(percent_rank() OVER (ORDER BY total NULLS FIRST, user_id),
+                 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY total NULLS FIRST, user_id),
+                 6) AS cum_dist
     FROM totals
     """,
     tags=("window", "rank"),
@@ -820,29 +857,28 @@ def user_retention_cohorts(spark, sf_dir):
 
 @register(
     "hourly_ohlc_candles",
-    """
+    # min_by/max_by on the canonical (epoch_us ‖ event_id) string key —
+    # DuckDB skips NULL args natively, so open/close are the first/last
+    # NON-NULL value, matching the engine lane's nulled-key rule (the
+    # earlier row_number formulation returned NULL open/close whenever
+    # the bucket's edge event had a NULL value — r10 adversarial
+    # relational battery find)
+    f"""
     WITH b AS (
-      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value
+      SELECT event_type, date_trunc('hour', ts) AS h, value,
+             {{key}} AS k
       FROM events
-    ),
-    m AS (
-      SELECT *,
-             row_number() OVER (PARTITION BY event_type, h
-                                ORDER BY ts, event_id) AS rna,
-             row_number() OVER (PARTITION BY event_type, h
-                                ORDER BY ts DESC, event_id DESC) AS rnd
-      FROM b
     )
     SELECT event_type,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
-           round(max(CASE WHEN rna = 1 THEN value END), 2) AS open,
+           round(min_by(value, k), 2) AS open,
            round(max(value), 2) AS high,
            round(min(value), 2) AS low,
-           round(max(CASE WHEN rnd = 1 THEN value END), 2) AS close,
+           round(max_by(value, k), 2) AS close,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS total_value
-    FROM m GROUP BY 1, 2
-    """,
+    FROM b GROUP BY 1, 2
+    """.format(key=EVENT_ORDER_KEY_SQL),
     tags=("temporal", "resample"),
 )
 def hourly_ohlc_candles(spark, sf_dir):
@@ -876,6 +912,10 @@ def hourly_ohlc_candles(spark, sf_dir):
                   "the packed ordering key; use a struct key for this domain")
         ).cast("long")
     )
+    # NULL rule (r10 adversarial battery): open/close are the first/last
+    # NON-NULL value — DuckDB's min_by/max_by skip NULL args, Spark's
+    # don't, so the engine lane nulls the key for NULL values.
+    key = F.when(F.col("value").isNotNull(), key)
     return b.groupBy("event_type", "h").agg(
         pround(F.min_by("value", key), 2).alias("open"),
         pround(F.max("value"), 2).alias("high"),
@@ -1132,9 +1172,11 @@ def daily_new_vs_returning(spark, sf_dir):
            CAST(max(CAST(CASE WHEN json_valid(props)
                               THEN json_extract(props, '$.k') END
                          AS INTEGER)) AS INT) AS max_k,
-           CAST(count(DISTINCT CAST(CASE WHEN json_valid(props)
+           -- floor, not integer // (which truncates toward zero in
+           -- DuckDB and merges the -1 band into 0 for negative k)
+           CAST(count(DISTINCT floor(CAST(CAST(CASE WHEN json_valid(props)
                                          THEN json_extract(props, '$.k') END
-                                    AS INTEGER) // 25)
+                                    AS INTEGER) AS DOUBLE) / 25))
                 AS BIGINT) AS n_k_bands,
            CAST(sum(CASE WHEN (CASE WHEN json_valid(props)
                                     THEN json_extract(props, '$.q') END) IS NULL

@@ -478,7 +478,10 @@ def streaming_welford_anomalies(spark, sf_dir):
     "streaming_scd2_asof_enrichment",
     """
     WITH daily AS (
-      SELECT user_id, CAST(ts AS DATE) AS d, max_by(value, ts) AS close
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS close
       FROM events GROUP BY 1, 2
     ),
     dim AS (

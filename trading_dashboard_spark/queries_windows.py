@@ -1149,7 +1149,13 @@ def rolling_median_value(spark, sf_dir):
     )
     arr = F.sort_array(F.collect_list("value").over(w))
     n = F.size(arr)
+    # n == 0 (every value in the frame NULL — collect_list skips them,
+    # as DuckDB's median does) must yield NULL, not element_at(arr, 0),
+    # which is an INVALID_INDEX_OF_ZERO runtime error (r10 adversarial
+    # relational battery: an all-NULL-value user crashed the query)
     med = F.when(
+        n == 0, F.lit(None).cast("double")
+    ).when(
         n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
     ).otherwise(
         (F.element_at(arr, (n / 2).cast("int"))
@@ -1564,7 +1570,12 @@ def drawdown_durations(spark, sf_dir):
     f"""
     WITH ohlc AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
-             min_by(value, ts) AS open, max_by(value, ts) AS close,
+             min_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS open,
+             max_by(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || lpad(CAST(event_id AS VARCHAR), 20, '0'))
+               AS close,
              max(value) AS high, min(value) AS low
       FROM events GROUP BY 1, 2
     ),
@@ -1593,10 +1604,17 @@ def bullish_engulfing_days(spark, sf_dir):
     trade of the day (min_by ts) in a LOCAL OHLC aggregate; one lag
     window on the bar exchange, then a pure filter — detection is a
     predicate, not a join."""
+    from .query_registry import event_order_key
+
     ev = _t(spark, sf_dir, "events")
+    # unique (ts, event_id) order key + nulled key for NULL values: the
+    # open/close are the first/last NON-NULL value on both engines (r10
+    # adversarial relational battery — plain ts left duplicate
+    # timestamps engine-ordered and NULL edge values engine-dependent)
+    key = F.when(F.col("value").isNotNull(), event_order_key())
     ohlc = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("d")).agg(
-        F.min_by("value", "ts").alias("open"),
-        F.max_by("value", "ts").alias("close"),
+        F.min_by("value", key).alias("open"),
+        F.max_by("value", key).alias("close"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
     )

@@ -72,18 +72,51 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def event_order_key(ts_col: str = "ts", id_col: str = "event_id"):
+    """The canonical TOTAL order over events as a sortable string:
+    zero-padded microsecond epoch ‖ zero-padded event_id. Duplicate
+    timestamps are legal event data (the r10 adversarial relational
+    battery planted 10 same-ts events and split the engines on every
+    `max_by(value, ts)` lane), so every "last/first value" aggregate
+    must order by a UNIQUE key both engines share. Non-negative domains
+    by construction (events ≥ epoch; ids ≥ 0), so lexicographic string
+    order == numeric order."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+
+
+#: SQL twin of `event_order_key` (DuckDB: epoch_us; max_by has no
+#: struct-key overload, so the composite key is this VARCHAR).
+EVENT_ORDER_KEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 20, '0')"
+)
+
+
 def _daily_close(spark, sf_dir) -> DataFrame:
     """Shared shape: events → per-(user, day) OHLC-ish bar.
 
     The engine's time-series unit, mirroring the reference's daily
-    (symbol, trade_date) bars (stock_price_history): close = last value of
-    the day, high/low/volume from the same group — one shuffle.
-    """
+    (symbol, trade_date) bars (stock_price_history): close = last
+    NON-NULL value of the day, high/low/volume from the same group —
+    one shuffle. Two cross-engine subtleties pinned by the r10
+    adversarial relational battery: the close orders by the UNIQUE
+    (ts, event_id) key (`event_order_key` — plain ts leaves duplicate
+    timestamps engine-ordered), and the NULL rule is stated on both
+    lanes (DuckDB's max_by skips NULL args natively; Spark's returns
+    the arg at the max key even when NULL, so the engine lane nulls
+    the KEY for NULL values to match — a valueless tick is not a
+    price)."""
     ev = _t(spark, sf_dir, "events")
+    key = event_order_key()
     return ev.groupBy(
         F.col("user_id"), F.to_date("ts").alias("d")
     ).agg(
-        F.max_by("value", "ts").alias("close"),
+        F.max_by(
+            "value", F.when(F.col("value").isNotNull(), key)
+        ).alias("close"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
         F.count(F.lit(1)).alias("n_events"),
@@ -91,10 +124,10 @@ def _daily_close(spark, sf_dir) -> DataFrame:
 
 
 #: DuckDB CTE equivalent of `_daily_close` (shared across oracle strings).
-DAILY_SQL = """
+DAILY_SQL = f"""
 daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
-         max_by(value, ts) AS close,
+         max_by(value, {EVENT_ORDER_KEY_SQL}) AS close,
          max(value) AS high, min(value) AS low,
          CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2

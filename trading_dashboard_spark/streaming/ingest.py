@@ -124,7 +124,14 @@ def dedup_stream(stream: DataFrame, keys: list[str], watermark: str = "1 hour") 
     state forever. The within-watermark variant expires each key's state
     once the watermark passes its first-seen event time, so state is
     genuinely bounded by the horizon (at-least-once becomes exactly-once
-    for duplicates arriving within it)."""
+    for duplicates arriving within it).
+
+    Boundary (measured, r10 adversarial relational battery): a row whose
+    event time is EXACTLY unix epoch 0 is dropped on arrival even in the
+    first micro-batch — Spark initializes the watermark to 0 and the
+    operator's late filter excludes rows at the boundary. Any real event
+    time is strictly positive; rows at or before epoch are outside this
+    operator's contract."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 

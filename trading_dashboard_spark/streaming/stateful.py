@@ -42,6 +42,7 @@ RUNNING_TOTALS_OUTPUT = T.StructType(
 RUNNING_TOTALS_STATE = T.StructType(
     [
         T.StructField("n", T.LongType()),
+        T.StructField("n_vals", T.LongType()),
         T.StructField("total", T.DoubleType()),
         T.StructField("mn_us", T.LongType()),
         T.StructField("mx_us", T.LongType()),
@@ -54,23 +55,30 @@ def _update_running_totals(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total, mn, mx = state.get if state.exists else (0, 0.0, None, None)
+    n, nv, total, mn, mx = (
+        state.get if state.exists else (0, 0, 0.0, None, None)
+    )
     for pdf in pdfs:
         if not len(pdf):
             continue
         # normalize to epoch micros regardless of the Arrow-side unit
         ts_us = pd.to_datetime(pdf["ts"]).values.astype("datetime64[us]").astype("int64")
         n += len(pdf)
+        # SQL sum semantics: NULLs contribute nothing, and a key with NO
+        # non-NULL values has a NULL total — pandas' all-NaN sum() is
+        # 0.0, which silently diverged from every SQL engine on an
+        # all-NULL-value user (r10 adversarial relational battery)
+        nv += int(pdf["value"].notna().sum())
         total += float(pdf["value"].sum())
         bmn, bmx = int(ts_us.min()), int(ts_us.max())
         mn = bmn if mn is None else min(mn, bmn)
         mx = bmx if mx is None else max(mx, bmx)
-    state.update((n, total, mn, mx))
+    state.update((n, nv, total, mn, mx))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total],
+            "total_value": [total if nv else None],
             "min_ts_us": [mn],
             "max_ts_us": [mx],
         }

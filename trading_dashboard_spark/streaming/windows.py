@@ -98,7 +98,14 @@ def hourly_ohlc(
     (DuckDB arg_min) keep the string form, whose domain is guaranteed by
     the testdata. The batch ``hourly_ohlc_candles`` computes the same
     candles with the same idiom over a batch aggregate."""
-    key = F.struct(F.col("ts"), F.col("event_id"))
+    # NULL rule stated on the engine lane (r10 adversarial relational
+    # battery): DuckDB's min_by/max_by skip NULL args natively, Spark's
+    # return the arg at the extreme key even when NULL — nulling the
+    # KEY for NULL values makes open/close the first/last NON-NULL
+    # value on both engines (a valueless tick is not a price).
+    key = F.when(
+        F.col("value").isNotNull(), F.struct(F.col("ts"), F.col("event_id"))
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
