@@ -1233,3 +1233,67 @@ def test_shingles_zero_token_docs_have_no_evidence(spark):
     assert got[5] == ["a b c", "b c d"]
     pairs = minhash_near_dup_pairs(df, jaccard_threshold=0.3).collect()
     assert pairs == []                # empties never pair
+
+
+def test_c4_line_filters_planted_multiline_corpus(spark, tmp_path):
+    """The registered sf-corpus outcome is degenerate (no newlines or
+    terminal punctuation exist there), so the non-degenerate rule paths
+    are pinned here on a planted multi-line corpus: terminal-punctuation
+    keeps, the 5-word minimum, the javascript line drop, lorem-ipsum
+    and curly-brace page drops, and the >=3-kept-lines page rule —
+    engine vs oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    good = "this line has plenty of words and ends well."
+    docs = [
+        # kept page: 3 qualifying lines (+1 short line that drops)
+        (0, "\n".join([good, good, good, "too short."]), "s0"),
+        # dropped: only 2 qualifying lines
+        (1, "\n".join([good, good, "no terminal punctuation here"]), "s0"),
+        # dropped: javascript line disqualifies one of three
+        (2, "\n".join([good, good, "enable Javascript to view this."]),
+         "s1"),
+        # dropped: lorem ipsum page (lines otherwise fine)
+        (3, "\n".join([good, good, good, "lorem ipsum dolor sit."]), "s1"),
+        # dropped: curly brace page
+        (4, "\n".join([good, good, good, 'function() { return 1; }']),
+         "s1"),
+        # kept: exactly five words with a quote terminal
+        (5, "\n".join(['one two three four five"'] * 3), "s2"),
+        # dropped: empty text
+        (6, "", "s2"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": [d[2] for d in docs],
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    ent = QUERY_REGISTRY["c4_line_filters"]
+    got = {r["source"]: r.asDict()
+           for r in ent.fn(spark, str(tmp_path)).collect()}
+    assert got["s0"]["n_docs_kept"] == 1          # doc 0 only
+    assert got["s0"]["n_kept_lines"] == 5         # 3 + 2
+    assert got["s1"]["n_docs_kept"] == 0
+    assert got["s1"]["n_docs_lorem"] == 1
+    assert got["s1"]["n_docs_brace"] == 1
+    assert got["s2"]["n_docs_kept"] == 1          # doc 5 (quote terminal)
+    assert got["s2"]["n_kept_lines"] == 3
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    exp = {r[0]: r for r in con.execute(ent.oracle).fetchall()}
+    for src, row in got.items():
+        assert tuple(row.values()) == exp[src], (src, row, exp[src])

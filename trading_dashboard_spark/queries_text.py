@@ -5104,3 +5104,330 @@ def published_curation_pipeline(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-10 registry growth: C4 line-level filters + MinHash parameter
+# sensitivity audit
+# ---------------------------------------------------------------------------
+
+#: C4 line/page rule constants (Raffel et al. 2020, §2.2 "C4" cleaning
+#: heuristics), shared by both lanes.
+_C4_TERMINALS_RE = '[.!?"]$'
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_KEPT_LINES = 3
+
+
+def _c4_oracle() -> str:
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt FROM documents
+    ),
+    page_flags AS (
+      SELECT doc_id, source,
+             (lower(txt) LIKE '%lorem ipsum%') AS has_lorem,
+             (txt LIKE '%{{%') AS has_brace
+      FROM pages
+    ),
+    lines AS (
+      SELECT doc_id, unnest(string_split(txt, chr(10))) AS line
+      FROM pages
+    ),
+    line_flags AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(rtrim(line), '{_C4_TERMINALS_RE}')
+                   AND len(list_filter(string_split_regex(trim(line),
+                                                          '[ \\t\\x0b\\f\\r]+'),
+                           t -> t <> '')) >= {_C4_MIN_LINE_WORDS}
+                   AND lower(line) NOT LIKE '%javascript%'
+                  THEN 1 ELSE 0 END AS keep
+      FROM lines
+    ),
+    per_doc AS (
+      SELECT f.doc_id, f.source, f.has_lorem, f.has_brace,
+             l.n_lines, l.n_kept,
+             (NOT f.has_lorem AND NOT f.has_brace
+              AND l.n_kept >= {_C4_MIN_KEPT_LINES}) AS kept_doc
+      FROM page_flags f
+      JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(keep) AS BIGINT) AS n_kept
+            FROM line_flags GROUP BY doc_id) l USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(n_kept) AS BIGINT) AS n_kept_lines,
+           CAST(sum(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_lorem,
+           CAST(sum(CASE WHEN has_brace THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_brace,
+           CAST(sum(CASE WHEN kept_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           round(sum(CASE WHEN kept_doc THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS retention
+    FROM per_doc GROUP BY source
+    """
+
+
+@register(
+    "c4_line_filters", _c4_oracle(),
+    tags=("text", "X4", "quality", "curation", "c4"),
+)
+def c4_line_filters(spark, sf_dir):
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2 — the
+    published LINE-level rule set next to Gopher's document-level
+    battery and CCNet's model-based cut): keep lines that end in a
+    terminal punctuation mark, contain ≥5 words, and don't mention
+    javascript; drop whole pages containing "lorem ipsum" or a curly
+    brace; keep pages with ≥3 surviving lines. Reported per source as
+    the per-rule audit (lines kept, lorem/brace pages, page retention).
+    On THIS synthetic corpus the report is deliberately degenerate —
+    no newlines, periods, or braces exist, so every doc is one
+    unterminated line and retention is 0 — exactly the honest outcome
+    the Gopher stop-word rule set the precedent for (the audit reports
+    the rule, the planted multi-line battery test exercises the
+    non-degenerate paths; a corpus with real lines changes the data,
+    not the plan).
+
+    Scale shape: one split→explode per page into line rows (the only
+    row expansion — bounded by corpus line count), every line rule a
+    map-side regex/array expression, one partial-aggregable groupBy
+    back to doc grain, page flags folded into the same scan, and a
+    ≤|sources| rollup. No windows, no joins beyond the doc-grain
+    reassembly — at 100 TB this is scan-shaped, the cheapest filter
+    class in the published battery."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        "source",
+        txt.alias("txt"),
+        F.lower(txt).contains("lorem ipsum").alias("has_lorem"),
+        txt.contains("{").alias("has_brace"),
+    )
+    # line words: whitespace split MINUS newline (lines can't contain
+    # one) — tokenize()'s class is reused on the line level
+    line = F.col("line")
+    keep = (
+        F.rtrim(line).rlike(_C4_TERMINALS_RE)
+        & (F.size(tokenize(line)) >= _C4_MIN_LINE_WORDS)
+        & ~F.lower(line).contains("javascript")
+    ).cast("long")
+    per_doc = (
+        pages.select("doc_id", F.explode(F.split("txt", "\n")).alias("line"))
+        .select("doc_id", keep.alias("keep"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("keep").alias("n_kept"),
+        )
+    )
+    flags = pages.select("doc_id", "source", "has_lorem", "has_brace")
+    kept_doc = (
+        ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("n_kept") >= _C4_MIN_KEPT_LINES)
+    )
+    return (
+        flags.join(per_doc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("n_kept").cast("bigint").alias("n_kept_lines"),
+            F.sum(F.when(F.col("has_lorem"), 1).otherwise(0))
+            .cast("bigint").alias("n_docs_lorem"),
+            F.sum(F.when(F.col("has_brace"), 1).otherwise(0))
+            .cast("bigint").alias("n_docs_brace"),
+            F.sum(F.when(kept_doc, 1).otherwise(0))
+            .cast("bigint").alias("n_docs_kept"),
+            pround(
+                F.sum(F.when(kept_doc, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
+
+
+#: bounded deterministic sample for the parameter-sensitivity audit —
+#: the exact-Jaccard ground truth is inherently all-pairs, so the audit
+#: runs on a CONSTANT-size md5-slice (the bpe_sampled/ivf/pq sample_n
+#: discipline); corpus growth changes which docs are sampled, never the
+#: audit's cost.
+_SENS_SAMPLE_DOCS = 400
+
+
+def _minhash_sensitivity_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}:' || s)), 'min') AS mh_{i}"
+        for i in range(_NUM_HASHES)
+    )
+    per_cfg = []
+    for bands, rows in _BANDING_CONFIGS:
+        band_selects = "\n      UNION ALL\n      ".join(
+            "SELECT id, {b} AS band_idx, md5(concat_ws('|', {parts})) AS band_hash FROM sig".format(
+                b=b,
+                parts=", ".join(f"mh_{b * rows + r}" for r in range(rows)),
+            )
+            for b in range(bands)
+        )
+        per_cfg.append(f"""
+    banded_{bands} AS (
+      {band_selects}
+    ),
+    cand_{bands} AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded_{bands} a JOIN banded_{bands} b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.id < b.id
+    ),
+    summary_{bands} AS (
+      SELECT CAST({bands} AS INT) AS bands,
+             CAST({rows} AS INT) AS rows_per_band,
+             (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM cand_{bands}) AS n_candidates,
+             (SELECT count(*) FROM cand_{bands} c
+              JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM summary_{b}" for b, _ in _BANDING_CONFIGS
+    )
+    return f"""
+    WITH sample AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT {_SENS_SAMPLE_DOCS}
+    ),
+    toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM sample),
+    base AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM toks_t
+             WHERE len(toks) > 0),
+    truth AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b ON a.id < b.id
+      WHERE round(len(list_intersect(a.sh, b.sh))
+                  / CAST(nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0)
+                         AS DOUBLE), 6) >= {_JACCARD_T}
+    ),
+    sig AS (SELECT id, {sig_cols} FROM base),
+    {",".join(per_cfg)}
+    SELECT bands, rows_per_band,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / CAST(nullif(n_true, 0) AS DOUBLE), 6) AS recall,
+           round(n_hits / CAST(nullif(n_candidates, 0) AS DOUBLE), 6)
+             AS precision_at_t
+    FROM ({unions})
+    """
+
+
+@register(
+    "minhash_parameter_sensitivity", _minhash_sensitivity_oracle(),
+    tags=("text", "X2", "dedup", "lsh", "audit", "sampling"),
+)
+def minhash_parameter_sensitivity(spark, sf_dir):
+    """MinHash banding-parameter sensitivity, VALUE-CHECKED against the
+    exact Jaccard relation (r9 verdict #9b — `minhash_banding_sweep`'s
+    missing quality axis): for each (bands, rows-per-band) layout of
+    the shared 8-hash signature, candidate RECALL (fraction of true
+    ≥-threshold pairs surfaced as candidates) and PRECISION (fraction
+    of candidates that are true) on a deterministic 400-doc md5-sample.
+    This is the S-curve audit a dedup operator runs before picking a
+    config: more bands → recall rises toward 1, precision falls. The
+    full-corpus banding sweep measures candidate COST at scale (its
+    oracle is infeasible by construction — the cost IS the audited
+    quantity); this bounded audit supplies the oracle-checked QUALITY
+    companion, so between them both axes of the trade-off carry a gate.
+
+    Scale shape: the sample is a TakeOrdered top-400 by (md5(id), id) —
+    map-side heap, constant size at any corpus; everything downstream
+    (all-pairs truth, per-config candidate self-joins, full-outer
+    metric joins) is sample-bounded, ≤ C(400,2) rows. The output is
+    four rows. At 100 TB the audit costs the same as at sf0.001."""
+    from .text.dedup import minhash_signature, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sample = docs.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).limit(_SENS_SAMPLE_DOCS)
+    base = sample.select(
+        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
+    truth = (
+        sh_a.join(sh_b, F.col("id_a") < F.col("id_b"))
+        .filter(jac >= _JACCARD_T)
+        .select("id_a", "id_b", F.lit(1).alias("is_true"))
+    )
+    sig = base.select("id", *minhash_signature(F.col("sh"), _NUM_HASHES))
+    rows_out = []
+    for bands, rows in _BANDING_CONFIGS:
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            "id", F.explode(F.array(*band_cols)).alias("band")
+        ).select("id", "band.band_idx", "band.band_hash")
+        ca = banded.select("id", "band_idx", "band_hash")
+        cb = banded.select(
+            F.col("id").alias("id_b"), "band_idx", "band_hash"
+        )
+        cand = (
+            ca.join(cb, ["band_idx", "band_hash"])
+            .filter(F.col("id") < F.col("id_b"))
+            .select(
+                F.col("id").alias("id_a"), "id_b",
+                F.lit(1).alias("is_cand"),
+            )
+            .distinct()
+        )
+        j = cand.join(truth, ["id_a", "id_b"], "full")
+        rows_out.append(
+            j.agg(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(rows).cast("int").alias("rows_per_band"),
+                F.count("is_true").cast("bigint").alias("n_true"),
+                F.count("is_cand").cast("bigint").alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        F.col("is_true").isNotNull()
+                        & F.col("is_cand").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_hits"),
+            )
+        )
+    out = rows_out[0]
+    for r in rows_out[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "bands", "rows_per_band", "n_true", "n_candidates", "n_hits",
+        pround(
+            F.col("n_hits")
+            / F.when(F.col("n_true") != 0, F.col("n_true")).cast("double"),
+            6,
+        ).alias("recall"),
+        pround(
+            F.col("n_hits")
+            / F.when(
+                F.col("n_candidates") != 0, F.col("n_candidates")
+            ).cast("double"),
+            6,
+        ).alias("precision_at_t"),
+    )
