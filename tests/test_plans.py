@@ -391,17 +391,32 @@ def test_ivf_refresh_broadcasts_centroids(spark, sf_dir):
 
 def test_winnowing_decon_splits_work_not_duplicates_it(spark, sf_dir):
     """The doc_id-only split predicate must push BELOW the winnow window
-    so the train and eval branches each winnow only their own split —
-    the plan's Generate nodes sit above md5-filtered scans, i.e. one
-    full winnow pass split across branches, never two full passes."""
-    plan = _plan(spark, sf_dir, "winnowing_decontamination")
-    gens = plan.count("Generate explode")
-    assert gens == 2                      # one per split branch
-    # each branch's scan-side Filter carries the split predicate (the
-    # md5-of-doc_id comparison) below its Generate — i.e. below the
-    # winnow window that consumes it
-    assert plan.count("substring(md5(cast(cast(doc_id") >= 2
-    assert "CartesianProduct" not in plan
+    (the train branch winnows only train docs), the eval side must be
+    read from its call-scoped CACHE (materialized once, consumed by the
+    fp broadcast AND the per-doc aggregate), and the train probe must
+    be a BROADCAST left-semi — the 80%-of-corpus side is never shuffled
+    on fp (the r10 rewrite that closed the ×100 2.12× reading). The
+    registered fn eagerly checkpoints its ≤100-row result to scope the
+    cache; `_lazy=True` exposes the plan this test reads."""
+    from trading_dashboard_spark.queries_text import (
+        winnowing_decontamination,
+    )
+
+    df, eval_sel = winnowing_decontamination(spark, sf_dir, _lazy=True)
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the train branch's winnow Generate sits above an md5-filtered
+        # scan (split predicate below the window)
+        assert "Generate explode" in plan
+        assert "substring(md5(cast(cast(doc_id" in plan
+        # eval side reads the cache — twice (fp broadcast + per-doc agg)
+        assert plan.count("InMemoryTableScan") >= 2
+        # the train probe broadcasts the eval fp set (LeftSemi build)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        eval_sel.unpersist()
 
 
 def test_dsir_resample_is_topk_not_global_sort(spark, sf_dir):

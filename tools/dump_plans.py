@@ -299,11 +299,13 @@ COMMENTARY = {
         "like verbatim_overlap_pairs."
     ),
     "winnowing_decontamination": (
-        "Winnowed contamination audit (r9): the doc_id-only split "
-        "predicate pushes below the winnow window, so the two Generate "
-        "branches cover DISJOINT splits — one full winnow pass total; "
-        "the train fingerprint set joins the eval side on 32-hex fp "
-        "keys, text never shuffles."
+        "Winnowed contamination audit (r10 rewrite): the split "
+        "predicate still pushes below the winnow window; the eval "
+        "(doc_id, fp) relation is a call-scoped cache read twice "
+        "(InMemoryTableScan), its distinct fps BROADCAST into a "
+        "left-semi probe of the train winnow — the 80%-of-corpus side "
+        "is never shuffled on fp (closed the x100 2.12x reading to "
+        "0.27x, exponent 0.39)."
     ),
     "dsir_gumbel_resample": (
         "DSIR resampling draw (r9): dsir's plan plus a map-only "
@@ -348,11 +350,13 @@ COMMENTARY = {
         "(the two defects the x10 listing measurement caught)."
     ),
     "ccnet_perplexity_buckets": (
-        "CCNet terciles (r9): heldout_bigram's one-pass LM shape — "
-        "ONE occurrence exchange to per-doc (hb, hb1) cells, both "
-        "global counts as window sums on the shared hb1 exchange, "
-        "then a doc-sized per-lang ranking window (ranks.py two-stage "
-        "form is the 100 TB path, as for lorenz_curve_deciles)."
+        "CCNet terciles (r10 rewrite): heldout_bigram's one-pass LM "
+        "shape — ONE occurrence exchange to per-doc (hb, hb1) cells, "
+        "both global counts as window sums on the shared hb1 exchange "
+        "— then the tercile cut as exact COUNT arithmetic on "
+        "per-(lang, score) cells: no doc row is ever ranked; the only "
+        "per-language serial step is a cell cumsum bounded by the 6dp "
+        "score domain (a few million VALUES at any corpus size)."
     ),
 }
 
@@ -378,7 +382,11 @@ def main() -> None:
         # queries that eagerly checkpoint their (tiny) result to scope a
         # persist expose the SCORING plan via _lazy=True — the registered
         # path's executed plan is just an RDD scan of the checkpoint
-        kwargs = {"_lazy": True} if name in {"bm25_keyword_search"} else {}
+        kwargs = (
+            {"_lazy": True}
+            if name in {"bm25_keyword_search", "winnowing_decontamination"}
+            else {}
+        )
         df = QUERY_REGISTRY[name].fn(spark, SF_DIR, **kwargs)
         cache = None
         if kwargs:  # _lazy returns (df, persisted-base) — caller releases

@@ -51,6 +51,9 @@ DEFAULT_QUERIES = [
     # ones; Spark sides always run)
     "dsir_importance_weights", "winnowing_fingerprint_pairs",
     "nb_source_classifier_eval", "winnowing_decontamination",
+    # r10: the sampled BPE lane is the canonical tokenizer scale path
+    # (bpe_token_stats stays as the documented full-corpus audit)
+    "bpe_sampled_token_stats",
     "dsir_gumbel_resample", "streaming_dsir_admission",
     "dedup_dsir_curation_pipeline",
     # r9 continued: first-occurrence attribution + the dedup→LM effect

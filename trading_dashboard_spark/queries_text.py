@@ -2065,7 +2065,17 @@ def bpe_token_stats(spark, sf_dir):
     (cost tracks distinct words, not token count). The oracle replays
     training AND re-encodes every distinct corpus word through the same
     12 rules in SQL, then aggregates — tokenizer train + apply both
-    pass the differential gate."""
+    pass the differential gate.
+
+    Scale role (r10, the banding-sweep precedent): this full-corpus
+    form is the documented training-cost AUDIT — its cost tracks corpus
+    vocabulary by construction (r9 measured exponent 1.07 at the
+    ×10→×100 step; r10 HEAD reads 0.75 — the difference is the replica
+    bijections inflating vocabulary linearly where real corpora follow
+    Heaps' law). The canonical 100 TB lane is
+    `bpe_sampled_token_stats`: constant-size deterministic training
+    slice, identical full-corpus encode — ×100 0.31× vs DuckDB,
+    exponent 0.33, same oracle rigor."""
     from .text.bpe import apply_bpe, fit_bpe, word_frequencies
 
     docs = _t(spark, sf_dir, "documents")
@@ -3832,7 +3842,7 @@ WINNOW_EVAL_BROADCAST_MAX_FPS = 2_000_000
     """,
     tags=("text", "X2", "dedup", "winnowing", "decontamination", "split"),
 )
-def winnowing_decontamination(spark, sf_dir):
+def winnowing_decontamination(spark, sf_dir, _lazy=False):
     """Train→eval decontamination audit on WINNOWED fingerprints: for
     every held-out document (the md5 ≥'cd' tail of the house split),
     the fraction of its selected winnowing fingerprints that also
@@ -3893,7 +3903,7 @@ def winnowing_decontamination(spark, sf_dir):
             F.count(F.lit(1)).alias("n_fps"),
             F.count("hit").alias("n_hit"),
         )
-        return (
+        out_lazy = (
             per_doc.filter(F.col("n_hit") > 0)
             .select(
                 F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -3905,10 +3915,17 @@ def winnowing_decontamination(spark, sf_dir):
             )
             .orderBy(F.col("contamination").desc(), "doc_id")
             .limit(100)
-            .localCheckpoint(eager=True)  # ≤100 rows — lets the cache go
         )
+        if _lazy:
+            # plan-test hook (the bm25 precedent): hand the caller the
+            # un-checkpointed plan AND the persisted eval relation so it
+            # can unpersist after reading the plan
+            return out_lazy, eval_sel
+        # ≤100 rows — eagerly materialize so the cache can release now
+        return out_lazy.localCheckpoint(eager=True)
     finally:
-        eval_sel.unpersist()
+        if not _lazy:
+            eval_sel.unpersist()
 
 
 # ---------------------------------------------------------------------------
