@@ -5448,3 +5448,172 @@ def minhash_parameter_sensitivity(spark, sf_dir):
             6,
         ).alias("precision_at_t"),
     )
+
+
+#: minimum exact-run length (tokens) for the repeated-substring report —
+#: Lee et al. 2022 use 50 BPE tokens on web text; this corpus' docs run
+#: ~25-80 words, so the threshold scales to stay exercisable while the
+#: operator shape (any threshold) is unchanged.
+_RUN_MIN_TOKENS = 20
+#: window-ubiquity band shared with verbatim_overlap_pairs: fingerprints
+#: in MORE docs are boilerplate (chunk_boilerplate_ratio's business) and
+#: would blow the pair space quadratically.
+_RUN_MAX_UBIQUITY = 10
+
+
+def _verbatim_runs_oracle() -> str:
+    return f"""
+    WITH toks_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) - 6)) AS pos,
+             unnest(list_transform(range(1, len(toks) - 6),
+               i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2],
+                                  toks[i+3], toks[i+4], toks[i+5],
+                                  toks[i+6], toks[i+7])))) AS w_fp
+      FROM toks_t WHERE len(toks) >= 8
+    ),
+    grp AS (
+      SELECT w_fp FROM wins GROUP BY w_fp
+      HAVING count(*) BETWEEN 2 AND {_RUN_MAX_UBIQUITY}
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM wins a
+      JOIN grp g ON a.w_fp = g.w_fp
+      JOIN wins b ON b.w_fp = a.w_fp AND a.doc_id < b.doc_id
+    ),
+    r AS (
+      SELECT id_a, id_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                        ORDER BY pos_a) AS isl
+      FROM m
+    ),
+    runs AS (
+      SELECT id_a, id_b, count(*) AS run_windows
+      FROM r GROUP BY id_a, id_b, diag, isl
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             max(run_windows) + 7 AS longest_run_tokens,
+             count(*) AS n_runs,
+             sum(run_windows) AS n_matched_windows
+      FROM runs GROUP BY id_a, id_b
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(longest_run_tokens AS BIGINT) AS longest_run_tokens,
+           CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(n_matched_windows AS BIGINT) AS n_matched_windows
+    FROM pairs WHERE longest_run_tokens >= {_RUN_MIN_TOKENS}
+    ORDER BY longest_run_tokens DESC, id_a, id_b LIMIT 50
+    """
+
+
+@register(
+    "longest_verbatim_run_pairs", _verbatim_runs_oracle(),
+    tags=("text", "X2", "dedup", "verbatim", "substring", "islands"),
+)
+def longest_verbatim_run_pairs(spark, sf_dir):
+    """EXACT-SUBSTRING duplication detector (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    suffix-array ExactSubstr operator, re-expressed shuffle-bounded):
+    for every document pair sharing 8-token windows, the LONGEST run of
+    consecutive shared windows, i.e. the longest exact shared substring
+    in tokens (run_windows + 7). `verbatim_overlap_pairs` counts shared
+    windows but cannot distinguish one 60-token verbatim quote from
+    eight scattered 8-token collisions — the RUN length is what the
+    published ≥50-token removal rule thresholds on. A suffix array is
+    inherently single-machine; the relational equivalent is the
+    gaps-and-islands trick on the matched-window position grid: two
+    windows are consecutive in BOTH documents iff they lie on the same
+    (pos_a − pos_b) DIAGONAL at adjacent pos_a, so runs are islands of
+    pos_a within (pair, diagonal) — pos_a − row_number constant inside
+    a run, one window over the candidate-bounded match relation (the
+    contamination_span_lengths islands idiom, generalized corpus-wide).
+
+    Scale shape: windows explode map-side (xxhash64 over 8 tokens
+    directly — codegen, no string allocation; the fp never surfaces, so
+    the engine uses 8-byte longs where the oracle keeps md5 — identical
+    equivalence classes absent a 64-bit collision within a compared
+    pair, the cross-lingual/banding-sweep assumption class); ONE fp
+    shuffle to ubiquity-capped buckets (2..{_RUN_MAX_UBIQUITY} — the
+    verbatim band; boilerplate windows excluded by construction);
+    bucket-local (doc, pos)×(doc, pos) expansion, never a self-join
+    (the AQE same-exchange-both-sides hazard minhash documents); the
+    islands window partitions by (pair, diagonal) — match-bounded, ≪
+    corpus; TakeOrderedAndProject top-50."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = (
+        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 8)
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 7)
+    win = F.xxhash64(
+        *[F.element_at("toks", F.col("i") + k) for k in range(8)]
+    )
+    wins = (
+        toks.select("doc_id", "toks", F.explode(idx).alias("i"))
+        .select("doc_id", F.col("i").alias("pos"), win.alias("w_fp"))
+        .repartition(n_shuffle, "w_fp")
+    )
+    buckets = (
+        wins.groupBy("w_fp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("occ")
+        )
+        .filter(
+            (F.size("occ") >= 2) & (F.size("occ") <= _RUN_MAX_UBIQUITY)
+        )
+    )
+    occ = F.col("occ")
+    pair_structs = F.flatten(
+        F.transform(
+            occ,
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice(occ, i + 2, F.size(occ)),
+                    lambda y: y["doc_id"] > x["doc_id"],
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    x["pos"].alias("pos_a"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                ),
+            ),
+        )
+    )
+    m = buckets.select(F.explode(pair_structs).alias("p")).select(
+        "p.id_a", "p.id_b", "p.pos_a", "p.diag"
+    )
+    w_diag = W.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        m.withColumn(
+            "isl", F.col("pos_a") - F.row_number().over(w_diag)
+        )
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(F.count(F.lit(1)).alias("run_windows"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("run_windows") + 7).cast("bigint")
+            .alias("longest_run_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("run_windows").cast("bigint").alias("n_matched_windows"),
+        )
+        .filter(F.col("longest_run_tokens") >= _RUN_MIN_TOKENS)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "longest_run_tokens", "n_runs", "n_matched_windows",
+        )
+        .orderBy(F.col("longest_run_tokens").desc(), "id_a", "id_b")
+        .limit(50)
+    )
