@@ -314,6 +314,19 @@ SWEEP_QUERIES = [
     # oracle is the external-gate congruence arithmetic (SQL never
     # decodes), so the duck number prices the gate, not the work.
     "media_phash_dedup",
+    # r10 registrations, measured before listing (tools/sweep_one, ×10):
+    # c4_line_filters 0.74 s — scan-shaped after the listing measurement
+    # removed a per-line explode + doc-grain join (2.26 s first cut);
+    # the 14× "ratio" is a job-floor artifact (DuckDB's denominator is
+    # 53 ms on the degenerate no-newline corpus). The exact-substring
+    # run detector is verbatim_overlap's machinery + a diagonal-islands
+    # window, 2.4 s vs 0.9 s at ×10. minhash_parameter_sensitivity is
+    # deliberately NOT swept: constant-cost by construction (bounded
+    # 400-doc sample, 4.4 s at ANY scale after its three
+    # listing-measurement fixes — corpus TakeOrdered re-planned per
+    # branch, four-branch pipeline, single-task string-array truth
+    # join), the bpe_phrase_merges_sampled precedent.
+    "c4_line_filters", "longest_verbatim_run_pairs",
 ]
 
 #: sweep oracles that cannot run at the replica scale, with the measured

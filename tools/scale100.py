@@ -54,6 +54,10 @@ DEFAULT_QUERIES = [
     # r10: the sampled BPE lane is the canonical tokenizer scale path
     # (bpe_token_stats stays as the documented full-corpus audit)
     "bpe_sampled_token_stats",
+    # r10 registrations: the exact-substring run detector and the C4
+    # line battery (minhash_parameter_sensitivity is constant-cost by
+    # construction — not worth a replica row)
+    "longest_verbatim_run_pairs", "c4_line_filters",
     "dsir_gumbel_resample", "streaming_dsir_admission",
     "dedup_dsir_curation_pipeline",
     # r9 continued: first-occurrence attribution + the dedup→LM effect

@@ -5206,50 +5206,45 @@ def c4_line_filters(spark, sf_dir):
     non-degenerate paths; a corpus with real lines changes the data,
     not the plan).
 
-    Scale shape: one split→explode per page into line rows (the only
-    row expansion — bounded by corpus line count), every line rule a
-    map-side regex/array expression, one partial-aggregable groupBy
-    back to doc grain, page flags folded into the same scan, and a
-    ≤|sources| rollup. No windows, no joins beyond the doc-grain
-    reassembly — at 100 TB this is scan-shaped, the cheapest filter
-    class in the published battery."""
+    Scale shape (measured before listing, ×10: the first cut exploded
+    line rows, aggregated back to doc grain, and JOINED against the
+    page flags — a per-line row expansion plus two corpus exchanges for
+    what is a PER-PAGE projection; 2.26 → ~0.6 s): line rules evaluate
+    INSIDE the page row as array expressions — n_kept is
+    size(filter(split(txt, '\\n'), keep-predicate)) — so the whole
+    battery is one map-side projection folded into the scan, and the
+    only exchange is the ≤|sources| partial-aggregated rollup. No
+    explode, no join, no window — at 100 TB this is scan-shaped, the
+    cheapest filter class in the published battery."""
     from .text.analysis import tokenize
 
     docs = _t(spark, sf_dir, "documents")
     txt = F.coalesce(F.col("text"), F.lit(""))
+
+    def keep(line):
+        # line words: whitespace split MINUS newline (lines can't
+        # contain one) — tokenize()'s class is reused per line
+        return (
+            F.rtrim(line).rlike(_C4_TERMINALS_RE)
+            & (F.size(tokenize(line)) >= _C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    lines = F.split(txt, "\n")
     pages = docs.select(
-        "doc_id",
         "source",
-        txt.alias("txt"),
         F.lower(txt).contains("lorem ipsum").alias("has_lorem"),
         txt.contains("{").alias("has_brace"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, keep)).cast("long").alias("n_kept"),
     )
-    # line words: whitespace split MINUS newline (lines can't contain
-    # one) — tokenize()'s class is reused on the line level
-    line = F.col("line")
-    keep = (
-        F.rtrim(line).rlike(_C4_TERMINALS_RE)
-        & (F.size(tokenize(line)) >= _C4_MIN_LINE_WORDS)
-        & ~F.lower(line).contains("javascript")
-    ).cast("long")
-    per_doc = (
-        pages.select("doc_id", F.explode(F.split("txt", "\n")).alias("line"))
-        .select("doc_id", keep.alias("keep"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum("keep").alias("n_kept"),
-        )
-    )
-    flags = pages.select("doc_id", "source", "has_lorem", "has_brace")
     kept_doc = (
         ~F.col("has_lorem")
         & ~F.col("has_brace")
         & (F.col("n_kept") >= _C4_MIN_KEPT_LINES)
     )
     return (
-        flags.join(per_doc, "doc_id")
-        .groupBy("source")
+        pages.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_lines").cast("bigint").alias("n_lines"),
@@ -5359,24 +5354,58 @@ def minhash_parameter_sensitivity(spark, sf_dir):
     quantity); this bounded audit supplies the oracle-checked QUALITY
     companion, so between them both axes of the trade-off carry a gate.
 
-    Scale shape: the sample is a TakeOrdered top-400 by (md5(id), id) —
-    map-side heap, constant size at any corpus; everything downstream
-    (all-pairs truth, per-config candidate self-joins, full-outer
-    metric joins) is sample-bounded, ≤ C(400,2) rows. The output is
-    four rows. At 100 TB the audit costs the same as at sf0.001."""
+    Scale shape: ONE TakeOrdered collect of the top-400 by (md5(id),
+    id) — map-side heap + driver merge, a documented bounded collect of
+    the ivf-fit class — then every stage (all-pairs truth on xxhash64
+    fingerprint arrays, the cfg-tagged banding, one full-outer metric
+    join) reads the 400-row local relation: sample-bounded,
+    ≤ C(400,2) rows, corpus-free. The output is four rows. At 100 TB
+    the audit costs the same as at sf0.001 (measured at ×10: 4.4 s vs
+    DuckDB 13.5 s after three listing-measurement fixes — the corpus
+    TakeOrdered re-planned per branch, the four-branch pipeline, and a
+    single-task string-array truth join)."""
     from .text.dedup import minhash_signature, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sample = docs.orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    ).limit(_SENS_SAMPLE_DOCS)
-    base = sample.select(
+    # ONE TakeOrdered COLLECT of the sample (documented bounded
+    # collect: ≤ _SENS_SAMPLE_DOCS rows — the ivf/pq fit-sample class),
+    # re-entered as a local relation every branch reads. The first cut
+    # left the corpus-wide TakeOrdered in the plan, so each of the four
+    # config branches plus both truth sides re-planned it (~10 corpus
+    # scans, 18.3 s at ×10); an eager localCheckpoint of the sampled
+    # relation was measured at ~6 s warm (sort+limit executes the slow
+    # RDD-materialization path) — the collect is the fast driver-merge
+    # TakeOrdered, ~1 s, and the audit is then corpus-free.
+    sample_rows = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_SENS_SAMPLE_DOCS)
+        .select("doc_id", "text")
+        .collect()
+    )
+    local = spark.createDataFrame(sample_rows, "doc_id bigint, text string")
+    # string shingles feed the md5 signature (oracle hash parity); the
+    # all-pairs ground truth intersects 8-byte xxhash64 FINGERPRINT
+    # arrays instead (equivalence classes identical absent a 64-bit
+    # collision within a compared pair — the cross-lingual/banding
+    # assumption class). Measured: string-array intersects on the
+    # C(400,2) pair grid ran 19 s IN ONE TASK (a LocalTableScan join
+    # side plans single-partition); longs + an explicit repartition of
+    # the left side cut the truth stage to ~1 s.
+    base = local.select(
         F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    base = base.withColumn(
+        "shf", F.array_sort(F.transform("sh", lambda s: F.xxhash64(s)))
+    )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sh_a = base.select(
+        F.col("id").alias("id_a"), F.col("shf").alias("shf_a")
+    ).repartition(n_shuffle)
+    sh_b = base.select(
+        F.col("id").alias("id_b"), F.col("shf").alias("shf_b")
+    )
+    inter = F.size(F.array_intersect("shf_a", "shf_b"))
+    union = F.size(F.array_union("shf_a", "shf_b"))
     jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
     truth = (
         sh_a.join(sh_b, F.col("id_a") < F.col("id_b"))
@@ -5384,55 +5413,65 @@ def minhash_parameter_sensitivity(spark, sf_dir):
         .select("id_a", "id_b", F.lit(1).alias("is_true"))
     )
     sig = base.select("id", *minhash_signature(F.col("sh"), _NUM_HASHES))
-    rows_out = []
+    # ALL configs ride ONE banded relation (cfg-tagged band structs,
+    # 1+2+4+8 = 15 per doc), one bucket shuffle, one truth join, one
+    # per-config rollup — the first cut built four separate
+    # branch pipelines and paid ~4× the stage count for the same rows
+    band_cols = []
     for bands, rows in _BANDING_CONFIGS:
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh_{b * rows + r}") for r in range(rows)],
-                    )
-                ).alias("band_hash"),
+        for b in range(bands):
+            band_cols.append(
+                F.struct(
+                    F.lit(bands).alias("cfg"),
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh_{b * rows + r}")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
             )
-            for b in range(bands)
-        ]
-        banded = sig.select(
-            "id", F.explode(F.array(*band_cols)).alias("band")
-        ).select("id", "band.band_idx", "band.band_hash")
-        ca = banded.select("id", "band_idx", "band_hash")
-        cb = banded.select(
-            F.col("id").alias("id_b"), "band_idx", "band_hash"
+    banded = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.cfg", "band.band_idx", "band.band_hash")
+    ca = banded.select("id", "cfg", "band_idx", "band_hash")
+    cb = banded.select(
+        F.col("id").alias("id_b"), "cfg", "band_idx", "band_hash"
+    )
+    cand = (
+        ca.join(cb, ["cfg", "band_idx", "band_hash"])
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            "cfg", F.col("id").alias("id_a"), "id_b",
+            F.lit(1).alias("is_cand"),
         )
-        cand = (
-            ca.join(cb, ["band_idx", "band_hash"])
-            .filter(F.col("id") < F.col("id_b"))
-            .select(
-                F.col("id").alias("id_a"), "id_b",
-                F.lit(1).alias("is_cand"),
-            )
-            .distinct()
+        .distinct()
+    )
+    cfgs = spark.createDataFrame(
+        [(b, r) for b, r in _BANDING_CONFIGS], "cfg int, rows_per_band int"
+    )
+    truth_by_cfg = truth.crossJoin(F.broadcast(cfgs))
+    j = cand.join(truth_by_cfg, ["cfg", "id_a", "id_b"], "full")
+    out = (
+        j.groupBy("cfg")
+        .agg(
+            F.count("is_true").cast("bigint").alias("n_true"),
+            F.count("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum(
+                F.when(
+                    F.col("is_true").isNotNull()
+                    & F.col("is_cand").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_hits"),
         )
-        j = cand.join(truth, ["id_a", "id_b"], "full")
-        rows_out.append(
-            j.agg(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(rows).cast("int").alias("rows_per_band"),
-                F.count("is_true").cast("bigint").alias("n_true"),
-                F.count("is_cand").cast("bigint").alias("n_candidates"),
-                F.sum(
-                    F.when(
-                        F.col("is_true").isNotNull()
-                        & F.col("is_cand").isNotNull(),
-                        1,
-                    ).otherwise(0)
-                ).cast("bigint").alias("n_hits"),
-            )
-        )
-    out = rows_out[0]
-    for r in rows_out[1:]:
-        out = out.unionByName(r)
+        .join(F.broadcast(cfgs), "cfg")
+        .withColumn("bands", F.col("cfg").cast("int"))
+    )
     return out.select(
         "bands", "rows_per_band", "n_true", "n_candidates", "n_hits",
         pround(
