@@ -3874,7 +3874,8 @@ def winnowing_decontamination(spark, sf_dir, _lazy=False):
     winnow windows themselves; everything fp-keyed is eval-bounded.
     Above the broadcast bound the r9 shuffle-join form is kept
     (spillable, still correct). Output is eval-doc-bounded, top-100 via
-    TakeOrderedAndProject; ×100 measured 16.6 → ~8 s (≤ ~1× DuckDB)."""
+    TakeOrderedAndProject; ×100 measured 16.6 → 10.0 s (0.27× the
+    DuckDB rerun; exponent 0.81 → 0.39), ×300 24.7 s vs 51.9 s."""
     docs = _t(spark, sf_dir, "documents")
     sel = _winnowed_sel(docs)
     split_is_train = (
