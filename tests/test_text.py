@@ -1297,3 +1297,50 @@ def test_c4_line_filters_planted_multiline_corpus(spark, tmp_path):
     exp = {r[0]: r for r in con.execute(ent.oracle).fetchall()}
     for src, row in got.items():
         assert tuple(row.values()) == exp[src], (src, row, exp[src])
+
+
+def test_removed_ids_memo_hits_and_safe_eviction(spark, tmp_path):
+    """The removal-closure memo (r10): repeat calls on the SAME corpus
+    return the memoized checkpointed relation; eviction past the bound
+    drops references without force-unpersist, so an evicted entry a
+    caller still holds stays collectible."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark import queries_text as qt
+    from trading_dashboard_spark.io.readers import load_table
+
+    qt.clear_removed_ids_memo()
+    dirs = []
+    for j in range(qt._REMOVED_IDS_MEMO_MAX + 1):
+        d = tmp_path / f"c{j}"
+        d.mkdir()
+        # pairwise-distinct token sets (no shared shingles) except the
+        # planted exact duplicate
+        text = [" ".join(f"w{j}x{i}y{k}" for k in range(10))
+                for i in range(6)]
+        text.append(text[0])  # one exact duplicate pair per corpus
+        pdf = pd.DataFrame({
+            "doc_id": range(len(text)), "text": text,
+            "lang": ["en"] * len(text), "source": ["s"] * len(text),
+            "n_chars": [len(t) for t in text],
+        })
+        pq.write_table(pa.Table.from_pandas(pdf),
+                       str(d / "documents.parquet"))
+        dirs.append(str(d))
+
+    docs0 = load_table(spark, "documents", dirs[0])
+    r1 = qt.nonsurvivor_removed_ids(docs0)
+    r2 = qt.nonsurvivor_removed_ids(load_table(spark, "documents", dirs[0]))
+    assert r1 is r2  # memo hit across distinct DataFrame objects
+    n0 = r1.count()
+    assert n0 == 1  # the planted duplicate's non-survivor
+
+    # fill past the bound: entry 0 is evicted, but r1 must stay usable
+    for d in dirs[1:]:
+        qt.nonsurvivor_removed_ids(load_table(spark, "documents", d))
+    assert len(qt._REMOVED_IDS_MEMO) == qt._REMOVED_IDS_MEMO_MAX
+    assert r1.count() == n0  # evicted-but-held relation still readable
+    qt.clear_removed_ids_memo()
+    assert not qt._REMOVED_IDS_MEMO

@@ -1229,10 +1229,15 @@ def nonsurvivor_removed_ids(docs, memo: bool = True):
     if key is not None:
         out = out.localCheckpoint(eager=True)
         if len(_REMOVED_IDS_MEMO) >= _REMOVED_IDS_MEMO_MAX:
-            from .operators.ranks import release_rank_cache
-
-            oldest = next(iter(_REMOVED_IDS_MEMO))
-            release_rank_cache(_REMOVED_IDS_MEMO.pop(oldest))
+            # Evict by DROPPING the reference, never by force-unpersist:
+            # a checkpointed relation's lineage is cut, so unpersisting
+            # one a caller still holds would make their DataFrame
+            # unrecomputable mid-flight. Once the memo reference is
+            # gone (and no caller holds it) Spark's ContextCleaner
+            # reclaims the blocks. `clear_removed_ids_memo` keeps the
+            # explicit release for tests, whose callers promise no
+            # live references.
+            _REMOVED_IDS_MEMO.pop(next(iter(_REMOVED_IDS_MEMO)))
         _REMOVED_IDS_MEMO[key] = out
     return out
 
