@@ -1299,6 +1299,107 @@ def test_c4_line_filters_planted_multiline_corpus(spark, tmp_path):
         assert tuple(row.values()) == exp[src], (src, row, exp[src])
 
 
+def test_exact_substring_removal_trim_boundary_is_exact(spark, tmp_path):
+    """Planted verbatim-quote corpus for `exact_substring_removal`
+    (r10 verdict #5): a 25-token quote shared by docs 0 and 1 must be
+    cut from the LATER doc only, token-exact (removed == 25, the
+    prefix/suffix survive untouched); a full duplicate (doc 2) whose
+    intervals from TWO partners overlap must count their UNION (49
+    tokens — emptied), never the sum (49+25)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    quote = " ".join(f"q{k}" for k in range(25))
+    d0 = " ".join(
+        [" ".join(f"p0x{k}" for k in range(12)), quote,
+         " ".join(f"s0x{k}" for k in range(12))]
+    )  # 49 tokens: 12 + 25 + 12
+    d1 = " ".join(
+        [" ".join(f"p1x{k}" for k in range(10)), quote,
+         " ".join(f"s1x{k}" for k in range(5))]
+    )  # 40 tokens: 10 + 25 + 5
+    d2 = d0  # exact copy — overlapping intervals vs BOTH partners
+    texts, srcs = [d0, d1, d2], ["s0", "s1", "s2"]
+    pdf = pd.DataFrame({
+        "doc_id": range(3), "text": texts, "lang": ["en"] * 3,
+        "source": srcs, "n_chars": [len(t) for t in texts],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    ent = QUERY_REGISTRY["exact_substring_removal"]
+    got = {r["source"]: r.asDict()
+           for r in ent.fn(spark, str(tmp_path)).collect()}
+    # earlier copy survives untouched
+    assert got["s0"]["n_tokens_removed"] == 0
+    assert got["s0"]["n_tokens_after"] == 49
+    # later doc loses EXACTLY the 25-token quote — boundary exact
+    assert got["s1"]["n_docs_trimmed"] == 1
+    assert got["s1"]["n_tokens_removed"] == 25
+    assert got["s1"]["n_tokens_after"] == 10 + 5
+    assert got["s1"]["n_docs_emptied"] == 0
+    # full duplicate: union of overlapping intervals (49), not 49+25
+    assert got["s2"]["n_tokens_removed"] == 49
+    assert got["s2"]["n_tokens_after"] == 0
+    assert got["s2"]["n_docs_emptied"] == 1
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    exp = {r[0]: r for r in con.execute(ent.oracle).fetchall()}
+    for src, row in got.items():
+        assert tuple(row.values()) == exp[src], (src, row, exp[src])
+
+
+def test_minhash_sensitivity_emits_all_configs_on_dup_free_corpus(
+    spark, tmp_path
+):
+    """r10 ADVICE (medium): on a corpus whose sample contains NO true
+    near-dup pair, every (bands, rows_per_band) config must still emit
+    a row — the oracle UNION ALLs the four per-config summaries
+    unconditionally, but the first engine cut built the output on the
+    aggregate, so a config with zero candidates vanished (verified:
+    0 engine rows vs 4 oracle rows). The output now rides the cfgs
+    spine with counts coalesced to 0 and NULL recall/precision."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    # pairwise-disjoint token sets: zero shared shingles, so the exact
+    # Jaccard truth set AND every banding candidate set are empty
+    texts = [" ".join(f"d{i}w{k}" for k in range(12)) for i in range(20)]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts), "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    ent = QUERY_REGISTRY["minhash_parameter_sensitivity"]
+    got = sorted(
+        (r.asDict() for r in ent.fn(spark, str(tmp_path)).collect()),
+        key=lambda r: r["bands"],
+    )
+    assert [r["bands"] for r in got] == [1, 2, 4, 8]
+    for r in got:
+        assert (r["n_true"], r["n_candidates"], r["n_hits"]) == (0, 0, 0)
+        assert r["recall"] is None and r["precision_at_t"] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    exp = sorted(con.execute(ent.oracle).fetchall())
+    assert [tuple(r.values()) for r in got] == exp
+
+
 def test_removed_ids_memo_hits_and_safe_eviction(spark, tmp_path):
     """The removal-closure memo (r10): repeat calls on the SAME corpus
     return the memoized checkpointed relation; eviction past the bound
@@ -1342,5 +1443,21 @@ def test_removed_ids_memo_hits_and_safe_eviction(spark, tmp_path):
         qt.nonsurvivor_removed_ids(load_table(spark, "documents", d))
     assert len(qt._REMOVED_IDS_MEMO) == qt._REMOVED_IDS_MEMO_MAX
     assert r1.count() == n0  # evicted-but-held relation still readable
+
+    # LRU, not FIFO (r10 ADVICE): a HIT refreshes recency, so the hit
+    # entry survives the next eviction while the oldest un-hit one goes.
+    keys_before = list(qt._REMOVED_IDS_MEMO)
+    oldest, second = keys_before[0], keys_before[1]
+    hit_df = qt.nonsurvivor_removed_ids(
+        load_table(spark, "documents", dirs[1])
+    )  # dirs[1] is the oldest entry — refresh it
+    assert list(qt._REMOVED_IDS_MEMO)[-1] == oldest  # moved to the end
+    qt.nonsurvivor_removed_ids(load_table(spark, "documents", dirs[0]))
+    assert oldest in qt._REMOVED_IDS_MEMO      # hit entry survived
+    assert second not in qt._REMOVED_IDS_MEMO  # un-hit oldest evicted
+    assert qt.nonsurvivor_removed_ids(
+        load_table(spark, "documents", dirs[1])
+    ) is hit_df
+
     qt.clear_removed_ids_memo()
     assert not qt._REMOVED_IDS_MEMO

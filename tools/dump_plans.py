@@ -384,13 +384,14 @@ def main() -> None:
         # path's executed plan is just an RDD scan of the checkpoint
         kwargs = (
             {"_lazy": True}
-            if name in {"bm25_keyword_search", "winnowing_decontamination"}
+            if name in {"bm25_keyword_search", "winnowing_decontamination",
+                        "ccnet_perplexity_buckets"}
             else {}
         )
         df = QUERY_REGISTRY[name].fn(spark, SF_DIR, **kwargs)
         cache = None
-        if kwargs:  # _lazy returns (df, persisted-base) — caller releases
-            df, cache = df
+        if isinstance(df, tuple):  # some _lazy hooks hand back
+            df, cache = df         # (df, persisted-base) — caller releases
         plan = df._jdf.queryExecution().explainString(mode)
         if cache is not None:
             cache.unpersist()

@@ -334,9 +334,12 @@ def ml_next_day_prediction(spark, sf_dir):
     # aggregates → NULL stats/det), and with ONE train row its
     # stddev_samp is NULL likewise — so below 2 train rows the engine
     # emits the latest slice with NULL predicted_close instead of
-    # fitting. The count is over the already-windowed per-user-day
-    # relation (bounded by active user-days, never raw events).
-    if feats.na.drop(subset=["label"]).count() < 2:
+    # fitting. head(2) short-circuits (LocalLimit 2 per partition,
+    # driver stops at 2 rows) instead of counting the whole windowed
+    # relation — the guard only asks "are there ≥2 train rows?", and a
+    # full count() was an extra complete pass over the feature pipeline
+    # (daily-close shuffle + windows) on EVERY call (r10 ADVICE).
+    if len(feats.na.drop(subset=["label"]).head(2)) < 2:
         from .operators.relational import latest_per_key
 
         out = latest_per_key(feats, ["user_id"], "d").select(
