@@ -1299,6 +1299,119 @@ def test_c4_line_filters_planted_multiline_corpus(spark, tmp_path):
         assert tuple(row.values()) == exp[src], (src, row, exp[src])
 
 
+def test_refinedweb_line_corrections_planted_battery(spark, tmp_path):
+    """Non-degenerate paths of the RefinedWeb line-correction rules
+    (the C4 planted-battery precedent — the sf corpus has no newlines):
+    mainly-uppercase lines, mainly-numeric lines, social counters,
+    button strings, and the 5%-of-words document drop rule — engine vs
+    oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    good = "a perfectly ordinary line of readable prose with many words"
+    docs = [
+        # s0 doc 0: one of each removed-line class + enough good prose
+        # that the 5% rule does NOT fire... it will: 4 removed lines
+        # carry many words? counters/buttons are short — compute below
+        (0, "\n".join([good] * 20 + [
+            "THIS IS ALL CAPS SHOUTING",       # upper rule (5 words)
+            "123 456 789",                     # digit rule
+            "42 likes",                        # counter rule
+            "Sign In",                         # button rule
+        ]), "s0"),
+        # s1 doc 1: drop rule fires — half the words are removed lines
+        (1, "\n".join([good, "THE ENTIRE SECOND HALF IS SHOUTED TEXT "
+                             "WITH AS MANY WORDS AS THE PROSE HAS"]),
+         "s1"),
+        # s2 doc 2: clean doc, nothing fires
+        (2, "\n".join([good, good]), "s2"),
+        # s2 doc 3: empty text — one empty line, no rule, no words
+        (3, "", "s2"),
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": [d[0] for d in docs], "text": [d[1] for d in docs],
+        "lang": ["en"] * len(docs), "source": [d[2] for d in docs],
+        "n_chars": [len(d[1]) for d in docs],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    ent = QUERY_REGISTRY["refinedweb_line_corrections"]
+    got = {r["source"]: r.asDict()
+           for r in ent.fn(spark, str(tmp_path)).collect()}
+    assert got["s0"]["n_lines_upper"] == 1
+    assert got["s0"]["n_lines_digit"] == 1
+    assert got["s0"]["n_lines_counter"] == 1
+    assert got["s0"]["n_lines_button"] == 1
+    assert got["s0"]["n_lines_removed"] == 4
+    # 20 good lines × 10 words = 200 kept; removed lines carry
+    # 5+3+2+2 = 12 words → 12/212 > 5% — the drop rule fires here too
+    assert got["s0"]["n_docs_dropped"] == 1
+    assert got["s1"]["n_docs_dropped"] == 1          # half shouted
+    assert got["s2"]["n_lines_removed"] == 0
+    assert got["s2"]["n_docs_dropped"] == 0
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    exp = {r[0]: r for r in con.execute(ent.oracle).fetchall()}
+    for src, row in got.items():
+        assert tuple(row.values()) == exp[src], (src, row, exp[src])
+
+
+def test_incremental_eval_decontamination_delta_semantics(
+    spark, tmp_path
+):
+    """Planted cross-snapshot battery: a verbatim quote shared between
+    a TRAIN doc and a doc in the v2-only eval slice must surface in the
+    v2 summary but not v1's; the engine's incremental path (stored v1
+    audit ∪ delta probe) must hash-match the oracle's from-scratch
+    computation of both versions. doc_ids pinned to their md5 slices:
+    1 → train, 0 → v1 eval, 3 → v2-only eval."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    quote = " ".join(f"q{k}" for k in range(10))
+    rows = [
+        (1, quote + " plus unique train tail words here", "en", "s"),
+        (0, " ".join(f"v1clean{k}" for k in range(10)), "en", "s"),
+        (3, "prefix words " + quote, "en", "s"),  # v2-only, contaminated
+        (2, " ".join(f"trainpad{k}" for k in range(10)), "en", "s"),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+
+    ent = QUERY_REGISTRY["incremental_eval_decontamination"]
+    got = {r["version"]: r.asDict()
+           for r in ent.fn(spark, str(tmp_path)).collect()}
+    assert got["v1"]["n_contaminated"] == 0
+    assert got["v2"]["n_contaminated"] == 1          # doc 3, via delta
+    assert got["v2"]["n_eval_docs"] == got["v1"]["n_eval_docs"] + 1
+    assert got["v2"]["n_hits"] > 0
+    assert got["v1"]["max_contamination"] is None or (
+        got["v1"]["max_contamination"] == 0.0
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    exp = {r[0]: r for r in con.execute(ent.oracle).fetchall()}
+    for ver, row in got.items():
+        assert tuple(row.values()) == exp[ver], (ver, row, exp[ver])
+
+
 def test_exact_substring_removal_trim_boundary_is_exact(spark, tmp_path):
     """Planted verbatim-quote corpus for `exact_substring_removal`
     (r10 verdict #5): a 25-token quote shared by docs 0 and 1 must be

@@ -221,8 +221,12 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
         # fail loud inside this process, never OOM-kill the host (the
         # banding-sweep oracle reached 125 GB RSS on a mere ×10 replica)
         duck_con.execute("SET memory_limit='60GB'")
+        # views only for tables the tier actually ships — the grown
+        # corpus (tools/growcorpus.py) is documents-only
         for t in ("documents", "embeddings"):
             src = f"{data_dir}/{t}.parquet"
+            if not os.path.exists(src):
+                continue
             glob = f"{src}/*.parquet" if os.path.isdir(src) else src
             duck_con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')"
@@ -231,12 +235,13 @@ def time_queries(spark, registry, data_dir: str, names, runs: int,
         # engine's reader normalizes); oracles expect TIMESTAMP — same
         # view bench.py's ×10 sweep builds
         esrc = f"{data_dir}/events.parquet"
-        eglob = f"{esrc}/*.parquet" if os.path.isdir(esrc) else esrc
-        duck_con.execute(
-            "CREATE VIEW events AS SELECT event_id, "
-            "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, user_id, "
-            f"event_type, value, props FROM read_parquet('{eglob}')"
-        )
+        if os.path.exists(esrc):
+            eglob = f"{esrc}/*.parquet" if os.path.isdir(esrc) else esrc
+            duck_con.execute(
+                "CREATE VIEW events AS SELECT event_id, "
+                "make_timestamp(CAST(ts // 1000 AS BIGINT)) AS ts, user_id, "
+                f"event_type, value, props FROM read_parquet('{eglob}')"
+            )
     for name in names:
         ent = registry[name]
         best = float("inf")

@@ -43,18 +43,32 @@ def is_wav(payload: bytes) -> bool:
 
 
 def png_chunks(payload: bytes):
-    """Yield (type, data) for each chunk; validates the signature."""
+    """Yield (type, data) for each chunk; validates the signature, each
+    chunk's framing (a declared length running past the payload is a
+    truncated stream) and its CRC (the r11 adversarial media battery
+    found single-byte corruption sailing straight into the inflater,
+    surfacing as zlib errors or silently wrong filter bytes — the CRC
+    is exactly the integrity check the format carries for this)."""
     if not is_png(payload):
         raise ValueError("not a PNG: bad signature")
     i = len(PNG_SIGNATURE)
     while i + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[i : i + 4])
         ctype = payload[i + 4 : i + 8]
+        if i + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG: chunk {ctype!r} declares {length} bytes "
+                f"past end of payload"
+            )
         data = payload[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", payload[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         yield ctype, data
         i += 12 + length  # length + type + data + CRC
         if ctype == b"IEND":
-            break
+            return
+    raise ValueError("truncated PNG: missing IEND chunk")
 
 
 def png_header(payload: bytes) -> dict:
@@ -155,7 +169,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("paletted PNG missing PLTE chunk")
     idat = b"".join(data for ctype, data in png_chunks(payload) if ctype == b"IDAT")
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    except zlib.error as exc:
+        # the named-guard contract: untrusted bytes never surface a
+        # low-level error class (r11 adversarial media battery)
+        raise ValueError(f"PNG IDAT deflate stream corrupt: {exc}") from exc
     bpp = max(1, channels * depth // 8)
 
     def stride_bytes(width: int) -> int:
@@ -234,7 +253,17 @@ def wav_header(payload: bytes) -> dict:
     while i + 8 <= len(payload):
         ctype = payload[i : i + 4]
         (length,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + length > len(payload):
+            # a declared size running past the payload is a truncated
+            # stream — decoding the partial bytes silently would hand
+            # back wrong audio (r11 adversarial media battery)
+            raise ValueError(
+                f"truncated WAV: chunk {ctype!r} declares {length} bytes "
+                f"past end of payload"
+            )
         if ctype == b"fmt ":
+            if length < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({length} bytes)")
             audio_fmt, n_ch, rate, _byte_rate, _align, bits = struct.unpack(
                 "<HHIIHH", payload[i + 8 : i + 24]
             )
@@ -286,6 +315,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     while i + 8 <= len(payload):
         ctype = payload[i : i + 4]
         (length,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + length > len(payload):
+            raise ValueError(
+                f"truncated WAV: chunk {ctype!r} declares {length} bytes "
+                f"past end of payload"
+            )
         if ctype == b"data":
             raw = payload[i + 8 : i + 8 + length]
             samples = np.frombuffer(raw, dtype=dtypes[bits])
@@ -773,9 +807,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     grayscale, (H, W, 3) RGB otherwise. Subsampled chroma (4:2:0 /
     4:2:2 / any integer h×v ≤ 4, r5) decodes with box upsampling;
     progressive frames and non-interleaved multi-scan files raise
-    NotImplementedError naming the feature."""
+    NotImplementedError naming the feature.
+
+    Guard surface (r11 adversarial media battery): a payload with no
+    EOI marker is a truncated stream and refuses up front (in entropy
+    data 0xFF is always stuffed or a restart marker, so a genuine
+    FF D9 cannot occur before the real EOI — its absence is
+    conclusive); any low-level error class escaping the segment walk
+    on corrupt bytes (IndexError in a Huffman table, KeyError on a
+    dangling component id, struct framing) converts to the contract's
+    named ValueError instead of leaking."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG: bad SOI marker")
+    if payload.rfind(b"\xff\xd9") < 0:
+        raise ValueError("truncated JPEG: missing EOI marker")
+    try:
+        return _decode_jpeg_inner(payload)
+    except (
+        IndexError, KeyError, struct.error, ZeroDivisionError,
+        OverflowError,  # corrupt magnitude category → 1<<s beyond C long
+    ) as exc:
+        raise ValueError(
+            f"JPEG stream truncated or corrupt: "
+            f"{type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}

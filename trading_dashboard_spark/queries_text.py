@@ -3920,6 +3920,131 @@ def winnowing_decontamination(spark, sf_dir, _lazy=False):
             eval_sel.unpersist()
 
 
+#: eval-suite snapshot boundary for the incremental decontamination
+#: audit: the house split's eval tail (md5 two-hex ≥ 'cd') VERSIONED as
+#: a growing suite — snapshot v1 is ['cd', 'e8'), v2 adds ['e8', 'ff'].
+_EVAL_V1_HI = "e8"
+
+
+def _incr_decon_oracle() -> str:
+    return f"""
+    WITH {_WINNOW_SEL_CTES},
+    tg AS (
+      SELECT doc_id, fp,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b2
+      FROM sel
+    ),
+    train_fps AS (SELECT DISTINCT fp FROM tg WHERE b2 < 'cd'),
+    ev AS (SELECT doc_id, fp, b2 FROM tg WHERE b2 >= 'cd'),
+    per_doc AS (
+      SELECT e.doc_id, max(e.b2) AS b2,
+             count(*) AS n_fps, count(t.fp) AS n_hit
+      FROM ev e LEFT JOIN train_fps t ON e.fp = t.fp
+      GROUP BY e.doc_id
+    ),
+    summary AS (
+      SELECT 'v1' AS version, count(*) AS n_eval_docs,
+             coalesce(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END), 0)
+               AS n_contaminated,
+             coalesce(sum(n_fps), 0) AS n_fps,
+             coalesce(sum(n_hit), 0) AS n_hits,
+             round(max(CAST(n_hit AS DOUBLE) / n_fps), 4)
+               AS max_contamination
+      FROM per_doc WHERE b2 < '{_EVAL_V1_HI}'
+      UNION ALL
+      SELECT 'v2', count(*),
+             coalesce(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END), 0),
+             coalesce(sum(n_fps), 0), coalesce(sum(n_hit), 0),
+             round(max(CAST(n_hit AS DOUBLE) / n_fps), 4)
+      FROM per_doc
+    )
+    SELECT version, CAST(n_eval_docs AS BIGINT) AS n_eval_docs,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(n_fps AS BIGINT) AS n_fps,
+           CAST(n_hits AS BIGINT) AS n_hits, max_contamination
+    FROM summary ORDER BY version
+    """
+
+
+@register(
+    "incremental_eval_decontamination", _incr_decon_oracle(),
+    tags=("text", "X2", "dedup", "winnowing", "decontamination",
+          "incremental", "versioning"),
+)
+def incremental_eval_decontamination(spark, sf_dir):
+    """Cross-snapshot INCREMENTAL decontamination (r10 verdict #9b —
+    eval-set versioning over the winnowing probe): an eval suite grows
+    between releases (snapshot v1 = the md5 ['cd','e8') slice, v2 adds
+    ['e8','ff']); the audit for v2 must not re-scan the docs v1 already
+    audited. The engine maintains the audit incrementally — the stored
+    v1 per-doc result (an eagerly checkpointed, eval-bounded relation:
+    the stand-in for last release's persisted audit) is UNIONED with a
+    probe of only the DELTA docs, and both snapshot summaries are
+    rolled up from per-doc rows. The oracle computes BOTH versions from
+    scratch, so a hash match proves the incremental maintenance
+    equivalent to recomputation — the streaming-admission pattern
+    applied to eval drift.
+
+    Scale shape: the per-version probes are the winnowing band-index
+    shape (delta fps BROADCAST, train side probed left-semi map-side,
+    never shuffled on fp); the incremental step's cost is bounded by
+    the SNAPSHOT DELTA, not the suite — at 100 TB with a stable eval
+    suite the recurring audit cost is the new docs only. Train side
+    (md5 < 'cd') is fixed across versions, as a release train is."""
+    docs = _t(spark, sf_dir, "documents")
+    sel = _winnowed_sel(docs)
+    b2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    tagged = sel.withColumn("b2", b2)
+    train_fps = tagged.filter(F.col("b2") < "cd").select("fp").distinct()
+
+    def probe(ev):
+        """per-doc (doc_id, n_fps, n_hit) for one eval slice: slice fps
+        broadcast into a left-semi probe of the train winnow."""
+        ev = ev.select("doc_id", "fp")
+        hit_fps = (
+            train_fps.join(
+                F.broadcast(ev.select("fp").distinct()), "fp", "leftsemi"
+            )
+            .withColumn("hit", F.lit(1))
+        )
+        return (
+            ev.join(F.broadcast(hit_fps), "fp", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_fps"),
+                F.count("hit").alias("n_hit"),
+            )
+        )
+
+    v1_doc = probe(
+        tagged.filter((F.col("b2") >= "cd") & (F.col("b2") < _EVAL_V1_HI))
+    ).localCheckpoint(eager=True)  # last release's stored audit
+    delta_doc = probe(tagged.filter(F.col("b2") >= _EVAL_V1_HI))
+    v2_doc = v1_doc.unionByName(delta_doc)
+
+    def summarize(df, ver):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0)),
+                F.lit(0),
+            ).cast("bigint").alias("n_contaminated"),
+            F.coalesce(F.sum("n_fps"), F.lit(0)).cast("bigint")
+            .alias("n_fps"),
+            F.coalesce(F.sum("n_hit"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            pround(
+                F.max(F.col("n_hit") / F.col("n_fps").cast("double")), 4
+            ).alias("max_contamination"),
+        ).select(F.lit(ver).alias("version"), "*")
+
+    return (
+        summarize(v1_doc, "v1")
+        .unionByName(summarize(v2_doc, "v2"))
+        .orderBy("version")
+    )
+
+
 # ---------------------------------------------------------------------------
 # round-9 (late session) registry growth: published quality-rule sets,
 # perplexity bucketing, soft dedup, contamination span profiling
@@ -5283,6 +5408,328 @@ def c4_line_filters(spark, sf_dir):
                 6,
             ).alias("retention"),
         )
+    )
+
+
+#: RefinedWeb line-correction thresholds (Macrodata Refinement rules,
+#: Penedo et al. 2023 — the published LINE-WISE correction pass that
+#: sits between C4's keep-rules and Gopher's doc-level battery). The
+#: paper publishes the rule FAMILIES (mainly-uppercase lines, numeric
+#: lines, social-media counters, button/boilerplate lines, and a
+#: drop-the-document rule when corrections remove too much); the exact
+#: thresholds are the engine's documented choices, pinned cross-engine.
+_RW_UPPER_MIN_LETTERS = 4
+_RW_UPPER_FRAC = 0.6
+_RW_DIGIT_FRAC = 0.5
+_RW_COUNTER_RE = "^[0-9]+ (likes|views|comments|shares|points|upvotes)$"
+_RW_BUTTONS = ("sign in", "log in", "sign up", "read more", "loading...")
+_RW_DOC_REMOVED_FRAC = 0.05
+
+
+def _refinedweb_lines_oracle() -> str:
+    buttons = ", ".join(f"'{b}'" for b in _RW_BUTTONS)
+    return f"""
+    WITH pages AS (
+      SELECT doc_id, source, coalesce(text, '') AS txt FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source,
+             unnest(string_split(txt, chr(10))) AS line
+      FROM pages
+    ),
+    lf AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(line),
+                                                '[ \\t\\x0b\\f\\r]+'),
+                 t -> t <> '')) AS words,
+             len(regexp_replace(line, '[^A-Za-z]', '', 'g')) AS letters,
+             len(regexp_replace(line, '[^A-Z]', '', 'g')) AS uppers,
+             len(regexp_replace(line, '[ \\t\\x0b\\f\\r]', '', 'g'))
+               AS nonspace,
+             len(regexp_replace(regexp_replace(line, '[0-9]', '', 'g'),
+                                '[ \\t\\x0b\\f\\r]', '', 'g')) AS nondigit,
+             regexp_matches(lower(trim(line)), '{_RW_COUNTER_RE}')
+               AS is_counter,
+             lower(trim(line)) IN ({buttons}) AS is_button
+      FROM lines
+    ),
+    flags AS (
+      SELECT doc_id, source, words,
+             (letters >= {_RW_UPPER_MIN_LETTERS}
+              AND uppers > {_RW_UPPER_FRAC} * letters) AS r_upper,
+             (nonspace > 0
+              AND nonspace - nondigit > {_RW_DIGIT_FRAC} * nonspace)
+               AS r_digit,
+             is_counter AS r_counter, is_button AS r_button
+      FROM lf
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             count(*) AS n_lines,
+             sum(CASE WHEN r_upper OR r_digit OR r_counter OR r_button
+                      THEN 1 ELSE 0 END) AS n_removed,
+             sum(CASE WHEN r_upper THEN 1 ELSE 0 END) AS n_upper,
+             sum(CASE WHEN r_digit THEN 1 ELSE 0 END) AS n_digit,
+             sum(CASE WHEN r_counter THEN 1 ELSE 0 END) AS n_counter,
+             sum(CASE WHEN r_button THEN 1 ELSE 0 END) AS n_button,
+             sum(words) AS total_words,
+             sum(CASE WHEN r_upper OR r_digit OR r_counter OR r_button
+                      THEN words ELSE 0 END) AS removed_words
+      FROM flags GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(n_removed) AS BIGINT) AS n_lines_removed,
+           CAST(sum(n_upper) AS BIGINT) AS n_lines_upper,
+           CAST(sum(n_digit) AS BIGINT) AS n_lines_digit,
+           CAST(sum(n_counter) AS BIGINT) AS n_lines_counter,
+           CAST(sum(n_button) AS BIGINT) AS n_lines_button,
+           CAST(sum(CASE WHEN total_words > 0 AND removed_words
+                          > {_RW_DOC_REMOVED_FRAC} * total_words
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dropped,
+           CAST(sum(total_words) AS BIGINT) AS n_words,
+           CAST(sum(removed_words) AS BIGINT) AS n_words_removed
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "refinedweb_line_corrections", _refinedweb_lines_oracle(),
+    tags=("text", "X4", "quality", "curation", "refinedweb"),
+)
+def refinedweb_line_corrections(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo et al. 2023's Macrodata
+    Refinement pass — the published filter shelf's fourth member next
+    to Gopher/CCNet/C4): remove lines that are mainly uppercase,
+    mainly numeric, social-media counters ("3 likes"), or known
+    button/boilerplate strings; if the removals take more than 5%
+    (`_RW_DOC_REMOVED_FRAC`) of the document's words, drop the
+    document outright. Reported per source with per-rule line counts
+    and the word accounting the drop rule reads. On the no-newline sf
+    corpus every doc is one line and the rules fire only on degenerate
+    one-line docs (the C4/Gopher degenerate-by-design precedent); the
+    planted multi-line battery test pins every non-degenerate path.
+
+    Scale shape (the c4_line_filters discipline): every rule is an
+    array expression INSIDE the page row — per-rule counts are
+    size(filter(split(txt, '\\n'), rule)) and the word accounting is an
+    aggregate() fold over the same split — one map-side projection
+    folded into the scan, the only exchange the ≤|sources| rollup. No
+    explode, no join, no window."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(txt, "\n")
+
+    def _letters(line):
+        return F.length(F.regexp_replace(line, "[^A-Za-z]", ""))
+
+    def _uppers(line):
+        return F.length(F.regexp_replace(line, "[^A-Z]", ""))
+
+    def _nonspace(line):
+        return F.length(
+            F.regexp_replace(line, "[ \t\x0b\f\r]", "")
+        )
+
+    def _nondigit(line):
+        return F.length(
+            F.regexp_replace(
+                F.regexp_replace(line, "[0-9]", ""), "[ \t\x0b\f\r]", ""
+            )
+        )
+
+    def r_upper(line):
+        return (_letters(line) >= _RW_UPPER_MIN_LETTERS) & (
+            _uppers(line) > F.lit(_RW_UPPER_FRAC) * _letters(line)
+        )
+
+    def r_digit(line):
+        ns = _nonspace(line)
+        return (ns > 0) & (
+            (ns - _nondigit(line)) > F.lit(_RW_DIGIT_FRAC) * ns
+        )
+
+    def r_counter(line):
+        return F.lower(F.trim(line)).rlike(_RW_COUNTER_RE)
+
+    def r_button(line):
+        return F.lower(F.trim(line)).isin(*_RW_BUTTONS)
+
+    def removed(line):
+        return r_upper(line) | r_digit(line) | r_counter(line) | r_button(line)
+
+    def words(line):
+        return F.size(tokenize(line)).cast("long")
+
+    def word_sum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + words(x)
+        )
+
+    pages = docs.select(
+        "source",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(lines, removed)).cast("long").alias("n_removed"),
+        F.size(F.filter(lines, r_upper)).cast("long").alias("n_upper"),
+        F.size(F.filter(lines, r_digit)).cast("long").alias("n_digit"),
+        F.size(F.filter(lines, r_counter)).cast("long").alias("n_counter"),
+        F.size(F.filter(lines, r_button)).cast("long").alias("n_button"),
+        word_sum(lines).alias("total_words"),
+        word_sum(F.filter(lines, removed)).alias("removed_words"),
+    )
+    dropped = (F.col("total_words") > 0) & (
+        F.col("removed_words")
+        > F.lit(_RW_DOC_REMOVED_FRAC) * F.col("total_words")
+    )
+    return (
+        pages.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("n_lines"),
+            F.sum("n_removed").cast("bigint").alias("n_lines_removed"),
+            F.sum("n_upper").cast("bigint").alias("n_lines_upper"),
+            F.sum("n_digit").cast("bigint").alias("n_lines_digit"),
+            F.sum("n_counter").cast("bigint").alias("n_lines_counter"),
+            F.sum("n_button").cast("bigint").alias("n_lines_button"),
+            F.sum(F.when(dropped, 1).otherwise(0)).cast("bigint")
+            .alias("n_docs_dropped"),
+            F.sum("total_words").cast("bigint").alias("n_words"),
+            F.sum("removed_words").cast("bigint").alias("n_words_removed"),
+        )
+        .orderBy("source")
+    )
+
+
+#: URL-filter fixture mapping + rules (RefinedWeb §3.1 URL filtering —
+#: blocklist domains, spam keywords, structural URL heuristics). The
+#: testdata carries no URL column, so the engine synthesizes one
+#: deterministically from (source, doc_id) — the media_from_documents
+#: fixture precedent: the MAPPING is the fixture, the rule logic and
+#: its plan shape are the product.
+_URL_BLOCK_KWS = ("spam", "casino")
+_URL_MAX_DEPTH = 3
+_URL_DIGIT_DOMAIN_FRAC = 0.3
+
+
+def _url_fixture_sql() -> str:
+    return (
+        "('https://' || CASE WHEN doc_id % 13 = 0 "
+        "THEN 'd' || CAST(doc_id AS VARCHAR) ELSE source END "
+        "|| CASE WHEN doc_id % 7 = 0 THEN '-ads' ELSE '' END "
+        "|| '.example.com/' || repeat('p/', CAST(doc_id % 5 AS INT)) "
+        "|| 'doc-' || CAST(doc_id AS VARCHAR) "
+        "|| CASE WHEN doc_id % 11 = 0 THEN '?utm=spam' ELSE '' END)"
+    )
+
+
+def _refinedweb_url_oracle() -> str:
+    kw = " OR ".join(f"url LIKE '%{k}%'" for k in _URL_BLOCK_KWS)
+    return f"""
+    WITH u AS (
+      SELECT source, {_url_fixture_sql()} AS url FROM documents
+    ),
+    parts AS (
+      SELECT source, url,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS domain,
+             len(string_split(url, '/')) - 4 AS extra_depth
+      FROM u
+    ),
+    flags AS (
+      SELECT source,
+             (domain LIKE '%-ads%') AS f_blocklist,
+             ({kw}) AS f_keyword,
+             (extra_depth > {_URL_MAX_DEPTH}) AS f_depth,
+             (len(regexp_replace(domain, '[^0-9]', '', 'g'))
+              > {_URL_DIGIT_DOMAIN_FRAC} * len(domain)) AS f_digit
+      FROM parts
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(CASE WHEN f_blocklist THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked_domain,
+           CAST(sum(CASE WHEN f_keyword THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked_kw,
+           CAST(sum(CASE WHEN f_depth THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_too_deep,
+           CAST(sum(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_digit_domain,
+           CAST(sum(CASE WHEN NOT (f_blocklist OR f_keyword OR f_depth
+                                   OR f_digit)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flags GROUP BY source ORDER BY source
+    """
+
+
+@register(
+    "refinedweb_url_filters", _refinedweb_url_oracle(),
+    tags=("text", "X4", "quality", "curation", "refinedweb", "url"),
+)
+def refinedweb_url_filters(spark, sf_dir):
+    """RefinedWeb URL filtering (Penedo et al. 2023 §3.1): domain
+    blocklist, spam-keyword match, excessive path depth, digit-heavy
+    domains — the pre-content gate a web pipeline runs before fetching
+    or parsing anything. The corpus ships no URL column, so the URL is
+    a deterministic fixture of (source, doc_id) (documented mapping,
+    the media_from_documents precedent); every rule then evaluates on
+    the synthesized string exactly as it would on a crawled one.
+
+    Scale shape: pure map-side string projection folded into the scan
+    + one ≤|sources| rollup — the cheapest possible filter class; at
+    100 TB the URL gate is IO-bound on the scan, never on compute."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")),
+        ).otherwise(F.col("source")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("-ads")).otherwise(F.lit("")),
+        F.lit(".example.com/"),
+        F.repeat(F.lit("p/"), (F.col("doc_id") % 5).cast("int")),
+        F.lit("doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("?utm=spam"))
+        .otherwise(F.lit("")),
+    )
+    u = docs.select("source", url.alias("url"))
+    domain = F.regexp_extract("url", "https://([^/]+)/", 1)
+    extra_depth = F.size(F.split("url", "/")) - 4
+    kw = F.lit(False)
+    for k in _URL_BLOCK_KWS:
+        kw = kw | F.col("url").contains(k)
+    flags = u.select(
+        "source",
+        domain.contains("-ads").alias("f_blocklist"),
+        kw.alias("f_keyword"),
+        (extra_depth > _URL_MAX_DEPTH).alias("f_depth"),
+        (
+            F.length(F.regexp_replace(domain, "[^0-9]", ""))
+            > F.lit(_URL_DIGIT_DOMAIN_FRAC) * F.length(domain)
+        ).alias("f_digit"),
+    )
+    blocked = (
+        F.col("f_blocklist") | F.col("f_keyword") | F.col("f_depth")
+        | F.col("f_digit")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.sum(F.when(F.col("f_blocklist"), 1).otherwise(0))
+            .cast("bigint").alias("n_blocked_domain"),
+            F.sum(F.when(F.col("f_keyword"), 1).otherwise(0))
+            .cast("bigint").alias("n_blocked_kw"),
+            F.sum(F.when(F.col("f_depth"), 1).otherwise(0))
+            .cast("bigint").alias("n_too_deep"),
+            F.sum(F.when(F.col("f_digit"), 1).otherwise(0))
+            .cast("bigint").alias("n_digit_domain"),
+            F.sum(F.when(~blocked, 1).otherwise(0))
+            .cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
     )
 
 

@@ -21,6 +21,7 @@ integration test of the public API.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -72,6 +73,17 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+#: key form for `event_order_key`: "string" (canonical) or "decimal"
+#: (the r10 verdict #6 A/B candidate). A packed LONG is impossible:
+#: epoch micros need ~51 bits and any useful id range ≥20 more — over
+#: int64's 63 — so the packed-numeric candidate is DECIMAL(38,0):
+#: micros · 10¹⁹ + id, exact for the full non-negative int64 id range
+#: (≤ ~1.8e34 + 9.2e18, 35 digits), identical ordering to the string.
+#: A/B harness: tools/ab_order_key.py (both run orders, fresh JVM per
+#: form, min-of-3 per query); result recorded in BENCHMARKS.md.
+_ORDER_KEY_FORM = os.environ.get("SPARK_GRAFT_ORDER_KEY", "string")
+
+
 def event_order_key(ts_col: str = "ts", id_col: str = "event_id"):
     """The canonical TOTAL order over events as a sortable string:
     zero-padded microsecond epoch ‖ zero-padded event_id. Duplicate
@@ -80,7 +92,14 @@ def event_order_key(ts_col: str = "ts", id_col: str = "event_id"):
     `max_by(value, ts)` lane), so every "last/first value" aggregate
     must order by a UNIQUE key both engines share. Non-negative domains
     by construction (events ≥ epoch; ids ≥ 0), so lexicographic string
-    order == numeric order."""
+    order == numeric order. (`_ORDER_KEY_FORM` switches in the measured
+    decimal candidate for A/B runs — same total order, never shipped.)"""
+    if _ORDER_KEY_FORM == "decimal":
+        return (
+            F.unix_micros(F.col(ts_col)).cast("decimal(19,0)")
+            * F.lit(10_000_000_000_000_000_000).cast("decimal(20,0)")
+            + F.col(id_col).cast("decimal(19,0)")
+        )
     return F.concat(
         F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 20, "0"),
         F.lpad(F.col(id_col).cast("string"), 20, "0"),
