@@ -746,3 +746,105 @@ def test_adversarial_relational_battery(spark, tmp_path):
                     g.astype(object) == e.astype(object)
                 )
             assert ok.all(), (name, c, got[~ok], exp[~ok])
+
+
+def test_adversarial_media_codec_battery():
+    """Fourth adversarial battery (r10 verdict #4b): the full codec
+    guard sweep — degenerate geometry roundtrips (1×1 … 64×1, black/
+    white/gray/gradient, grayscale+RGB, 1..64-sample WAV), truncation
+    at EVERY byte boundary, and seeded single-byte corruption — must
+    produce ZERO findings: PNG roundtrips bit-exact and verifies chunk
+    CRCs/framing/IEND, WAV validates declared sizes, JPEG requires EOI
+    and raises only the named ValueError/NotImplementedError contract.
+    The discovery sweep found unguarded zlib/struct/IndexError/KeyError/
+    OverflowError crash classes, silent prefix decodes in all three
+    formats, and missing PNG CRC verification — all fixed in
+    multimodal/codecs.py; this pins them."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from adversarial_media import sweep
+
+    checks, findings = sweep(stride=1)
+    assert checks > 150, checks  # the grid actually ran
+    assert findings == [], findings
+
+
+def test_adversarial_curation_scenarios_battery(spark, tmp_path):
+    """Fourth battery, curation half (r10 verdict #4a): representative
+    queries from the training/curation compositions on the degenerate
+    scenario corpora (tools/adversarial_curation — single source, 100%
+    duplication, identical-score tie storms, empty split sides, 3-doc
+    corpus, single language), Spark vs DuckDB per query. The full
+    discovery sweep runs every qualifying documents-only query over
+    every scenario; this pins one composition per family × the
+    scenarios that stress it."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from adversarial_curation import build_scenarios
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    dirs = build_scenarios(str(tmp_path / "adv"))
+    picks = {
+        # budget >> corpus, samplers over-ask, quartiles on <4 rows
+        "tiny": ["budgeted_curation_manifest", "token_budget_selection",
+                 "stratified_sample_by_lang", "doc_length_quartiles_by_lang"],
+        # 100% duplication: removal closure, dedup-aware mixtures
+        "all_dup": ["post_dedup_mixture_rebalance", "curation_funnel",
+                    "exact_substring_removal"],
+        # identical scores: tercile/ntile tie storms
+        "uniform_score": ["ccnet_perplexity_buckets",
+                          "token_budget_selection"],
+        # empty split sides: decontamination and split stats
+        "empty_eval": ["winnowing_decontamination",
+                       "incremental_eval_decontamination",
+                       "train_test_split_stats"],
+        "empty_train": ["winnowing_decontamination",
+                        "cross_split_contamination"],
+        # one-stratum degeneracies
+        "single_source": ["source_mixture_plan", "nb_source_classifier_eval"],
+        "single_lang": ["stratified_sample_by_lang",
+                        "doc_length_quartiles_by_lang"],
+    }
+    for scen, names in picks.items():
+        d = dirs[scen]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        for name in names:
+            ent = QUERY_REGISTRY[name]
+            got = ent.fn(spark, d).toPandas()
+            exp = con.execute(ent.oracle).df()
+            got = got[sorted(got.columns)].sort_values(
+                by=sorted(got.columns), ignore_index=True
+            )
+            exp = exp[sorted(exp.columns)].sort_values(
+                by=sorted(exp.columns), ignore_index=True
+            )
+            tag = f"{scen}:{name}"
+            assert list(got.columns) == list(exp.columns), tag
+            assert len(got) == len(exp), (tag, len(got), len(exp))
+            for c in got.columns:
+                g, e = got[c], exp[c]
+                if g.dtype.kind == "f" or e.dtype.kind == "f":
+                    ok = (
+                        (g.isna() & e.isna())
+                        | (g.astype(float) == e.astype(float))
+                    )
+                else:
+                    ok = (g.isna() & e.isna()) | (
+                        g.astype(object) == e.astype(object)
+                    )
+                assert ok.all(), (tag, c, got[~ok], exp[~ok])
+        con.close()

@@ -356,7 +356,37 @@ COMMENTARY = {
         "— then the tercile cut as exact COUNT arithmetic on "
         "per-(lang, score) cells: no doc row is ever ranked; the only "
         "per-language serial step is a cell cumsum bounded by the 6dp "
-        "score domain (a few million VALUES at any corpus size)."
+        "score domain (a few million VALUES at any corpus size). The "
+        "registered path memoizes the scored relation per corpus "
+        "(r11); the _lazy hook below shows the un-memoized scoring "
+        "plan, execution-free."
+    ),
+    "exact_substring_removal": (
+        "ExactSubstr removal (r11): the detector's audited plan up to "
+        "the run relation (one ubiquity-capped fp shuffle, bucket-"
+        "local expansion, diagonal-islands window), then interval "
+        "accounting on the later-id side — two window functions over "
+        "ONE (doc_id)-sorted pass of the affected-doc-bounded interval "
+        "relation, a per-doc rollup, and a doc-keyed LEFT join back "
+        "onto the token counts. Output is source-bounded."
+    ),
+    "refinedweb_line_corrections": (
+        "RefinedWeb line corrections (r11, the c4_line_filters "
+        "discipline): every rule is an array expression inside the "
+        "page row — per-rule counts via size(filter(split(txt))) and "
+        "the word accounting an aggregate() fold over the same split. "
+        "One map-side projection folded into the scan; the only "
+        "exchange is the ≤|sources| rollup. No explode, no join, no "
+        "window."
+    ),
+    "incremental_eval_decontamination": (
+        "Versioned incremental decontamination (r11): the stored v1 "
+        "per-doc audit is an eagerly checkpointed eval-bounded "
+        "relation (its plan shows as an RDD scan); the delta probe is "
+        "the winnowing band-index shape — delta fps BROADCAST into a "
+        "left-semi probe of the fixed train winnow, the train side "
+        "never shuffled on fp. Recurring cost is bounded by the "
+        "snapshot delta, not the suite."
     ),
 }
 
