@@ -848,3 +848,106 @@ def test_adversarial_curation_scenarios_battery(spark, tmp_path):
                     )
                 assert ok.all(), (tag, c, got[~ok], exp[~ok])
         con.close()
+
+
+def test_adversarial_similarity_scenarios_battery(spark, tmp_path):
+    """Fifth battery (r11): representative similarity lanes on the
+    degenerate-vector scenario corpora (tools/adversarial_similarity —
+    zero probe vector, 100% duplicate vectors, collinear ±cosine ties,
+    one-hot tied eigenvalues, 3-vector over-ask, ±1e30 magnitudes,
+    ±1e3 dynamic range, and the NULL/NaN/±Inf invalid-payload corpus
+    routed through the `embedding_validation_audit` ingest gate).
+    The full discovery sweep (223 scenario × lane combos) found and
+    fixed: the PCA degenerate-iterate amplification (tied eigenvalues
+    → 1e-18 iterate normalized into engine-dependent loadings — now
+    NULLed below 1e-9), the variance-scale anchor-domain routing
+    (eigval / avg_sq_err / avg_sq_dist exact only ≲ 5e11), and the
+    NULL-component contract (DuckDB list_dot_product crashes; the
+    engine's HOF and Arrow cosine lanes disagreed — the audit lane +
+    quarantine is the pinned production answer)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+    )
+    from adversarial_similarity import build_scenarios, write_validated
+
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    dirs = build_scenarios(str(tmp_path / "adv"))
+    vdir = str(tmp_path / "adv" / "invalid_payload_validated")
+    write_validated(dirs["invalid_payload"], vdir)
+    picks = {
+        # zero probe: every probe cosine NULL / zero-guard
+        "zero_probe": ["knn_probe_top10", "lsh_ann_top3"],
+        # 100% duplicates: cosine-1.0 tie storms in top-k and recall
+        "all_dup": ["knn_per_vector_top3", "lsh_recall_at_3",
+                    "semantic_dedup_survivors"],
+        # collinear ±1 cosines, negative-pole ordering
+        "collinear": ["knn_per_vector_top3", "embedding_cosine_near_dup"],
+        # tied eigenvalues → degenerate-iterate NULL convention
+        "one_hot": ["pca_top_component_power_iteration",
+                    "embedding_covariance_top_pairs"],
+        # k over-ask on 3 vectors
+        "tiny": ["knn_probe_top10", "ivf_recall_at_5", "pq_search_top5"],
+        # float32-overflow magnitudes through the double-cast discipline
+        "extreme_mag": ["knn_per_vector_top3", "embedding_int8_quantization"],
+        # variance-scale lanes inside their anchor domain
+        "dynamic_range": ["pca_top_component_power_iteration",
+                          "pq_distortion_audit",
+                          "kmeans_embedding_clusters"],
+        # dirty corpus: ONLY the ingest gate
+        "invalid_payload": ["embedding_validation_audit"],
+    }
+    # validated corpus: the quarantined lanes must be hash-green again
+    dirs["invalid_payload_validated"] = vdir
+    picks["invalid_payload_validated"] = [
+        "embedding_validation_audit", "knn_per_vector_top3",
+        "label_centroids",
+    ]
+    for scen, names in picks.items():
+        d = dirs[scen]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+        )
+        for name in names:
+            ent = QUERY_REGISTRY[name]
+            got = ent.fn(spark, d).toPandas()
+            exp = con.execute(ent.oracle).df()
+            got = got[sorted(got.columns)].sort_values(
+                by=sorted(got.columns), ignore_index=True
+            )
+            exp = exp[sorted(exp.columns)].sort_values(
+                by=sorted(exp.columns), ignore_index=True
+            )
+            tag = f"{scen}:{name}"
+            assert list(got.columns) == list(exp.columns), tag
+            assert len(got) == len(exp), (tag, len(got), len(exp))
+            for c in got.columns:
+                g, e = got[c], exp[c]
+                if g.dtype.kind == "f" or e.dtype.kind == "f":
+                    ok = (
+                        (g.isna() & e.isna())
+                        | (g.astype(float) == e.astype(float))
+                    )
+                else:
+                    ok = (g.isna() & e.isna()) | (
+                        g.astype(object) == e.astype(object)
+                    )
+                assert ok.all(), (tag, c, got[~ok], exp[~ok])
+        con.close()
+    # and the audit itself must COUNT the planted violations
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{dirs['invalid_payload']}/embeddings.parquet'"
+    )
+    row = con.execute(
+        QUERY_REGISTRY["embedding_validation_audit"].oracle
+    ).df().iloc[0]
+    assert row["n_null_component"] == 5      # i % 8 == 0 of 40
+    assert row["n_nonfinite"] == 15          # NaN + inf + -inf classes
+    assert row["n_valid"] == 20

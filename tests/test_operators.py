@@ -429,3 +429,42 @@ def test_token_budget_selection_distributed_parity(spark, monkeypatch):
     # the budget must actually bind at this SF for the parity to be
     # meaningful (otherwise both paths trivially admit everything)
     assert any(r[1] > r[2] for r in exact), "budget did not bind"
+
+
+def test_order_key_forms_identical_total_order(spark):
+    """The decimal(38,0) packed order key (canonical since the r11 A/B)
+    and the r10 string form must induce the SAME total order — pinned on
+    the adversarial shape that motivated the key: duplicate timestamps,
+    id 0, and a huge id near int64's edge."""
+    import importlib
+
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark import query_registry as qr
+
+    rows = [
+        ("2024-01-02 09:30:00.000001", 7),
+        ("2024-01-02 09:30:00.000001", 0),          # same ts, id break
+        ("2024-01-02 09:30:00.000001", 9_223_372_036_854_775_000),
+        ("2024-01-02 09:30:00.000002", 1),
+        ("1970-01-01 00:00:00.000000", 2),          # epoch edge
+        ("2038-01-19 03:14:07.999999", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_id long").select(
+        F.to_timestamp("ts_s").alias("ts"), "event_id"
+    )
+    orders = {}
+    old = qr._ORDER_KEY_FORM
+    try:
+        for form in ("string", "decimal"):
+            qr._ORDER_KEY_FORM = form
+            key = qr.event_order_key()
+            orders[form] = [
+                (r["ts"], r["event_id"])
+                for r in df.orderBy(key).collect()
+            ]
+    finally:
+        qr._ORDER_KEY_FORM = old
+    assert orders["string"] == orders["decimal"]
+    # and the order is (ts, event_id) lexicographic
+    assert orders["string"] == sorted(orders["string"])

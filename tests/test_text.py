@@ -1574,3 +1574,74 @@ def test_removed_ids_memo_hits_and_safe_eviction(spark, tmp_path):
 
     qt.clear_removed_ids_memo()
     assert not qt._REMOVED_IDS_MEMO
+
+
+def test_bloom_decontamination_planted_and_saturated(spark, tmp_path, monkeypatch):
+    """Planted corpus for `bloom_ngram_decontamination` (r11, Brown et
+    al. 2020 13-gram rule): at the production 2^20-bit geometry the
+    bloom must flag EXACTLY the exact-probe set (doc 1 embeds a test
+    doc's 13-gram; doc 2 is clean) with zero false positives, and the
+    engine must hash-match the oracle. Then the SAME corpus under a
+    deliberately saturated 64-bit bloom must (a) still hash-match the
+    oracle, (b) flag a superset of the exact set, and (c) count the
+    clean doc as a FALSE POSITIVE — the audit mechanics the lane
+    exists to price, proven on a bloom that actually saturates."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import trading_dashboard_spark.queries_text as qt
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    gram13 = " ".join(f"leak{k}" for k in range(13))
+    # ids pinned to md5 split sides: 3 → test, 1/2 → train, 0 → valid
+    rows = [
+        (3, "intro " + gram13 + " outro filler pad", "s_eval"),
+        (1, " ".join(f"pre{k}" for k in range(6)) + " " + gram13,
+         "s_contaminated"),
+        (2, " ".join(f"clean{k}" for k in range(20)), "s_clean"),
+        (0, gram13 + " in the IGNORED valid split", "s_valid"),
+    ]
+    pdf = pd.DataFrame({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "lang": ["en"] * len(rows),
+        "source": [r[2] for r in rows],
+        "n_chars": [len(r[1]) for r in rows],
+    })
+    pq.write_table(pa.Table.from_pandas(pdf),
+                   str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+
+    def run(oracle):
+        got = {r["source"]: r.asDict() for r in
+               qt.bloom_ngram_decontamination(spark, str(tmp_path))
+               .collect()}
+        exp = {r[0]: tuple(r) for r in con.execute(oracle).fetchall()}
+        assert set(got) == set(exp)
+        for src, row in got.items():
+            assert tuple(row.values()) == exp[src], (src, row, exp[src])
+        return got
+
+    got = run(QUERY_REGISTRY["bloom_ngram_decontamination"].oracle)
+    assert set(got) == {"s_contaminated", "s_clean"}  # train split only
+    assert got["s_contaminated"]["n_exact_flagged"] == 1
+    assert got["s_contaminated"]["n_bloom_flagged"] == 1
+    assert got["s_clean"]["n_bloom_flagged"] == 0
+    assert sum(r["n_false_positive_docs"] for r in got.values()) == 0
+
+    # saturate: 16 bits — the eval grams set 13/16, and every
+    # clean-doc gram's 4 probes land on set bits (verified arithmetic)
+    monkeypatch.setattr(qt, "_BLOOM_M", 16)
+    got_sat = run(qt._bloom_decon_oracle())
+    assert got_sat["s_contaminated"]["n_bloom_flagged"] == 1
+    assert got_sat["s_clean"]["n_bloom_flagged"] == 1     # the FP
+    assert got_sat["s_clean"]["n_false_positive_docs"] == 1
+    assert got_sat["s_clean"]["n_exact_flagged"] == 0
+    # bloom ⊇ exact, per source
+    for src in got_sat:
+        assert (got_sat[src]["n_bloom_flagged"]
+                >= got_sat[src]["n_exact_flagged"])

@@ -66,6 +66,9 @@ DEFAULT_QUERIES = [
     # and the published-filter battery
     "gopher_quality_rules", "ccnet_perplexity_buckets",
     "soft_dedup_effective_tokens", "contamination_span_lengths",
+    # r11: the bloom decon lane — its claim IS a scale claim (constant
+    # set-bit broadcast), so the replica row is the evidence
+    "bloom_ngram_decontamination",
 ]
 
 SALT1 = "etaoinshrd"

@@ -772,7 +772,12 @@ def kmeans_embedding_clusters(spark, sf_dir):
     vectors are scanned once per iteration and NEVER shuffled (the
     shuffle carries k*dim partial sums per partition). The driver loop
     only composes the plan; no collect between iterations (the loop is
-    `_lloyd_assignments`, shared with ivf_codebook_refresh)."""
+    `_lloyd_assignments`, shared with ivf_codebook_refresh).
+
+    Anchor domain (r11 battery): avg_sq_dist is squared-distance
+    scale — its 6dp anchor is exact cross-engine while values stay
+    ≲ 5e11; the battery probes this lane on the ±1e3 dynamic-range
+    corpus (see pq_distortion_audit for the same bound)."""
     k, iters = 8, 3
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -927,9 +932,17 @@ def _power_iteration_oracle(dim: int = 64, iters: int = 3) -> str:
     )"""
         )
         ctes.append(f"n{i} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{i})")
+        # degenerate-iterate guard (r11 similarity battery): when the
+        # iterate's norm is numeric dust (below the 10dp cov rounding
+        # floor — e.g. tied-eigenvalue one-hot corpora leave y ≈ 1e-18),
+        # normalizing would amplify sub-quantum noise into engine-
+        # dependent O(1) loadings; the component is undefined → NULL.
         ctes.append(
             f"""w{i} AS (
-      SELECT pos, round(y / nrm, 8) AS val, nrm FROM y{i} CROSS JOIN n{i}
+      SELECT pos,
+             round(CASE WHEN nrm >= 1e-9 THEN y / nrm END, 8) AS val,
+             CASE WHEN nrm >= 1e-9 THEN nrm END AS nrm
+      FROM y{i} CROSS JOIN n{i}
     )"""
         )
     return f"""
@@ -963,7 +976,16 @@ def pca_top_component_power_iteration(spark, sf_dir):
     each L2 re-normalization — both engines feed identical doubles into
     every next step, the k-means discipline. Uniform 1/√dim init (no
     RNG). Output: the 64 loadings + the eigenvalue estimate (the final
-    pre-normalization norm — converged to ~the top eigenvalue of C)."""
+    pre-normalization norm — converged to ~the top eigenvalue of C).
+
+    Two r11-battery conventions: (1) an iterate whose norm is below
+    1e-9 is sub-rounding-quantum dust (tied-eigenvalue corpora leave
+    y ≈ 1e-18) — normalizing would amplify noise into engine-dependent
+    loadings, so the component is NULL; (2) the UNNORMALIZED eigval
+    column anchors at 4dp, exact cross-engine while |eigval| ≲ 5e11
+    (1e-16 relative accumulation drift under the quantum) — the
+    documented anchor domain, probed by the battery's ±1e3
+    dynamic-range corpus."""
     dim, iters = 64, 3
     emb = _t(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -997,12 +1019,17 @@ def pca_top_component_power_iteration(spark, sf_dir):
             .agg(F.sum(F.col("c") * F.col("val")).alias("y"))
         )
         nrm_row = y.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        # degenerate-iterate guard — mirrors the oracle: a norm below
+        # 1e-9 is sub-rounding-quantum dust (tied-eigenvalue corpora),
+        # normalizing it would amplify noise into engine-dependent
+        # loadings; NULL the iterate instead (r11 similarity battery)
+        nrm_ok = F.when(F.col("nrm") >= 1e-9, F.col("nrm"))
         w = (
             y.crossJoin(F.broadcast(nrm_row))
             .select(
                 F.col("i").alias("pos"),
-                pround(F.col("y") / F.col("nrm"), 8).alias("val"),
-                "nrm",
+                pround(F.col("y") / nrm_ok, 8).alias("val"),
+                nrm_ok.alias("nrm"),
             )
         )
     return w.select(
@@ -1955,7 +1982,13 @@ def pq_distortion_audit(spark, sf_dir):
     subspace → refit or raise ksub there). Map-only: encode (one Arrow
     kernel) + per-subspace error expressions + one aggregate; the
     oracle replays encoding through the shared CTE chain and joins
-    codes back to the codebook literals for reconstruction."""
+    codes back to the codebook literals for reconstruction.
+
+    Anchor domain (r11 battery): avg/max_sq_err are VARIANCE-scale —
+    per-vec 6dp and sum 4dp rounding anchor cross-engine equality
+    while |sq_err| ≲ 5e11; the battery probes this lane on its ±1e3
+    dynamic-range corpus (1e30-component corpora put the accumulation
+    drift above the quantum — a representation bound, not a defect)."""
     from .similarity.knn import _as_double
     from .similarity.pq import encode_pq_expr
 
@@ -2074,4 +2107,101 @@ def embedding_drift_by_label(spark, sf_dir):
             pround(dot_cg / F.when(den != 0.0, den), 6).alias("drift_cosine"),
             pround(F.col("msq") - norm_c2, 6).alias("dispersion"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# round-11: embedding input-contract validation (the similarity battery's
+# discovered class: NULL / non-finite components)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_validation_audit",
+    """
+    WITH v AS (
+      SELECT vec_id, embedding,
+             len(embedding) AS dim,
+             len(list_filter(embedding, x -> x IS NULL)) > 0 AS has_null,
+             len(list_filter(embedding,
+                 x -> x IS NOT NULL AND (isnan(x) OR isinf(x)))) > 0
+               AS has_nonfinite
+      FROM embeddings
+    ),
+    flags AS (
+      -- sumsq via a NULL-tolerant transform: list_dot_product raises on
+      -- NULL elements even under a guarding CASE (vectorized eagerly),
+      -- and this audit exists precisely because dirty vectors crash it
+      SELECT vec_id, dim, has_null, has_nonfinite,
+             (NOT has_null AND NOT has_nonfinite AND
+              coalesce(list_sum(list_transform(embedding,
+                x -> CASE WHEN x IS NULL THEN 0.0
+                          ELSE (x::DOUBLE) * (x::DOUBLE) END)), 0) = 0)
+               AS is_zero_norm
+      FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(coalesce(sum(CASE WHEN has_null THEN 1 END), 0) AS BIGINT)
+             AS n_null_component,
+           CAST(coalesce(sum(CASE WHEN has_nonfinite THEN 1 END), 0) AS BIGINT)
+             AS n_nonfinite,
+           CAST(coalesce(sum(CASE WHEN is_zero_norm THEN 1 END), 0) AS BIGINT)
+             AS n_zero_norm,
+           CAST(coalesce(sum(CASE WHEN NOT has_null AND NOT has_nonfinite
+                                  THEN 1 END), 0) AS BIGINT) AS n_valid,
+           CAST(min(dim) AS BIGINT) AS min_dim,
+           CAST(max(dim) AS BIGINT) AS max_dim
+    FROM flags
+    """,
+    tags=("similarity", "X3", "validation", "contract"),
+)
+def embedding_validation_audit(spark, sf_dir):
+    """Embedding INPUT-CONTRACT audit (r11 similarity battery): the
+    similarity family's documented contract is finite, non-NULL
+    components (zero-norm vectors are in-contract — they score NULL
+    cosine by the pinned convention). A 100 TB pipeline enforces that
+    once at ingest, not in every query — this is the ingest gate: one
+    map-only scan counting NULL-component vectors, non-finite
+    (NaN/±Inf) vectors, zero-norm vectors, and the dim range (a
+    ragged-dimension corpus shows up as min_dim ≠ max_dim). The r11
+    battery found DuckDB's list_dot_product CRASHES on NULL components
+    and the engine's own two cosine lanes disagreed (HOF NULL
+    propagation vs Arrow None→NaN) — the contract plus this gate is
+    the production answer: run the audit, quarantine the flagged rows,
+    and every downstream lane stays inside the value-checked domain.
+
+    Scale shape: map-only scan + one global partial-aggregated
+    rollup; the exists/filter predicates are JVM higher-order
+    functions, no UDF, no shuffle beyond the single-row aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    has_null = F.exists("embedding", lambda x: x.isNull())
+    has_nonfinite = F.exists(
+        "embedding",
+        lambda x: x.isNotNull()
+        & (F.isnan(x) | (F.abs(x) == F.lit(float("inf")))),
+    )
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    flags = emb.select(
+        F.size("embedding").alias("dim"),
+        has_null.alias("has_null"),
+        has_nonfinite.alias("has_nonfinite"),
+        (~has_null & ~has_nonfinite & (sq == 0.0)).alias("is_zero_norm"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.coalesce(F.sum(F.when(F.col("has_null"), 1)), F.lit(0))
+        .cast("bigint").alias("n_null_component"),
+        F.coalesce(F.sum(F.when(F.col("has_nonfinite"), 1)), F.lit(0))
+        .cast("bigint").alias("n_nonfinite"),
+        F.coalesce(F.sum(F.when(F.col("is_zero_norm"), 1)), F.lit(0))
+        .cast("bigint").alias("n_zero_norm"),
+        F.coalesce(
+            F.sum(F.when(~F.col("has_null") & ~F.col("has_nonfinite"), 1)),
+            F.lit(0),
+        ).cast("bigint").alias("n_valid"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
     )

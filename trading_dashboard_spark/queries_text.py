@@ -6302,3 +6302,197 @@ def exact_substring_removal(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11: Bloom-filter n-gram decontamination (Brown et al. 2020)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry for `bloom_ngram_decontamination`: m bits, k hashes,
+#: 13-token grams (the GPT-3 rule — Brown et al. 2020, Appendix C,
+#: "13-gram overlap" dedup/decon). m is a CONSTANT: the broadcast side
+#: of the probe is the set-bit relation, bounded by m rows (a few MB at
+#: 2^20, sized for ~1e-4 gram-level FP at sf0.1's eval-gram count) no matter how large the eval suite grows — the property that
+#: makes bloom decon the 100 TB shape where the exact-fp broadcast of
+#: `eval_window_decontamination` grows with the suite.
+_BLOOM_M = 1_048_576
+_BLOOM_K = 4
+_BLOOM_NGRAM = 13
+
+
+def _bloom_decon_oracle() -> str:
+    """Same double-hash arithmetic (Kirsch–Mitzenmacher: pos_j =
+    (h1 + j·h2) mod m with h1/h2 = the first/second 8 md5 hex digits)
+    in portable SQL: Spark conv(hex,16,10) == DuckDB ('0x'||hex)::BIGINT."""
+    cat = ", ".join(f"toks[i+{k}]" for k in range(_BLOOM_NGRAM))
+    js = ", ".join(str(j) for j in range(_BLOOM_K))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'valid'
+                  ELSE 'test' END AS split,
+             {_TOKS} AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, split,
+             unnest(list_transform(range(1, len(toks) - {_BLOOM_NGRAM - 2}),
+                    i -> md5(concat_ws(' ', {cat})))) AS fp
+      FROM t WHERE len(toks) >= {_BLOOM_NGRAM}
+    ),
+    eval_fps AS (SELECT DISTINCT fp FROM grams WHERE split = 'test'),
+    bloom_bits AS (
+      SELECT DISTINCT
+             (('0x' || substr(fp, 1, 8))::BIGINT
+              + j.j * (('0x' || substr(fp, 9, 8))::BIGINT)) % {_BLOOM_M} AS pos
+      FROM eval_fps CROSS JOIN (SELECT unnest([{js}]) AS j) j
+    ),
+    tg AS (
+      SELECT doc_id, fp,
+             ('0x' || substr(fp, 1, 8))::BIGINT AS h1,
+             ('0x' || substr(fp, 9, 8))::BIGINT AS h2
+      FROM grams WHERE split = 'train'
+    ),
+    tpos AS (
+      SELECT doc_id, fp, (h1 + j.j * h2) % {_BLOOM_M} AS pos
+      FROM tg CROSS JOIN (SELECT unnest([{js}]) AS j) j
+    ),
+    ghits AS (
+      SELECT doc_id, fp, count(*) AS n_set
+      FROM tpos JOIN bloom_bits USING (pos)
+      GROUP BY doc_id, fp
+    ),
+    gflags AS (
+      SELECT g.doc_id,
+             coalesce(h.n_set, 0) = {_BLOOM_K} AS bloom_hit,
+             e.fp IS NOT NULL AS exact_hit
+      FROM tg g
+      LEFT JOIN ghits h USING (doc_id, fp)
+      LEFT JOIN eval_fps e ON g.fp = e.fp
+    ),
+    dflags AS (
+      SELECT doc_id, bool_or(bloom_hit) AS bloom_doc,
+             bool_or(exact_hit) AS exact_doc
+      FROM gflags GROUP BY doc_id
+    ),
+    train_docs AS (SELECT doc_id, source FROM t WHERE split = 'train')
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_train_docs,
+           CAST(coalesce(sum(CASE WHEN f.bloom_doc THEN 1 END), 0) AS BIGINT)
+             AS n_bloom_flagged,
+           CAST(coalesce(sum(CASE WHEN f.exact_doc THEN 1 END), 0) AS BIGINT)
+             AS n_exact_flagged,
+           CAST(coalesce(sum(CASE WHEN f.bloom_doc AND NOT f.exact_doc
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_false_positive_docs
+    FROM train_docs d LEFT JOIN dflags f USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@register(
+    "bloom_ngram_decontamination", _bloom_decon_oracle(),
+    tags=("text", "X2", "decontamination", "bloom", "training"),
+)
+def bloom_ngram_decontamination(spark, sf_dir):
+    """BLOOM-FILTER n-gram decontamination (Brown et al. 2020,
+    Appendix C: GPT-3 removed training documents sharing a 13-gram
+    with eval sets, tracked via bloom filters) — plus the audit the
+    paper could not publish: the exact-probe comparison that counts
+    the bloom's false-positive documents, value-checked end to end.
+
+    The bloom is re-expressed relationally: the eval split's 13-gram
+    md5 fps hash to k=4 bit positions (Kirsch–Mitzenmacher double
+    hashing over the first/second 8 hex digits), and the SET-BIT
+    relation — bounded by m = 2^20 rows, a constant — broadcasts into
+    four map-side position joins against the train-side grams. A gram
+    is bloom-hit iff all k probes land on set bits, a doc is flagged
+    iff any gram hits; the exact lane (fp ∈ eval-fp broadcast, the
+    `eval_window_decontamination` shape) runs beside it so the output
+    prices the FP rate per source. At 100 TB the bloom side's
+    broadcast stays ≤ m bits while the exact side's grows with the
+    eval suite — this lane IS the measured justification for choosing
+    bloom decon at scale. Train grams are probed un-deduped (doc
+    flags are bool_or — duplicate grams cannot change them), so the
+    train side never shuffles on fp; the only shuffle is the doc-grain
+    partial-aggregated rollup."""
+    from .text.analysis import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    h2c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2c < "cd", "train").when(h2c < "e6", "valid")
+        .otherwise("test")
+    )
+    toks = docs.select(
+        "doc_id", split.alias("split"),
+        tokenize(F.lower(F.col("text"))).alias("toks"),
+    ).filter(F.size("toks") >= _BLOOM_NGRAM)
+    idx = F.sequence(F.lit(1), F.size("toks") - (_BLOOM_NGRAM - 1))
+    gram = F.md5(F.concat_ws(
+        " ", *[F.element_at("toks", F.col("i") + k)
+               for k in range(_BLOOM_NGRAM)]
+    ))
+    grams = toks.select(
+        "doc_id", "split", "toks", F.explode(idx).alias("i")
+    ).select("doc_id", "split", gram.alias("fp"))
+
+    eval_fps = grams.filter(F.col("split") == "test").select("fp").distinct()
+    h1 = F.conv(F.substring("fp", 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring("fp", 9, 8), 16, 10).cast("long")
+    bloom_bits = (
+        eval_fps.select(
+            F.explode(F.array(*[
+                ((h1 + F.lit(j) * h2) % _BLOOM_M) for j in range(_BLOOM_K)
+            ])).alias("pos")
+        ).distinct()
+    )
+
+    tg = grams.filter(F.col("split") == "train").select(
+        "doc_id", "fp", h1.alias("h1"), h2.alias("h2")
+    )
+    flags = tg
+    hit_cols = []
+    for j in range(_BLOOM_K):
+        bj = bloom_bits.select(
+            F.col("pos").alias(f"pos{j}"), F.lit(1).alias(f"hit{j}")
+        )
+        flags = flags.withColumn(
+            f"pos{j}", (F.col("h1") + F.lit(j) * F.col("h2")) % _BLOOM_M
+        ).join(F.broadcast(bj), f"pos{j}", "left")
+        hit_cols.append(F.col(f"hit{j}").isNotNull())
+    bloom_hit = hit_cols[0]
+    for c in hit_cols[1:]:
+        bloom_hit = bloom_hit & c
+    ev = eval_fps.withColumn("exact", F.lit(1))
+    gflags = (
+        flags.join(F.broadcast(ev), "fp", "left")
+        .select(
+            "doc_id",
+            bloom_hit.alias("bloom_hit"),
+            F.col("exact").isNotNull().alias("exact_hit"),
+        )
+    )
+    dflags = gflags.groupBy("doc_id").agg(
+        F.max("bloom_hit").alias("bloom_doc"),
+        F.max("exact_hit").alias("exact_doc"),
+    )
+    train_docs = docs.select("doc_id", "source").where(split == "train")
+    return (
+        train_docs.join(dflags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("bloom_doc"), 1)), F.lit(0)
+            ).cast("bigint").alias("n_bloom_flagged"),
+            F.coalesce(
+                F.sum(F.when(F.col("exact_doc"), 1)), F.lit(0)
+            ).cast("bigint").alias("n_exact_flagged"),
+            F.coalesce(
+                F.sum(F.when(F.col("bloom_doc") & ~F.col("exact_doc"), 1)),
+                F.lit(0),
+            ).cast("bigint").alias("n_false_positive_docs"),
+        )
+    )

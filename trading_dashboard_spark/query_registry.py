@@ -73,31 +73,39 @@ def _t(spark, sf_dir, name) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
-#: key form for `event_order_key`: "string" (canonical) or "decimal"
-#: (the r10 verdict #6 A/B candidate). A packed LONG is impossible:
-#: epoch micros need ~51 bits and any useful id range ≥20 more — over
-#: int64's 63 — so the packed-numeric candidate is DECIMAL(38,0):
+#: key form for `event_order_key`: "decimal" (canonical since r11) or
+#: "string" (the r10 original). A packed LONG is impossible: epoch
+#: micros need ~51 bits and any useful id range ≥20 more — over
+#: int64's 63 — so the packed-numeric form is DECIMAL(38,0):
 #: micros · 10¹⁹ + id, exact for the full non-negative int64 id range
-#: (≤ ~1.8e34 + 9.2e18, 35 digits), identical ordering to the string.
-#: A/B harness: tools/ab_order_key.py (both run orders, fresh JVM per
-#: form, min-of-3 per query); result recorded in BENCHMARKS.md.
-_ORDER_KEY_FORM = os.environ.get("SPARK_GRAFT_ORDER_KEY", "string")
+#: (≤ ~1.8e34 + 9.2e18, 35 digits), identical TOTAL ORDER to the
+#: string (the key is only ever a max_by/min_by ordering argument —
+#: its value never reaches output, so the oracle keeps the VARCHAR
+#: twin). Adopted after tools/ab_order_key.py won BOTH run orders at
+#: sf0.1 (6.40 vs 11.81 s and 6.02 vs 7.09 s over the 7 close-contract
+#: headline queries — a 16-byte Decimal128 compare beats a 40-char
+#: UTF8String compare in every hash-aggregate probe); recorded in
+#: BENCHMARKS.md.
+_ORDER_KEY_FORM = os.environ.get("SPARK_GRAFT_ORDER_KEY", "decimal")
 
 
 def event_order_key(ts_col: str = "ts", id_col: str = "event_id"):
-    """The canonical TOTAL order over events as a sortable string:
-    zero-padded microsecond epoch ‖ zero-padded event_id. Duplicate
+    """The canonical TOTAL order over events — microsecond epoch ‖
+    event_id, packed into one sortable key. Duplicate
     timestamps are legal event data (the r10 adversarial relational
     battery planted 10 same-ts events and split the engines on every
     `max_by(value, ts)` lane), so every "last/first value" aggregate
     must order by a UNIQUE key both engines share. Non-negative domains
     by construction (events ≥ epoch; ids ≥ 0), so lexicographic string
-    order == numeric order. (`_ORDER_KEY_FORM` switches in the measured
-    decimal candidate for A/B runs — same total order, never shipped.)"""
+    order == numeric order. (`_ORDER_KEY_FORM` selects the DECIMAL(38,0)
+    packed form — canonical since the r11 A/B — or the original string;
+    same total order either way.)"""
     if _ORDER_KEY_FORM == "decimal":
+        # 10¹⁹ exceeds int64, so the literal must be born DECIMAL
+        # (F.lit(10**19) dies in Python→Java long marshalling)
         return (
             F.unix_micros(F.col(ts_col)).cast("decimal(19,0)")
-            * F.lit(10_000_000_000_000_000_000).cast("decimal(20,0)")
+            * F.expr("CAST('10000000000000000000' AS DECIMAL(20,0))")
             + F.col(id_col).cast("decimal(19,0)")
         )
     return F.concat(
