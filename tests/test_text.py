@@ -1645,3 +1645,32 @@ def test_bloom_decontamination_planted_and_saturated(spark, tmp_path, monkeypatc
     for src in got_sat:
         assert (got_sat[src]["n_bloom_flagged"]
                 >= got_sat[src]["n_exact_flagged"])
+
+
+def test_fit_bpe_sequences_local_matches_spark(spark):
+    """r11 optimization: with ``sample_docs`` set the merge loop runs
+    DRIVER-LOCAL on the collected constant-size sample (one bounded
+    collect instead of n_merges sequential Spark actions). The merge
+    table must be bit-identical to the distributed loop run on the same
+    sample — same adjacent-pair counts, same (count DESC, a, b) argmax
+    (ASCII symbols: Python string order == UTF8String order), same
+    left-to-right non-overlapping replace."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.text.bpe import fit_bpe_sequences
+
+    docs = [
+        "x x x y y x x", "a b a b c a b", "b c a b x x", "solo", "",
+        "a b c a b c a b c", "q w e q w e", "x x x x x x",
+        "the cat sat on the mat the cat", "on the on the on the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    local = fit_bpe_sequences(df, n_merges=16, sample_docs=8)
+    sampled = df.orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    ).limit(8)
+    dist = fit_bpe_sequences(sampled, n_merges=16, sample_docs=None)
+    assert local == dist
+    assert len(local) > 0

@@ -11,6 +11,7 @@ Catalyst gets exact column pruning and predicate pushdown.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -20,6 +21,19 @@ from ..schemas import RAW_QUOTE, TESTDATA_SCHEMAS
 from ..session import apply_runtime_confs
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: (applicationId, abspath, st_mtime_ns, st_size) → (weakref(session),
+#: scan DataFrame). A *plan* memo, not a result memo: the DataFrame handle
+#: is immutable and every action on it re-reads the parquet — what this
+#: skips is the ~100 ms/call driver-side DataSource resolution
+#: (file listing + footer schema inference + py4j chatter) that
+#: ``spark.read.parquet`` pays on every invocation. Measured r11: 145 ms
+#: per load_table call → ~1 ms on a memo hit; the bench's 23 headline
+#: queries make ~46 such calls per timed pass. The stat-key invalidates
+#: on any rewrite of the file/directory (Spark writes via tmp+rename, so
+#: the mtime always moves); non-statable URIs bypass the memo entirely.
+_SCAN_MEMO: dict = {}
+_SCAN_MEMO_MAX = 64
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -43,7 +57,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     session.RUNTIME_CONFS).
     """
     apply_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None  # non-local / unstatable: always resolve fresh
+    if key is not None:
+        hit = _SCAN_MEMO.get(key)
+        if hit is not None:
+            ref, cached = hit
+            if ref() is spark:
+                _SCAN_MEMO[key] = _SCAN_MEMO.pop(key)  # LRU refresh
+                return cached
+            _SCAN_MEMO.pop(key, None)  # stale session
+    df = spark.read.parquet(path)
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:
         missing = set(f.name for f in expected.fields) - set(df.columns)
@@ -56,6 +90,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
                     field.name,
                     F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
                 )
+    if key is not None:
+        _SCAN_MEMO[key] = (weakref.ref(spark), df)
+        while len(_SCAN_MEMO) > _SCAN_MEMO_MAX:
+            _SCAN_MEMO.pop(next(iter(_SCAN_MEMO)))
     return df
 
 
@@ -76,9 +114,38 @@ def spread(df: DataFrame, *cols: str, factor: int = 1) -> DataFrame:
     upward only: wide scans keep their natural partitioning.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    if _estimated_width(df) >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def _estimated_width(df: DataFrame) -> int:
+    """Estimated scan parallelism of ``df``, without executing anything.
+
+    The old probe (``df.rdd.getNumPartitions()``) forced a full physical
+    plan + RDD conversion per call (~90 ms driver-side on a fresh scan
+    DataFrame, measured r11) — and under AQE a partition count on a
+    shuffle-bearing plan can trigger upstream stage *execution*. The
+    optimizer's size estimate gives the same decision for spread's
+    purpose: a relation at least ``defaultParallelism × maxPartitionBytes``
+    bytes scans at least ``defaultParallelism`` wide, so spread skips the
+    repartition (wide inputs keep their natural partitioning — unchanged);
+    anything smaller repartitions up for CPU parallelism, which is exactly
+    the CPU-heavy small-scan case spread exists for. Costs ~2 ms.
+    """
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        max_split = int(
+            df.sparkSession._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+            )
+        )
+        return max(1, size // max(1, max_split))
+    except Exception:
+        return df.rdd.getNumPartitions()
 
 
 class Catalog:

@@ -811,9 +811,8 @@ def streaming_minhash_admission(spark, sf_dir):
 
     from .io.readers import spread
     from .queries_text import _BANDS, _JACCARD_T, _NUM_HASHES
-    from .text.dedup import minhash_signature, shingles
+    from .text.dedup import band_structs, minhash_signature, shingles
 
-    rows_per_band = _NUM_HASHES // _BANDS
     docs = _t(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
     incumbent = F.substring(h, 1, 2) < "cd"
@@ -824,21 +823,11 @@ def streaming_minhash_admission(spark, sf_dir):
         """(id, source, sh) + exploded band rows for any document set."""
         base = spread(df, "doc_id").select(
             F.col("doc_id").alias("id"), "source",
-            shingles(F.col("text"), 3).alias("sh"),
+            shingles("text", 3).alias("sh"),
         )
-        sig = base.select("id", *minhash_signature(F.col("sh"), _NUM_HASHES))
-        band_cols = []
-        for b in range(_BANDS):
-            parts = [
-                F.col(f"mh_{b * rows_per_band + r}")
-                for r in range(rows_per_band)
-            ]
-            band_cols.append(F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            ))
+        sig = base.select("id", *minhash_signature("sh", _NUM_HASHES))
         bands = sig.select(
-            "id", F.explode(F.array(*band_cols)).alias("b")
+            "id", F.explode(band_structs(_NUM_HASHES, _BANDS)).alias("b")
         ).select("id", "b.band_idx", "b.band_hash")
         return base, bands
 

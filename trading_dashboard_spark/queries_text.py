@@ -543,7 +543,7 @@ def top_trigrams(spark, sf_dir):
     from .text.dedup import shingles
 
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(F.explode(shingles(F.col("text"), 3)).alias("gram"))
+    grams = docs.select(F.explode(shingles("text", 3)).alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -2656,11 +2656,11 @@ def minhash_banding_sweep(spark, sf_dir):
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     feat = docs.select(
-        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
     ).filter(F.size("sh") > 0).select(
         "id",
         F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
-        F.array(*minhash_signature(F.col("sh"), _NUM_HASHES)).alias("mh"),
+        F.array(*minhash_signature("sh", _NUM_HASHES)).alias("mh"),
     ).persist()
     # Materialize the cache BEFORE dependent stages reference it: lazily,
     # the banded scan and the two verify-join scans schedule concurrently
@@ -3015,9 +3015,8 @@ def minhash_incremental_admission(spark, sf_dir):
     ids only (semi-join-pruned), and admission counts aggregate
     batch-side rows only. Nothing in the plan is proportional to the
     incumbent corpus except the index scan itself."""
-    from .text.dedup import minhash_signature, shingles
+    from .text.dedup import band_structs, minhash_signature, shingles
 
-    rows_per_band = _NUM_HASHES // _BANDS
     docs = _t(spark, sf_dir, "documents")
     incumbent = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
@@ -3026,22 +3025,14 @@ def minhash_incremental_admission(spark, sf_dir):
         F.col("doc_id").alias("id"),
         "source",
         incumbent.alias("incumbent"),
-        shingles(F.col("text"), 3).alias("sh"),
+        shingles("text", 3).alias("sh"),
     )
     sig = base.select(
-        "id", "incumbent", *minhash_signature(F.col("sh"), _NUM_HASHES)
+        "id", "incumbent", *minhash_signature("sh", _NUM_HASHES)
     )
-    band_cols = []
-    for b in range(_BANDS):
-        parts = [
-            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_cols.append(F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-        ))
     banded = sig.select(
-        "id", "incumbent", F.explode(F.array(*band_cols)).alias("band")
+        "id", "incumbent",
+        F.explode(band_structs(_NUM_HASHES, _BANDS)).alias("band"),
     ).select("id", "incumbent", "band.band_idx", "band.band_hash")
     inc_bands = banded.filter(F.col("incumbent")).select(
         F.col("id").alias("inc_id"), "band_idx", "band_hash"
@@ -3529,11 +3520,11 @@ def dedup_cluster_delta(spark, sf_dir):
     base = docs.select(
         F.col("doc_id").alias("id"),
         incumbent.alias("inc"),
-        shingles(F.col("text"), 3).alias("sh"),
+        shingles("text", 3).alias("sh"),
     ).select(
         "id", "inc",
         F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
-        F.array(*minhash_signature(F.col("sh"), _NUM_HASHES)).alias("mh"),
+        F.array(*minhash_signature("sh", _NUM_HASHES)).alias("mh"),
     ).persist()
     base.count()  # cache barrier (see minhash_banding_sweep)
 
@@ -5861,7 +5852,7 @@ def minhash_parameter_sensitivity(spark, sf_dir):
     # side plans single-partition); longs + an explicit repartition of
     # the left side cut the truth stage to ~1 s.
     base = local.select(
-        F.col("doc_id").alias("id"), shingles(F.col("text"), 3).alias("sh")
+        F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
     ).filter(F.size("sh") > 0)
     base = base.withColumn(
         "shf", F.array_sort(F.transform("sh", lambda s: F.xxhash64(s)))
@@ -5881,7 +5872,7 @@ def minhash_parameter_sensitivity(spark, sf_dir):
         .filter(jac >= _JACCARD_T)
         .select("id_a", "id_b", F.lit(1).alias("is_true"))
     )
-    sig = base.select("id", *minhash_signature(F.col("sh"), _NUM_HASHES))
+    sig = base.select("id", *minhash_signature("sh", _NUM_HASHES))
     # ALL configs ride ONE banded relation (cfg-tagged band structs,
     # 1+2+4+8 = 15 per doc), one bucket shuffle, one truth join, one
     # per-config rollup — the first cut built four separate

@@ -207,7 +207,23 @@ def fit_bpe_sequences(
     fixed-size slice.
 
     Tokenization matches `word_frequencies` (lowercase ``[a-z0-9']+``);
-    the loop stops early if no adjacent pair remains."""
+    the loop stops early if no adjacent pair remains.
+
+    SAMPLED path (r11 optimization): with ``sample_docs`` set the training
+    state is a CONSTANT — ``sample_docs`` sentinel strings — so the merge
+    loop runs DRIVER-LOCAL on the collected sample instead of issuing
+    ``n_merges`` sequential Spark actions (64 tiny jobs ≈ 5-6 s of pure
+    scheduling at any scale; measured r11:
+    ``tokenizer_fertility_by_source`` ×10 10.3 s → encode-dominated).
+    One bounded collect (the same TakeOrdered sample selection), then the
+    identical algorithm: adjacent-pair counts over the unwrapped symbol
+    sequences, argmax by (count DESC, a, b) — ASCII-only symbols, so
+    Python string order == UTF8String binary order — and the same
+    left-to-right non-overlapping literal replace. Merge tables are
+    bit-identical (pinned by test_fit_bpe_sequences_local_matches_spark);
+    the unsampled path keeps the distributed loop, which also means the
+    loop-scoped session-conf mutation below never happens on the sampled
+    path (removes the exclusive-session hazard for it)."""
     if sample_docs is not None:
         df = (
             df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -230,6 +246,24 @@ def fit_bpe_sequences(
             ).alias("seq")
         )
     )
+    if sample_docs is not None:
+        seqs = [r[0] for r in state.collect()]  # ≤ sample_docs strings
+        merges: list[tuple[str, str]] = []
+        for _ in range(n_merges):
+            counts: dict[tuple[str, str], int] = {}
+            for s in seqs:
+                syms = s[1:-1].split(_SC + _SO)
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + 1
+            if not counts:
+                break
+            a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+            merges.append((a, b))
+            pat = _SO + a + _SC + _SO + b + _SC
+            rep = _SO + a + " " + b + _SC
+            seqs = [s.replace(pat, rep) for s in seqs]
+        return merges
+
     unwrap = F.split(
         F.expr("substring(seq, 2, length(seq) - 2)"), _SC + _SO
     )

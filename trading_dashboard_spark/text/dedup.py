@@ -36,6 +36,26 @@ from .analysis import fingerprint, tokenize
 #: unbounded dup-rate × corpus relation into a driver OOM (r8).
 MINHASH_BROADCAST_MAX_PAIRS = 1_000_000
 
+#: Construction cache for the hot Column trees (shingles, minhash
+#: signature, band structs). A PySpark Column is an immutable, unresolved
+#: Catalyst expression handle — building one is pure driver/py4j work
+#: (measured r11: the 8-component signature alone costs ~166 ms per
+#: construction, paid on EVERY query call because higher-order-function
+#: lambdas cross the py4j boundary expression-by-expression), and reusing
+#: it across DataFrames/queries is safe because select() re-resolves the
+#: same tree against each relation. Keyed by (builder, column NAME,
+#: params) — only name-addressed inputs are cached; explicit Column
+#: arguments build fresh, exactly as before.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(key, builder):
+    hit = _EXPR_CACHE.get(key)
+    if hit is None:
+        hit = builder()
+        _EXPR_CACHE[key] = hit
+    return hit
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """X1 — exact dedup: one survivor per canonicalized text, smallest id
@@ -50,8 +70,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
+def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), the MinHash input unit.
+
+    Accepts a column NAME for the hot paths — name-addressed trees are
+    built once and reused via ``_EXPR_CACHE`` (see above); Column inputs
+    build fresh.
 
     Built by zipping the token array with its own 1..n-1 shifts rather than
     slicing per position: higher-order functions are interpreted (outside
@@ -70,6 +94,10 @@ def shingles(text: Column, n: int = 3) -> Column:
     never saw it. Empty docs belong to exact dedup (fingerprint
     equality), not the similarity path.
     """
+    if isinstance(text, str):
+        return _cached_expr(
+            ("shingles", text, n), lambda: shingles(F.col(text), n)
+        )
     toks = tokenize(F.lower(text))
     k = F.size(toks)
     grams = toks
@@ -87,9 +115,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
+def minhash_signature(sh: Column | str, num_hashes: int = 8) -> list[Column]:
     """MinHash signature: component i = min over shingles of
     ``md5(i || ':' || shingle)``.
+
+    Accepts a column NAME for the hot paths (tree built once, cached —
+    ~166 ms of py4j lambda construction per call otherwise); Column
+    inputs build fresh.
 
     Fixed-length lowercase hex compares lexicographically in numeric order,
     so the string min *is* the hash min — no hex→int conversion needed,
@@ -102,6 +134,11 @@ def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
     f-string prefix — a valid-but-wrong hash family that still passes
     any final-output check (uniform hashes are uniform), caught only
     when the r6 banding-sweep audit exposed raw candidate counts."""
+    if isinstance(sh, str):
+        return _cached_expr(
+            ("minhash_signature", sh, num_hashes),
+            lambda: minhash_signature(F.col(sh), num_hashes),
+        )
 
     def component(i: int) -> Column:
         prefix = f"{i}:"
@@ -110,6 +147,31 @@ def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
         ).alias(f"mh_{i}")
 
     return [component(i) for i in range(num_hashes)]
+
+
+def band_structs(num_hashes: int, bands: int) -> Column:
+    """Array of (band_idx, band_hash) structs over the ``mh_i`` signature
+    columns — the LSH banding expression, built once and cached (same
+    semantics as the inline construction it replaces; shared by the batch
+    and streaming admission paths)."""
+
+    def build() -> Column:
+        rows_per_band = num_hashes // bands
+        cols = []
+        for b in range(bands):
+            parts = [
+                F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+                )
+            )
+        return F.array(*cols)
+
+    return _cached_expr(("band_structs", num_hashes, bands), build)
 
 
 def minhash_near_dup_pairs(
@@ -152,7 +214,6 @@ def minhash_near_dup_pairs(
     (``text/clusters``) checkpoints the pairs itself, or in plan tests
     that need to inspect the un-checkpointed query plan.
     """
-    rows_per_band = num_hashes // bands
     from ..io.readers import spread
 
     raw = spread(df, id_col).select(
@@ -163,21 +224,17 @@ def minhash_near_dup_pairs(
     # the degenerate all-empties bucket (C(k,2) wasted candidates on a
     # corpus with k empty docs)
     base = raw.select(
-        "id", shingles(F.col("__txt"), shingle_n).alias("sh")
+        "id", shingles("__txt", shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
     if persist:
         base = base.persist()
-    sig = base.select("id", *minhash_signature(F.col("sh"), num_hashes))
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *parts)).alias("band_hash"))
-        )
+    sig = base.select("id", *minhash_signature("sh", num_hashes))
     # Slim (id, band) rows only — the self-join shuffle never carries
     # shingle arrays (at corpus scale that's the difference between
     # shuffling 16-byte digests and shuffling the corpus).
-    banded = sig.select("id", F.explode(F.array(*band_cols)).alias("band")).select(
+    banded = sig.select(
+        "id", F.explode(band_structs(num_hashes, bands)).alias("band")
+    ).select(
         "id",
         F.col("band.band_idx").alias("band_idx"),
         F.col("band.band_hash").alias("band_hash"),
