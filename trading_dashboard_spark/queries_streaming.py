@@ -11,6 +11,38 @@ from pyspark.sql import functions as F
 from .query_registry import _t, pround, register
 
 
+def _land_waves(batch_docs, landing: str, n_waves: int = 3) -> None:
+    """Land wave k of ``batch_docs`` (a DataFrame carrying an int
+    ``wave`` column) at ``{landing}/w{k}`` — one parquet file per wave,
+    strictly increasing mtimes so the file-source trigger order IS the
+    wave order — with ONE distributed job: repartition by ``wave`` (each
+    wave's rows converge to a single reduce task), write
+    ``partitionBy("wave")``, rename the partition dirs. Replaces the
+    r8-r9 pattern of ``n_waves`` sequential ``coalesce(1)`` writes, each
+    of which collapsed its whole scan+filter into a single task
+    (measured r11 at the ×10 replica: 3.05 s → 0.98 s). An absent wave
+    (no rows) lands as an empty dir → no file → no trigger, which is
+    decision-equivalent to the old empty-file trigger (an empty batch
+    admits nothing and appends an empty decisions relation); callers
+    guard the decisions[0] access for the all-empty corpus."""
+    import os
+    import time
+
+    batch_docs.repartition("wave").write.mode("overwrite").partitionBy(
+        "wave"
+    ).parquet(f"{landing}/_raw")
+    for k in range(n_waves):
+        src, dst = f"{landing}/_raw/wave={k}", f"{landing}/w{k}"
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        else:
+            os.makedirs(dst, exist_ok=True)
+        stamp = time.time() + 10 * k
+        for root, _, files in os.walk(dst):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (stamp, stamp))
+
+
 @register(
     "streaming_hourly_type_counts",
     """
@@ -804,10 +836,8 @@ def streaming_minhash_admission(spark, sf_dir):
     incumbent corpus shuffles per trigger; per-trigger state growth is
     the admitted slice only, with localCheckpoint truncating lineage
     (the CC-loop idiom). The decisions relation is batch-sized."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from .io.readers import spread
     from .queries_text import _BANDS, _JACCARD_T, _NUM_HASHES
@@ -820,51 +850,77 @@ def streaming_minhash_admission(spark, sf_dir):
     wave = F.when(wv < "6", 0).when(wv < "b", 1).otherwise(2)
 
     def featurize(df):
-        """(id, source, sh) + exploded band rows for any document set."""
+        """ONE checkpointed (id, source, sh, bands) relation per doc set.
+
+        r11: the old two-relation form checkpointed (id, sh) and the
+        exploded band rows separately — and since the band relation was
+        derived from the LAZY signature, the shingle+minhash pass ran
+        TWICE per checkpoint pair (once per eager action). One combined
+        relation computes it once; band rows explode lazily out of the
+        checkpoint wherever the probe needs them (a map-only projection
+        of checkpointed bytes). Measured ×10: the incumbent
+        featurization pair 3.1 s → 1.6 s, and the same factor for each
+        of the three per-trigger batch featurizations."""
         base = spread(df, "doc_id").select(
             F.col("doc_id").alias("id"), "source",
             shingles("text", 3).alias("sh"),
         )
-        sig = base.select("id", *minhash_signature("sh", _NUM_HASHES))
-        bands = sig.select(
-            "id", F.explode(band_structs(_NUM_HASHES, _BANDS)).alias("b")
-        ).select("id", "b.band_idx", "b.band_hash")
-        return base, bands
+        sig = base.select(
+            "id", "source", "sh", *minhash_signature("sh", _NUM_HASHES)
+        )
+        return sig.select(
+            "id", "source", "sh",
+            band_structs(_NUM_HASHES, _BANDS).alias("bands"),
+        ).localCheckpoint(eager=True)
 
-    inc_base, inc_bands = featurize(docs.filter(incumbent))
+    def explode_bands(feat):
+        return feat.select("id", F.explode("bands").alias("b")).select(
+            "id", "b.band_idx", "b.band_hash"
+        )
+
     # at-rest index state, advanced per trigger; eagerly checkpointed so
     # (a) trigger k+1 doesn't replay triggers 0..k through lineage and
     # (b) the incumbent featurization runs once, not once per trigger
     def fresh_state():
         return {
-            "sh": inc_base.select("id", "sh").localCheckpoint(eager=True),
-            "bands": inc_bands.localCheckpoint(eager=True),
+            "feat": featurize(docs.filter(incumbent)),
             "decisions": [],
         }
 
     state = fresh_state()
 
     def admit_batch(batch_df, batch_id):
-        b_base, b_bands = featurize(batch_df)
-        b_base = b_base.localCheckpoint(eager=True)  # one featurization
-        b_bands = b_bands.localCheckpoint(eager=True)
+        b_feat = featurize(batch_df)
         cand = (
-            state["bands"].join(
-                F.broadcast(b_bands.withColumnRenamed("id", "new_id")),
+            explode_bands(state["feat"]).join(
+                F.broadcast(
+                    explode_bands(b_feat).withColumnRenamed("id", "new_id")
+                ),
                 ["band_idx", "band_hash"],
             )
             .select("new_id", F.col("id").alias("inc_id"))
             .distinct()
         )
-        sh_new = b_base.select(F.col("id").alias("new_id"),
+        sh_new = b_feat.select(F.col("id").alias("new_id"),
                                F.col("sh").alias("sh_n"))
-        sh_idx = state["sh"].select(F.col("id").alias("inc_id"),
-                                    F.col("sh").alias("sh_i"))
+        sh_idx = state["feat"].select(F.col("id").alias("inc_id"),
+                                      F.col("sh").alias("sh_i"))
         inter = F.size(F.array_intersect("sh_n", "sh_i"))
         union = F.size(F.array_union("sh_n", "sh_i"))
         jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
+        # Verify with the (pair × batch-shingle) side BROADCAST so the
+        # at-rest index is only ever SCANNED map-side, never shuffled:
+        # checkpointed relations carry no size stats, so without the
+        # hint the planner sort-merges this join — shuffling the whole
+        # index's shingle arrays once per trigger (measured r11 ×10:
+        # the decisions job was 1.2-1.4 s/trigger, the dominant term of
+        # the whole query — exactly the corpus-proportional per-trigger
+        # shuffle the design forbids). The broadcast side is candidate
+        # pairs joined to BATCH shingles — the same bounded class as
+        # the b_bands broadcast above.
         rejected = (
-            cand.join(sh_new, "new_id").join(sh_idx, "inc_id")
+            F.broadcast(cand.join(sh_new, "new_id"))
+            .join(sh_idx, "inc_id")
             .filter(jac >= _JACCARD_T)
             .select("new_id").distinct()
             .withColumn("rejected", F.lit(True))
@@ -873,9 +929,9 @@ def streaming_minhash_admission(spark, sf_dir):
             "flagged", F.lit(True)
         )
         decisions = (
-            b_base.select(F.col("id").alias("new_id"), "source")
-            .join(flagged, "new_id", "left")
-            .join(rejected, "new_id", "left")
+            b_feat.select(F.col("id").alias("new_id"), "source")
+            .join(F.broadcast(flagged), "new_id", "left")
+            .join(F.broadcast(rejected), "new_id", "left")
             .select(
                 "new_id", "source",
                 F.coalesce("flagged", F.lit(False)).alias("flagged"),
@@ -885,27 +941,15 @@ def streaming_minhash_admission(spark, sf_dir):
         )
         state["decisions"].append(decisions)
         admitted = decisions.filter(~F.col("rejected")).select("new_id")
-        state["sh"] = state["sh"].union(
-            b_base.join(admitted, b_base["id"] == admitted["new_id"])
-            .select("id", "sh")
-        ).localCheckpoint(eager=True)
-        state["bands"] = state["bands"].union(
-            b_bands.join(admitted, b_bands["id"] == admitted["new_id"])
-            .select("id", "band_idx", "band_hash")
+        state["feat"] = state["feat"].union(
+            b_feat.join(admitted, b_feat["id"] == admitted["new_id"])
+            .select("id", "source", "sh", "bands")
         ).localCheckpoint(eager=True)
 
     landing = tempfile.mkdtemp(prefix="stream_admission_")
     try:
         batch_docs = docs.filter(~incumbent).withColumn("wave", wave)
-        for k in range(3):
-            batch_docs.filter(F.col("wave") == k).drop("wave").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{landing}/w{k}")
-            # strictly increasing mtimes pin trigger order = wave order
-            for root, _, files in os.walk(f"{landing}/w{k}"):
-                for fn in files:
-                    os.utime(os.path.join(root, fn),
-                             (time.time() + 10 * k,) * 2)
+        _land_waves(batch_docs, landing)
         # one clean retry with FRESH state: a py4j callback-socket drop
         # inside foreachBatch (observed once under a GC-heavy 48 GB JVM
         # at the ×10 replica) is infra flakiness, not semantics — but a
@@ -930,9 +974,15 @@ def streaming_minhash_admission(spark, sf_dir):
                 if attempt:
                     raise
                 state = fresh_state()
-        out = state["decisions"][0]
-        for d in state["decisions"][1:]:
-            out = out.unionByName(d)
+        if state["decisions"]:
+            out = state["decisions"][0]
+            for d in state["decisions"][1:]:
+                out = out.unionByName(d)
+        else:  # no non-incumbent docs at all: zero triggers fired
+            out = spark.createDataFrame(
+                [], "new_id long, source string, "
+                    "flagged boolean, rejected boolean"
+            )
         return (
             out.groupBy("source")
             .agg(
@@ -1067,10 +1117,8 @@ def streaming_dsir_admission(spark, sf_dir):
     joins the broadcast 256-row log-ratio relation, and folds a
     ≤256-row delta into the checkpointed model. Decisions are
     batch-sized; nothing corpus-proportional shuffles per trigger."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from .queries_training import (
         _DSIR_BUCKETS, _dsir_bucket_counts_arrow,
@@ -1161,14 +1209,7 @@ def streaming_dsir_admission(spark, sf_dir):
     landing = tempfile.mkdtemp(prefix="stream_dsir_")
     try:
         batch_docs = docs.filter(~incumbent).withColumn("wave", wave)
-        for k in range(3):
-            batch_docs.filter(F.col("wave") == k).drop("wave").coalesce(
-                1
-            ).write.mode("overwrite").parquet(f"{landing}/w{k}")
-            for root, _, files in os.walk(f"{landing}/w{k}"):
-                for fn in files:
-                    os.utime(os.path.join(root, fn),
-                             (time.time() + 10 * k,) * 2)
+        _land_waves(batch_docs, landing)
         for attempt in (0, 1):
             stream = (
                 spark.readStream.schema(batch_docs.drop("wave").schema)
@@ -1188,9 +1229,15 @@ def streaming_dsir_admission(spark, sf_dir):
                 if attempt:
                     raise
                 state = fresh_state()
-        out = state["decisions"][0]
-        for d in state["decisions"][1:]:
-            out = out.unionByName(d)
+        if state["decisions"]:
+            out = state["decisions"][0]
+            for d in state["decisions"][1:]:
+                out = out.unionByName(d)
+        else:  # no non-incumbent docs at all: zero triggers fired
+            out = spark.createDataFrame(
+                [], "doc_id long, source string, "
+                    "lw double, admitted boolean"
+            )
         return (
             out.groupBy("source")
             .agg(
