@@ -842,23 +842,17 @@ def near_dup_clusters(spark, sf_dir):
     turns pairwise LSH output into survivor groups (A~B, B~C ⇒ one
     cluster even without an A~C edge). The oracle computes the same
     components with a recursive transitive-closure CTE — exact equality
-    between a fixpoint graph algorithm and SQL recursion."""
-    from .text.clusters import dedup_clusters
-    from .text.dedup import minhash_near_dup_pairs
+    between a fixpoint graph algorithm and SQL recursion.
 
-    # persist=False: connected_components eagerly checkpoints the pair
-    # relation as its first step, so the LSH plan executes exactly once
-    # here — persist would only leave a session-global cache behind
-    # (leaked caches silently rewrite later queries' plans via cache
-    # substitution and hold executor memory for the session's lifetime).
-    pairs = minhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        shingle_n=3,
-        jaccard_threshold=_JACCARD_T,
+    r11: aggregates the memoized :func:`near_dup_cluster_labels`
+    relation (pair build persists its shingle cache — scope-released
+    inside the builder, nothing session-global survives the call)."""
+    cc = near_dup_cluster_labels(_t(spark, sf_dir, "documents"))
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+        F.max("id").alias("max_member"),
     )
-    return dedup_clusters(pairs)
 
 
 @register(
@@ -1178,6 +1172,16 @@ def _removal_ctes() -> str:
 _REMOVED_IDS_MEMO = PlanMemo(4)
 _REMOVED_IDS_MEMO_MAX = _REMOVED_IDS_MEMO.max_entries
 
+#: Sibling memo one level DOWN the same closure (r11 optimization): the
+#: near-dup cluster LABELS relation (id, component) — the LSH pair pass
+#: plus the checkpointed CC loop, shared verbatim by `near_dup_clusters`,
+#: `cluster_survivor_selection`, `soft_dedup_effective_tokens` AND the
+#: removal closure above (which derives its survivor election from it).
+#: Same keying/eviction/weakref discipline as `_REMOVED_IDS_MEMO`; values
+#: are slim two-long-column checkpoints bounded by the clustered-doc
+#: count (dup-rate-bounded, never corpus-sized).
+_CLUSTER_LABELS_MEMO = PlanMemo(4)
+
 
 def clear_removed_ids_memo() -> None:
     """Release every memoized removal-closure checkpoint (tests; or any
@@ -1185,6 +1189,31 @@ def clear_removed_ids_memo() -> None:
     from .operators.ranks import release_rank_cache
 
     _REMOVED_IDS_MEMO.clear(release_rank_cache)
+    _CLUSTER_LABELS_MEMO.clear(release_rank_cache)
+
+
+def near_dup_cluster_labels(docs, memo: bool = True):
+    """Near-dup cluster labels ``(id, component)`` for ``docs`` under the
+    production MinHash config — the LSH pair relation (shingle cache
+    shared across its three plan references via ``persist=True``; the
+    result is eagerly checkpointed and the cache scope-released inside
+    the builder) fed through min-label connected components. Memoized
+    per (session, corpus plan hash) exactly like the removal closure —
+    the four cluster-consuming queries differ only in the aggregate they
+    run over this relation."""
+    from .text.clusters import connected_components
+    from .text.dedup import minhash_near_dup_pairs
+
+    def _compute():
+        pairs = minhash_near_dup_pairs(
+            docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
+            jaccard_threshold=_JACCARD_T, persist=True,
+        )
+        return connected_components(pairs)
+
+    if memo:
+        return _CLUSTER_LABELS_MEMO.get_or_compute(docs, _compute)
+    return _compute()
 
 
 def nonsurvivor_removed_ids(docs, memo: bool = True):
@@ -1196,16 +1225,13 @@ def nonsurvivor_removed_ids(docs, memo: bool = True):
     dup-rate-bounded, nothing corpus-sized. Shared by the dedup
     compositions (same call sites as the oracle fragment); repeat calls
     on the same corpus return the memoized checkpointed relation (see
-    `_REMOVED_IDS_MEMO`; ``memo=False`` forces a fresh computation)."""
-    from .text.clusters import connected_components
-    from .text.dedup import minhash_near_dup_pairs
+    `_REMOVED_IDS_MEMO`; ``memo=False`` forces a fresh computation).
+    r11: the pair+CC stage is itself the memoized
+    :func:`near_dup_cluster_labels` relation, so a session that already
+    clustered this corpus pays only the survivor election here."""
 
     def _compute():
-        pairs = minhash_near_dup_pairs(
-            docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-            jaccard_threshold=_JACCARD_T,
-        )
-        cc = connected_components(pairs)
+        cc = near_dup_cluster_labels(docs, memo=memo)
         members = cc.join(
             docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
         )
@@ -1263,16 +1289,10 @@ def cluster_survivor_selection(spark, sf_dir):
     the same label-propagation components as near_dup_clusters; the
     policy is one max_by over (n_chars, -id) after a doc-metadata join.
     Reports per cluster: survivor, member count, and the char volume
-    the removal frees."""
-    from .text.clusters import connected_components
-    from .text.dedup import minhash_near_dup_pairs
-
+    the removal frees. r11: clusters come from the memoized
+    :func:`near_dup_cluster_labels` relation."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-        jaccard_threshold=_JACCARD_T,
-    )
-    cc = connected_components(pairs)
+    cc = near_dup_cluster_labels(docs)
     members = cc.join(docs.select(F.col("doc_id").alias("id"), "n_chars"), "id")
     keep_key = longest_wins_key()  # (n_chars DESC, id ASC), domain-guarded
     return members.groupBy("component").agg(
@@ -2652,12 +2672,19 @@ def minhash_banding_sweep(spark, sf_dir):
     (16-byte band hash, id) and fixed-width pair rows. Measured at the
     ×10 sweep: 10.6 s (sequential 4-branch form) → ~6 s."""
     from .io.readers import spread
+    from .text.analysis import tokenize
     from .text.dedup import minhash_signature, shingles
 
     docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
-    feat = docs.select(
+    # pre-filter on token count, not size(sh): a filter on the shingle
+    # column is pushed below the projection and duplicates the whole
+    # shingle chain per row (same fix as minhash_near_dup_pairs; empty
+    # shingle set ⟺ empty token array by construction)
+    feat = docs.filter(
+        F.size(tokenize(F.lower(F.col("text")))) > 0
+    ).select(
         F.col("doc_id").alias("id"), shingles("text", 3).alias("sh")
-    ).filter(F.size("sh") > 0).select(
+    ).select(
         "id",
         F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
         F.array(*minhash_signature("sh", _NUM_HASHES)).alias("mh"),
@@ -3004,29 +3031,42 @@ def minhash_incremental_admission(spark, sf_dir):
     index, docs rejected after exact-Jaccard verification at the
     production threshold, and docs admitted.
 
-    Scale shape: the incumbent band table is the AT-REST index (in
-    production, a materialized table keyed by (band_idx, band_hash) —
-    here rebuilt from the corpus since the sf-dir contract is
-    read-only); the batch side is the structurally small side and
-    BROADCASTS, so the collision probe never shuffles the incumbent
-    index — batch rows stream through its partitions (collision output
-    is partitioned like the index, the shape that scales to a 100 TB
-    incumbent). Verification attaches shingle sets for the candidate
-    ids only (semi-join-pruned), and admission counts aggregate
-    batch-side rows only. Nothing in the plan is proportional to the
-    incumbent corpus except the index scan itself."""
+    Scale shape: the incumbent band index is AT REST in production — a
+    materialized table keyed/bucketed by (band_idx, band_hash), which
+    is exactly the grouped `buckets` relation below; here it is rebuilt
+    from the corpus since the sf-dir contract is read-only, and that
+    rebuild (one slim (id, incumbent, band-hash) shuffle into the
+    bucket layout — 25 bytes/row, never text) is the only
+    index-proportional work in the plan. Batch rows land in the same
+    exchange, collisions expand INSIDE each bucket array
+    (new×incumbent only), and verification attaches shingle sets for
+    the candidate ids only (semi-join-pruned); admission counts
+    aggregate batch-side rows only. r11: this replaced a
+    broadcast-probe form whose two filtered branches of the banded
+    relation re-expanded the shingle+signature subtree four times —
+    featurization now runs once over a call-scoped cache."""
     from .text.dedup import band_structs, minhash_signature, shingles
 
     docs = _t(spark, sf_dir, "documents")
     incumbent = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd"
     )
+    # r11: ONE featurization pass. The previous shape re-expanded the
+    # shingle subtree four times (two filtered branches of the banded
+    # relation joined against each other, plus a shingle re-expansion
+    # per verify side); persisting (id, source, incumbent, sh) and
+    # finding collisions by BUCKET AGGREGATION over a single banded
+    # scan (the dedup_cluster_delta idiom — group ids per band bucket,
+    # expand new×incumbent pairs inside the bucket array) computes
+    # shingles+signature exactly once and replaces the probe join's
+    # shuffle pair with one groupBy exchange.
     base = docs.select(
         F.col("doc_id").alias("id"),
         "source",
         incumbent.alias("incumbent"),
         shingles("text", 3).alias("sh"),
-    )
+    ).persist()
+    base.count()  # cache barrier (see minhash_banding_sweep)
     sig = base.select(
         "id", "incumbent", *minhash_signature("sh", _NUM_HASHES)
     )
@@ -3034,17 +3074,30 @@ def minhash_incremental_admission(spark, sf_dir):
         "id", "incumbent",
         F.explode(band_structs(_NUM_HASHES, _BANDS)).alias("band"),
     ).select("id", "incumbent", "band.band_idx", "band.band_hash")
-    inc_bands = banded.filter(F.col("incumbent")).select(
-        F.col("id").alias("inc_id"), "band_idx", "band_hash"
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("id", "incumbent")).alias("ents"))
+        .filter(
+            F.exists("ents", lambda e: e["incumbent"])
+            & F.exists("ents", lambda e: ~e["incumbent"])
+        )
     )
-    new_bands = banded.filter(~F.col("incumbent")).select(
-        F.col("id").alias("new_id"), "band_idx", "band_hash"
+    news = F.filter("ents", lambda e: ~e["incumbent"])
+    incs = F.filter("ents", lambda e: e["incumbent"])
+    pair_structs = F.flatten(
+        F.transform(
+            news,
+            lambda n: F.transform(
+                incs,
+                lambda i: F.struct(
+                    n["id"].alias("new_id"), i["id"].alias("inc_id")
+                ),
+            ),
+        )
     )
     cand = (
-        inc_bands.join(
-            F.broadcast(new_bands), ["band_idx", "band_hash"]
-        )
-        .select("new_id", "inc_id")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.new_id", "p.inc_id")
         .distinct()
     )
     sh_new = base.filter(~F.col("incumbent")).select(
@@ -3070,7 +3123,7 @@ def minhash_incremental_admission(spark, sf_dir):
     batch = base.filter(~F.col("incumbent")).select(
         F.col("id").alias("new_id"), "source"
     )
-    return (
+    out = (
         batch.join(flagged, "new_id", "left")
         .join(verified, "new_id", "left")
         .groupBy("source")
@@ -3082,7 +3135,12 @@ def minhash_incremental_admission(spark, sf_dir):
             .cast("bigint")
             .alias("n_admitted"),
         )
+        # tiny (per-source) eager materialization so the shingle cache
+        # can be scope-released before returning
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 @register(
@@ -4568,17 +4626,13 @@ def soft_dedup_effective_tokens(spark, sf_dir):
     folded into the scan. The per-source rollup is partial-aggregable.
     Weights, not rows, change with the dup rate — output stays
     source-bounded. Oracle recomputes the closure with the recursive
-    CTE and the same 1/|component| weights."""
+    CTE and the same 1/|component| weights. r11: the pair+CC stage is
+    the memoized :func:`near_dup_cluster_labels` relation — this lane
+    paid its own full LSH+CC closure on every call before."""
     from .text.analysis import tokenize
-    from .text.clusters import connected_components
-    from .text.dedup import minhash_near_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(
-        docs, num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3,
-        jaccard_threshold=_JACCARD_T,
-    )
-    cc = connected_components(pairs)
+    cc = near_dup_cluster_labels(docs)
     sizes = cc.select(
         "id",
         F.count(F.lit(1)).over(W.partitionBy("component")).alias("csize"),

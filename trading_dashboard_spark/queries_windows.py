@@ -195,16 +195,25 @@ def sma_dual_semantics(spark, sf_dir):
     """W5 + SURVEY.md §7.4 — the SMA boundary-semantics pair: SQL partial
     mean (ROWS 13 PRECEDING) vs pandas ``rolling(14, min_periods=14)``
     NaN-until-full. The engine exposes both behind one flag."""
-    from .operators.indicators import sma
     from .operators.windows import per_key_window
 
+    # r11: one shared (avg, count) frame pair materialized, then rounded
+    # as attributes — the single-select form ran 9 window aggregators
+    # (pround ×3 on each sma flavor, min_periods guard re-counting) for
+    # the 2 distinct ones. operators.indicators.sma remains the W5
+    # Column-form anchor; arithmetic here is its exact expansion.
     daily = _daily_close(spark, sf_dir)
-    w = per_key_window("user_id", "d")
-    return daily.select(
+    frame = per_key_window("user_id", "d").rowsBetween(-13, 0)
+    frames = daily.select(
+        "user_id", "d",
+        F.avg("close").over(frame).alias("_avg"),
+        F.count("close").over(frame).alias("_cnt"),
+    )
+    return frames.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
-        pround(sma(F.col("close"), w, 14, pandas_parity=False), 4).alias("sma_partial"),
-        pround(sma(F.col("close"), w, 14, pandas_parity=True), 4).alias("sma_pandas"),
+        pround(F.col("_avg"), 4).alias("sma_partial"),
+        pround(F.when(F.col("_cnt") >= 14, F.col("_avg")), 4).alias("sma_pandas"),
     )
 
 
@@ -230,14 +239,31 @@ def sma_dual_semantics(spark, sf_dir):
 )
 def bollinger_bands(spark, sf_dir):
     """W6 — Bollinger bands: 20-row rolling mean ± 2·stddev_samp with
-    pandas min_periods parity (indicators.py:20-27)."""
-    from .operators.indicators import bollinger
+    pandas min_periods parity (indicators.py:20-27).
+
+    r11: the three frame aggregates (count, avg, stddev) materialize ONCE
+    in a first projection and the bands derive from the attributes. The
+    single-select form fed window-aggregate EXPRESSIONS into pround,
+    whose 3-reference rounding CASE (and the min_periods guard) textually
+    duplicated them — WindowExec does not dedup equal window expressions,
+    so the plan ran THIRTY sliding-frame aggregators per row where three
+    suffice (plan audit: _we0.._we29 → _we0.._we2). Same arithmetic, same
+    values — only the expression graph is shared now."""
     from .operators.windows import per_key_window
 
     daily = _daily_close(spark, sf_dir)
-    w = per_key_window("user_id", "d")
-    mid, up, lo = bollinger(F.col("close"), w, n=20, k=2.0)
-    return daily.select(
+    frame = per_key_window("user_id", "d").rowsBetween(-19, 0)
+    frames = daily.select(
+        "user_id", "d", "close",
+        F.count("close").over(frame).alias("_cnt"),
+        F.avg("close").over(frame).alias("_mid"),
+        F.stddev_samp("close").over(frame).alias("_sd"),
+    )
+    full = F.col("_cnt") >= 20
+    mid = F.when(full, F.col("_mid"))
+    up = F.when(full, F.col("_mid") + 2.0 * F.col("_sd"))
+    lo = F.when(full, F.col("_mid") - 2.0 * F.col("_sd"))
+    return frames.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
         pround("close", 2).alias("close"),
@@ -283,15 +309,40 @@ def rsi_indicator(spark, sf_dir):
     first row's null diff becomes 0, so RSI first emits at row n-1, exact
     reference parity) → 14-row rolling means → 100-100/(1+rs), loss=0 →
     RSI 100 (indicators.py:11-18 + SURVEY.md §7.4 divide-by-zero rule)."""
-    from .operators.indicators import rsi
     from .operators.windows import per_key_window
 
+    # r11: the operators.indicators.rsi Column form stays the W8 anchor,
+    # but feeding it straight into pround duplicated every frame
+    # aggregate ×3 (pround's 3-reference rounding CASE) on top of the
+    # composite's own multi-references — ~21 window aggregators per row
+    # for 4 distinct ones. This materializes the same delta → gain/loss
+    # → frame aggregates in two projections (identical expressions,
+    # identical NULL flow — first-row NULL delta → 0 via the same
+    # F.when), then rounds ATTRIBUTES; arithmetic is unchanged.
     daily = _daily_close(spark, sf_dir)
     w = per_key_window("user_id", "d")
-    return daily.select(
+    delta = F.col("close") - F.lag("close", 1).over(w)
+    diffs = daily.select("user_id", "d", delta.alias("_delta"))
+    gain = F.when(F.col("_delta") > 0, F.col("_delta")).otherwise(F.lit(0.0))
+    loss = F.when(F.col("_delta") < 0, -F.col("_delta")).otherwise(F.lit(0.0))
+    frame = per_key_window("user_id", "d").rowsBetween(-13, 0)
+    frames = diffs.select(
+        "user_id", "d",
+        F.count(F.lit(1)).over(frame).alias("_cnt"),
+        F.avg(gain).over(frame).alias("_ag"),
+        F.avg(loss).over(frame).alias("_al"),
+    )
+    ag, al = F.col("_ag"), F.col("_al")
+    raw = F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + ag / al)
+    out = (
+        F.when(al == 0.0,
+               F.when(ag == 0.0, F.lit(None)).otherwise(F.lit(100.0)))
+        .otherwise(raw)
+    )
+    return frames.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
-        pround(rsi(F.col("close"), w, 14), 4).alias("rsi_14"),
+        pround(F.when(F.col("_cnt") >= 14, out), 4).alias("rsi_14"),
     )
 
 
@@ -318,16 +369,26 @@ def cumulative_user_totals(spark, sf_dir):
     windowed avg): cumulative aggregation associates differently across
     engines (segment tree vs sequential), so the avg is rebuilt from a
     value both engines agree on bit-for-bit."""
+    # r11: materialize the two window primitives once, round attributes —
+    # the single-select form ran ~12 cumulative-sum + 5 row_number
+    # aggregators per row (pround ×3, and running_avg's nested pround of
+    # pround ×9) for the 2 distinct ones. Same arithmetic: running_avg
+    # still derives from the ROUNDED total attribute.
     daily = _daily_close(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("d")
     frame = w.rowsBetween(W.unboundedPreceding, 0)
-    total = pround(F.sum("close").over(frame), 2)
-    return daily.select(
+    wins = daily.select(
+        "user_id", "d",
+        F.sum("close").over(frame).alias("_tot"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    total = pround(F.col("_tot"), 2)
+    return wins.select(
         "user_id",
         F.date_format("d", "yyyy-MM-dd").alias("trade_date"),
         total.alias("running_total"),
-        pround(total / F.row_number().over(w), 4).alias("running_avg"),
-        F.row_number().over(w).cast("long").alias("day_number"),
+        pround(total / F.col("_rn"), 4).alias("running_avg"),
+        F.col("_rn").cast("long").alias("day_number"),
     )
 
 

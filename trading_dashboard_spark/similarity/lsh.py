@@ -288,10 +288,19 @@ def lsh_knn(
         return pd.Series(list(allb.reshape(B, n_tables * slot)))
 
     if bucket_topk:
+        # Evaluate BOTH pandas UDFs before the posexplode: with the
+        # generator in the same select, Catalyst placed _unit ABOVE the
+        # Generate, normalizing each vector once per exploded bucket row
+        # (tables·(1+probes) ≈ 6× the Python work and 6× the vector
+        # bytes through Arrow — guide §4.4 class). Two independent UDFs
+        # at one projection level fuse into a single ArrowEvalPython
+        # node, so each vector now crosses the boundary once.
         rows = base.select(
             "id",
             _unit(F.col("v")).alias("u"),
-            F.posexplode(_all_buckets(F.col("v"))).alias("pos", "bucket"),
+            _all_buckets(F.col("v")).alias("bks"),
+        ).select(
+            "id", "u", F.posexplode("bks").alias("pos", "bucket")
         ).select(
             "id", "u", "bucket",
             F.expr(f"pos div {slot}").alias("tbl"),
@@ -349,7 +358,15 @@ def lsh_knn(
         local = rows.groupBy("tbl", "bucket").applyInPandas(
             _local_topk, "id long, neighbor_id long, cosine double"
         )
-        merged = local.dropDuplicates(["id", "neighbor_id"])
+        # One exchange for dedup + ranking instead of two: hash(id)
+        # satisfies the dedup aggregate's (id, neighbor_id) clustering
+        # (subset rule) AND the ranking window's id partitioning, so
+        # the explicit repartition is reused by both downstream ops
+        # (guide §2.4 — two operations keyed the same way share one
+        # exchange). Rows here are three fixed-width columns, k·tables·
+        # (1+probes) per vector — the lost map-side partial aggregation
+        # is noise next to a whole extra shuffle+sort of the relation.
+        merged = local.repartition("id").dropDuplicates(["id", "neighbor_id"])
         w = W.partitionBy("id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
         )

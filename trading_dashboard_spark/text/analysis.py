@@ -214,9 +214,17 @@ def repetition_signals(text: Column) -> dict[str, Column]:
         )
 
     top_c = F.aggregate(sorted_ws, acc0, _step, lambda acc: acc["best"])
-    bigrams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    # r11: bigrams via the shingles zip_with idiom — ws enters zip_with
+    # as an ARGUMENT (evaluated once per row), where the previous
+    # transform-over-sequence captured ws inside its lambda and
+    # re-evaluated the tokenize+lower chain per element (2(n−1)
+    # tokenizations per doc during interpreted HOF evaluation). Values
+    # identical: zip_with pads the short side with NULL, concat_ws
+    # skips NULLs, and the n−1 slice drops that trailing element anyway.
+    bigrams = F.when(n >= 2, F.slice(
+        F.zip_with(
+            ws, F.slice(ws, 2, n), lambda a, b: F.concat_ws(" ", a, b)
+        ), 1, n - 1,
     )).otherwise(F.array().cast("array<string>"))
     nb = F.size(bigrams)
     safe_nb = F.when(nb > 0, nb).cast("double")
@@ -274,21 +282,42 @@ def chunk_fingerprints(
     md5; equivalence classes are identical modulo 2^-64 collisions).
     Map-only explode.
     """
-    toks = tokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
-    win = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.xxhash64(F.concat_ws(" ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens))).alias("chunk_fp"),
-        ),
+    # r11: the token array MATERIALIZES in its own projection before any
+    # per-chunk expression touches it. The previous form captured the
+    # whole tokenize() subtree inside the transform() lambda, and a
+    # captured subexpression is re-evaluated per array ELEMENT during
+    # interpreted HOF evaluation — the corpus was re-tokenized
+    # n_chunks× per document (measured 1.03 → 0.29 s at sf0.1). The
+    # chunk loop is also an index EXPLODE + per-row slice now, not a
+    # built-then-sliced struct array: same rows (chunk_idx < ceil(n/w)
+    # reproduces slice(win, 1, n_chunks) exactly, including the
+    # zero-token doc dropping out), same fp expression, one fewer
+    # array materialization per document.
+    toked = df.select(
+        F.col(id_col),
+        tokenize(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("__tk"),
     )
-    win = F.slice(win, 1, n_chunks)
-    return df.select(F.col(id_col), F.explode(win).alias("c")).select(
+    n = F.size(F.col("__tk"))
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    ex = toked.select(
+        id_col, "__tk", n_chunks.alias("__nc"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+        ).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") < F.col("__nc"))
+    return ex.select(
         id_col,
-        F.col("c.chunk_idx").alias("chunk_idx"),
-        F.col("c.chunk_fp").alias("chunk_fp"),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__tk"),
+                    F.col("chunk_idx") * chunk_tokens + 1,
+                    chunk_tokens,
+                ),
+            )
+        ).alias("chunk_fp"),
     )
 
 

@@ -222,10 +222,16 @@ def minhash_near_dup_pairs(
     # no-evidence rule: zero-token docs have empty shingle sets and can
     # never verify >= threshold — dropping them BEFORE banding also kills
     # the degenerate all-empties bucket (C(k,2) wasted candidates on a
-    # corpus with k empty docs)
-    base = raw.select(
-        "id", shingles("__txt", shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # corpus with k empty docs). The filter tests the TOKEN count, not
+    # size(sh): `sh` is empty iff tokenize() is empty (see shingles()),
+    # and a filter on the shingle column itself is pushed below the
+    # projection by Catalyst, duplicating the whole zip_with/md5 chain
+    # per row (plan showed 2× zip_with trees; measured 0.94 → 0.42 s
+    # for the shingle stage at sf0.1 — guide §4.4's pushdown-duplication
+    # pathology, hit by a plain expensive expression instead of a UDF).
+    base = raw.filter(
+        F.size(tokenize(F.lower(F.col("__txt")))) > 0
+    ).select("id", shingles("__txt", shingle_n).alias("sh"))
     if persist:
         base = base.persist()
     sig = base.select("id", *minhash_signature("sh", num_hashes))
