@@ -383,6 +383,17 @@ def test_connected_components_equals_union_find_random_battery(spark):
         for r in connected_components(df, max_iter=30).collect()
     }
     assert got == expected
+    # r11: the size-gated driver union-find fast path and the
+    # distributed label-propagation loop must be label-identical —
+    # force the loop (gate 0) and compare against the default path
+    # (which takes the driver lane at this size)
+    looped = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            df, max_iter=30, driver_max_edge_rows=0
+        ).collect()
+    }
+    assert looped == got == expected
 
 
 def test_oracle_tokenizer_class_matches_java_ws_battery(spark):

@@ -868,8 +868,17 @@ def streaming_minhash_admission(spark, sf_dir):
         sig = base.select(
             "id", "source", "sh", *minhash_signature("sh", _NUM_HASHES)
         )
+        # r11: checkpoint shingle FINGERPRINTS (xxhash64 longs), never
+        # the shingle strings — verification only needs shingle
+        # IDENTITY, and Jaccard over fp arrays equals Jaccard over the
+        # strings absent a 64-bit collision within a compared pair (the
+        # repo-wide convention: dedup_cluster_delta, verbatim runs —
+        # see those docstrings). The at-rest index materializes ~8
+        # bytes per shingle instead of the ~20-byte gram string, and
+        # the per-trigger verify intersects longs, not strings.
         return sig.select(
-            "id", "source", "sh",
+            "id", "source",
+            F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
             band_structs(_NUM_HASHES, _BANDS).alias("bands"),
         ).localCheckpoint(eager=True)
 
@@ -915,9 +924,9 @@ def streaming_minhash_admission(spark, sf_dir):
             .distinct()
         )
         sh_new = b_feat.select(F.col("id").alias("new_id"),
-                               F.col("sh").alias("sh_n"))
+                               F.col("fp").alias("sh_n"))
         sh_idx = idx.select(F.col("id").alias("inc_id"),
-                            F.col("sh").alias("sh_i"))
+                            F.col("fp").alias("sh_i"))
         inter = F.size(F.array_intersect("sh_n", "sh_i"))
         union = F.size(F.array_union("sh_n", "sh_i"))
         jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
@@ -962,7 +971,7 @@ def streaming_minhash_admission(spark, sf_dir):
             b_feat.join(
                 F.broadcast(admitted), b_feat["id"] == admitted["new_id"]
             )
-            .select("id", "source", "sh", "bands")
+            .select("id", "source", "fp", "bands")
             .localCheckpoint(eager=True)
         )
 

@@ -3054,23 +3054,34 @@ def minhash_incremental_admission(spark, sf_dir):
     # r11: ONE featurization pass. The previous shape re-expanded the
     # shingle subtree four times (two filtered branches of the banded
     # relation joined against each other, plus a shingle re-expansion
-    # per verify side); persisting (id, source, incumbent, sh) and
+    # per verify side); persisting (id, source, incumbent, fp, mh) and
     # finding collisions by BUCKET AGGREGATION over a single banded
     # scan (the dedup_cluster_delta idiom — group ids per band bucket,
     # expand new×incumbent pairs inside the bucket array) computes
     # shingles+signature exactly once and replaces the probe join's
     # shuffle pair with one groupBy exchange.
-    base = docs.select(
+    # r11 (second pass): the cached relation carries shingle
+    # FINGERPRINTS (xxhash64 longs) + the minhash components, never the
+    # shingle strings — verification needs shingle IDENTITY only, and
+    # fp-Jaccard equals string-Jaccard absent a 64-bit collision within
+    # a compared pair (the dedup_cluster_delta / verbatim-runs
+    # convention). Cache bytes drop ~2.5× and the verify intersects
+    # compare longs, not grams. The shingle stage still evaluates once:
+    # `sh` is multi-referenced and non-cheap, so CollapseProject keeps
+    # the two-level projection materializing it per row.
+    shingled = docs.select(
         F.col("doc_id").alias("id"),
         "source",
         incumbent.alias("incumbent"),
         shingles("text", 3).alias("sh"),
+    )
+    base = shingled.select(
+        "id", "source", "incumbent",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("fp"),
+        *minhash_signature("sh", _NUM_HASHES),
     ).persist()
     base.count()  # cache barrier (see minhash_banding_sweep)
-    sig = base.select(
-        "id", "incumbent", *minhash_signature("sh", _NUM_HASHES)
-    )
-    banded = sig.select(
+    banded = base.select(
         "id", "incumbent",
         F.explode(band_structs(_NUM_HASHES, _BANDS)).alias("band"),
     ).select("id", "incumbent", "band.band_idx", "band.band_hash")
@@ -3101,10 +3112,10 @@ def minhash_incremental_admission(spark, sf_dir):
         .distinct()
     )
     sh_new = base.filter(~F.col("incumbent")).select(
-        F.col("id").alias("new_id"), F.col("sh").alias("sh_n")
+        F.col("id").alias("new_id"), F.col("fp").alias("sh_n")
     )
     sh_inc = base.filter(F.col("incumbent")).select(
-        F.col("id").alias("inc_id"), F.col("sh").alias("sh_i")
+        F.col("id").alias("inc_id"), F.col("fp").alias("sh_i")
     )
     inter = F.size(F.array_intersect("sh_n", "sh_i"))
     union = F.size(F.array_union("sh_n", "sh_i"))

@@ -131,30 +131,40 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
-    toks = tokenize(F.coalesce(F.col(text_col), F.lit("")))
-    n = F.size(toks)
+    # r11: the token array MATERIALIZES in its own projection before any
+    # per-chunk expression touches it — the previous form captured the
+    # tokenize() subtree inside the transform() lambda, and a captured
+    # subexpression is re-evaluated per array ELEMENT during interpreted
+    # HOF evaluation (the corpus was re-tokenized n_chunks× per doc; the
+    # chunk_fingerprints fix, same idiom). The chunk loop is an index
+    # EXPLODE + per-row slice: chunk_idx < n_chunks reproduces the old
+    # slice(win, 1, n_chunks) trim exactly (sequence(0, greatest(nc,1)-1)
+    # emits [0] for empty docs, which the filter drops — the old
+    # descending-sequence guard's cases, row-wise).
+    toked = df.select(
+        F.col(id_col),
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("__tk"),
+    )
+    n = F.size(F.col("__tk"))
     n_chunks = F.when(n > 0, F.greatest(
         F.lit(1),
         (F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)) + 1).cast("int"),
     )).otherwise(F.lit(0))
-    win = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_tokens)).alias(
-                "chunk_text"
-            ),
-            F.least(F.lit(chunk_tokens), n - i * step).cast("int").alias("n_tokens"),
-        ),
-    )
-    # sequence(0, n_chunks-1) runs DESCENDING when n_chunks = 0, so trim
-    # the window array to exactly n_chunks entries: empty docs slice to an
-    # empty array (of the right struct type) and explode drops them
-    win = F.slice(win, 1, n_chunks)
-    return df.select(F.col(id_col), F.explode(win).alias("c")).select(
-        id_col, F.col("c.chunk_idx").alias("chunk_idx"),
-        F.col("c.chunk_text").alias("chunk_text"),
-        F.col("c.n_tokens").alias("n_tokens"),
+    ex = toked.select(
+        id_col, "__tk", n_chunks.alias("__nc"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1)
+        ).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") < F.col("__nc"))
+    i = F.col("chunk_idx")
+    return ex.select(
+        id_col,
+        i.cast("int").alias("chunk_idx"),
+        F.concat_ws(
+            " ", F.slice(F.col("__tk"), i * step + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.size(F.col("__tk")) - i * step)
+        .cast("int").alias("n_tokens"),
     )
 
 

