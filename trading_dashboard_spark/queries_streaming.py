@@ -940,39 +940,50 @@ def streaming_minhash_admission(spark, sf_dir):
         # shuffle the design forbids). The broadcast side is candidate
         # pairs joined to BATCH shingles — the same bounded class as
         # the b_bands broadcast above.
-        rejected = (
+        #
+        # r11 (second pass): ONE relation derives both decision bits —
+        # per candidate new_id, flagged ⟺ a ver row exists (the inner
+        # joins preserve every cand row: sh_new covers the whole batch,
+        # sh_idx the whole index) and rejected ⟺ max(jac ≥ T) (NULL jac
+        # from empty fp sets coalesces false, exactly the old filter's
+        # NULL-drop). The previous flagged/rejected pair referenced
+        # `cand` twice, so the lazy probe join — and its full index
+        # band scan — executed TWICE inside the decisions job.
+        flags = (
             F.broadcast(cand.join(sh_new, "new_id"))
             .join(sh_idx, "inc_id")
-            .filter(jac >= _JACCARD_T)
-            .select("new_id").distinct()
-            .withColumn("rejected", F.lit(True))
-        )
-        flagged = cand.select("new_id").distinct().withColumn(
-            "flagged", F.lit(True)
+            .groupBy("new_id")
+            # coalesce INSIDE the max: an all-NULL-jaccard candidate
+            # (both fp sets empty) must still read flagged=true / not
+            # rejected, exactly like the old filter's NULL-drop
+            .agg(
+                F.max(F.coalesce(jac >= _JACCARD_T, F.lit(False)))
+                .alias("rej")
+            )
         )
         decisions = (
             b_feat.select(F.col("id").alias("new_id"), "source")
-            .join(F.broadcast(flagged), "new_id", "left")
-            .join(F.broadcast(rejected), "new_id", "left")
+            .join(F.broadcast(flags), "new_id", "left")
             .select(
                 "new_id", "source",
-                F.coalesce("flagged", F.lit(False)).alias("flagged"),
-                F.coalesce("rejected", F.lit(False)).alias("rejected"),
+                F.col("rej").isNotNull().alias("flagged"),
+                F.coalesce("rej", F.lit(False)).alias("rejected"),
             )
             .localCheckpoint(eager=True)
         )
         state["decisions"].append(decisions)
         admitted = decisions.filter(~F.col("rejected")).select("new_id")
-        # O(batch) state advance: checkpoint only the admitted SLICE of
-        # the (already checkpointed) batch featurization and append it
-        # as a new index part — the broadcast-join runs over
-        # checkpointed bytes, nothing index-proportional executes here
+        # O(batch) state advance: the new index part is the admitted
+        # SLICE of the batch featurization — a broadcast join of two
+        # relations that are ALREADY checkpointed, so it stays LAZY:
+        # later triggers' probe jobs re-evaluate it map-side over
+        # checkpointed bytes (bounded by the batch), which costs less
+        # than an eager checkpoint job per trigger ever did
         state["parts"].append(
             b_feat.join(
                 F.broadcast(admitted), b_feat["id"] == admitted["new_id"]
             )
             .select("id", "source", "fp", "bands")
-            .localCheckpoint(eager=True)
         )
 
     landing = tempfile.mkdtemp(prefix="stream_admission_")
