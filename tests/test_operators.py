@@ -468,3 +468,58 @@ def test_order_key_forms_identical_total_order(spark):
     assert orders["string"] == orders["decimal"]
     # and the order is (ts, event_id) lexicographic
     assert orders["string"] == sorted(orders["string"])
+
+
+def test_day_scoped_order_key_matches_general_key_within_day_groups(spark):
+    """`day_scoped_order_key` (r11: packed long, used ONLY under
+    day-aligned groupBys) must pick the same argmax/argmin as the general
+    key in every (user, day) group — pinned on duplicate timestamps,
+    day-boundary micros (23:59:59.999999 / 00:00:00.000000), NULL
+    values, and a pre-1970 day; and its domain guard must raise LOUDLY
+    for event_id ≥ 2²⁶."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark import query_registry as qr
+
+    rows = [
+        # one UTC day, duplicate micros broken by id
+        (1, "2024-01-02 23:59:59.999999", 10, 5.0),
+        (1, "2024-01-02 23:59:59.999999", 11, 6.0),
+        (1, "2024-01-02 00:00:00.000000", 12, 7.0),   # day start
+        # next day begins — separate group, its min-micros row
+        (1, "2024-01-03 00:00:00.000000", 13, 8.0),
+        # NULL values (key must be NULLed by the caller's wrapper)
+        (2, "2024-01-02 11:00:00.000000", 14, None),
+        (2, "2024-01-02 10:00:00.000000", 15, 9.0),
+        # pre-1970: negative epoch micros, pmod still in-day
+        (3, "1969-12-31 18:00:00.000000", 16, 1.5),
+        (3, "1969-12-31 06:00:00.000000", 17, 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, value double"
+    ).select(
+        "user_id", F.to_timestamp("ts_s").alias("ts"), "event_id", "value"
+    )
+
+    def daily(key):
+        k = F.when(F.col("value").isNotNull(), key)
+        return {
+            (r["user_id"], str(r["d"])): (r["close"], r["open"])
+            for r in df.groupBy(
+                "user_id", F.to_date("ts").alias("d")
+            ).agg(
+                F.max_by("value", k).alias("close"),
+                F.min_by("value", k).alias("open"),
+            ).collect()
+        }
+
+    assert daily(qr.day_scoped_order_key()) == daily(qr.event_order_key())
+
+    # domain guard: id at 2^26 raises instead of silently mis-ordering
+    bad = spark.createDataFrame(
+        [("2024-01-02 09:00:00", 1 << 26, 1.0)],
+        "ts_s string, event_id long, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_id", "value")
+    with pytest.raises(Exception, match="day_scoped_order_key"):
+        bad.select(qr.day_scoped_order_key().alias("k")).collect()

@@ -404,6 +404,50 @@ def test_streaming_admission_rejects_against_grown_index(spark, tmp_path):
     assert static == {"feedA": (0, 1), "feedB": (0, 2)}
 
 
+def test_admission_fp_jaccard_equals_string_jaccard(spark):
+    """r11 opt: the admission lanes verify Jaccard over xxhash64 shingle
+    FINGERPRINTS instead of the shingle strings (the dedup_cluster_delta
+    convention). Pins the invariant that makes the swap sound: on
+    distinct shingle arrays, |∩| and |∪| computed over fps equal the
+    string-side counts (absent 64-bit collisions), including the
+    empty-set NULL-guard flow, so the 6dp-rounded jaccard is
+    bit-identical."""
+    from pyspark.sql import functions as F
+
+    from trading_dashboard_spark.text.dedup import shingles
+
+    rows = [
+        (1, "one two three four five six", 2, "one two three four seven"),
+        (3, "alpha beta gamma", 4, "delta epsilon zeta"),   # disjoint
+        (5, "", 6, ""),                                     # both empty
+        (7, "same same same words here", 8, "same words here exactly"),
+    ]
+    df = spark.createDataFrame(rows, "ia long, ta string, ib long, tb string")
+    feat = df.select(
+        "ia", "ib",
+        shingles(F.col("ta"), 3).alias("sa"),
+        shingles(F.col("tb"), 3).alias("sb"),
+    ).select(
+        "ia", "ib", "sa", "sb",
+        F.transform("sa", lambda s: F.xxhash64(s)).alias("fa"),
+        F.transform("sb", lambda s: F.xxhash64(s)).alias("fb"),
+    )
+
+    def jac(a, b):
+        inter = F.size(F.array_intersect(a, b))
+        union = F.size(F.array_union(a, b))
+        return F.round(inter / F.when(union != 0, union).cast("double"), 6)
+
+    got = feat.select(
+        "ia",
+        jac(F.col("sa"), F.col("sb")).alias("js"),
+        jac(F.col("fa"), F.col("fb")).alias("jf"),
+    ).collect()
+    assert len(got) == 4
+    for r in got:
+        assert r["js"] == r["jf"], (r["ia"], r["js"], r["jf"])
+
+
 def test_streaming_dsir_admission_model_drifts_with_admissions(spark, tmp_path):
     """The growing-histogram property: a wave-0 doc in UNSEEN vocabulary
     admits (unseen tokens lean slightly target-ward while raw > target
