@@ -850,7 +850,7 @@ def streaming_minhash_admission(spark, sf_dir):
     wave = F.when(wv < "6", 0).when(wv < "b", 1).otherwise(2)
 
     def featurize(df):
-        """ONE checkpointed (id, source, sh, bands) relation per doc set.
+        """ONE checkpointed (id, source, fp, bands) relation per doc set.
 
         r11: the old two-relation form checkpointed (id, sh) and the
         exploded band rows separately — and since the band relation was
