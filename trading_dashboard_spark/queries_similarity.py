@@ -711,35 +711,68 @@ def _lloyd_assignments(emb, k: int, iters: int):
     `_kmeans_ctes`: k-lowest-id init, per-iteration broadcast centroids →
     map-side squared-L2 argmin (JVM zip_with/aggregate fold, ties to the
     lowest cid) → (cid, pos) partial-sum centroid rebuild rounded to 6dp.
-    The corpus is scanned once per iteration and never shuffled; the
-    driver loop only composes the plan (no collect between iterations).
-    Returns the final (vec_id, cid, dist) assignment DataFrame."""
-    from pyspark.sql import Window as W
+    The driver loop only composes the plan (no collect between
+    iterations). Returns the final assignment DataFrame: the input
+    columns plus ``cid`` and ``dist``.
 
+    r11 shape: the argmin is an ARRAY EXPRESSION, not a window. The
+    centroid relation (k×dim, KB-scale at any corpus) collapses to a
+    single-row sorted struct array that broadcast-crossJoins onto the
+    corpus (BroadcastNestedLoopJoin of one row — the repo's scalar
+    idiom), and per row ``array_min(transform(cs, s → (dist, cid)))``
+    picks the least (dist, cid) struct — the exact lexicographic order
+    ``row_number() OVER (ORDER BY dist, cid) = 1`` picked, on the same
+    zip_with/aggregate fold doubles, so assignments are bit-identical
+    (pinned collect-to-collect at sf0.1 and the ×10 replica). The old
+    crossJoin×k row expansion + per-iteration window shuffle of 8n rows
+    is gone, and because the argmin row still CARRIES ``v``, the
+    centroid rebuild reads (cid, v) from the same projection instead of
+    re-joining the corpus by vec_id — the two payload-bearing SMJs per
+    rebuild are gone too. Per iteration the only exchange left is the
+    k×dim partial-sum aggregation; the corpus is scanned once per
+    iteration and never shuffled (measured ×10 paired:
+    ivf_codebook_refresh 4.0–5.5 → 3.4–4.1 s; plan Exchange 60 → see
+    plans/r11/ivf_codebook_refresh_after.txt)."""
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )
     assigned = None
     for it in range(1, iters + 1):
-        d = emb.crossJoin(F.broadcast(cents))
-        dist = F.aggregate(
-            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        carr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("__cs")
         )
-        rk = F.row_number().over(
-            W.partitionBy("vec_id").orderBy("dist", "cid")
+        best = F.array_min(
+            F.transform(
+                F.col("__cs"),
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    s["cid"].alias("cid"),
+                ),
+            )
         )
+        in_cols = emb.columns
         assigned = (
-            d.select("vec_id", "cid", dist.alias("dist"))
-            .withColumn("rk", rk)
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            emb.crossJoin(F.broadcast(carr))
+            .withColumn("__best", best)
+            # empty-centroid guard: agg() emits one all-NULL-array row
+            # even over zero centroids; the old crossJoin form emitted
+            # zero assignment rows there — reproduce that.
+            .filter(F.col("__best").isNotNull())
+            .select(
+                *in_cols,
+                F.col("__best.cid").alias("cid"),
+                F.col("__best.dist").alias("dist"),
+            )
         )
         if it < iters:
             dims = (
-                assigned.join(emb, "vec_id")
-                .select("cid", F.posexplode("v").alias("pos", "val"))
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cid", "pos")
                 .agg(pround(F.avg("val"), 6).alias("m"))
             )
@@ -854,48 +887,45 @@ def ivf_codebook_refresh(spark, sf_dir):
     builds the old→new contingency; output is per-old-cell size, modal
     destination cell, and churn rate. Both assignment passes and all 3
     re-fit iterations replay exactly in the oracle (6dp rounding
-    anchors), so the maintenance decision itself is hash-checked."""
+    anchors), so the maintenance decision itself is hash-checked.
+
+    r11 plan shape: old_cell (map-only plan-literal argmax) rides the
+    SAME row the Lloyd pass assigns, so the old→new contingency needs
+    no vec_id join at all — the whole query is the Lloyd chain plus one
+    64-cell groupBy. The former modal-window + total-sum pair read the
+    contingency relation TWICE (each reference re-ran the entire Lloyd
+    subtree: 60-Exchange plan, ~2× work); both now come out of ONE
+    aggregation — modal = min(struct(−n, new_cell)), the row_number
+    (n DESC, new_cell) tie order restated as a lexicographic min.
+    Measured ×10 paired: 4.0–5.5 → 3.4–4.1 s; rows identical at sf0.1
+    and the ×10 replica (collect-to-collect)."""
     from .similarity.ivf import assign_cells
 
     k, iters = 8, 3
     emb = _t(spark, sf_dir, "embeddings")
-    old = assign_cells(emb, _IVF_CENTS, out_col="old_cell").select(
-        "vec_id", "old_cell"
-    )
-    embv = emb.select(
+    base = assign_cells(emb, _IVF_CENTS, out_col="old_cell").select(
         "vec_id",
+        "old_cell",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    new = _lloyd_assignments(embv, k, iters).select(
-        "vec_id", F.col("cid").alias("new_cell")
-    )
+    new = _lloyd_assignments(base, k, iters)
     cnt = (
-        old.join(new, "vec_id")
-        .groupBy("old_cell", "new_cell")
+        new.groupBy("old_cell", F.col("cid").alias("new_cell"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window as W
-
-    rn = F.row_number().over(
-        W.partitionBy("old_cell").orderBy(F.col("n").desc(), "new_cell")
+    best = F.min(
+        F.struct((-F.col("n")).alias("negn"), F.col("new_cell").alias("nc"))
     )
-    modal = (
-        cnt.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            "old_cell",
-            F.col("new_cell").alias("modal_new_cell"),
-            F.col("n").alias("modal_n"),
-        )
+    out = cnt.groupBy("old_cell").agg(
+        F.sum("n").alias("n_vecs"), best.alias("__b")
     )
-    tot = cnt.groupBy("old_cell").agg(F.sum("n").alias("n_vecs"))
-    return tot.join(modal, "old_cell").select(
+    return out.select(
         F.col("old_cell").cast("int").alias("old_cell"),
         F.col("n_vecs").cast("bigint").alias("n_vecs"),
-        F.col("modal_new_cell").cast("int").alias("modal_new_cell"),
-        (F.col("n_vecs") - F.col("modal_n")).cast("bigint").alias("n_moved"),
+        F.col("__b.nc").cast("int").alias("modal_new_cell"),
+        (F.col("n_vecs") + F.col("__b.negn")).cast("bigint").alias("n_moved"),
         pround(
-            (F.col("n_vecs") - F.col("modal_n"))
+            (F.col("n_vecs") + F.col("__b.negn"))
             / F.col("n_vecs").cast("double"),
             6,
         ).alias("churn_rate"),
