@@ -396,6 +396,24 @@ def test_connected_components_equals_union_find_random_battery(spark):
     assert looped == got == expected
 
 
+def test_cluster_delta_driver_lane_matches_distributed(spark, sf_dir):
+    """dedup_cluster_delta's batch-sized driver fast path (r11: one
+    bounded collect + union_find_min replaces two CC passes, two
+    enrichment joins and the final aggregate when the verified-edge
+    count fits CC_DRIVER_MAX_EDGE_ROWS) must be row-identical to the
+    distributed reconciliation it shortcuts — force the distributed
+    lane with gate 0 and compare on the real corpus."""
+    from trading_dashboard_spark.queries import QUERY_REGISTRY
+
+    fn = QUERY_REGISTRY["dedup_cluster_delta"].fn
+    fast = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    dist = sorted(
+        map(tuple, fn(spark, sf_dir, _driver_max_edge_rows=0).collect())
+    )
+    assert fast == dist
+    assert fast  # the sf corpora have near-dup mass; empty = broken gate
+
+
 def test_oracle_tokenizer_class_matches_java_ws_battery(spark):
     """The shared _TOKS oracle fragment (explicit [ \\t\\n\\x0b\\f\\r]+
     class — ADVICE r8) == text/analysis.tokenize + lower on 200 texts

@@ -3546,7 +3546,7 @@ def _cluster_delta_oracle() -> str:
     "dedup_cluster_delta", _cluster_delta_oracle(),
     tags=("text", "X2", "dedup", "incremental", "clusters"),
 )
-def dedup_cluster_delta(spark, sf_dir):
+def dedup_cluster_delta(spark, sf_dir, *, _driver_max_edge_rows=None):
     """INCREMENTAL cluster reconciliation (r7 verdict #8b — composes
     `minhash_incremental_admission` with `near_dup_clusters`): after a
     new batch (the md5-slice >= 'cd', ~20%) arrives against the
@@ -3645,6 +3645,72 @@ def dedup_cluster_delta(spark, sf_dir):
         .select("id_a", "inc_a", "id_b", "inc_b")
         .localCheckpoint(eager=True)  # feeds 3 edge classes + 2 CC loops
     )
+    # Batch-sized driver fast path (r11, the CC_DRIVER_MAX_EDGE_ROWS
+    # discipline one level up): the WHOLE reconciliation graph — both
+    # union-finds, the component sizes, and the final per-cluster
+    # rollup — is bounded by the verified-edge count, which is a
+    # provable bound (a count over the just-materialized checkpoint,
+    # never an estimate). At or below the gate the distributed form's
+    # ~9 scheduling-bound jobs (two CC passes of sym-distinct +
+    # checkpoint + count + collect each, two enrichment joins, the
+    # final aggregate) collapse into ONE bounded collect + pure-Python
+    # union-find (text/clusters.union_find_min — the exact min-label
+    # twin, pinned by the CC random battery) + one local relation.
+    # Above the gate the distributed path below is unchanged — and at a
+    # 100 TB *incumbent* the reconciliation graph is still BATCH-sized
+    # by construction (nodes are batch docs + touched component
+    # labels), so the gate routes on the right variable. Measured ×10
+    # paired: 6.7–7.0 → ~4 s (see OPTIMIZATION_r11.md).
+    from .text.clusters import CC_DRIVER_MAX_EDGE_ROWS, union_find_min
+
+    gate = (CC_DRIVER_MAX_EDGE_ROWS if _driver_max_edge_rows is None
+            else _driver_max_edge_rows)
+    if ver.count() <= gate:
+        from collections import Counter
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        rows = ver.collect()
+        inc_lbl = union_find_min(
+            (r.id_a, r.id_b) for r in rows if r.inc_a and r.inc_b
+        )
+        comp_sizes = Counter(inc_lbl.values())
+        delta_edges = []
+        node_inc: dict = {}
+        for r in rows:
+            if r.inc_a and r.inc_b:
+                continue
+            if r.inc_a != r.inc_b:
+                bid = r.id_b if r.inc_a else r.id_a
+                iid = r.id_a if r.inc_a else r.id_b
+                lbl = inc_lbl.get(iid, iid)
+                delta_edges.append((bid, lbl))
+                node_inc[bid] = False
+                node_inc[lbl] = True
+            else:
+                delta_edges.append((r.id_a, r.id_b))
+                node_inc[r.id_a] = False
+                node_inc[r.id_b] = False
+        delta_lbl = union_find_min(delta_edges)
+        agg: dict = {}
+        for node, comp in delta_lbl.items():
+            acc = agg.setdefault(comp, [0, 0, 0])  # new, inc mass, merged
+            if node_inc[node]:
+                acc[1] += comp_sizes.get(node, 1)
+                acc[2] += 1
+            else:
+                acc[0] += 1
+        id_t = ver.schema["id_a"].dataType
+        schema = StructType([
+            StructField("component", id_t, False),
+            StructField("n_new_members", LongType(), False),
+            StructField("n_incumbent_members", LongType(), False),
+            StructField("n_merged_components", LongType(), False),
+        ])
+        base.unpersist()
+        return spark.createDataFrame(
+            [(c, *v) for c, v in sorted(agg.items())], schema
+        )
     inc_pairs = ver.filter(F.col("inc_a") & F.col("inc_b"))
     inc_labels = connected_components(inc_pairs)  # id -> component
     comp_sizes = (

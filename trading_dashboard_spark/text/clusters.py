@@ -37,9 +37,14 @@ from pyspark.sql import DataFrame, functions as F
 CC_DRIVER_MAX_EDGE_ROWS = 100_000
 
 
-def _driver_components(sym: DataFrame):
-    """Union-find (by min root, path-halving) over a collected
-    symmetrized edge list — exact min-label components."""
+def union_find_min(pairs) -> dict:
+    """Union-find (by min root, path-halving) over an iterable of (a, b)
+    edges — returns {node: component} where the component id is the
+    minimum node id in the component, for every node appearing in at
+    least one edge. The driver-side exact twin of the min-label
+    propagation loop (pinned label-identical by the CC random battery);
+    shared by the CC fast path and the batch-sized reconciliation fast
+    path in dedup_cluster_delta."""
     parent: dict = {}
 
     def find(x):
@@ -48,15 +53,24 @@ def _driver_components(sym: DataFrame):
             x = parent[x]
         return x
 
-    rows = sym.collect()  # bounded by CC_DRIVER_MAX_EDGE_ROWS
-    for r in rows:
-        ra, rb = find(r[0]), find(r[1])
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra  # larger root under smaller ⇒ root IS the min
-    nodes = {r[0] for r in rows}
-    return [(x, find(x)) for x in sorted(nodes)]
+    return {x: find(x) for x in nodes}
+
+
+def _driver_components(sym: DataFrame):
+    """Exact min-label components over a collected symmetrized edge
+    list — bounded by CC_DRIVER_MAX_EDGE_ROWS."""
+    rows = sym.collect()
+    uf = union_find_min((r[0], r[1]) for r in rows)
+    return sorted(uf.items())
 
 
 def connected_components(
