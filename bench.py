@@ -77,6 +77,21 @@ BENCH_QUERIES = [
 ]
 
 
+def _git_sha() -> str | None:
+    """Current commit of the repo this bench file lives in (sidecar
+    provenance only — never part of the stdout contract)."""
+    import subprocess
+
+    try:
+        return subprocess.check_output(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            stderr=subprocess.DEVNULL, timeout=10,
+        ).decode().strip()
+    except Exception:
+        return None
+
+
 def main() -> None:
     from trading_dashboard_spark.queries import QUERY_REGISTRY
     from trading_dashboard_spark.session import get_spark
@@ -162,6 +177,11 @@ def main() -> None:
         "spark_job_floor_sec": round(floor, 3),
         "runs": {"spark": SPARK_RUNS, "duckdb": DUCK_RUNS,
                  "sweep": SWEEP_RUNS},
+        # r12 (VERDICT r11 ask #9): stamp the run conditions into the
+        # sidecar so a c8 and a c32 run can never be confused — the
+        # committed BENCH.json is whichever run wrote last.
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "git_sha": _git_sha(),
     }
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") != "0":
         out["scale_sweep"] = _scale_sweep(spark, QUERY_REGISTRY)
@@ -486,13 +506,30 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
         for t in ("region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{tmp}/{t}.parquet")
+        # r12 (VERDICT r11 "what's wrong" #2): session-scoped PlanMemos
+        # (removal closure / cluster labels / ccnet scored relation) are
+        # cleared before every entry's warm-up run, so each composition's
+        # FIRST run pays its own closure build and that cold cost is
+        # recorded per entry as ``cold_sec``. The min-of-SWEEP_RUNS
+        # number keeps its historical steady-state semantics (memo HIT
+        # for the riding compositions) — the split makes the two regimes
+        # explicit instead of letting an amortized row read as a
+        # standalone cost.
+        from trading_dashboard_spark.queries_text import (
+            clear_ccnet_scored_memo, clear_removed_ids_memo,
+        )
+
         sweep: dict[str, float] = {}
+        sweep_cold: dict[str, float] = {}
         for name in SWEEP_QUERIES:
+            clear_removed_ids_memo()
+            clear_ccnet_scored_memo()
             best = float("inf")
-            # +1 untimed warm-up: the first execution after the replica
-            # write pays one-off costs (fresh file listing, JIT, page
-            # cache) that a SWEEP_RUNS=2 min cannot shed — r03's driver
-            # artifact recorded 1.5-2x steady-state for several entries.
+            # +1 warm-up: the first execution after the replica write
+            # pays one-off costs (fresh file listing, JIT, page cache,
+            # and — after the memo clear above — any closure build) that
+            # a SWEEP_RUNS=2 min cannot shed; it is timed separately as
+            # the cold number, never folded into the steady-state min.
             for i in range(SWEEP_RUNS + 1):
                 t0 = time.time()
                 registry[name].fn(spark, tmp).write.mode("overwrite").format(
@@ -500,6 +537,8 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
                 ).save()
                 if i:
                     best = min(best, time.time() - t0)
+                else:
+                    sweep_cold[name] = round(time.time() - t0, 3)
             sweep[name] = round(best, 3)
 
         # DuckDB on the same replicated tables: the crossover measurement —
@@ -543,7 +582,8 @@ def _scale_sweep(spark, registry, factor: int = 10) -> dict:
                 duck_skipped[name] = f"oracle failed at x{factor}: {e}"[:200]
                 continue
             duck_sweep[name] = round(best, 3)
-        return {"factor": factor, "queries": sweep, "duckdb": duck_sweep,
+        return {"factor": factor, "queries": sweep, "cold_sec": sweep_cold,
+                "duckdb": duck_sweep,
                 "duckdb_skipped": duck_skipped,
                 "total_sec": round(sum(sweep.values()), 3),
                 "duckdb_total_sec": round(sum(duck_sweep.values()), 3)}

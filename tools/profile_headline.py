@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--tag", default="before")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", action="store_true")
+    ap.add_argument("--plans-dir", default="r12",
+                    help="subdirectory of plans/ for --plans output")
     args = ap.parse_args()
 
     import bench
@@ -61,7 +63,7 @@ def main() -> None:
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", args.plans_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 

@@ -217,7 +217,21 @@ _DRIVER_WINDOW = 50
 #: the r7 ADVICE high item) changes vader_score for any text containing
 #: those tokens — pin doc_sentiment per the standing rule that any
 #: sentiment.py / vader_lexicon.py edit forces a fresh driver row.
-_PIN_REVERIFY: tuple[str, ...] = ("doc_sentiment",)
+#: Round 12 (VERDICT r11 ask #2): the r11 optimization round's riskiest
+#: rewrites rotated OUT of the 50-row driver window in the same round
+#: their execution paths changed (driver reconciliation fast path,
+#: bucket-aggregation admission, driver-local sampled-BPE fit, the
+#: array-expression Lloyd argmin) — pin them so the r12 driver window
+#: attests the rewrites with fresh hash-green rows.
+_PIN_REVERIFY: tuple[str, ...] = (
+    "doc_sentiment",
+    "dedup_cluster_delta",
+    "minhash_incremental_admission",
+    "tokenizer_fertility_by_source",
+    "bpe_sampled_token_stats",
+    "kmeans_embedding_clusters",
+    "ivf_codebook_refresh",
+)
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO_ROOT = os.path.dirname(_PKG_DIR)

@@ -760,9 +760,10 @@ def _lloyd_assignments(emb, k: int, iters: int):
         assigned = (
             emb.crossJoin(F.broadcast(carr))
             .withColumn("__best", best)
-            # empty-centroid guard: agg() emits one all-NULL-array row
-            # even over zero centroids; the old crossJoin form emitted
-            # zero assignment rows there — reproduce that.
+            # empty-centroid guard: over zero centroids agg() still emits
+            # one row whose collect_list is an EMPTY array, and
+            # array_min([]) is NULL — filtering it reproduces the old
+            # zero-row crossJoin exactly.
             .filter(F.col("__best").isNotNull())
             .select(
                 *in_cols,
@@ -798,12 +799,14 @@ def kmeans_embedding_clusters(spark, sf_dir):
     feed bit-identical doubles into the next iteration.
 
     Scale shape per iteration: the centroid relation is k x dim
-    (KB-scale regardless of corpus size) and BROADCASTS into a map-side
-    assignment pass — squared-L2 via zip_with/aggregate (JVM fold,
-    identical order to DuckDB's list_sum) — then WindowGroupLimit prunes
-    the argmin and a (cid, pos) aggregate rebuilds centroids: corpus
-    vectors are scanned once per iteration and NEVER shuffled (the
-    shuffle carries k*dim partial sums per partition). The driver loop
+    (KB-scale regardless of corpus size), collapses to a single-row
+    sorted struct array, and BROADCASTS into a map-side assignment pass
+    — squared-L2 via zip_with/aggregate (JVM fold, identical order to
+    DuckDB's list_sum), argmin via ``array_min`` over (dist, cid)
+    structs (the r11 rewrite: no window, no row expansion) — then a
+    (cid, pos) aggregate rebuilds centroids off the same argmin row:
+    corpus vectors are scanned once per iteration and NEVER shuffled
+    (the shuffle carries k*dim partial sums per partition). The driver loop
     only composes the plan; no collect between iterations (the loop is
     `_lloyd_assignments`, shared with ivf_codebook_refresh).
 

@@ -3665,7 +3665,10 @@ def dedup_cluster_delta(spark, sf_dir, *, _driver_max_edge_rows=None):
 
     gate = (CC_DRIVER_MAX_EDGE_ROWS if _driver_max_edge_rows is None
             else _driver_max_edge_rows)
-    if ver.count() <= gate:
+    # gate > 0: the documented gate=0 override forces the distributed
+    # lane even on an empty verified-edge set (ADVICE r11; same
+    # convention as connected_components)
+    if gate > 0 and ver.count() <= gate:
         from collections import Counter
 
         from pyspark.sql.types import LongType, StructField, StructType

@@ -1378,14 +1378,14 @@ def _dsir_weights(docs, lane: str = "arrow"):
     # worker; lane="jvm" is the pure-built-in explode form the SQL
     # oracle replays term for term — equality pinned by unit test.
     if lane == "arrow":
-        # Known plan quirk, measured and ACCEPTED: the hist branch and
-        # the join probe side each re-execute the Python mapper (plan
-        # shows MapInPandas ×3 — broadcast probe sides read it inline,
-        # so no exchange exists to reuse). Pinning one execution with a
-        # repartition(doc_id) over the mapper was measured WORSE
-        # (×100: 11.6 s vs 3.7 s same protocol — the doc×bucket
-        # exchange costs more than two extra memoized-tokenize passes),
-        # so the re-execution stays.
+        # The mapper executes twice per call (hist collect + final
+        # fold; r12 — down from ×3 when the ratio lived in the plan).
+        # Pinning one execution with a repartition(doc_id) over the
+        # mapper was measured WORSE in r11 (×100: 11.6 s vs 3.7 s same
+        # protocol — the doc×bucket exchange costs more than one extra
+        # memoized-tokenize pass), and a persist() of the mapper output
+        # was a wash at ×100 for corpus-scale memory (r12) — the
+        # re-execution stays.
         db = _dsir_bucket_counts_arrow(docs)
     else:
         bucket = (
@@ -1403,22 +1403,49 @@ def _dsir_weights(docs, lane: str = "arrow"):
             .groupBy("doc_id", "source", "lang", "b")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-    hist = db.groupBy("b").agg(
-        F.sum("n").alias("c_raw"),
-        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
-            "c_tgt"
-        ),
-    )
-    tot = hist.agg(
-        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
-    )
+    # r12: the histogram/total/ratio chain used to live in the PLAN as
+    # aggregation branches of `db` — so the opaque bucket-count pass
+    # executed once for the hist branch, once for the tot branch (both
+    # inside the ratio BroadcastExchange build) and once for the final
+    # per-doc fold: MapInPandas ×3 in the physical plan, three full
+    # tokenize passes over the corpus. The histogram is ≤B rows of EXACT
+    # integer counts — a bounded collect (the registry's ≤max_vocab
+    # class) — so ONE execution now computes it driver-side, the totals
+    # are exact Python integer sums, and the log-ratio relation becomes
+    # a B-row literal whose `lr` is the SAME JVM log expression over the
+    # same exact-long inputs (bit-identical doubles; full-output
+    # equality pinned at ×10 and ×100 — tools/ab_dsir.py). Corpus
+    # passes: 3 → 2; the two histogram aggregation exchanges and the
+    # nested broadcast join disappear from the plan. Persisting `db` to
+    # reach one pass was A/B'd at ×100 (2.6–4.2 s vs 3.0–3.3 s — within
+    # noise) and REFUSED: it pins a corpus-rows-scale relation in
+    # executor memory for a wash.
+    hist_rows = (
+        db.groupBy("b").agg(
+            F.sum("n").alias("c_raw"),
+            F.sum(
+                F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
+            ).alias("c_tgt"),
+        )
+    ).collect()
+    n_raw = sum(r["c_raw"] for r in hist_rows)
+    n_tgt = sum(r["c_tgt"] for r in hist_rows)
     B = float(_DSIR_BUCKETS)
-    ratio = hist.crossJoin(F.broadcast(tot)).select(
-        "b",
-        (
-            F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + B))
-            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + B))
-        ).alias("lr"),
+    ratio = (
+        docs.sparkSession.createDataFrame(
+            [
+                (int(r["b"]), int(r["c_raw"]), int(r["c_tgt"]))
+                for r in hist_rows
+            ],
+            "b long, c_raw long, c_tgt long",
+        )
+        .select(
+            "b",
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.lit(n_tgt).cast("long") + B))
+                - F.log((F.col("c_raw") + 1.0) / (F.lit(n_raw).cast("long") + B))
+            ).alias("lr"),
+        )
     )
     return (
         db.join(F.broadcast(ratio), "b")
@@ -1453,10 +1480,13 @@ def dsir_importance_weights(spark, sf_dir, lane: str = "arrow"):
     partial counts — the only occurrence-sized pass; BOTH the target
     and raw histograms come out of that one aggregate (conditional
     sum, no second scan) and are B rows regardless of corpus size, so
-    the log-ratio relation broadcasts; the per-doc weight is one
+    the histogram is a BOUNDED collect (≤B exact-integer rows — the
+    registry's ≤max_vocab class) and the log-ratio relation a B-row
+    broadcast literal (r12: this cut the opaque bucket-count pass from
+    3 plan-branch executions to 2); the per-doc weight is one
     partial-agg shuffle keyed doc_id over bucket-count rows (≤B per
-    doc). No driver collect anywhere; 4dp rounding is the house ulp
-    discipline for cross-engine float sums."""
+    doc). 4dp rounding is the house ulp discipline for cross-engine
+    float sums."""
     return _dsir_weights(_t(spark, sf_dir, "documents"), lane)
 
 

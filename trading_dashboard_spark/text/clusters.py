@@ -104,8 +104,12 @@ def connected_components(
             else driver_max_edge_rows)
     # size-gated driver fast path (see CC_DRIVER_MAX_EDGE_ROWS): the
     # count is a cheap scan of the just-materialized checkpoint, and a
-    # provable bound — never an estimate — gates the collect
-    if sym.count() <= gate:
+    # provable bound — never an estimate — gates the collect. ``gate > 0``
+    # keeps the documented override honest: gate=0 means "force the
+    # distributed loop" even on an EMPTY edge set (previously 0 <= 0
+    # still took the driver path — ADVICE r11; the cluster-delta gate
+    # shares the convention).
+    if gate > 0 and sym.count() <= gate:
         spark = edges.sparkSession
         node_t = sym.schema[0].dataType
         schema = StructType([
