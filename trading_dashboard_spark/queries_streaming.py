@@ -882,11 +882,6 @@ def streaming_minhash_admission(spark, sf_dir):
             band_structs(_NUM_HASHES, _BANDS).alias("bands"),
         ).localCheckpoint(eager=True)
 
-    def explode_bands(feat):
-        return feat.select("id", F.explode("bands").alias("b")).select(
-            "id", "b.band_idx", "b.band_hash"
-        )
-
     # at-rest index state, advanced per trigger. r11: the index is a
     # LIST of eagerly checkpointed parts (incumbent + one admitted
     # slice per trigger) unioned lazily where the probe scans it — the
@@ -913,49 +908,44 @@ def streaming_minhash_admission(spark, sf_dir):
     def admit_batch(batch_df, batch_id):
         b_feat = featurize(batch_df)
         idx = index_feat()
-        cand = (
-            explode_bands(idx).join(
-                F.broadcast(
-                    explode_bands(b_feat).withColumnRenamed("id", "new_id")
-                ),
-                ["band_idx", "band_hash"],
-            )
-            .select("new_id", F.col("id").alias("inc_id"))
-            .distinct()
+        # r12 fused verify: ONE index scan per trigger. The r11 form
+        # scanned the at-rest index TWICE inside the decisions job —
+        # once for the candidate band probe (inside a broadcast build)
+        # and once as the verify's sh_idx side — with a pair-DISTINCT
+        # exchange between them. Here the index band rows explode with
+        # the SAME row's fp attached (map-side over checkpointed bytes,
+        # nothing index-proportional shuffles), the batch band rows and
+        # batch fps BROADCAST (both batch-bounded — the same class as
+        # before), jaccard evaluates per collision row, and both
+        # decision bits come out of one max-aggregate keyed new_id:
+        # band-collision multiplicity is absorbed by the max (max over
+        # duplicated pairs equals max over distinct pairs), so the
+        # distinct exchange no longer exists. flagged ⟺ ≥1 collision
+        # row survives the joins (they preserve every collision);
+        # rejected ⟺ max(jac ≥ T); coalesce INSIDE the max keeps the
+        # all-NULL-jaccard candidate (both fp sets empty) flagged but
+        # not rejected, exactly like the r11 filter's NULL-drop.
+        # Measured ×10 paired: 6.5-6.9 → 5.0-6.3 s; decisions
+        # identical at sf0.01 and ×10.
+        b_bands = (
+            b_feat.select(
+                F.col("id").alias("new_id"), F.explode("bands").alias("b")
+            ).select("new_id", "b.band_idx", "b.band_hash")
         )
         sh_new = b_feat.select(F.col("id").alias("new_id"),
                                F.col("fp").alias("sh_n"))
-        sh_idx = idx.select(F.col("id").alias("inc_id"),
-                            F.col("fp").alias("sh_i"))
+        idx_rows = (
+            idx.select("id", "fp", F.explode("bands").alias("b"))
+            .select(F.col("fp").alias("sh_i"), "b.band_idx", "b.band_hash")
+        )
         inter = F.size(F.array_intersect("sh_n", "sh_i"))
         union = F.size(F.array_union("sh_n", "sh_i"))
         jac = pround(inter / F.when(union != 0, union).cast("double"), 6)
-        # Verify with the (pair × batch-shingle) side BROADCAST so the
-        # at-rest index is only ever SCANNED map-side, never shuffled:
-        # checkpointed relations carry no size stats, so without the
-        # hint the planner sort-merges this join — shuffling the whole
-        # index's shingle arrays once per trigger (measured r11 ×10:
-        # the decisions job was 1.2-1.4 s/trigger, the dominant term of
-        # the whole query — exactly the corpus-proportional per-trigger
-        # shuffle the design forbids). The broadcast side is candidate
-        # pairs joined to BATCH shingles — the same bounded class as
-        # the b_bands broadcast above.
-        #
-        # r11 (second pass): ONE relation derives both decision bits —
-        # per candidate new_id, flagged ⟺ a ver row exists (the inner
-        # joins preserve every cand row: sh_new covers the whole batch,
-        # sh_idx the whole index) and rejected ⟺ max(jac ≥ T) (NULL jac
-        # from empty fp sets coalesces false, exactly the old filter's
-        # NULL-drop). The previous flagged/rejected pair referenced
-        # `cand` twice, so the lazy probe join — and its full index
-        # band scan — executed TWICE inside the decisions job.
         flags = (
-            F.broadcast(cand.join(sh_new, "new_id"))
-            .join(sh_idx, "inc_id")
+            idx_rows
+            .join(F.broadcast(b_bands), ["band_idx", "band_hash"])
+            .join(F.broadcast(sh_new), "new_id")
             .groupBy("new_id")
-            # coalesce INSIDE the max: an all-NULL-jaccard candidate
-            # (both fp sets empty) must still read flagged=true / not
-            # rejected, exactly like the old filter's NULL-drop
             .agg(
                 F.max(F.coalesce(jac >= _JACCARD_T, F.lit(False)))
                 .alias("rej")
@@ -1150,13 +1140,17 @@ def streaming_dsir_admission(spark, sf_dir):
     maxFilesPerTrigger=1), same unrolled-CTE oracle discipline, same
     fresh-state retry for py4j callback flakiness.
 
-    Scale shape: the ENTIRE model state is a 256-row histogram — the
-    state the band-index admission must grow per admitted doc is here
-    constant-size no matter how much is admitted (DSIR's scale
-    property); per trigger the batch runs one Arrow bucket-count pass,
-    joins the broadcast 256-row log-ratio relation, and folds a
-    ≤256-row delta into the checkpointed model. Decisions are
-    batch-sized; nothing corpus-proportional shuffles per trigger."""
+    Scale shape: the ENTIRE model state is a 256-row histogram of exact
+    integer counts — the state the band-index admission must grow per
+    admitted doc is here constant-size no matter how much is admitted
+    (DSIR's scale property) — so it lives on the DRIVER (r12; the
+    _dsir_weights bounded-collect class) and the per-trigger log-ratio
+    relation is a 256-row literal. Per trigger the batch runs one Arrow
+    bucket-count pass (checkpointed), one decisions checkpoint, and one
+    bounded ≤256-row delta collect folded into the driver dict — the
+    old third checkpoint job (union+groupBy+checkpoint of the whole
+    model) is gone. Decisions are batch-sized; nothing
+    corpus-proportional shuffles per trigger."""
     import shutil
     import tempfile
 
@@ -1177,18 +1171,26 @@ def streaming_dsir_admission(spark, sf_dir):
             "doc_id", "source", "lang", "text"
         ))
 
-    def to_hist(db):
-        return db.groupBy(F.col("b").alias("bk")).agg(
+    def hist_collect(db):
+        """The ≤B-row (bucket → exact integer counts) histogram as a
+        driver dict — a bounded collect (the _dsir_weights r12 class):
+        the ENTIRE model state is 256 rows of longs, so holding it as a
+        distributed checkpoint bought nothing but a checkpoint job per
+        trigger and a range-join + broadcast-totals subplan per scoring
+        pass."""
+        rows = db.groupBy(F.col("b").alias("bk")).agg(
             F.sum("n").alias("c_raw"),
             F.sum(
                 F.when(F.col("lang") == "en", F.col("n")).otherwise(0)
             ).alias("c_tgt"),
-        )
+        ).collect()
+        return {
+            int(r["bk"]): (int(r["c_raw"]), int(r["c_tgt"])) for r in rows
+        }
 
     def fresh_state():
         return {
-            "hist": to_hist(bucket_counts(docs.filter(incumbent)))
-            .localCheckpoint(eager=True),
+            "hist": hist_collect(bucket_counts(docs.filter(incumbent))),
             "decisions": [],
         }
 
@@ -1196,27 +1198,29 @@ def streaming_dsir_admission(spark, sf_dir):
 
     def admit_batch(batch_df, batch_id):
         db = bucket_counts(batch_df).localCheckpoint(eager=True)
-        tots = state["hist"].agg(
-            F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
-        )
+        hist = state["hist"]
+        n_raw = sum(v[0] for v in hist.values())
+        n_tgt = sum(v[1] for v in hist.values())
         # the model is DENSE by definition — all B buckets score, so a
         # token whose bucket the model has never seen still gets the
         # smoothed default ln(1/(n_tgt+B)) - ln(1/(n_raw+B)) instead of
-        # silently dropping out of the join (the first cut inner-joined
-        # the sparse histogram and treated unseen buckets as lw 0; the
-        # planted drift test caught it)
-        ratio = (
-            spark.range(_DSIR_BUCKETS).select(F.col("id").alias("bk"))
-            .join(state["hist"], "bk", "left")
-            .fillna(0, subset=["c_raw", "c_tgt"])
-            .crossJoin(F.broadcast(tots))
-            .select(
-                F.col("bk").alias("b"),
-                (
-                    F.log((F.col("c_tgt") + 1.0) / (F.col("n_tgt") + B))
-                    - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + B))
-                ).alias("lr"),
-            )
+        # silently dropping out of the join. r12: the ratio is a B-row
+        # literal built from the driver-held exact-integer histogram —
+        # `lr` is the SAME JVM log expression over the same longs the
+        # old range-join/broadcast-totals subplan fed it (bit-identical
+        # doubles; lane outputs pinned identical at sf0.01 and ×10).
+        ratio = spark.createDataFrame(
+            [
+                (bk, hist.get(bk, (0, 0))[0], hist.get(bk, (0, 0))[1])
+                for bk in range(_DSIR_BUCKETS)
+            ],
+            "b long, c_raw long, c_tgt long",
+        ).select(
+            "b",
+            (
+                F.log((F.col("c_tgt") + 1.0) / (F.lit(n_tgt).cast("long") + B))
+                - F.log((F.col("c_raw") + 1.0) / (F.lit(n_raw).cast("long") + B))
+            ).alias("lr"),
         )
         scored = (
             db.join(F.broadcast(ratio), "b")
@@ -1234,17 +1238,20 @@ def streaming_dsir_admission(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
         state["decisions"].append(decisions)
-        delta = to_hist(
+        # model advance: fold the admitted slice's ≤B-row delta into the
+        # driver dict off one bounded collect over checkpointed batch
+        # bytes — replaces the per-trigger union+groupBy+checkpoint of
+        # the whole model (a third checkpoint job per trigger for a
+        # 256-row relation)
+        delta = hist_collect(
             db.join(
-                decisions.filter("admitted").select("doc_id"), "doc_id"
+                F.broadcast(decisions.filter("admitted").select("doc_id")),
+                "doc_id",
             )
         )
-        state["hist"] = (
-            state["hist"].unionByName(delta)
-            .groupBy("bk")
-            .agg(F.sum("c_raw").alias("c_raw"), F.sum("c_tgt").alias("c_tgt"))
-            .localCheckpoint(eager=True)
-        )
+        for bk, (cr, ct) in delta.items():
+            prev = state["hist"].get(bk, (0, 0))
+            state["hist"][bk] = (prev[0] + cr, prev[1] + ct)
 
     landing = tempfile.mkdtemp(prefix="stream_dsir_")
     try:

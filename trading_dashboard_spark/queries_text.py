@@ -4359,11 +4359,18 @@ def _gopher_rules_df(docs):
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    rn = F.row_number().over(
-        W.partitionBy("doc_id").orderBy(F.col("c").desc(), "b")
-    )
-    top = bgc.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-        "doc_id", "b", "c"
+    # (c DESC, b ASC) argmax as min(struct(-c, b)) — the ivf modal idiom
+    # (r12): a partial-aggregable HashAggregate replaces Sort +
+    # WindowGroupLimit + Window on the same doc_id exchange, so the
+    # shuffle carries ONE partial row per (partition, doc) instead of
+    # every distinct bigram through a sort. Outputs pinned identical at
+    # sf0.01/×10/×100 (tools notes in OPTIMIZATION_r12.md).
+    top = (
+        bgc.groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("negc"), F.col("b"))).alias("t")
+        )
+        .select("doc_id", F.col("t.b").alias("b"), (-F.col("t.negc")).alias("c"))
     )
     mwl = F.col("n_wchars") / F.col("n_words").cast("double")
     top_frac = F.coalesce(F.col("c") * F.length("b"), F.lit(0)) / F.nullif(
