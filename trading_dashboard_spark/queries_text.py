@@ -4440,16 +4440,22 @@ def _ccnet_scored_df(spark, docs, memo: bool = True):
     from .text.analysis import tokenize
 
     def _compute():
-        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        from .io.readers import spread
+
         toks = tokenize(F.lower(F.col("text")))
         n1 = F.greatest(F.size(toks) - 1, F.lit(0))
         zipped = F.arrays_zip(
             F.slice(toks, 1, n1).alias("b1"),
             F.slice(toks, 2, n1).alias("b2"),
         )
+        # r12: spread() instead of an unconditional repartition — same
+        # keyed spread-up for a narrow scan (bench-neutral, A/B'd a wash
+        # at ×10 and ×100, outputs identical), but a corpus that already
+        # scans wide keeps its natural partitioning instead of paying a
+        # raw-TEXT shuffle before the explode (§2.3: never shuffle the
+        # payload to parallelize map work it already has).
         cells = (
-            docs.select("doc_id", "text")
-            .repartition(n_shuffle, "doc_id")
+            spread(docs.select("doc_id", "text"), "doc_id")
             .select("doc_id", F.explode(zipped).alias("p"))
             .groupBy(
                 F.xxhash64("p.b1", "p.b2").alias("hb"),
