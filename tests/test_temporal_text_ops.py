@@ -157,6 +157,22 @@ def test_connected_components_long_chain_and_bound(spark):
         connected_components(chain, max_iter=2, driver_max_edge_rows=0)
 
 
+def test_connected_components_gate_zero_forces_loop_on_empty_graph(spark):
+    """ADVICE r11 #3: gate=0 must force the DISTRIBUTED lane even when
+    the symmetrized edge set is EMPTY (previously ``0 <= 0`` still took
+    the driver fast path). Both lanes return zero label rows there —
+    this pins that the loop lane handles the empty graph and that the
+    override semantics hold at its only observable corner."""
+    from trading_dashboard_spark.text.clusters import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = connected_components(empty, driver_max_edge_rows=0)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
+    # and the driver lane agrees on empty input under the default gate
+    assert connected_components(empty).count() == 0
+
+
 def test_expect_null_counts_as_violation(spark):
     from trading_dashboard_spark.operators.quality import expect
 

@@ -949,6 +949,26 @@ def test_gopher_rules_planted_per_rule_failures(spark, tmp_path):
         assert row["n_pass"] == (1 if bad_rule is None else 0)
 
 
+def test_gopher_top_bigram_tie_breaks_lexicographically(spark, tmp_path):
+    """r12: the repetition rule's (count DESC, bigram ASC) argmax moved
+    from a row_number window to min(struct(-c, b)) — pin the tie-break.
+    The doc's three most frequent bigrams tie exactly ('a b',
+    'b longword', 'longword otherlong'); the lexicographically smallest
+    ('a b', 3 chars) keeps the char fraction ~0.13 < 0.2 (doc passes),
+    while a wrong tie-break to 'longword otherlong' (18 chars) would
+    read ~0.78 and fail the rule."""
+    n = 13
+    text = "the of " + "a b longword otherlong " * n
+    text = text.strip()
+    _write_docs(tmp_path, [(0, text, "en", "s_tie", len(text))])
+
+    from trading_dashboard_spark.queries_text import gopher_quality_rules
+
+    row = gopher_quality_rules(spark, str(tmp_path)).collect()[0].asDict()
+    assert row["fail_top_bigram"] == 0, row
+    assert row["n_pass"] == 1, row
+
+
 def test_ccnet_terciles_partition_each_language(spark, sf_dir):
     """Bucket counts per language are the exact row_number thirds, they
     sum to the number of SCORED docs, and the head bucket's floor is at

@@ -153,7 +153,19 @@ def band_structs(num_hashes: int, bands: int) -> Column:
     """Array of (band_idx, band_hash) structs over the ``mh_i`` signature
     columns — the LSH banding expression, built once and cached (same
     semantics as the inline construction it replaces; shared by the batch
-    and streaming admission paths)."""
+    and streaming admission paths).
+
+    r12 (the r11 "Not yet optimized" #2 item): ``band_hash`` is
+    ``unhex(md5(...))`` — the 16-byte BINARY form of the md5 the oracles
+    keep as hex text. unhex of a fixed-width hex rendering is a
+    bijection, so bucket membership — and therefore every candidate set,
+    flagged count and verified pair — is IDENTICAL to the 32-char hex
+    form; only the key bytes halve through every banding groupBy/join
+    exchange and at rest in the streaming admission index. Band hashes
+    never surface in any output (join/group keys only), so the oracles'
+    hex strings need no change. Measured nil at the ×10 sweep (the
+    banded relations are ~20k-200k rows there); the win is shuffle and
+    at-rest bytes at corpus scale."""
 
     def build() -> Column:
         rows_per_band = num_hashes // bands
@@ -166,7 +178,9 @@ def band_structs(num_hashes: int, bands: int) -> Column:
             cols.append(
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+                    F.unhex(F.md5(F.concat_ws("|", *parts))).alias(
+                        "band_hash"
+                    ),
                 )
             )
         return F.array(*cols)
