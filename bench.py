@@ -179,8 +179,11 @@ def main() -> None:
                  "sweep": SWEEP_RUNS},
         # r12 (VERDICT r11 ask #9): stamp the run conditions into the
         # sidecar so a c8 and a c32 run can never be confused — the
-        # committed BENCH.json is whichever run wrote last.
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        # committed BENCH.json is whichever run wrote last. Fall back to
+        # the session's actual parallelism when the env var is absent
+        # (local dev runs).
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS")
+        or str(spark.sparkContext.defaultParallelism),
         "git_sha": _git_sha(),
     }
     if os.environ.get("SPARK_GRAFT_SCALE_SWEEP", "1") != "0":
