@@ -3794,8 +3794,25 @@ _WINNOW_SEL_CTES = f"""
 
 def _winnowed_sel(docs):
     """Spark side of `_WINNOW_SEL_CTES`: the DISTINCT (doc_id, fp)
-    winnowing selection — one doc_id exchange for the ordered window,
-    fingerprint traffic ~2/(w+1) of gram positions downstream."""
+    winnowing selection — computed entirely MAP-SIDE (r12).
+
+    Winnowing is a pure per-doc function of the token array, so the r9
+    explode → doc_id exchange → per-doc sort → sliding window → distinct
+    pipeline paid one occurrence-sized shuffle, a per-doc sort and a
+    second (doc_id, fp) distinct exchange for work the row itself can
+    do: the selkey ARRAY materializes in its own projection (the opt-8
+    discipline — lambdas capture only the `toks`/`sk` attributes, never
+    an expensive subtree), the w-wide sliding min at position p is
+    `least(sk[p], sk[p-1], …, sk[p-w+1])` with indices clamped to 1
+    (the clamp duplicates elements, which is min-neutral, and exactly
+    reproduces the whole-sequence window of a short doc), the partial
+    prefix is masked by starting the output sequence at least(w, m),
+    and `array_distinct` gives the per-doc distinct set — which IS the
+    global distinct because doc_id rides every row. Selection equality
+    with the window form pinned row-for-row at sf0.01, ×10 (992,554
+    rows) and ×100 (9,928,665 rows); paired ×100 5.0–6.3 → 3.0–3.8 s
+    (−40 %), ×10 ~1.1 → ~0.97 s. Fingerprint traffic downstream is
+    unchanged: ~2/(w+1) of gram positions."""
     from .text.analysis import tokenize
 
     k, w = _WINNOW_K, _WINNOW_W
@@ -3803,34 +3820,34 @@ def _winnowed_sel(docs):
         docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks"))
         .filter(F.size("toks") >= k)
     )
-    idx = F.sequence(F.lit(1), F.size("toks") - (k - 1))
-    gram = F.md5(
-        F.concat_ws(
-            " ", *[F.element_at("toks", F.col("pos") + i) for i in range(k)]
+    m = F.size("toks") - (k - 1)
+    sk = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda pos: F.concat(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", pos + i) for i in range(k)],
+                )
+            ),
+            F.lpad((F.lit(9999999999) - pos).cast("string"), 10, "0"),
+        ),
+    )
+    with_sk = toks.select("doc_id", F.size("toks").alias("n"), sk.alias("sk"))
+    m2 = F.col("n") - (k - 1)
+
+    def _at(pos_expr):
+        return F.element_at("sk", F.greatest(pos_expr, F.lit(1)))
+
+    sel_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.least(F.lit(w), m2), m2),
+            lambda pos: F.substring(
+                F.least(*[_at(pos - j) for j in range(w)]), 1, 32
+            ),
         )
     )
-    gr = (
-        toks.select("doc_id", "toks", F.explode(idx).alias("pos"))
-        .select("doc_id", "pos", gram.alias("h"))
-    )
-    selkey = F.concat(
-        F.col("h"),
-        F.lpad((F.lit(9999999999) - F.col("pos")).cast("string"), 10, "0"),
-    )
-    doc_w = W.partitionBy("doc_id")
-    win = gr.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(doc_w).alias("m"),
-        F.min(selkey)
-        .over(doc_w.orderBy("pos").rowsBetween(-(w - 1), 0))
-        .alias("selkey"),
-    )
-    return (
-        win.filter(F.col("pos") >= F.least(F.lit(w), F.col("m")))
-        .select("doc_id", F.substring("selkey", 1, 32).alias("fp"))
-        .distinct()
-    )
+    return with_sk.select("doc_id", F.explode(sel_arr).alias("fp"))
 
 
 @register(
