@@ -470,10 +470,14 @@ def media_phash_dedup(spark, sf_dir, include_near: bool = False):
     # the whole corpus' encode/decode work lands on one input split
     # (measured 17.1 s -> 6.7 s at x10 on local[32]; the residual is
     # the pure-python DCT itself, embarrassingly parallel)
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # spread() (r12): the id-only projection's size estimate is KBs, so
+    # spread always repartitions it up at current corpora (same plan as
+    # the old unconditional repartition); a corpus whose id projection
+    # already scans wide keeps its partitioning.
+    from .io.readers import spread
+
     fps = (
-        docs.select("doc_id")
-        .repartition(n_shuffle, "doc_id")
+        spread(docs.select("doc_id"), "doc_id")
         .mapInPandas(run, schema)
         .localCheckpoint(eager=True)
     )

@@ -654,12 +654,17 @@ def tfidf_top_terms(spark, sf_dir):
     both engines pick identical rows."""
     from .text.analysis import tokenize
 
+    from .io.readers import spread
+
     docs = _t(spark, sf_dir, "documents")
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # spread() (r12): same keyed spread-up for a narrow scan — the
+    # doc_id exchange still serves the tf groupBy AND the dl window —
+    # but a corpus that already scans wide no longer pays a raw-text
+    # shuffle (§2.3); the downstream aggregations then exchange at
+    # (doc, word) grain instead.
     words = (
-        docs.select("doc_id", "text")
-        .repartition(n_shuffle, "doc_id")
+        spread(docs.select("doc_id", "text"), "doc_id")
         .select(
             "doc_id",
             F.explode(tokenize(F.lower(F.col("text")))).alias("w"),
@@ -731,8 +736,9 @@ def bigram_logprob_score(spark, sf_dir):
     engines)."""
     from .text.analysis import tokenize
 
+    from .io.readers import spread
+
     docs = _t(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     toks = tokenize(F.lower(F.col("text")))
     pairs = F.transform(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -740,9 +746,10 @@ def bigram_logprob_score(spark, sf_dir):
             x.alias("b1"), F.concat_ws(" ", x, F.element_at(toks, i + 2)).alias("b")
         ),
     )
+    # spread() (r12): keyed spread-up only while the scan is narrow —
+    # no raw-text shuffle once the corpus scans wide (§2.3)
     bg = (
-        docs.select("doc_id", "text")
-        .repartition(n_shuffle, "doc_id")
+        spread(docs.select("doc_id", "text"), "doc_id")
         .select("doc_id", F.explode(pairs).alias("p"))
         .select("doc_id", F.col("p.b1").alias("b1"), F.col("p.b").alias("b"))
     )
@@ -1635,11 +1642,14 @@ def bigram_collocations_pmi(spark, sf_dir):
     vocabulary. Deterministic (pmi, w1, w2) top-20."""
     from .text.analysis import tokenize
 
+    from .io.readers import spread
+
     docs = _t(spark, sf_dir, "documents")
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = docs.select(
-        "doc_id", tokenize(F.lower(F.col("text"))).alias("toks")
-    ).repartition(n_shuffle, "doc_id")
+    # spread() (r12): see tfidf_top_terms — scan-spreading only
+    toks = spread(
+        docs.select("doc_id", tokenize(F.lower(F.col("text"))).alias("toks")),
+        "doc_id",
+    )
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -3358,17 +3368,20 @@ def heldout_bigram_fit_by_source(spark, sf_dir):
     # bigrams per partition, not occurrences. hb determines hb1 (the
     # bigram includes its prefix), so hb1 rides along as a grouping
     # key for free instead of needing a second occurrence pass.
-    # The doc-keyed repartition spreads tokenize+explode across all
-    # cores (the corpus parquet is compact — maxPartitionBytes would
-    # coalesce it onto a couple of input splits otherwise), and
-    # `toks` is a materialized column so the pair slices read an
-    # array instead of re-running the regexp split.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # spread() (r12; was an unconditional doc-keyed repartition) spreads
+    # tokenize+explode across all cores while the corpus parquet is
+    # compact — and SKIPS the raw-text shuffle once the scan is already
+    # wide (§2.3). `toks` is a materialized column so the pair slices
+    # read an array instead of re-running the regexp split.
+    from .io.readers import spread
+
     cells = (
-        docs.select(
-            "doc_id", "source", is_train.alias("is_train"), "text"
+        spread(
+            docs.select(
+                "doc_id", "source", is_train.alias("is_train"), "text"
+            ),
+            "doc_id",
         )
-        .repartition(n_shuffle, "doc_id")
         .select(
             "source", "is_train",
             tokenize(F.lower(F.col("text"))).alias("toks"),
@@ -5177,14 +5190,18 @@ def dedup_effect_on_heldout_lm(spark, sf_dir):
     pairs = F.arrays_zip(
         F.slice(toks, 1, n1).alias("b1"), F.slice(toks, 2, n1).alias("b2")
     )
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # spread() (r12): scan-spreading only — see heldout_bigram
+    from .io.readers import spread
+
     cells = (
-        docs.select(
-            "doc_id", "source", is_train.alias("is_train"), "text"
+        spread(
+            docs.select(
+                "doc_id", "source", is_train.alias("is_train"), "text"
+            )
+            .join(removed, F.col("doc_id") == F.col("rm_id"), "left")
+            .withColumn("kept", F.col("rm_id").isNull()),
+            "doc_id",
         )
-        .join(removed, F.col("doc_id") == F.col("rm_id"), "left")
-        .withColumn("kept", F.col("rm_id").isNull())
-        .repartition(n_shuffle, "doc_id")
         .select(
             "source", "is_train", "kept",
             tokenize(F.lower(F.col("text"))).alias("toks"),
